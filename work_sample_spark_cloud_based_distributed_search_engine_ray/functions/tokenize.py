@@ -1,0 +1,84 @@
+"""Canonical tokenizer + HTML->text extraction.
+
+The single source of truth for text normalization in the engine. The
+SAME functions are used by the index-build pipeline, the query parser,
+the brute-force oracle, and the fixture generator — this is what makes
+the "byte-identical extracted text per url" invariant and rank-identical
+top-k checks possible.
+
+Semantics pinned to the reference engine's only executable definition
+(reference ``searchEngine/src/cis5550/search/Searcher.java:39-40``):
+
+    text.replaceAll("\\<[^>]*>", "")      # strip tags
+        .replaceAll("\\p{Punct}", " ")    # ASCII punctuation -> space
+        .toLowerCase()
+        .split("\\s+")                    # whitespace split
+
+Deviation (documented): Java's ``split`` can emit one leading empty
+token when the string starts with whitespace; we drop empty tokens
+(Python ``str.split()``), since an empty term is meaningless.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Java \p{Punct} == ASCII 33-47, 58-64, 91-96, 123-126 exactly.
+PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+_BODY_RE = re.compile(r"<body[^>]*>(.*?)</body>", re.S | re.I)
+
+# Minimal entity set the generator may escape; order matters (&amp; last).
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def tokenize(text: str) -> list[str]:
+    """Canonical tokenizer (reference ``Searcher.java:39-40`` semantics)."""
+    return PUNCT_RE.sub(" ", TAG_RE.sub("", text)).lower().split()
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Query normalization: tokenize then de-duplicate terms.
+
+    The reference de-dups via ``HashSet`` (``Searcher.java:42``) — order
+    is irrelevant to the additive scorers; we keep first-seen order for
+    determinism.
+    """
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in tokenize(query):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        if ent in s:
+            s = s.replace(ent, ch)
+    return s
+
+
+def _clean_fragment(fragment: str) -> str:
+    """Strip tags, unescape entities, collapse whitespace runs."""
+    return _WS_RE.sub(" ", _unescape(TAG_RE.sub(" ", fragment))).strip()
+
+
+def extract_html(html: bytes | str) -> tuple[str, str]:
+    """Canonical HTML -> (title, body_text) extraction.
+
+    The reference's (absent) Indexer used jsoup (``README.md:16``); its
+    output contract — ``urls`` rows with ``title`` and ``body`` columns —
+    is recovered from the consumer ``Searcher.java:52-57,186-191``. This
+    function IS the engine's pinned extraction: deterministic, pure, and
+    shared with the oracle so extraction is byte-identical per url.
+    """
+    doc = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+    m = _TITLE_RE.search(doc)
+    title = _clean_fragment(m.group(1)) if m else ""
+    b = _BODY_RE.search(doc)
+    body = b.group(1) if b else _TITLE_RE.sub(" ", doc)
+    return title, _clean_fragment(body)

@@ -1,0 +1,154 @@
+"""Extraction + tokenization stage (stateful actor pool) and the
+vectorized postings-explode / dedup / stats batch transforms.
+
+Reference parity:
+- HTML->text+title extraction replaces the absent ``cis5550.jobs.Indexer``'s
+  jsoup step (contract recovered from ``search/Searcher.java:52-57``);
+  byte-identity per url is the pinned invariant.
+- Exact content dedup replaces the ``contentSeen`` probe table
+  (``crawler/Crawler.java:178-190``): keep the first-seen page per
+  content hash (min ``warc_ts``, tie-break min ``url``), record the
+  canonical url on the losers (``canonicalURL`` column,
+  ``Crawler.java:183-185``) — expressed as a shuffle
+  (``groupby(content_sha1).map_groups``) instead of a shared mutable KV.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64, sha1_hex
+from ..functions.tokenize import extract_html, tokenize
+
+DOC_META_COLS = [
+    "doc_id",
+    "url",
+    "warc_ts",
+    "lang",
+    "content_sha1",
+    "title",
+    "body_prefix",
+    "doc_len",
+    "is_canonical",
+    "canonical_url",
+]
+
+
+class ExtractDocs:
+    """Actor-pool ``map_batches`` stage: pages -> docs(+term counts).
+
+    One actor instance per pool slot; setup (nothing heavy here, but the
+    pattern holds for real parsers/models) happens once in ``__init__``,
+    per-batch work in ``__call__``. Input: pages batches (Arrow,
+    zero-copy). Output columns: doc_id, url, warc_ts, lang,
+    content_sha1, title, body_prefix, doc_len, terms(list<string>),
+    tfs(list<int32>).
+
+    Tokenization happens HERE, once, and term counts travel as Arrow
+    list columns through the dedup shuffle — this avoids tokenizing
+    twice (once for doc_len, once for postings) or re-shuffling text.
+    The wide ``html`` column is dropped immediately (projection
+    discipline: shuffle payloads stay narrow).
+    """
+
+    def __init__(self, verify_extraction: bool = False, body_prefix_len: int = 200):
+        from collections import Counter
+
+        self._counter = Counter
+        self.verify = verify_extraction
+        self.body_prefix_len = body_prefix_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        ref_text = batch["text"].to_pylist() if self.verify and "text" in batch.column_names else None
+
+        n = len(urls)
+        doc_ids = np.empty(n, dtype=np.int64)
+        sha1s: list[str] = []
+        titles: list[str] = []
+        prefixes: list[str] = []
+        doc_lens = np.empty(n, dtype=np.int64)
+        term_lists: list[list[str]] = []
+        tf_lists: list[list[int]] = []
+
+        for i in range(n):
+            title, text = extract_html(htmls[i])
+            if ref_text is not None and text != ref_text[i]:
+                raise ValueError(f"extraction not byte-identical for url={urls[i]}")
+            counts = self._counter(tokenize(text))
+            doc_ids[i] = hash64(urls[i])
+            sha1s.append(sha1_hex(htmls[i]))
+            titles.append(title)
+            prefixes.append(text[: self.body_prefix_len])
+            doc_lens[i] = sum(counts.values())
+            term_lists.append(list(counts.keys()))
+            tf_lists.append(list(counts.values()))
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "content_sha1": pa.array(sha1s, pa.string()),
+                "title": pa.array(titles, pa.string()),
+                "body_prefix": pa.array(prefixes, pa.string()),
+                "doc_len": pa.array(doc_lens),
+                "terms": pa.array(term_lists, pa.list_(pa.string())),
+                "tfs": pa.array(tf_lists, pa.list_(pa.int32())),
+            }
+        )
+
+
+def dedup_keep_first(group: pa.Table) -> pa.Table:
+    """Per content-hash group: first-seen row (min warc_ts, then min url)
+    is canonical; the rest keep only a pointer to the canonical url."""
+    if group.num_rows == 1:
+        return group.append_column("is_canonical", pa.array([True])).append_column(
+            "canonical_url", group["url"]
+        )
+    ts = group["warc_ts"].to_numpy(zero_copy_only=False)
+    urls = np.asarray(group["url"].to_pylist(), dtype=object)
+    order = np.lexsort((urls, ts))
+    win = int(order[0])
+    is_can = np.zeros(group.num_rows, dtype=bool)
+    is_can[win] = True
+    can_url = np.full(group.num_rows, urls[win], dtype=object)
+    return group.append_column("is_canonical", pa.array(is_can)).append_column(
+        "canonical_url", pa.array(can_url.tolist(), pa.string())
+    )
+
+
+def explode_postings(batch: pa.Table) -> pa.Table:
+    """Vectorized (terms, tfs) list columns -> one (term, doc_id, tf)
+    row per posting. Replaces the reference's per-word
+    ``flatMapToPair(word -> (word, doc:freq))`` emission (SURVEY §2.3)."""
+    terms = batch["terms"].combine_chunks()
+    tfs = batch["tfs"].combine_chunks()
+    parents = pc.list_parent_indices(terms)
+    return pa.table(
+        {
+            "term": terms.flatten(),
+            "doc_id": pc.take(batch["doc_id"].combine_chunks(), parents),
+            "tf": tfs.flatten().cast(pa.int64()),
+        }
+    )
+
+
+def partial_term_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation of (df, cf) per term — one output
+    row per (term, batch). The downstream ``groupby(term).aggregate``
+    then shuffles only vocabulary-sized partials, never raw postings
+    (pre-aggregate/combiner pattern; the reference shuffles every
+    emission through KVS puts instead, ``flame/FlameWorker.java:163``)."""
+    agg = batch.group_by("term").aggregate([("tf", "sum"), ("doc_id", "count")])
+    return pa.table(
+        {
+            "term": agg["term"],
+            "partial_cf": agg["tf_sum"],
+            "partial_df": agg["doc_id_count"].cast(pa.int64()),
+        }
+    )
