@@ -1,0 +1,119 @@
+"""End-to-end build + query vs brute-force oracle (FIXTURES.md §3/§4):
+stats parity, postings parity, dedup keep-first, WAND ≡ exhaustive,
+rank-identical top-k, parallelism invariance."""
+
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+    build_index,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.oracle import (
+    OracleIndex,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+    SearchIndex,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+    pages_parquet,
+    reference_queries,
+)
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    pages = pages_parquet(N_DOCS)
+    out = str(tmp_path_factory.mktemp("idx"))
+    shutil.rmtree(out, ignore_errors=True)
+    paths = build_index(
+        pages, out, num_partitions=3, hot_df_threshold=60, num_salts=4, verify_extraction=True
+    )
+    idx = SearchIndex.load(out)
+    oracle = OracleIndex(pq.read_table(pages))
+    return pages, paths, idx, oracle
+
+
+def test_global_stats_match(built):
+    _pages, _paths, idx, oracle = built
+    assert idx.N == oracle.N
+    assert idx.avgdl == oracle.avgdl
+
+
+def test_term_stats_and_postings_match(built):
+    _pages, _paths, idx, oracle = built
+    ost = oracle.term_stats()
+    assert set(idx.terms) == set(ost)
+    for term, (df, cf) in ost.items():
+        p = idx.terms[term]
+        assert (p.df, p.cf) == (df, cf), term
+        ids, tfs = oracle.sorted_postings(term)
+        assert np.array_equal(p.ids, ids), term
+        assert np.array_equal(p.tfs, tfs), term
+
+
+def test_dedup_keep_first(built):
+    _pages, paths, idx, oracle = built
+    store = pq.read_table(paths.docstore)
+    canon = store.filter(store["is_canonical"])
+    assert canon.num_rows == oracle.N
+    losers = store.filter(np.logical_not(store["is_canonical"].to_numpy(zero_copy_only=False)))
+    assert losers.num_rows == len(oracle.loser_canonical)
+    for row in losers.to_pylist():
+        assert oracle.loser_canonical[row["doc_id"]] == row["canonical_url"]
+
+
+def test_bm25_rank_identical_to_oracle(built):
+    _pages, _paths, idx, oracle = built
+    for _qid, q in reference_queries():
+        assert idx.bm25_topk_exhaustive(q, 10) == oracle.bm25_topk(q, 10), q
+
+
+def test_wand_equals_exhaustive(built):
+    _pages, _paths, idx, oracle = built
+    for k in (1, 3, 10, 50):
+        for _qid, q in reference_queries():
+            assert idx.bm25_topk(q, k) == idx.bm25_topk_exhaustive(q, k), (q, k)
+
+
+def test_reference_scorer_matches_oracle(built):
+    _pages, _paths, idx, oracle = built
+    for _qid, q in reference_queries():
+        got = idx.reference_topk(q)
+        want = oracle.reference_topk(q)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, want)), q
+
+
+def test_zero_hit_and_empty_queries(built):
+    _pages, _paths, idx, _oracle = built
+    assert idx.bm25_topk("zzqxnothing", 10) == []
+    assert idx.bm25_topk("", 10) == []
+    assert idx.reference_topk("!?!?") == []
+
+
+def test_search_assembles_results(built):
+    _pages, _paths, idx, oracle = built
+    res = idx.search("the", 5)
+    assert len(res) == 5
+    for r in res:
+        assert r["url"].startswith("http://")
+        assert r["doc_id"] in oracle.docs
+        assert r["title"] == oracle.docs[r["doc_id"]]["title"]
+
+
+def test_parallelism_invariance(built, tmp_path):
+    """Same corpus, different partitioning -> byte-identical postings
+    (the sandbox stand-in for N-node vs 4N-node build parity)."""
+    pages, paths, idx, _oracle = built
+    out2 = str(tmp_path / "idx2")
+    build_index(pages, out2, num_partitions=1, hot_df_threshold=60, num_salts=2)
+    idx2 = SearchIndex.load(out2)
+    assert set(idx.terms) == set(idx2.terms)
+    for t, p in idx.terms.items():
+        p2 = idx2.terms[t]
+        assert np.array_equal(p.ids, p2.ids) and np.array_equal(p.tfs, p2.tfs), t

@@ -185,18 +185,26 @@ def synth_pages(n_docs: int, seed: int = 42) -> pa.Table:
     )
 
 
-def pages_parquet(n_docs: int, seed: int = 42, cache_dir: str = "/tmp/wse_pages") -> str:
+def pages_parquet(
+    n_docs: int,
+    seed: int = 42,
+    cache_dir: str = "/tmp/wse_pages",
+    row_group_size: int | None = None,
+) -> str:
     """Materialize (once) the synthetic corpus as parquet; returns path.
 
     Written with small row groups so Ray Data gets read parallelism from
     a single file (row-group splits = input partitions at real scale).
+    ``row_group_size`` override lets tests force many row groups on tiny
+    corpora (row groups are the checkpoint-partition granularity).
     """
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}.parquet")
+    rgs = row_group_size or max(256, n_docs // 64)
+    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}_rg{rgs}.parquet")
     if not os.path.exists(path):
         tbl = synth_pages(n_docs, seed)
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=max(256, n_docs // 64))
+        pq.write_table(tbl, tmp, row_group_size=rgs)
         os.replace(tmp, path)
     return path
 
