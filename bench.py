@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...}
+
+--scaling runs the headline index build twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+node requirement); results also land in BENCH/scaling_r*.json.
+
+This script OWNS its Ray session (the driver contract: __ray_entry__
+and the library never call ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.1
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _build_once(num_cpus: int, out_dir: str) -> dict:
+    """One full index build over the sf-scaled synthetic pages corpus;
+    returns docs, wall seconds, docs/sec."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages = pages_for_sf_dir(SF_DIR)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    paths = build_index(pages, out_dir, num_partitions=16, batch_size=256)
+    wall = time.time() - t0
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    docs = meta["phase_a"]["docs"] + 0  # canonical count is meta["N"] + dups
+    total_docs = meta["N"] + meta["num_duplicate_docs"]
+    return {
+        "wall_sec": wall,
+        "docs": total_docs,
+        "docs_per_sec": total_docs / wall,
+        "num_cpus": num_cpus,
+        "timings": meta["timings_sec"],
+    }
+
+
+def run_scaling() -> None:
+    """Fresh-process runs at N=8 and 4N=32 CPUs over the SAME corpus."""
+    results = {}
+    for n in (8, 32):
+        cmd = [sys.executable, __file__, "--one-build", str(n), f"/tmp/wse_bench_scaling_{n}"]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = (t32 / t8) / 4.0
+    payload = {
+        "metric": "index-build scaling N=8 vs 4N=32 cpus (fresh processes, same corpus)",
+        "sf": _sf(),
+        "throughput_docs_per_sec": {"8": round(t8, 1), "32": round(t32, 1)},
+        "wall_sec": {"8": round(results[8]["wall_sec"], 2), "32": round(results[32]["wall_sec"], 2)},
+        "scaling_efficiency": round(eff, 3),
+        "docs": results[32]["docs"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
+def run_bench() -> None:
+    _init_ray(NUM_CPUS)
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        knn_brute_force,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        minhash_lsh_pairs,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        TextStatsStage,
+    )
+
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+    t_all = time.time()
+
+    # 1. headline: index build
+    t0 = time.time()
+    build = _build_once(NUM_CPUS, "/tmp/wse_bench_index")
+    queries["index_build"] = round(build["wall_sec"], 3)
+    extras["index_build_docs_per_sec"] = round(build["docs_per_sec"], 1)
+    extras["index_build_stage_timings"] = build["timings"]
+
+    # 2. query serving: load + run the reference query set, p50/p95
+    t0 = time.time()
+    idx = SearchIndex.load("/tmp/wse_bench_index")
+    extras["index_load_sec"] = round(time.time() - t0, 3)
+    lat = []
+    for _qid, q in reference_queries():
+        t1 = time.time()
+        idx.bm25_topk(q, k=10)
+        lat.append(time.time() - t1)
+    lat_arr = np.array(lat)
+    queries["bm25_query_set"] = round(float(lat_arr.sum()), 3)
+    extras["bm25_p50_ms"] = round(float(np.percentile(lat_arr, 50)) * 1000, 2)
+    extras["bm25_p95_ms"] = round(float(np.percentile(lat_arr, 95)) * 1000, 2)
+
+    # 3. minhash-LSH dedup over the driver documents table
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(rd.read_parquet(docs_path), est_threshold=0.5).count()
+    queries["minhash_lsh_dedup"] = round(time.time() - t0, 3)
+    extras["minhash_pairs"] = n_pairs
+
+    # 4. text stats over documents
+    t0 = time.time()
+    rd.read_parquet(docs_path).map_batches(
+        TextStatsStage, batch_format="pyarrow", concurrency=max(2, NUM_CPUS // 2)
+    ).count()
+    queries["text_stats"] = round(time.time() - t0, 3)
+
+    # 5. knn over embeddings
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    qm = np.asarray(
+        pq.read_table(emb_path, columns=["embedding"]).slice(0, 16)["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    t0 = time.time()
+    knn_brute_force(rd.read_parquet(emb_path), qm, k=10).count()
+    queries["knn_bruteforce"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "headline pipelines wall time (index build + BM25 query set + dedup + textstats + knn)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf(),
+                "num_cpus": NUM_CPUS,
+                **extras,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-build":
+        n, out_dir = int(sys.argv[2]), sys.argv[3]
+        _init_ray(n)
+        print(json.dumps(_build_once(n, out_dir)))
+        import ray
+
+        ray.shutdown()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    else:
+        run_bench()

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""``ray job submit`` entry point: build the inverted index.
+
+    ray job submit --working-dir . -- \
+        python jobs/build_index.py --pages <pages.parquet|dir> --out <dir> \
+            [--num-partitions 64] [--batch-size 256] [--num-shards 16] \
+            [--num-salts 8] [--verify-extraction]
+
+On a real cluster Ray is initialised by the job runtime (we only
+``ray.init()`` when standalone). The build is resumable: re-submitting
+the same job skips completed extraction partitions via their lineage
+manifests (state/manifest.py) and idempotently rebuilds derived outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True, help="input pages parquet file or directory")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--num-shards", type=int, default=16)
+    ap.add_argument("--num-salts", type=int, default=8)
+    ap.add_argument("--hot-df-threshold", type=int, default=None)
+    ap.add_argument("--verify-extraction", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+
+    paths = build_index(
+        args.pages,
+        args.out,
+        num_partitions=args.num_partitions,
+        batch_size=args.batch_size,
+        num_shards=args.num_shards,
+        num_salts=args.num_salts,
+        hot_df_threshold=args.hot_df_threshold,
+        verify_extraction=args.verify_extraction,
+    )
+    with open(paths.meta) as f:
+        print(json.dumps(json.load(f), indent=2))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

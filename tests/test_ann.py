@@ -1,0 +1,105 @@
+"""Similarity-search operators vs brute-force numpy ground truth on the
+driver `embeddings` table."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+    embedding_near_dup_pairs,
+    knn_brute_force,
+    lsh_knn,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _load():
+    t = pq.read_table(EMB)
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def _norm(m):
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n[n == 0] = 1
+    return m / n
+
+
+def test_knn_brute_force_matches_numpy():
+    ids, m = _load()
+    qn = _norm(m[:5])
+    mn = _norm(m)
+    sims = np.rint((qn @ mn.T) * 1e6).astype(np.int64)
+    ds = rd.read_parquet(EMB)
+    got = knn_brute_force(ds, m[:5], k=10).to_pandas()
+    for qi in range(5):
+        row = sims[qi]
+        order = np.lexsort((ids, -row))[:10]
+        want_ids = ids[order].tolist()
+        sub = got[got["query_id"] == qi].sort_values(
+            ["cosine_e6", "vec_id"], ascending=[False, True]
+        )
+        assert sub["vec_id"].tolist() == want_ids
+        assert sub["cosine_e6"].tolist() == row[order].tolist()
+
+
+def _planted_corpus(n_base=60, dim=32, seed=11):
+    """Clustered corpus: each base vector gets one tiny-noise near
+    neighbor (cosine ~0.99). Returns (table, planted_pairs)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    noisy = base + 0.05 * rng.standard_normal((n_base, dim))
+    vecs = np.empty((2 * n_base, dim))
+    vecs[0::2] = base
+    vecs[1::2] = noisy
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2 * n_base, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    return tbl, {(2 * i, 2 * i + 1) for i in range(n_base)}
+
+
+def test_lsh_knn_finds_planted_neighbors():
+    tbl, planted = _planted_corpus()
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    queries = vecs[0::2][:30]  # the base vectors
+    got = lsh_knn(rd.from_arrow(tbl), queries, k=5, num_planes=4).to_pandas()
+    hits = 0
+    for qi in range(30):
+        sub = set(got[got["query_id"] == qi]["vec_id"])
+        assert 2 * qi in sub  # own vector always shares its own bucket
+        if 2 * qi + 1 in sub:
+            hits += 1
+    # single-table LSH with 4 planes: planted-neighbor collision
+    # probability ~(1 - theta/pi)^4 ≈ 0.8 at cosine ~0.99
+    assert hits / 30 >= 0.6, f"planted recall {hits/30}"
+
+
+def test_near_dup_pairs_exact():
+    ids, m = _load()
+    mn = _norm(m)
+    sims = np.rint((mn @ mn.T) * 1e6).astype(np.int64)
+    thr = 0.4  # driver embeddings are near-random; max off-diag ~0.48
+    ai, bj = np.nonzero(sims >= int(thr * 1e6))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ai, bj) if ids[i] < ids[j]}
+    assert want, "threshold too high for this corpus"
+    got = embedding_near_dup_pairs(rd.read_parquet(EMB), threshold=thr).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs == want
+
+
+def test_near_dup_pairs_planted():
+    tbl, planted = _planted_corpus()
+    got = embedding_near_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.95, id_col="vec_id"
+    ).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert len(got_pairs & planted) / len(planted) > 0.9

@@ -1,0 +1,145 @@
+"""Dedup operator suite vs brute-force / DuckDB ground truth on the
+driver `documents` table and synthetic mutated corpora."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (
+    hamming64,
+    minhash_est_jaccard,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import tokenize
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+    exact_dedup_summary,
+    exact_dup_losers,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _mutated_corpus(n_base=40, seed=3):
+    """Docs where i and i+1 are near-dups (a few token edits), far from
+    everything else. Returns (table, near_pairs)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{h}" for h in range(500)]
+    rows, pairs = [], []
+    did = 0
+    for b in range(n_base):
+        toks = [words[rng.integers(0, 500)] for _ in range(80)]
+        rows.append((did, " ".join(toks)))
+        mutated = list(toks)
+        for _ in range(3):  # ~96% shingle overlap
+            mutated[rng.integers(0, 80)] = words[rng.integers(0, 500)]
+        rows.append((did + 1, " ".join(mutated)))
+        pairs.append((did, did + 1))
+        did += 2
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    return t, set(pairs)
+
+
+def test_exact_dedup_matches_duckdb():
+    ds = rd.read_parquet(DOCS)
+    got = exact_dedup_summary(ds).to_pandas().sort_values("text_md5").reset_index(drop=True)
+    want = (
+        duckdb.sql(
+            f"SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
+            f"count(*) AS n_copies FROM read_parquet('{DOCS}') GROUP BY md5(text)"
+        )
+        .df()
+        .sort_values("text_md5")
+        .reset_index(drop=True)
+    )
+    assert got["text_md5"].tolist() == want["text_md5"].tolist()
+    assert got["canonical_doc_id"].tolist() == want["canonical_doc_id"].tolist()
+    assert got["n_copies"].tolist() == want["n_copies"].tolist()
+
+
+def test_exact_losers_complement():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["x", "y", "x", "z", "x"], pa.string()),
+        }
+    )
+    losers = exact_dup_losers(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert losers["doc_id"].tolist() == [3, 5]
+    assert losers["canonical_doc_id"].tolist() == [1, 1]
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    a, b = minhash_params(256, seed=5)
+    t1 = tokenize("the quick brown fox jumps over the lazy dog again and again today")
+    t2 = tokenize("the quick brown fox jumps over the lazy cat again and again today")
+    s1, s2 = shingle_hashes(t1), shingle_hashes(t2)
+    true_j = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+    est = minhash_est_jaccard(minhash_signature(s1, a, b), minhash_signature(s2, a, b))
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_lsh_finds_near_dups():
+    tbl, near = _mutated_corpus()
+    ds = rd.from_arrow(tbl)
+    got = minhash_lsh_pairs(ds, est_threshold=0.5).to_pandas()
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    recall = len(found & near) / len(near)
+    assert recall >= 0.95, f"recall {recall}"
+    # precision: nothing random should collide at J>=0.5
+    assert not (found - near), f"false positives: {found - near}"
+
+
+def test_simhash_pairs_on_near_dups():
+    tbl, near = _mutated_corpus()
+    ds = rd.from_arrow(tbl)
+    got = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    # simhash hd<=3 is a stricter near-dup notion; found pairs must be
+    # real near-dups and hamming must verify against direct computation
+    assert found <= near
+    from collections import Counter
+
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    for a, b, hd in zip(got["doc_a"], got["doc_b"], got["hamming"]):
+        ca, cb = Counter(tokenize(texts[a])), Counter(tokenize(texts[b]))
+        sa = simhash64(list(ca.keys()), np.fromiter(ca.values(), np.int64, len(ca)))
+        sb = simhash64(list(cb.keys()), np.fromiter(cb.values(), np.int64, len(cb)))
+        assert hamming64(sa, sb) == hd <= 3
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    tbl, _near = _mutated_corpus(n_base=15)
+    ds = rd.from_arrow(tbl)
+    got = ngram_jaccard_pairs(ds, n=3, threshold=0.3).to_pandas()
+    got_map = {(a, b): j for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    sets = {
+        d: {" ".join(tokenize(t)[i : i + 3]) for i in range(len(tokenize(t)) - 2)}
+        for d, t in texts.items()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert set(got_map) == set(want)
+    for k in want:
+        assert got_map[k] == pytest.approx(want[k], abs=1e-12)

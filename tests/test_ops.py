@@ -1,0 +1,114 @@
+"""Relational operator semantics (stages/ops.py) vs DuckDB on the
+driver testdata tables — the Flame operator inventory (SURVEY §2.1)
+re-expressed Ray-Data-first."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+    broadcast_join,
+    cogroup,
+    distinct_on,
+    intersection,
+    shuffle_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pandas(obj, by):
+    df = obj.to_pandas() if hasattr(obj, "to_pandas") else obj
+    return df.sort_values(by).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "customer", "nation", "lineitem", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_broadcast_join_inner(con):
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.rename_columns(["o_custkey", "c_nationkey"])
+    got = broadcast_join(ds, cust, on="o_custkey").to_pandas()
+    want = con.sql(
+        "SELECT o_orderkey, o_custkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    ).df()
+    got = _sorted_pandas(got, ["o_orderkey"])
+    want = _sorted_pandas(want, ["o_orderkey"])
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
+
+
+def test_distinct_on_single_and_multi(con):
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet")
+    single = distinct_on(ds, ["l_returnflag"]).to_pandas()
+    want1 = con.sql("SELECT DISTINCT l_returnflag FROM lineitem").df()
+    assert sorted(single["l_returnflag"]) == sorted(want1["l_returnflag"])
+
+    multi = distinct_on(ds, ["l_returnflag", "l_linestatus"]).to_pandas()
+    want2 = con.sql("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem").df()
+    got_pairs = sorted(map(tuple, multi[["l_returnflag", "l_linestatus"]].values))
+    want_pairs = sorted(map(tuple, want2[["l_returnflag", "l_linestatus"]].values))
+    assert got_pairs == want_pairs
+
+
+def test_intersection(con):
+    early = rd.read_parquet(f"{SF}/orders.parquet").filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT"
+    )
+    late = rd.read_parquet(f"{SF}/orders.parquet").filter(
+        lambda r: r["o_orderpriority"] == "2-HIGH"
+    )
+    got = intersection(early, late, "o_custkey").to_pandas()
+    want = con.sql(
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='1-URGENT' "
+        "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='2-HIGH'"
+    ).df()
+    assert sorted(got["o_custkey"]) == sorted(want["o_custkey"])
+
+
+def test_shuffle_join_matches_sql(con):
+    left = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    right = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    right = right.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+    got = shuffle_join(
+        left, right, "o_custkey", left_cols=["o_orderkey"], right_cols=["c_nationkey"]
+    ).to_pandas()
+    want = con.sql(
+        "SELECT o_custkey, o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    ).df()
+    got = _sorted_pandas(got, ["o_orderkey"])
+    want = _sorted_pandas(want, ["o_orderkey"])
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
+
+
+def test_cogroup_counts():
+    left = rd.from_items([{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}])
+    right = rd.from_items([{"k": "a", "w": 10}, {"k": "c", "w": 30}])
+
+    def counts(l: pa.Table, r: pa.Table) -> pa.Table:
+        key = l["k"][0] if l.num_rows else r["k"][0]
+        return pa.table(
+            {
+                "k": pa.array([key.as_py()], pa.string()),
+                "nl": pa.array([l.num_rows], pa.int64()),
+                "nr": pa.array([r.num_rows], pa.int64()),
+            }
+        )
+
+    got = cogroup(left, right, "k", counts).to_pandas().sort_values("k")
+    assert got["k"].tolist() == ["a", "b", "c"]
+    assert got["nl"].tolist() == [2, 1, 0]
+    assert got["nr"].tolist() == [1, 0, 1]

@@ -1,0 +1,86 @@
+"""Text-analysis stage vs DuckDB SQL on the driver `documents` table —
+the same SQL shapes used by __ray_entry__.oracle_sql."""
+
+import duckdb
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+    TextStatsStage,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+# canonical tokenizer as a DuckDB expression (tags stripped, ASCII punct
+# -> space, lower, whitespace split, empties dropped) — must match
+# functions/tokenize.py exactly
+TOKS = (
+    "list_filter(string_split_regex(lower(regexp_replace(regexp_replace(text,"
+    " '<[^>]*>', '', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+
+def _stats_df():
+    ds = rd.read_parquet(DOCS)
+    return (
+        ds.map_batches(TextStatsStage, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_token_stats_match_duckdb():
+    got = _stats_df()
+    want = (
+        duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({TOKS}) AS term
+              FROM read_parquet('{DOCS}')
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_unique_tokens,
+                   CAST(sum(length(term)) AS DOUBLE) / count(*) AS mean_token_len
+            FROM toks GROUP BY doc_id ORDER BY doc_id
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    sub = got[got["n_tokens"] > 0].reset_index(drop=True)
+    assert sub["doc_id"].tolist() == want["doc_id"].tolist()
+    assert sub["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert sub["n_unique_tokens"].tolist() == want["n_unique_tokens"].tolist()
+    assert sub["mean_token_len"].tolist() == want["mean_token_len"].tolist()
+
+
+def test_fingerprint_md5_matches_duckdb():
+    got = _stats_df()
+    want = (
+        duckdb.sql(
+            f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp_md5 "
+            f"FROM read_parquet('{DOCS}') ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["fp_md5"].tolist() == want["fp_md5"].tolist()
+
+
+def test_lang_pred_mostly_matches_label():
+    got = _stats_df()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{DOCS}') ORDER BY doc_id"
+    ).df()
+    merged = got.merge(docs, on="doc_id")
+    en = merged[merged["lang"] == "en"]
+    acc = (en["lang_pred"] == "en").mean()
+    assert acc > 0.9, f"en accuracy {acc}"
+
+
+def test_bpe_token_count_positive_and_deterministic():
+    a = _stats_df()
+    b = _stats_df()
+    assert a["n_bpe_tokens"].tolist() == b["n_bpe_tokens"].tolist()
+    assert (a[a["n_tokens"] > 0]["n_bpe_tokens"] > 0).all()
+    assert a["fp_rolling"].tolist() == b["fp_rolling"].tolist()

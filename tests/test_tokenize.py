@@ -15,7 +15,7 @@ from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages i
 
 GOLDEN = [
     ("Hello, World!", ["hello", "world"]),
-    ("<b>Bold</b> text", ["text"]),  # tag contents stripped tag-first
+    ("<b>Bold</b> text", ["bold", "text"]),  # tags stripped, contents kept
     ("a<br/>b", ["ab"]),  # tag removal joins adjacent chars (Java semantics)
     ("punct:a;b,c.d!e?f", ["punct", "a", "b", "c", "d", "e", "f"]),
     ("  leading  and   trailing  ", ["leading", "and", "trailing"]),

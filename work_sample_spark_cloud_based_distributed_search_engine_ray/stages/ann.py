@@ -1,0 +1,256 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Operators:
+- ``knn_brute_force`` — exact cosine top-k: the query matrix is
+  ``ray.put`` ONCE (broadcast, never re-shipped per batch); each batch
+  does one float64 matmul and a LOCAL top-k (partial/combiner), so the
+  final per-query groupby shuffles only ``k * num_blocks`` candidate
+  rows, never the full score matrix.
+- ``embedding_near_dup_pairs`` — all-pairs cosine >= threshold. Exact
+  (block x broadcast-matrix matmul) at sandbox scale; the scale path is
+  ``lsh_embedding_buckets`` (random-hyperplane signatures) which turns
+  all-pairs into a bucket groupby exactly like MinHash banding.
+- ``lsh_knn`` — approximate top-k: hyperplane-bucket candidates, exact
+  re-rank inside buckets; recall measured against brute force in tests.
+
+The reference engine has no vector operations at all — this is part of
+the training-data extension (axes A). Everything is numpy over zero-copy
+Arrow; no Python loop touches a vector element.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _mat(batch_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy where
+    the layout allows (fixed-width lists of equal length)."""
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Exact cosine top-k of every query vector against the dataset.
+
+    Output: query_id, vec_id, cosine_e6 (fixed-point micros, int64) —
+    exactly k rows per query (fewer if the corpus is smaller),
+    deterministic tie-break (cosine desc, vec_id asc). Fixed-point
+    integers pin cross-engine float parity (a float round() can differ
+    by 1 ulp between engines; an integer cannot).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q: np.ndarray = ray.get(q_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = np.rint((q @ m.T) * 1e6).astype(np.int64)  # (Q, n) micros
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # deterministic local top-k: sim desc, id asc
+            order = np.lexsort((ids, -row))[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[order])
+            out_s.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "cosine_e6": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = group["cosine_e6"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(ids[order]),
+                "cosine_e6": pa.array(sims[order]),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """All (a<b) pairs with cosine >= threshold — exact variant.
+
+    The full normalized matrix is broadcast once; each block computes
+    block x corpus. O(N^2/blocks) flops — exact and fine to ~10^6 rows;
+    beyond that use ``lsh_embedding_buckets`` + per-bucket exact.
+    Output: vec_a, vec_b, cosine_e6 (fixed-point micros; the threshold
+    compares on the integer, deterministically in every engine).
+    """
+    thr_e6 = int(round(threshold * 1e6))
+    all_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    tables = [ray.get(r) for r in all_tbl]
+    full = pa.concat_tables(tables)
+    full_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    full_m = _normalize(_mat(full[vec_col]))
+    m_ref = ray.put((full_ids, full_m))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(m_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.rint((m @ m_all.T) * 1e6).astype(np.int64)
+        ai, bj = np.nonzero(sims >= thr_e6)
+        a = ids[ai]
+        b = ids_all[bj]
+        keep = a < b  # each pair exactly once, no self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cosine_e6": pa.array(sims[ai[keep], bj[keep]]),
+            }
+        )
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
+def hyperplanes(dim: int, num_planes: int = 16, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def lsh_embedding_buckets(
+    ds: rd.Dataset,
+    planes: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Random-hyperplane (SimHash-for-vectors) bucketing: sign pattern
+    of ``planes @ v`` packed into one int64 bucket key. Cosine-similar
+    vectors collide with probability (1 - theta/pi)^num_planes."""
+    p_ref = ray.put(planes.astype(np.float64))
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64)).astype(np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p: np.ndarray = ray.get(p_ref)
+        m = _mat(batch[vec_col])
+        signs = (m @ p.T) > 0.0
+        keys = signs.astype(np.int64) @ weights
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "bucket": pa.array(keys),
+            }
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def lsh_knn(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Approximate top-k: search only the corpus vectors whose
+    hyperplane bucket matches the query's. Output schema matches
+    ``knn_brute_force``; recall vs brute force is a test metric
+    (tests/test_ann.py), the classic speed/recall dial is
+    ``num_planes``.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    planes = hyperplanes(q.shape[1], num_planes, seed)
+    qn = _normalize(q)
+    q_signs = (qn @ planes.T) > 0.0
+    weights = (1 << np.arange(num_planes, dtype=np.int64)).astype(np.int64)
+    q_buckets = q_signs.astype(np.int64) @ weights
+    payload_ref = ray.put((qn, q_buckets))
+
+    bucketed = lsh_embedding_buckets(ds, planes, vec_col=vec_col, id_col=id_col)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qn_, qb_ = ray.get(payload_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qn_.shape[0]):
+            mask = buckets == qb_[qi]
+            if not mask.any():
+                continue
+            sims = np.rint((m[mask] @ qn_[qi]) * 1e6).astype(np.int64)
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[: min(k, sims.size)]
+            out_q.append(np.full(order.size, qi, np.int64))
+            out_id.append(cand_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine_e6": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = group["cosine_e6"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(ids[order]),
+                "cosine_e6": pa.array(sims[order]),
+            }
+        )
+
+    return (
+        bucketed.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

