@@ -77,7 +77,7 @@ def test_wand_equals_exhaustive(built):
     _pages, _paths, idx, oracle = built
     for k in (1, 3, 10, 50):
         for _qid, q in reference_queries():
-            assert idx.bm25_topk(q, k) == idx.bm25_topk_exhaustive(q, k), (q, k)
+            assert idx.bm25_topk(q, k, method="wand") == idx.bm25_topk_exhaustive(q, k), (q, k)
 
 
 def test_reference_scorer_matches_oracle(built):

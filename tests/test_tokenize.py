@@ -64,3 +64,31 @@ def test_pages_parquet_deterministic(tmp_path):
     p1 = pages_parquet(150, cache_dir=str(tmp_path / "a"))
     p2 = pages_parquet(150, cache_dir=str(tmp_path / "b"))
     assert pq.read_table(p1).equals(pq.read_table(p2))
+
+
+def test_tokenize_count_batch_matches_counter():
+    """The vectorized batch kernel == Counter(tokenize(t)) per doc."""
+    from collections import Counter
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+        tokenize_count_batch,
+    )
+
+    texts = [
+        "Hello, World! <b>bold</b> x",
+        "  lead space",
+        "tab\there\nnewline and\xa0nbsp",
+        "café ÉTÉ café",
+        "",
+        "   ",
+        "punct!!!only???",
+        "repeat repeat repeat one",
+        "a<unclosed tag never ends",
+    ]
+    terms, tfs, lens = tokenize_count_batch(texts)
+    for i, text in enumerate(texts):
+        want = Counter(tokenize(text))
+        got = dict(zip(terms[i].as_py(), tfs[i].as_py()))
+        assert got == dict(want), text
+        assert lens[i] == sum(want.values())

@@ -30,9 +30,16 @@ _CONT = np.uint8(0x80)
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a non-negative int array (vectorized)."""
+    return varint_encode_with_lengths(values)[0]
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode (vectorized); also return per-value byte lengths so
+    callers can slice the buffer at value boundaries (the multi-term
+    bucket encoder cuts one big buffer into per-term blobs)."""
     v = values.astype(np.uint64, copy=False)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     bit_length = 64 - _clz64(np.maximum(v, _U64(1)))
     nbytes = np.maximum((bit_length + 6) // 7, 1).astype(np.int64)
@@ -53,7 +60,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         nxt = alive.copy()
         nxt[alive] = more
         alive = nxt
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:
@@ -169,3 +176,91 @@ def merge_encoded_runs(runs: list[tuple[bytes, bytes, int]]) -> dict:
         np.add.at(summed, inv, tfs)
         ids, tfs = uniq, summed
     return encode_postings(ids, tfs)
+
+
+def encode_postings_multi(
+    codes: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray
+) -> dict:
+    """Encode MANY terms' postings in one vectorized pass.
+
+    Input: parallel arrays of (term code, doc_id, tf) — one row per
+    posting, any order. Everything — sort, per-term delta with block
+    restarts, LEB128 packing, blob slicing, block-max metadata, df/cf —
+    is computed with whole-bucket numpy kernels; there is no per-term
+    Python work beyond O(#terms) array slicing. This is the hot kernel
+    of the index build's term shuffle (one call per bucket group,
+    replacing one ``map_groups`` Python call per vocabulary term).
+
+    Returns dict of arrays, one entry per distinct code (ascending):
+      codes_out, df, cf,
+      doc_blob_buf/doc_blob_offsets  (concatenated blobs + int64 bounds),
+      tf_blob_buf/tf_blob_offsets,
+      block_last_id/block_last_offsets (values + per-term list bounds),
+      block_max_tf (parallel to block_last_id).
+
+    Per-term output is bit-identical to ``encode_postings`` on that
+    term's (sorted) postings — asserted by tests/test_codec.py.
+    """
+    codes = np.asarray(codes, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = codes.size
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return {
+            "codes_out": e, "df": e, "cf": e,
+            "doc_blob_buf": b"", "doc_blob_offsets": np.zeros(1, np.int64),
+            "tf_blob_buf": b"", "tf_blob_offsets": np.zeros(1, np.int64),
+            "block_last_id": e, "block_last_offsets": np.zeros(1, np.int64),
+            "block_max_tf": e,
+        }
+    order = np.lexsort((doc_ids, codes))
+    c = codes[order]
+    ids = doc_ids[order]
+    t = tfs[order]
+
+    term_starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1))
+    term_ends = np.append(term_starts[1:], n)
+    counts = term_ends - term_starts
+    if (np.diff(ids) == 0)[np.diff(c) == 0].any() if n > 1 else False:
+        raise ValueError("duplicate (term, doc_id) posting")
+
+    # per-term delta encoding with a restart (absolute doc_id) at every
+    # in-term block boundary — same layout as encode_postings
+    row_term_start = np.repeat(term_starts, counts)
+    offset_in_term = np.arange(n, dtype=np.int64) - row_term_start
+    is_block_start = (offset_in_term % BLOCK) == 0
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    deltas[is_block_start] = ids[is_block_start]
+
+    doc_buf, doc_len = varint_encode_with_lengths(deltas)
+    tf_buf, tf_len = varint_encode_with_lengths(t)
+    doc_byte_ends = np.cumsum(doc_len)
+    tf_byte_ends = np.cumsum(tf_len)
+    doc_blob_offsets = np.concatenate(([0], doc_byte_ends[term_ends - 1]))
+    tf_blob_offsets = np.concatenate(([0], tf_byte_ends[term_ends - 1]))
+
+    # block metadata: global block starts, per-block last id / max tf,
+    # then per-term list bounds from per-term block counts
+    bs = np.flatnonzero(is_block_start)
+    block_end_idx = np.append(bs[1:], n) - 1
+    block_last_id = ids[block_end_idx]
+    block_max_tf = np.maximum.reduceat(t, bs)
+    blocks_per_term = (counts + BLOCK - 1) // BLOCK
+    block_last_offsets = np.concatenate(([0], np.cumsum(blocks_per_term)))
+
+    cf = np.add.reduceat(t, term_starts)
+    return {
+        "codes_out": c[term_starts],
+        "df": counts,
+        "cf": cf,
+        "doc_blob_buf": doc_buf,
+        "doc_blob_offsets": doc_blob_offsets,
+        "tf_blob_buf": tf_buf,
+        "tf_blob_offsets": tf_blob_offsets,
+        "block_last_id": block_last_id,
+        "block_last_offsets": block_last_offsets,
+        "block_max_tf": block_max_tf,
+    }

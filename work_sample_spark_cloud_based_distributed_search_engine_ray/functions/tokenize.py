@@ -55,6 +55,56 @@ def tokenize_query(query: str) -> list[str]:
     return out
 
 
+def tokenize_count_batch(texts: "list[str] | object"):
+    """Vectorized per-doc term counting for a whole batch.
+
+    Semantically identical to ``Counter(tokenize(t))`` per text (asserted
+    by tests/test_tokenize.py) but runs entirely in Arrow/numpy kernels:
+    RE2 tag-strip + punct->space + lower + whitespace split, then one
+    ``np.unique`` over (doc, term-code) pairs. This is the hot kernel of
+    the extraction actor pool (``stages.extract.ExtractDocs``).
+
+    Returns ``(terms: pa.ListArray[string], tfs: pa.ListArray[int32],
+    doc_lens: np.ndarray[int64])``, with each doc's terms in sorted
+    term-code order (deterministic; downstream order-insensitive).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    step = pc.replace_substring_regex(arr, pattern=TAG_RE.pattern, replacement="")
+    step = pc.replace_substring_regex(step, pattern=PUNCT_RE.pattern, replacement=" ")
+    step = pc.utf8_lower(step)
+    toks = pc.utf8_split_whitespace(step)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = parents.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    d = flat.dictionary_encode()
+    vocab = d.dictionary
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = max(len(vocab), 1)
+    key = parents * nd + codes
+    uniq, counts = np.unique(key, return_counts=True)
+    parent_of = uniq // nd
+    code_of = uniq % nd
+    offsets = np.searchsorted(parent_of, np.arange(n_docs + 1)).astype(np.int32)
+    terms_list = pa.ListArray.from_arrays(
+        pa.array(offsets), vocab.take(pa.array(code_of)) if len(vocab) else pa.array([], pa.string())
+    )
+    tfs_list = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(counts.astype(np.int32))
+    )
+    doc_lens = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    return terms_list, tfs_list, doc_lens
+
+
 def _unescape(s: str) -> str:
     for ent, ch in _ENTITIES:
         if ent in s:

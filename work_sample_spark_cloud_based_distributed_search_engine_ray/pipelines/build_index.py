@@ -10,16 +10,17 @@ Ray-Data-first, NOT a translation of the reference's Flame/KVS engine:
              -> write parquet docs checkpoint (per input partition,
                 atomic manifest with lineage+metrics -> RESUMABLE)
   phase B  (all inputs are the phase-A checkpoint, column-pruned reads)
-    B1 dedup decisions: narrow groupby(content_sha1) keep-first ->
-       losers map (doc_id -> canonical url)             [shuffle, narrow]
-    B2 doc store: docs meta + canonical flags, sorted by doc_id
-    B3 term stats: explode postings -> per-batch partial (df, cf) ->
-       groupby(term).aggregate(Sum)                     [combiner first!]
-       global N/avgdl from doc lens; hot terms = df >= threshold
-    B4 postings shuffle: explode -> salt hot terms into doc_id-RANGE
-       sub-keys -> groupby(group_key).map_groups(sort+delta+varint
-       encode) -> groupby(term).map_groups(merge salted runs) ->
-       shard-partitioned parquet                        [THE shuffle]
+    B1 dedup decisions: 256-way bucket shuffle of content_sha1 ->
+       vectorized keep-first per bucket -> losers map   [shuffle, narrow]
+    B2 doc store: docs meta + canonical flags, sorted by doc_id;
+       global N/avgdl (exact)
+    B3 hot-term detection: deterministic 1/8 doc sample, fused
+       explode+partial-df combiner -> tiny groupby      [sample pass]
+    B4 postings shuffle: explode -> bucket by H(term, doc_id-range salt
+       for hot terms) -> ONE groupby(bucket) with vectorized multi-term
+       delta+varint encode -> merge ONLY hot terms' salted runs ->
+       shard-partitioned parquet; exact df/cf fall out of the encode
+       and become the term_stats table                  [THE shuffle]
 
 Scale notes (explicitly designed for 256-node / 100 TB):
 - The only wide shuffles are B1 (narrow columns) and B4. B4's raw rows
@@ -28,8 +29,9 @@ Scale notes (explicitly designed for 256-node / 100 TB):
   ``num_salts`` doc_id-range sub-keys; the per-salt groups encode in
   parallel and the final per-term merge touches only compressed runs
   (vectorized decode/concat/re-encode), not raw rows.
-- Term stats shuffle only per-batch partial aggregates (vocabulary-
-  sized), never raw postings — the combiner pattern.
+- Hot-term detection shuffles only per-block partial aggregates over a
+  deterministic sample (vocabulary-sized), never raw postings; exact
+  df/cf are by-products of the encode, costing no extra pass.
 - Every global stat (N, avgdl, df, cf) is computed exactly, so builds
   at different parallelism levels produce identical shards and
   identical BM25 scores (asserted by tests) — the N-vs-4N parity
@@ -73,7 +75,7 @@ except ModuleNotFoundError:
     _m.HTTPFileSystem = _NoHTTPFileSystem
     sys.modules["fsspec.implementations.http"] = _m
 
-from ..functions.codec import encode_postings, merge_encoded_runs
+from ..functions.codec import encode_postings_multi, merge_encoded_runs
 from ..functions.hashing import hash64
 from ..state.manifest import (
     InputFragment,
@@ -81,11 +83,10 @@ from ..state.manifest import (
     partition_is_done,
     write_json_atomic,
 )
-from ..stages.extract import ExtractDocs, explode_postings, partial_term_stats
+from ..stages.extract import ExtractDocs, explode_postings
 
 K1 = 1.2
 B = 0.75
-SALT_SEP = "\x00"  # cannot appear in a token (tokenizer strips controls via \s+/punct)
 
 POSTING_SCHEMA = pa.schema(
     [
@@ -200,11 +201,14 @@ def run_phase_a(
     }
     if not pending:
         return metrics
-    workers = min(4, len(pending))
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # Actors reserve their CPU for their lifetime; cap the pools at half
-    # the cluster so read/write TASKS of the concurrent pipelines always
-    # have headroom (otherwise: resource deadlock).
+    # More concurrent partition pipelines with smaller pools = fewer
+    # total actor cold-starts for the same CPU budget (actor startup is
+    # the dominant fixed cost of a short pipeline). Actors reserve their
+    # CPU for their lifetime; cap the pools at half the cluster so
+    # read/write TASKS of the concurrent pipelines always have headroom
+    # (otherwise: resource deadlock).
+    workers = min(8, len(pending), max(1, total_cpus // 4))
     pool_size = concurrency or max(1, (total_cpus // 2) // workers)
 
     def run_one(pid: int, frags: list[InputFragment]) -> tuple[int, int]:
@@ -273,48 +277,67 @@ def _fresh_dir(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
-def _losers_of_group(group: pa.Table) -> pa.Table:
-    """Per content-hash group -> rows for the NON-canonical docs only
-    (doc_id + canonical_url). Winner rule: min (warc_ts, url)."""
-    if group.num_rows == 1:
-        return group.select(["doc_id", "url"]).slice(0, 0).rename_columns(
-            ["doc_id", "canonical_url"]
-        )
-    ts = group["warc_ts"].to_numpy(zero_copy_only=False)
-    urls = np.asarray(group["url"].to_pylist(), dtype=object)
-    order = np.lexsort((urls, ts))
-    win = int(order[0])
-    keep = np.ones(group.num_rows, dtype=bool)
-    keep[win] = False
-    losers = group.filter(pa.array(keep))
+def _losers_of_bucket(group: pa.Table) -> pa.Table:
+    """One hash BUCKET of content-sha1 groups -> loser rows (doc_id +
+    canonical_url), fully vectorized: one Arrow multi-key sort + numpy
+    run detection over all groups in the bucket (a ``map_groups`` call
+    per sha1 would be one Python call per DOCUMENT — mostly singleton
+    groups). Winner rule per sha1: min (warc_ts, url)."""
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("content_sha1", "ascending"),
+            ("warc_ts", "ascending"),
+            ("url", "ascending"),
+        ],
+    )
+    g = group.take(idx)
+    sha = np.asarray(g["content_sha1"].to_pylist(), dtype=object)
+    first = np.ones(sha.size, dtype=bool)
+    first[1:] = sha[1:] != sha[:-1]
+    run_id = np.cumsum(first) - 1
+    urls = np.asarray(g["url"].to_pylist(), dtype=object)
+    canonical = urls[np.flatnonzero(first)][run_id]
+    losers = ~first
     return pa.table(
         {
-            "doc_id": losers["doc_id"],
-            "canonical_url": pa.array([urls[win]] * losers.num_rows, pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(zero_copy_only=False)[losers], pa.int64()),
+            "canonical_url": pa.array(canonical[losers].tolist(), pa.string()),
         }
     )
 
 
 def compute_dup_losers(paths: IndexPaths) -> None:
-    """B1: narrow shuffle on content_sha1 -> losers map parquet."""
+    """B1: narrow shuffle on a 256-way bucket of content_sha1 -> losers
+    map parquet. Bucket key = first 2 hex chars of the sha1 (uniform);
+    group count is fixed at 256 regardless of corpus size, so the
+    shuffle fan-in and per-group Python overhead are both bounded."""
     ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "url", "warc_ts", "content_sha1"])
-    losers = ds.groupby("content_sha1").map_groups(_losers_of_group, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sha_bucket", pc.utf8_slice_codeunits(batch["content_sha1"], 0, 2)
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    losers = ds.groupby("sha_bucket").map_groups(
+        _losers_of_bucket, batch_format="pyarrow"
+    )
     _fresh_dir(paths.dup_map)
     losers.write_parquet(paths.dup_map)
 
 
-def _load_loser_map(paths: IndexPaths) -> dict[int, str]:
-    """Losers map is ~dup_rate x N rows; at sandbox scale a broadcast
-    dict. (At 10^12 docs this becomes a hash-bucket anti-join with
-    ``stages.ops.join_datasets``; the broadcast-vs-shuffle switch is the
+def _load_loser_table(paths: IndexPaths) -> pa.Table:
+    """Losers table is ~dup_rate x N rows; at sandbox scale a broadcast
+    table. (At 10^12 docs this becomes a hash-bucket anti-join with
+    ``stages.ops.shuffle_join``; the broadcast-vs-shuffle switch is the
     documented small-side pattern.)"""
     files = [
         os.path.join(paths.dup_map, f) for f in os.listdir(paths.dup_map) if f.endswith(".parquet")
     ]
     if not files:
-        return {}
-    t = pa.concat_tables([pq.read_table(f) for f in files])
-    return dict(zip(t["doc_id"].to_pylist(), t["canonical_url"].to_pylist()))
+        return pa.table({"doc_id": pa.array([], pa.int64()), "canonical_url": pa.array([], pa.string())})
+    return pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
 
 
 def write_docstore(paths: IndexPaths, loser_ref) -> dict:
@@ -323,12 +346,13 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     full ``urls``-table scan per query, ``Searcher.java:44-57``)."""
 
     def annotate(batch: pa.Table) -> pa.Table:
-        lm: dict[int, str] = ray.get(loser_ref) if loser_ref is not None else {}
-        ids = batch["doc_id"].to_pylist()
-        can = [lm.get(i) for i in ids]
-        is_can = pa.array([c is None for c in can])
-        can_url = pa.array(
-            [u if c is None else c for c, u in zip(can, batch["url"].to_pylist())], pa.string()
+        lt: pa.Table = ray.get(loser_ref)
+        idx = pc.index_in(batch["doc_id"], value_set=lt["doc_id"].combine_chunks())
+        is_can = pc.is_null(idx)
+        can_url = pc.if_else(
+            is_can,
+            batch["url"].combine_chunks(),
+            pc.take(lt["canonical_url"].combine_chunks(), idx),
         )
         return batch.append_column("is_canonical", is_can).append_column("canonical_url", can_url)
 
@@ -348,59 +372,102 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     return {"N": int(n_docs), "total_len": int(total_len), "avgdl": (total_len / n_docs) if n_docs else 0.0}
 
 
-def _postings_ds(paths: IndexPaths, loser_ref) -> rd.Dataset:
-    """Exploded canonical postings (term, doc_id, tf) from the docs
-    checkpoint — column-pruned read, loser filter via broadcast set."""
+def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
+    """Canonical docs (losers filtered) from the checkpoint —
+    column-pruned read, loser filter via a broadcast id array."""
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        lm = ray.get(loser_ref) if loser_ref is not None else {}
-        if not lm:
+        ids: pa.Array = ray.get(loser_ids_ref) if loser_ids_ref is not None else None
+        if ids is None or len(ids) == 0:
             return batch
-        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=pa.array(list(lm), pa.int64())))
-        return batch.filter(mask)
+        return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=ids)))
 
     ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "terms", "tfs"])
-    ds = ds.map_batches(drop_losers, batch_format="pyarrow")
-    return ds.map_batches(explode_postings, batch_format="pyarrow")
+    return ds.map_batches(drop_losers, batch_format="pyarrow", batch_size=None)
 
 
-def compute_term_stats(paths: IndexPaths, loser_ref) -> None:
-    """B3: exact df/cf per term via partial-aggregate + tiny shuffle."""
-    ds = _postings_ds(paths, loser_ref)
-    partials = ds.map_batches(partial_term_stats, batch_format="pyarrow")
-    stats = partials.groupby("term").aggregate(
-        Sum("partial_df", alias_name="df"), Sum("partial_cf", alias_name="cf")
-    )
-    _fresh_dir(paths.term_stats)
-    stats.write_parquet(paths.term_stats)
+HOT_SAMPLE_MOD = 8  # hot detection reads 1/8 of docs (deterministic by doc_id)
 
 
-def _hot_terms(paths: IndexPaths, threshold: int) -> list[str]:
-    """Only the (tiny) hot head ever reaches the driver — never the
-    full vocabulary."""
-    ds = rd.read_parquet(paths.term_stats, columns=["term", "df"])
-    hot = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["df"], threshold)), batch_format="pyarrow"
+def detect_hot_terms(paths: IndexPaths, threshold: int) -> list[str]:
+    """B3a: find the skew head (terms with df >= threshold) from a
+    DETERMINISTIC 1/``HOT_SAMPLE_MOD`` doc sample (``doc_id %
+    HOT_SAMPLE_MOD == 0``; doc_id = hash64(url), so the sample is a
+    pure function of content, identical at any parallelism — the N-vs-4N
+    invariance requirement). The hot set only steers salting/load
+    balance; exact df/cf come from the encode itself, and the final
+    merged blobs are salting-invariant, so sampling noise at the
+    threshold is harmless. Explode + per-block partial df are fused, so
+    the shuffle moves O(#blocks x vocab) partials, never raw postings
+    (combiner pattern). Only the (tiny) hot head reaches the driver."""
+    sample_threshold = max(1, threshold // HOT_SAMPLE_MOD)
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        rem = pc.bit_wise_and(batch["doc_id"], HOT_SAMPLE_MOD - 1)
+        batch = batch.filter(pc.equal(rem, 0))
+        ex = explode_postings(batch)
+        agg = ex.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": agg["term"], "partial_df": agg["count_all"].cast(pa.int64())}
+        )
+
+    ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "terms", "tfs"])
+    partials = ds.map_batches(sample_partial, batch_format="pyarrow", batch_size=None)
+    stats = partials.groupby("term").aggregate(Sum("partial_df", alias_name="df_s"))
+    hot = stats.map_batches(
+        lambda t: t.select(["term"]).filter(pc.greater_equal(t["df_s"], sample_threshold)),
+        batch_format="pyarrow",
     )
     return [r["term"] for r in hot.take_all()]
 
 
-def _encode_group(group: pa.Table) -> pa.Table:
-    """One (possibly salted) term group -> one encoded postings run."""
-    term = group["group_key"][0].as_py().split(SALT_SEP, 1)[0]
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    tfs = group["tf"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")
-    enc = encode_postings(ids[order], tfs[order])
+def write_term_stats(paths: IndexPaths) -> None:
+    """B3b: the exact per-term (df, cf) table, derived from the shard
+    rows (the encode computes both exactly) — no extra pass over the
+    postings."""
+    stats = rd.read_parquet(paths.shards, columns=["term", "df", "cf"])
+    _fresh_dir(paths.term_stats)
+    stats.write_parquet(paths.term_stats)
+
+
+def _encode_bucket(group: pa.Table) -> pa.Table:
+    """One BUCKET group (many terms' raw postings) -> encoded run rows.
+
+    All terms of the bucket are encoded in one vectorized
+    ``encode_postings_multi`` pass — no per-term Python work. This is
+    what makes the term shuffle scale: ``groupby`` runs over
+    O(num_buckets) groups, not O(vocabulary) groups (a ``map_groups``
+    call per term was the dominant build cost)."""
+    tcol = group["term"].combine_chunks()
+    d = tcol.dictionary_encode()
+    enc = encode_postings_multi(
+        d.indices.to_numpy(zero_copy_only=False),
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        group["tf"].to_numpy(zero_copy_only=False),
+    )
+    nt = enc["codes_out"].size
+    mv_doc = memoryview(enc["doc_blob_buf"])
+    mv_tf = memoryview(enc["tf_blob_buf"])
+    do, to = enc["doc_blob_offsets"], enc["tf_blob_offsets"]
     return pa.table(
         {
-            "term": pa.array([term], pa.string()),
-            "df": pa.array([enc["n"]], pa.int64()),
-            "cf": pa.array([int(tfs.sum())], pa.int64()),
-            "doc_blob": pa.array([enc["doc_blob"]], pa.binary()),
-            "tf_blob": pa.array([enc["tf_blob"]], pa.binary()),
-            "block_last_id": pa.array([enc["block_last_id"].tolist()], pa.list_(pa.int64())),
-            "block_max_tf": pa.array([enc["block_max_tf"].tolist()], pa.list_(pa.int64())),
+            "term": pc.take(d.dictionary, pa.array(enc["codes_out"])),
+            "df": pa.array(enc["df"], pa.int64()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+            "doc_blob": pa.array(
+                [mv_doc[do[i] : do[i + 1]] for i in range(nt)], pa.binary()
+            ),
+            "tf_blob": pa.array(
+                [mv_tf[to[i] : to[i + 1]] for i in range(nt)], pa.binary()
+            ),
+            "block_last_id": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_last_id"], pa.int64()),
+            ),
+            "block_max_tf": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_max_tf"], pa.int64()),
+            ),
         }
     )
 
@@ -429,30 +496,74 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
 
 def build_shards(
     paths: IndexPaths,
-    loser_ref,
+    loser_ids_ref,
     hot_terms: list[str],
     *,
     num_shards: int = 16,
     num_salts: int = 8,
+    num_buckets: int | None = None,
 ) -> None:
-    """B4: THE term shuffle -> compressed, shard-partitioned postings."""
-    hot_ref = ray.put(set(hot_terms))
-    salt_div = ((1 << 63) + num_salts - 1) // num_salts  # doc_id-range salt
+    """B4: THE term shuffle -> compressed, shard-partitioned postings.
 
-    def add_group_key(batch: pa.Table) -> pa.Table:
-        hot: set[str] = ray.get(hot_ref)
-        terms = batch["term"].to_pylist()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        salts = ids // salt_div
-        keys = [
-            t if t not in hot else f"{t}{SALT_SEP}{s}" for t, s in zip(terms, salts)
-        ]
-        return batch.append_column("group_key", pa.array(keys, pa.string()))
+    Physical plan (explicit partitioning — the north-rule shuffle):
+    1. explode docs blocks to (term, doc_id, tf) and key each posting by
+       ``bucket = H(term, salt) % num_buckets`` where ``salt`` is a
+       doc_id-RANGE sub-key for hot terms (df >= threshold) and 0
+       otherwise. Hot terms therefore spread over ``num_salts`` buckets
+       — the skew defusal; cold terms land in exactly one bucket.
+    2. ONE ``groupby(bucket)`` shuffle; each bucket group encodes ALL
+       its terms in one vectorized pass (``_encode_bucket``).
+    3. The run set is materialized (it is the compressed index — ~1-2%
+       of input volume), then only HOT terms' runs go through a second
+       tiny shuffle (``groupby(term)`` over num_salts rows per term) to
+       be merged into canonical single runs; cold runs are already
+       canonical. Merge = decode -> sort -> re-encode, so the final
+       blobs are bit-identical regardless of parallelism/salting — the
+       N-vs-4N parity invariant.
 
-    ds = _postings_ds(paths, loser_ref)
-    ds = ds.map_batches(add_group_key, batch_format="pyarrow")
-    runs = ds.groupby("group_key").map_groups(_encode_group, batch_format="pyarrow")
-    final = runs.groupby("term").map_groups(_merge_term_runs, batch_format="pyarrow")
+    Scale knob: ``num_buckets`` bounds the raw postings held by one
+    group task (bucket ~ total_postings/num_buckets rows); raise it with
+    cluster size / corpus so a bucket fits in a worker's heap.
+    """
+    hot_arr = pa.array(sorted(hot_terms), pa.string())
+    hot_ref = ray.put(hot_arr)
+    salt_div = np.uint64(((1 << 63) + num_salts - 1) // num_salts)  # doc_id-range salt
+    if num_buckets is None:
+        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode_and_bucket(batch: pa.Table) -> pa.Table:
+        exploded = explode_postings(batch)
+        tcol = exploded["term"].combine_chunks()
+        d = tcol.dictionary_encode()
+        uniq = d.dictionary
+        # per-UNIQUE-term work only (vocab-bounded, not postings-bounded)
+        uh = np.fromiter((hash64(t) for t in uniq.to_pylist()), dtype=np.uint64, count=len(uniq))
+        hot_mask = pc.is_in(uniq, value_set=ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ids = exploded["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salts = np.where(hot_mask[codes], ids // salt_div, np.uint64(0))
+        bucket = ((uh[codes] + (salts + np.uint64(1)) * mix) % np.uint64(num_buckets)).astype(np.int64)
+        return exploded.append_column("bucket", pa.array(bucket))
+
+    ds = _docs_ds(paths, loser_ids_ref)
+    ds = ds.map_batches(explode_and_bucket, batch_format="pyarrow", batch_size=None)
+    runs = ds.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow").materialize()
+
+    def keep_hot(flag: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["term"], value_set=ray.get(hot_ref))
+            return batch.filter(mask if flag else pc.invert(mask))
+
+        return fn
+
+    cold = runs.map_batches(keep_hot(False), batch_format="pyarrow")
+    merged_hot = (
+        runs.map_batches(keep_hot(True), batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(_merge_term_runs, batch_format="pyarrow")
+    )
+    final = cold.union(merged_hot)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pa.array([hash64(t) % num_shards for t in batch["term"].to_pylist()], pa.int64())
@@ -490,16 +601,17 @@ def build_index(
     )
     t_a = time.time()
     compute_dup_losers(paths)
-    loser_map = _load_loser_map(paths)
-    loser_ref = ray.put(loser_map)
+    loser_table = _load_loser_table(paths)
+    loser_ref = ray.put(loser_table)
+    loser_ids_ref = ray.put(loser_table["doc_id"].combine_chunks())
     g = write_docstore(paths, loser_ref)
     t_b2 = time.time()
-    compute_term_stats(paths, loser_ref)
     if hot_df_threshold is None:
         hot_df_threshold = max(1000, int(0.02 * max(g["N"], 1)))
-    hot = _hot_terms(paths, hot_df_threshold)
+    hot = detect_hot_terms(paths, hot_df_threshold)
     t_b3 = time.time()
-    build_shards(paths, loser_ref, hot, num_shards=num_shards, num_salts=num_salts)
+    build_shards(paths, loser_ids_ref, hot, num_shards=num_shards, num_salts=num_salts)
+    write_term_stats(paths)
     t_b4 = time.time()
     write_json_atomic(
         paths.meta,
@@ -513,12 +625,12 @@ def build_index(
             "num_salts": num_salts,
             "hot_df_threshold": hot_df_threshold,
             "num_hot_terms": len(hot),
-            "num_duplicate_docs": len(loser_map),
+            "num_duplicate_docs": loser_table.num_rows,
             "phase_a": a_metrics,
             "timings_sec": {
                 "phase_a_extract": round(t_a - t0, 3),
                 "dedup_docstore": round(t_b2 - t_a, 3),
-                "term_stats": round(t_b3 - t_b2, 3),
+                "hot_detect": round(t_b3 - t_b2, 3),
                 "shard_build": round(t_b4 - t_b3, 3),
                 "total": round(t_b4 - t0, 3),
             },

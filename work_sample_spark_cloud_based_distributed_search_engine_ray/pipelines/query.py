@@ -98,13 +98,19 @@ class SearchIndex:
     ``kvs/KVSClient.java:188-198``).
     """
 
-    def __init__(self, meta: dict, terms: dict[str, _Postings], doc_ids: np.ndarray, doc_lens: np.ndarray, docstore_path: str):
+    def __init__(self, meta: dict, shard_table: pa.Table, doc_ids: np.ndarray, doc_lens: np.ndarray, docstore_path: str):
         self.meta = meta
         self.N = meta["N"]
         self.avgdl = meta["avgdl"] or 1.0
         self.k1 = meta["k1"]
         self.b = meta["b"]
-        self.terms = terms
+        # lazy postings: blobs stay packed in the Arrow shard table;
+        # a term is decoded on first access and cached. Loading the
+        # index is therefore O(shard bytes) I/O with NO decode work —
+        # per-query cost touches only the query terms' postings.
+        self._shards = shard_table
+        self._term_row = {t: i for i, t in enumerate(shard_table["term"].to_pylist())}
+        self._cache: dict[str, _Postings] = {}
         self._doc_ids = doc_ids  # canonical docs, ascending
         self._doc_lens = doc_lens
         self.min_dl = int(doc_lens.min()) if doc_lens.size else 1
@@ -117,19 +123,12 @@ class SearchIndex:
     def load(cls, out_dir: str) -> "SearchIndex":
         with open(os.path.join(out_dir, "meta.json")) as f:
             meta = json.load(f)
-        terms: dict[str, _Postings] = {}
-        for fpath in _parquet_files(os.path.join(out_dir, "shards")):
-            t = pq.read_table(fpath)
-            for row in t.to_pylist():
-                ids, tfs = decode_postings(row["doc_blob"], row["tf_blob"], row["df"])
-                terms[row["term"]] = _Postings(
-                    row["df"],
-                    row["cf"],
-                    ids,
-                    tfs,
-                    np.asarray(row["block_last_id"], dtype=np.int64),
-                    np.asarray(row["block_max_tf"], dtype=np.int64),
-                )
+        shard_files = _parquet_files(os.path.join(out_dir, "shards"))
+        shard_table = (
+            pa.concat_tables([pq.read_table(f) for f in shard_files])
+            if shard_files
+            else None
+        )
         store = pq.read_table(
             os.path.join(out_dir, "docstore"), columns=["doc_id", "doc_len", "is_canonical"]
         )
@@ -138,11 +137,39 @@ class SearchIndex:
         order = np.argsort(ids)
         return cls(
             meta,
-            terms,
+            shard_table,
             ids[order].astype(np.int64),
             store["doc_len"].to_numpy()[order].astype(np.int64),
             os.path.join(out_dir, "docstore"),
         )
+
+    def has_term(self, term: str) -> bool:
+        return term in self._term_row
+
+    @property
+    def terms(self) -> "_TermMap":
+        """Lazy mapping view term -> _Postings (decodes on access)."""
+        return _TermMap(self)
+
+    def postings(self, term: str) -> _Postings:
+        """Decode-on-demand postings (cached)."""
+        p = self._cache.get(term)
+        if p is None:
+            i = self._term_row[term]
+            df = self._shards["df"][i].as_py()
+            ids, tfs = decode_postings(
+                self._shards["doc_blob"][i].as_py(), self._shards["tf_blob"][i].as_py(), df
+            )
+            p = _Postings(
+                df,
+                self._shards["cf"][i].as_py(),
+                ids,
+                tfs,
+                np.asarray(self._shards["block_last_id"][i].as_py(), dtype=np.int64),
+                np.asarray(self._shards["block_max_tf"][i].as_py(), dtype=np.int64),
+            )
+            self._cache[term] = p
+        return p
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._doc_ids, doc_ids)
@@ -163,12 +190,12 @@ class SearchIndex:
     def bm25_topk_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Score every posting of every query term (the correctness
         baseline WAND is checked against)."""
-        q_terms = [t for t in tokenize_query(query) if t in self.terms]
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
         if not q_terms:
             return []
         all_ids, all_scores = [], []
         for t in q_terms:
-            p = self.terms[t]
+            p = self.postings(t)
             dls = self.doc_len(p.ids)
             all_ids.append(p.ids)
             all_scores.append(self.bm25_idf(p.df) * self._bm25_tf_part(p.tfs.astype(np.float64), dls.astype(np.float64)))
@@ -179,17 +206,30 @@ class SearchIndex:
         np.add.at(acc, inv, scores)
         return _topk(uniq, acc, k)
 
-    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Block-Max WAND over the compressed postings (skip pointers =
-        per-block last doc_id; bounds = per-block max tf at the global
-        minimum doc length — a valid upper bound since the BM25 term
-        score is increasing in tf and decreasing in dl)."""
-        q_terms = [t for t in tokenize_query(query) if t in self.terms]
+    # Below this many total candidate postings, the vectorized
+    # exhaustive scorer beats document-at-a-time WAND in-process (numpy
+    # streams ~10^8 postings/s; the WAND loop steps docs in Python).
+    # Both produce bit-identical rankings (tests assert it); WAND is the
+    # serving path once posting lists far exceed this (true corpus
+    # scale), or when cursors come from mmap'd shards larger than RAM.
+    WAND_MIN_POSTINGS = 500_000
+
+    def bm25_topk(self, query: str, k: int = 10, method: str = "auto") -> list[tuple[int, float]]:
+        """BM25 top-k. ``method``: 'auto' (size-dispatched), 'wand', or
+        'exhaustive'. WAND = Block-Max WAND over the compressed postings
+        (skip pointers = per-block last doc_id; bounds = per-block max
+        tf at the global minimum doc length — a valid upper bound since
+        the BM25 term score is increasing in tf and decreasing in dl)."""
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
         if not q_terms:
             return []
+        if method != "wand":
+            total = sum(self.postings(t).df for t in q_terms)
+            if method == "exhaustive" or total < self.WAND_MIN_POSTINGS:
+                return self.bm25_topk_exhaustive(query, k)
         cursors = []
         for t in q_terms:
-            p = self.terms[t]
+            p = self.postings(t)
             idf = self.bm25_idf(p.df)
             min_dl = np.float64(self.min_dl)
             block_ub = idf * self._bm25_tf_part(
@@ -280,12 +320,12 @@ class SearchIndex:
     def reference_topk(self, query: str, k: int = 300, threshold: float = 0.3) -> list[tuple[int, float]]:
         """The reference's shipped ranking (``Searcher.java:108-198``):
         log10 tf-idf, keep score > threshold, top ``k``."""
-        q_terms = [t for t in tokenize_query(query) if t in self.terms]
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
         if not q_terms:
             return []
         all_ids, all_scores = [], []
         for t in q_terms:
-            p = self.terms[t]
+            p = self.postings(t)
             idf = math.log10(self.N / p.df)
             all_ids.append(p.ids)
             all_scores.append(idf * (1.0 + np.log10(p.tfs.astype(np.float64))))
@@ -317,6 +357,33 @@ class SearchIndex:
             }
             for d, s in ranked
         ]
+
+
+class _TermMap:
+    """Dict-like lazy view over a SearchIndex's vocabulary: membership
+    and iteration are free; item access decodes (and caches) postings."""
+
+    def __init__(self, idx: SearchIndex):
+        self._idx = idx
+
+    def __contains__(self, term: str) -> bool:
+        return self._idx.has_term(term)
+
+    def __getitem__(self, term: str) -> _Postings:
+        return self._idx.postings(term)
+
+    def __iter__(self):
+        return iter(self._idx._term_row)
+
+    def __len__(self) -> int:
+        return len(self._idx._term_row)
+
+    def keys(self):
+        return self._idx._term_row.keys()
+
+    def items(self):
+        for t in self._idx._term_row:
+            yield t, self._idx.postings(t)
 
 
 class _Cursor:

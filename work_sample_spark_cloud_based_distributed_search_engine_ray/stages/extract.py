@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64, sha1_hex
-from ..functions.tokenize import extract_html, tokenize
+from ..functions.tokenize import extract_html, tokenize_count_batch
 
 DOC_META_COLS = [
     "doc_id",
@@ -54,9 +54,6 @@ class ExtractDocs:
     """
 
     def __init__(self, verify_extraction: bool = False, body_prefix_len: int = 200):
-        from collections import Counter
-
-        self._counter = Counter
         self.verify = verify_extraction
         self.body_prefix_len = body_prefix_len
 
@@ -65,27 +62,22 @@ class ExtractDocs:
         htmls = batch["html"].to_pylist()
         ref_text = batch["text"].to_pylist() if self.verify and "text" in batch.column_names else None
 
+        # per-doc work is only the string-level extraction + C-speed
+        # hashing; tokenization/counting is one vectorized batch kernel
         n = len(urls)
         doc_ids = np.empty(n, dtype=np.int64)
         sha1s: list[str] = []
         titles: list[str] = []
-        prefixes: list[str] = []
-        doc_lens = np.empty(n, dtype=np.int64)
-        term_lists: list[list[str]] = []
-        tf_lists: list[list[int]] = []
-
+        texts: list[str] = []
         for i in range(n):
             title, text = extract_html(htmls[i])
             if ref_text is not None and text != ref_text[i]:
                 raise ValueError(f"extraction not byte-identical for url={urls[i]}")
-            counts = self._counter(tokenize(text))
             doc_ids[i] = hash64(urls[i])
             sha1s.append(sha1_hex(htmls[i]))
             titles.append(title)
-            prefixes.append(text[: self.body_prefix_len])
-            doc_lens[i] = sum(counts.values())
-            term_lists.append(list(counts.keys()))
-            tf_lists.append(list(counts.values()))
+            texts.append(text)
+        terms_list, tfs_list, doc_lens = tokenize_count_batch(texts)
 
         return pa.table(
             {
@@ -95,10 +87,10 @@ class ExtractDocs:
                 "lang": batch["lang"],
                 "content_sha1": pa.array(sha1s, pa.string()),
                 "title": pa.array(titles, pa.string()),
-                "body_prefix": pa.array(prefixes, pa.string()),
+                "body_prefix": pa.array([t[: self.body_prefix_len] for t in texts], pa.string()),
                 "doc_len": pa.array(doc_lens),
-                "terms": pa.array(term_lists, pa.list_(pa.string())),
-                "tfs": pa.array(tf_lists, pa.list_(pa.int32())),
+                "terms": terms_list,
+                "tfs": tfs_list,
             }
         )
 
