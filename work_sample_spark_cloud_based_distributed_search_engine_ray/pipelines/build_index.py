@@ -232,10 +232,13 @@ def run_phase_a(
             concurrency=pool_size,
             num_cpus=1,
         )
-        ds.write_parquet(part_dir)
-        written = pq.read_table(part_dir, columns=["doc_len"])
+        # coalesce output files: phase-B re-reads this checkpoint 4x,
+        # and hundreds of tiny files dominate those reads' wall time
+        ds.write_parquet(part_dir, min_rows_per_file=50_000)
+        written = pq.read_table(part_dir, columns=["doc_id", "doc_len", "terms"])
         ndocs = written.num_rows
         ntok = int(pc.sum(written["doc_len"]).as_py() or 0)
+        _write_hot_partial(part_dir, written)
         PartitionManifest(
             partition_id=pid,
             inputs=frags,
@@ -253,11 +256,36 @@ def run_phase_a(
     return metrics
 
 
+HOT_SAMPLE_MOD = 8  # hot detection sees 1/8 of docs (deterministic by doc_id)
+
+
+def _write_hot_partial(part_dir: str, written: pa.Table) -> None:
+    """Part of the phase-A checkpoint: per-partition partial document
+    frequencies over the deterministic ``doc_id % HOT_SAMPLE_MOD == 0``
+    sample (doc_id = hash64(url): the sample is a pure function of
+    content, identical at any parallelism). The underscore prefix keeps
+    the file out of every dataset read of ``docs/`` (pyarrow's default
+    ``ignore_prefixes``); hot-term detection later reads ONLY these tiny
+    tables — no extra pass over the postings."""
+    sampled = written.filter(
+        pc.equal(pc.bit_wise_and(written["doc_id"], HOT_SAMPLE_MOD - 1), 0)
+    )
+    terms = sampled["terms"].combine_chunks()
+    flat = pc.list_flatten(terms)
+    agg = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+    out = pa.table(
+        {"term": agg["term"], "partial_df": agg["count_all"].cast(pa.int64())}
+    )
+    tmp = os.path.join(part_dir, "_hot_partial.parquet.tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(part_dir, "_hot_partial.parquet"))
+
+
 def _docs_parquet_files(paths: IndexPaths) -> list[str]:
     files = []
     for root, _dirs, names in os.walk(paths.docs_ckpt):
         for n in names:
-            if n.endswith(".parquet"):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 files.append(os.path.join(root, n))
     return sorted(files)
 
@@ -361,7 +389,7 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     ds = ds.map_batches(annotate, batch_format="pyarrow")
     ds = ds.sort("doc_id")
     _fresh_dir(paths.docstore)
-    ds.write_parquet(paths.docstore)
+    ds.write_parquet(paths.docstore, min_rows_per_file=100_000)
     # global stats over canonical docs (exact; pinned into meta)
     store = rd.read_parquet(paths.docstore, columns=["doc_id", "doc_len", "is_canonical"])
     canon = store.map_batches(
@@ -386,39 +414,31 @@ def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
     return ds.map_batches(drop_losers, batch_format="pyarrow", batch_size=None)
 
 
-HOT_SAMPLE_MOD = 8  # hot detection reads 1/8 of docs (deterministic by doc_id)
-
-
 def detect_hot_terms(paths: IndexPaths, threshold: int) -> list[str]:
-    """B3a: find the skew head (terms with df >= threshold) from a
-    DETERMINISTIC 1/``HOT_SAMPLE_MOD`` doc sample (``doc_id %
-    HOT_SAMPLE_MOD == 0``; doc_id = hash64(url), so the sample is a
-    pure function of content, identical at any parallelism — the N-vs-4N
-    invariance requirement). The hot set only steers salting/load
-    balance; exact df/cf come from the encode itself, and the final
-    merged blobs are salting-invariant, so sampling noise at the
-    threshold is harmless. Explode + per-block partial df are fused, so
-    the shuffle moves O(#blocks x vocab) partials, never raw postings
-    (combiner pattern). Only the (tiny) hot head reaches the driver."""
+    """B3a: find the skew head (terms with sampled df >= threshold /
+    HOT_SAMPLE_MOD) by combining the per-partition ``_hot_partial``
+    tables written as part of the phase-A checkpoint — this stage reads
+    a few vocabulary-sized files, never the postings. The hot set only
+    steers salting/load balance; exact df/cf come from the encode
+    itself, and the final merged blobs are salting-invariant, so
+    sampling noise at the threshold is harmless (and the deterministic
+    sample makes the set parallelism-invariant anyway — N-vs-4N parity).
+
+    Combine is driver-side (#partitions x sampled-vocab rows). At an
+    extreme vocabulary (10^8+ terms) swap the concat for a Ray
+    ``groupby(term).aggregate(Sum)`` over the same partial files."""
     sample_threshold = max(1, threshold // HOT_SAMPLE_MOD)
-
-    def sample_partial(batch: pa.Table) -> pa.Table:
-        rem = pc.bit_wise_and(batch["doc_id"], HOT_SAMPLE_MOD - 1)
-        batch = batch.filter(pc.equal(rem, 0))
-        ex = explode_postings(batch)
-        agg = ex.select(["term"]).group_by("term").aggregate([([], "count_all")])
-        return pa.table(
-            {"term": agg["term"], "partial_df": agg["count_all"].cast(pa.int64())}
-        )
-
-    ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "terms", "tfs"])
-    partials = ds.map_batches(sample_partial, batch_format="pyarrow", batch_size=None)
-    stats = partials.groupby("term").aggregate(Sum("partial_df", alias_name="df_s"))
-    hot = stats.map_batches(
-        lambda t: t.select(["term"]).filter(pc.greater_equal(t["df_s"], sample_threshold)),
-        batch_format="pyarrow",
-    )
-    return [r["term"] for r in hot.take_all()]
+    partials = []
+    for root, _dirs, names in os.walk(paths.docs_ckpt):
+        for n in names:
+            if n == "_hot_partial.parquet":
+                partials.append(pq.read_table(os.path.join(root, n)))
+    if not partials:
+        return []
+    t = pa.concat_tables(partials)
+    agg = t.group_by("term").aggregate([("partial_df", "sum")])
+    hot = agg.filter(pc.greater_equal(agg["partial_df_sum"], sample_threshold))
+    return hot["term"].to_pylist()
 
 
 def write_term_stats(paths: IndexPaths) -> None:
@@ -571,7 +591,9 @@ def build_shards(
 
     final = final.map_batches(add_shard, batch_format="pyarrow")
     _fresh_dir(paths.shards)
-    final.write_parquet(paths.shards, partition_cols=["shard"])
+    final.write_parquet(
+        paths.shards, partition_cols=["shard"], min_rows_per_file=100_000
+    )
 
 
 def build_index(

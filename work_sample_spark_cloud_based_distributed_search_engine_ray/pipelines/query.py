@@ -123,10 +123,13 @@ class SearchIndex:
     def load(cls, out_dir: str) -> "SearchIndex":
         with open(os.path.join(out_dir, "meta.json")) as f:
             meta = json.load(f)
-        shard_files = _parquet_files(os.path.join(out_dir, "shards"))
+        shards_dir = os.path.join(out_dir, "shards")
         shard_table = (
-            pa.concat_tables([pq.read_table(f) for f in shard_files])
-            if shard_files
+            pq.read_table(
+                shards_dir,
+                columns=["term", "df", "cf", "doc_blob", "tf_blob", "block_last_id", "block_max_tf"],
+            ).combine_chunks()
+            if _parquet_files(shards_dir)
             else None
         )
         store = pq.read_table(
