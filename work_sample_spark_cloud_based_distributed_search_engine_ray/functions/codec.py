@@ -154,6 +154,39 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, n: int) -> tuple[np.ndarray
     return doc_ids, tfs
 
 
+def decode_runs_concat(
+    doc_blobs: list[bytes], tf_blobs: list[bytes], ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY encoded runs in one vectorized pass.
+
+    ``ns[i]`` is the posting count of run ``i``. All blobs are LEB128
+    streams with delta restarts (absolute doc_id) at every in-run BLOCK
+    boundary — the layout both ``encode_postings`` and
+    ``encode_postings_multi`` produce. Returns the concatenated
+    (doc_ids, tfs) arrays, run-by-run in input order.
+
+    This is the hot kernel of the run-merge side of the index build:
+    a shuffle bucket's runs are decoded with two ``varint_decode`` calls
+    and one segmented-cumsum reconstruction, not a per-run Python loop.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    n = int(ns.sum())
+    v = varint_decode(b"".join(doc_blobs), n).astype(np.int64)
+    tfs = varint_decode(b"".join(tf_blobs), n).astype(np.int64)
+    if n == 0:
+        return v, tfs
+    run_starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    offset_in_run = np.arange(n, dtype=np.int64) - np.repeat(run_starts, ns)
+    restarts = np.flatnonzero(offset_in_run % BLOCK == 0)
+    c = np.cumsum(v)
+    base = c[restarts] - v[restarts]  # running total just before each restart
+    seg_of = np.repeat(
+        np.arange(restarts.size), np.diff(np.append(restarts, n))
+    )
+    ids = c - base[seg_of]
+    return ids, tfs
+
+
 def merge_encoded_runs(runs: list[tuple[bytes, bytes, int]]) -> dict:
     """Merge several encoded postings runs of ONE term (disjoint doc_id
     sets, e.g. salted sub-groups or per-checkpoint-partition runs) into

@@ -75,7 +75,7 @@ except ModuleNotFoundError:
     _m.HTTPFileSystem = _NoHTTPFileSystem
     sys.modules["fsspec.implementations.http"] = _m
 
-from ..functions.codec import encode_postings_multi, merge_encoded_runs
+from ..functions.codec import decode_runs_concat, encode_postings_multi, merge_encoded_runs
 from ..functions.hashing import hash64
 from ..state.manifest import (
     InputFragment,
@@ -331,6 +331,10 @@ def _losers_of_bucket(group: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(g["doc_id"].to_numpy(zero_copy_only=False)[losers], pa.int64()),
             "canonical_url": pa.array(canonical[losers].tolist(), pa.string()),
+            # loser doc lengths travel with the map so global N/avgdl
+            # are pure arithmetic over manifests + this table (no extra
+            # pass over the doc store)
+            "doc_len": pa.array(g["doc_len"].to_numpy(zero_copy_only=False)[losers], pa.int64()),
         }
     )
 
@@ -340,7 +344,10 @@ def compute_dup_losers(paths: IndexPaths) -> None:
     map parquet. Bucket key = first 2 hex chars of the sha1 (uniform);
     group count is fixed at 256 regardless of corpus size, so the
     shuffle fan-in and per-group Python overhead are both bounded."""
-    ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "url", "warc_ts", "content_sha1"])
+    ds = rd.read_parquet(
+        _docs_parquet_files(paths),
+        columns=["doc_id", "url", "warc_ts", "content_sha1", "doc_len"],
+    )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -364,7 +371,13 @@ def _load_loser_table(paths: IndexPaths) -> pa.Table:
         os.path.join(paths.dup_map, f) for f in os.listdir(paths.dup_map) if f.endswith(".parquet")
     ]
     if not files:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "canonical_url": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "canonical_url": pa.array([], pa.string()),
+                "doc_len": pa.array([], pa.int64()),
+            }
+        )
     return pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
 
 
@@ -390,14 +403,26 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     ds = ds.sort("doc_id")
     _fresh_dir(paths.docstore)
     ds.write_parquet(paths.docstore, min_rows_per_file=100_000)
-    # global stats over canonical docs (exact; pinned into meta)
-    store = rd.read_parquet(paths.docstore, columns=["doc_id", "doc_len", "is_canonical"])
-    canon = store.map_batches(
-        lambda t: t.filter(t["is_canonical"]), batch_format="pyarrow"
+
+
+def global_stats(paths: IndexPaths, loser_table: pa.Table) -> dict:
+    """Exact canonical-corpus stats (N, total token count, avgdl) as
+    arithmetic over the phase-A manifests (total docs/tokens) minus the
+    loser table (dup docs/tokens) — no pipeline pass. Exactness is what
+    pins BM25 parity across parallelism levels."""
+    from ..state.manifest import read_manifest
+
+    docs = tokens = 0
+    for name in sorted(os.listdir(paths.docs_ckpt)):
+        m = read_manifest(os.path.join(paths.docs_ckpt, name))
+        if m is not None:
+            docs += m.num_docs
+            tokens += m.num_tokens
+    n = docs - loser_table.num_rows
+    total_len = tokens - (
+        int(pc.sum(loser_table["doc_len"]).as_py() or 0) if loser_table.num_rows else 0
     )
-    n_docs = canon.count()
-    total_len = canon.sum("doc_len") if n_docs else 0
-    return {"N": int(n_docs), "total_len": int(total_len), "avgdl": (total_len / n_docs) if n_docs else 0.0}
+    return {"N": n, "total_len": total_len, "avgdl": (total_len / n) if n else 0.0}
 
 
 def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
@@ -450,28 +475,16 @@ def write_term_stats(paths: IndexPaths) -> None:
     stats.write_parquet(paths.term_stats)
 
 
-def _encode_bucket(group: pa.Table) -> pa.Table:
-    """One BUCKET group (many terms' raw postings) -> encoded run rows.
-
-    All terms of the bucket are encoded in one vectorized
-    ``encode_postings_multi`` pass — no per-term Python work. This is
-    what makes the term shuffle scale: ``groupby`` runs over
-    O(num_buckets) groups, not O(vocabulary) groups (a ``map_groups``
-    call per term was the dominant build cost)."""
-    tcol = group["term"].combine_chunks()
-    d = tcol.dictionary_encode()
-    enc = encode_postings_multi(
-        d.indices.to_numpy(zero_copy_only=False),
-        group["doc_id"].to_numpy(zero_copy_only=False),
-        group["tf"].to_numpy(zero_copy_only=False),
-    )
+def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
+    """Assemble POSTING_SCHEMA columns from an ``encode_postings_multi``
+    result (per-term blob slicing is O(#terms) memoryview cuts)."""
     nt = enc["codes_out"].size
     mv_doc = memoryview(enc["doc_blob_buf"])
     mv_tf = memoryview(enc["tf_blob_buf"])
     do, to = enc["doc_blob_offsets"], enc["tf_blob_offsets"]
     return pa.table(
         {
-            "term": pc.take(d.dictionary, pa.array(enc["codes_out"])),
+            "term": terms,
             "df": pa.array(enc["df"], pa.int64()),
             "cf": pa.array(enc["cf"], pa.int64()),
             "doc_blob": pa.array(
@@ -490,6 +503,28 @@ def _encode_bucket(group: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def _encode_bucket(group: pa.Table) -> pa.Table:
+    """One BUCKET group of partition-local RUNS -> one canonical encoded
+    posting row per (term, salt-range) in the bucket.
+
+    The group's runs are decoded with one vectorized
+    ``decode_runs_concat`` pass, re-keyed per posting, and re-encoded
+    with one ``encode_postings_multi`` pass — no per-term Python work.
+    This is what makes the term shuffle scale: ``groupby`` runs over
+    O(num_buckets) groups, not O(vocabulary) groups, and the shuffle
+    payload entering this stage is already compressed runs."""
+    g = group.combine_chunks()
+    ns = g["df"].to_numpy(zero_copy_only=False)
+    ids, tfs = decode_runs_concat(
+        g["doc_blob"].to_pylist(), g["tf_blob"].to_pylist(), ns
+    )
+    d = g["term"].combine_chunks().dictionary_encode()
+    run_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = np.repeat(run_codes, ns)
+    enc = encode_postings_multi(codes, ids, tfs)
+    return _encoded_table(pc.take(d.dictionary, pa.array(enc["codes_out"])), enc)
 
 
 def _merge_term_runs(group: pa.Table) -> pa.Table:
@@ -514,6 +549,30 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
     )
 
 
+def _finalize_shard(group: pa.Table) -> pa.Table:
+    """One SHARD group of encoded runs -> final shard rows.
+
+    Cold terms have exactly one run and pass through untouched
+    (vectorized). A hot term's ``num_salts`` runs are contiguous after
+    the sort; each is merged canonically (decode -> sort -> re-encode),
+    so final blobs are bit-identical regardless of salting/parallelism —
+    the N-vs-4N parity invariant. Per-group Python work is O(#hot)."""
+    idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
+    g = group.take(idx).combine_chunks()
+    terms = np.asarray(g["term"].to_pylist(), dtype=object)
+    first = np.ones(terms.size, dtype=bool)
+    first[1:] = terms[1:] != terms[:-1]
+    run_counts = np.diff(np.append(np.flatnonzero(first), terms.size))
+    single = np.repeat(run_counts, run_counts) == 1
+    out = [g.filter(pa.array(single)).select(POSTING_SCHEMA.names + ["shard"])]
+    starts = np.flatnonzero(first)[run_counts > 1]
+    counts = run_counts[run_counts > 1]
+    for s, c in zip(starts, counts):
+        merged = _merge_term_runs(g.slice(s, c))
+        out.append(merged.append_column("shard", g.slice(s, 1)["shard"]))
+    return pa.concat_tables(out, promote_options="default")
+
+
 def build_shards(
     paths: IndexPaths,
     loser_ids_ref,
@@ -526,24 +585,30 @@ def build_shards(
     """B4: THE term shuffle -> compressed, shard-partitioned postings.
 
     Physical plan (explicit partitioning — the north-rule shuffle):
-    1. explode docs blocks to (term, doc_id, tf) and key each posting by
-       ``bucket = H(term, salt) % num_buckets`` where ``salt`` is a
-       doc_id-RANGE sub-key for hot terms (df >= threshold) and 0
-       otherwise. Hot terms therefore spread over ``num_salts`` buckets
-       — the skew defusal; cold terms land in exactly one bucket.
-    2. ONE ``groupby(bucket)`` shuffle; each bucket group encodes ALL
-       its terms in one vectorized pass (``_encode_bucket``).
-    3. The run set is materialized (it is the compressed index — ~1-2%
-       of input volume), then only HOT terms' runs go through a second
-       tiny shuffle (``groupby(term)`` over num_salts rows per term) to
-       be merged into canonical single runs; cold runs are already
-       canonical. Merge = decode -> sort -> re-encode, so the final
-       blobs are bit-identical regardless of parallelism/salting — the
-       N-vs-4N parity invariant.
+    1. map-side combine: each docs block explodes to (term, doc_id, tf)
+       IN MEMORY and immediately pre-encodes one compressed run per
+       (term, salt-range) (``encode_block_runs``), keyed by ``bucket =
+       H(term, salt) % num_buckets`` where ``salt`` is a doc_id-RANGE
+       sub-key for hot terms (df >= threshold) and 0 otherwise. Hot
+       terms therefore spread over ``num_salts`` buckets — the skew
+       defusal; cold terms land in exactly one bucket.
+    2. ONE wide ``groupby(bucket)`` shuffle of the PACKED RUNS (~1-2% of
+       the raw postings' bytes — the external-merge-of-partition-local-
+       segments design); each bucket group decodes+merges+re-encodes ALL
+       its terms in two vectorized passes (``_encode_bucket``).
+    3. A second ``groupby(shard)`` shuffle over the ENCODED runs (the
+       compressed index, ~1-2% of input volume) routes every term's runs
+       to its output shard and merges hot terms' salted runs inline
+       (``_finalize_shard``: vectorized passthrough for single-run
+       terms, canonical decode->sort->re-encode for the O(#hot) rest).
+       Output blocks == shard groups, so the write yields one file per
+       shard directory.
 
-    Scale knob: ``num_buckets`` bounds the raw postings held by one
-    group task (bucket ~ total_postings/num_buckets rows); raise it with
-    cluster size / corpus so a bucket fits in a worker's heap.
+    Scale knobs: ``num_buckets`` bounds the raw postings held by one
+    encode task (bucket ~ total_postings/num_buckets rows);
+    ``num_shards`` bounds the encoded runs held by one finalize task.
+    Raise both with cluster size / corpus so a group fits in a worker's
+    heap.
     """
     hot_arr = pa.array(sorted(hot_terms), pa.string())
     hot_ref = ray.put(hot_arr)
@@ -552,7 +617,12 @@ def build_shards(
         num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
-    def explode_and_bucket(batch: pa.Table) -> pa.Table:
+    def encode_block_runs(batch: pa.Table) -> pa.Table:
+        """Partition-local pre-encode (the map-side combine): one docs
+        block -> one compressed run per (term, salt-range). The wide
+        shuffle then moves varint-packed runs — ~1-2% of the raw
+        exploded (term, doc_id, tf) rows' bytes, with no per-posting
+        term strings."""
         exploded = explode_postings(batch)
         tcol = exploded["term"].combine_chunks()
         d = tcol.dictionary_encode()
@@ -560,36 +630,33 @@ def build_shards(
         # per-UNIQUE-term work only (vocab-bounded, not postings-bounded)
         uh = np.fromiter((hash64(t) for t in uniq.to_pylist()), dtype=np.uint64, count=len(uniq))
         hot_mask = pc.is_in(uniq, value_set=ray.get(hot_ref)).to_numpy(zero_copy_only=False)
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        ids = exploded["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        salts = np.where(hot_mask[codes], ids // salt_div, np.uint64(0))
-        bucket = ((uh[codes] + (salts + np.uint64(1)) * mix) % np.uint64(num_buckets)).astype(np.int64)
-        return exploded.append_column("bucket", pa.array(bucket))
-
-    ds = _docs_ds(paths, loser_ids_ref)
-    ds = ds.map_batches(explode_and_bucket, batch_format="pyarrow", batch_size=None)
-    runs = ds.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow").materialize()
-
-    def keep_hot(flag: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch["term"], value_set=ray.get(hot_ref))
-            return batch.filter(mask if flag else pc.invert(mask))
-
-        return fn
-
-    cold = runs.map_batches(keep_hot(False), batch_format="pyarrow")
-    merged_hot = (
-        runs.map_batches(keep_hot(True), batch_format="pyarrow")
-        .groupby("term")
-        .map_groups(_merge_term_runs, batch_format="pyarrow")
-    )
-    final = cold.union(merged_hot)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = exploded["doc_id"].to_numpy(zero_copy_only=False)
+        salts = np.where(
+            hot_mask[codes], ids.astype(np.uint64) // salt_div, np.uint64(0)
+        ).astype(np.int64)
+        gkey = codes * num_salts + salts
+        enc = encode_postings_multi(gkey, ids, exploded["tf"].to_numpy(zero_copy_only=False))
+        t_codes = enc["codes_out"] // num_salts
+        s_out = (enc["codes_out"] % num_salts).astype(np.uint64)
+        bucket = ((uh[t_codes] + (s_out + np.uint64(1)) * mix) % np.uint64(num_buckets)).astype(np.int64)
+        tbl = _encoded_table(pc.take(uniq, pa.array(t_codes)), enc)
+        return tbl.append_column("bucket", pa.array(bucket))
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pa.array([hash64(t) % num_shards for t in batch["term"].to_pylist()], pa.int64())
         return batch.append_column("shard", shard)
 
-    final = final.map_batches(add_shard, batch_format="pyarrow")
+    # Pre-encode over LARGE doc batches: runs per batch ~ vocabulary, so
+    # doubling the batch halves the total run count (and the shuffle).
+    # 4096 docs x ~130 uniq terms ~ 0.5M postings per encode task — a
+    # sub-second vectorized kernel that still gives full pool
+    # parallelism at sandbox scale.
+    ds = _docs_ds(paths, loser_ids_ref)
+    ds = ds.map_batches(encode_block_runs, batch_format="pyarrow", batch_size=4096)
+    runs = ds.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
+    runs = runs.map_batches(add_shard, batch_format="pyarrow")
+    final = runs.groupby("shard").map_groups(_finalize_shard, batch_format="pyarrow")
     _fresh_dir(paths.shards)
     final.write_parquet(
         paths.shards, partition_cols=["shard"], min_rows_per_file=100_000
@@ -626,10 +693,16 @@ def build_index(
     loser_table = _load_loser_table(paths)
     loser_ref = ray.put(loser_table)
     loser_ids_ref = ray.put(loser_table["doc_id"].combine_chunks())
-    g = write_docstore(paths, loser_ref)
+    write_docstore(paths, loser_ref)
+    g = global_stats(paths, loser_table)
     t_b2 = time.time()
     if hot_df_threshold is None:
-        hot_df_threshold = max(1000, int(0.02 * max(g["N"], 1)))
+        # Salting exists to bound the postings one shuffle group holds,
+        # so "hot" means the true Zipf head (stopword tier), not merely
+        # common terms: df >= 20% of the corpus. At 10^12 docs pin this
+        # to the per-task posting budget instead (e.g. 10M postings) —
+        # the criterion is group size, not relative frequency.
+        hot_df_threshold = max(1000, int(0.2 * max(g["N"], 1)))
     hot = detect_hot_terms(paths, hot_df_threshold)
     t_b3 = time.time()
     build_shards(paths, loser_ids_ref, hot, num_shards=num_shards, num_salts=num_salts)
