@@ -143,11 +143,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         MediaFeatureStage,
         synth_media,
     )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        LinkExtractStage,
+    )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
         broadcast_join,
         cogroup,
         distinct_on,
         intersection,
+        shuffle_join,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
         TextStatsStage,
@@ -389,6 +393,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .limit(100)
         )
 
+    def q_fold(sf_dir: str) -> pa.Table:
+        # global fold/aggregate (Flame fold, SURVEY §2.1 #13 — done with
+        # a real partial+final combine instead of int-only addition)
+        ds = _tbl(sf_dir, "lineitem", ["l_extendedprice"])
+        agg = ds.aggregate(Count(alias_name="n_rows"), Sum("l_extendedprice", alias_name="s"))
+        return pa.table(
+            {
+                "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+                "sum_price_e2": pa.array(
+                    [int(np.rint(float(agg["s"]) * 100))], pa.int64()
+                ),
+            }
+        )
+
+    def q_sample(sf_dir: str):
+        # deterministic key-based sample (Flame sample, SURVEY §2.1 #16,
+        # made reproducible: membership is a pure function of the key)
+        def pick(t: pa.Table) -> pa.Table:
+            keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(keys % 10 == 0))
+
+        return _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            pick, batch_format="pyarrow"
+        )
+
+    def q_union(sf_dir: str):
+        # union + grouped count (frontier-union analog, SURVEY §2.6)
+        def keep(val: str):
+            return lambda t: t.filter(pc.equal(t["o_orderpriority"], val))
+
+        o = _tbl(sf_dir, "orders", ["o_orderpriority"])
+        u = o.map_batches(keep("1-URGENT"), batch_format="pyarrow").union(
+            o.map_batches(keep("2-HIGH"), batch_format="pyarrow")
+        )
+        return u.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+    def q_shuffle_join(sf_dir: str):
+        # big-big equi-join: ONE hash shuffle + Arrow C++ join per
+        # bucket (replaces FlamePairRDD.join, FlameWorker.java:491-544)
+        li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+            lambda t: t.rename_columns(["orderkey", "l_extendedprice"]),
+            batch_format="pyarrow",
+        )
+        od = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+            lambda t: t.rename_columns(["orderkey", "o_orderpriority"]),
+            batch_format="pyarrow",
+        )
+        j = shuffle_join(
+            li, od, "orderkey", left_cols=["l_extendedprice"], right_cols=["o_orderpriority"]
+        )
+        agg = j.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="rev_raw")
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n_items": t["n_items"],
+                    "rev_e2": pa.array(
+                        np.rint(t["rev_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_crawl_links(sf_dir: str):
+        # rows-only: link-graph extraction over the synthetic pages
+        # corpus (crawler parity, SURVEY §2.2); no SQL view of pages
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        return pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+
     def q_media_features(sf_dir: str):
         # rows-only: synthetic media corpus (no media in the sf tables);
         # exercises the multimodal plumbing end-to-end
@@ -428,6 +512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cogroup_counts": q_cogroup,
         "rel_window_hour": q_window_hour,
         "rel_topk_events": q_topk_events,
+        "rel_fold": q_fold,
+        "rel_sample": q_sample,
+        "rel_union_count": q_union,
+        "rel_shuffle_join_agg": q_shuffle_join,
+        "crawl_links": q_crawl_links,
         "media_features": q_media_features,
     }
 
@@ -606,5 +695,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_topk_events": (
             "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
+        ),
+        "rel_fold": (
+            "SELECT count(*) AS n_rows, "
+            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2 "
+            "FROM lineitem"
+        ),
+        "rel_sample": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0"
+        ),
+        "rel_union_count": (
+            "SELECT o_orderpriority, count(*) AS n FROM ("
+            "SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "UNION ALL "
+            "SELECT o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'"
+            ") GROUP BY o_orderpriority"
+        ),
+        "rel_shuffle_join_agg": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS rev_e2 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
     }

@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-salts", type=int, default=8)
     ap.add_argument("--hot-df-threshold", type=int, default=None)
     ap.add_argument("--verify-extraction", action="store_true")
+    ap.add_argument(
+        "--audit-doc-ids",
+        action="store_true",
+        help="run the hash64(url) collision audit after the build "
+        "(recommended at 10^9+ docs; a collision silently merges two "
+        "documents' postings)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -50,8 +57,20 @@ def main(argv: list[str] | None = None) -> int:
         hot_df_threshold=args.hot_df_threshold,
         verify_extraction=args.verify_extraction,
     )
-    with open(paths.meta) as f:
-        print(json.dumps(json.load(f), indent=2))
+    meta_out = json.load(open(paths.meta))
+    if args.audit_doc_ids:
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+            audit_doc_ids,
+        )
+
+        audit = audit_doc_ids(paths)
+        meta_out["doc_id_audit"] = audit
+        if audit["collisions"]:
+            print(json.dumps(meta_out, indent=2))
+            print(f"FATAL: {audit['collisions']} doc_id collisions", file=sys.stderr)
+            ray.shutdown()
+            return 1
+    print(json.dumps(meta_out, indent=2))
     ray.shutdown()
     return 0
 

@@ -64,3 +64,22 @@ def test_rerun_over_complete_build_is_idempotent(tmp_path):
     assert t1.select(["term", "doc_blob", "tf_blob"]).equals(
         t2.select(["term", "doc_blob", "tf_blob"])
     )
+
+
+def test_audit_doc_ids_no_collisions(tmp_path):
+    """hash64(url) audit: distinct (doc_id, url) pairs == distinct
+    doc_ids on a clean corpus."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        IndexPaths,
+        audit_doc_ids,
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+
+    out = str(tmp_path / "audit_idx")
+    build_index(pages_parquet(200), out, num_partitions=2)
+    audit = audit_doc_ids(IndexPaths(out))
+    assert audit["collisions"] == 0
+    assert audit["distinct_doc_ids"] == audit["distinct_pairs"] == 200

@@ -157,15 +157,6 @@ def _plan_partitions(pages_path: str, num_partitions: int) -> list[list[InputFra
     return out
 
 
-@ray.remote
-def _read_fragments(frags: list[InputFragment], columns: list[str]) -> pa.Table:
-    tables = []
-    for f in frags:
-        pf = pq.ParquetFile(f.path)
-        tables.append(pf.read_row_groups(list(range(f.row_group_start, f.row_group_end)), columns=columns))
-    return pa.concat_tables(tables)
-
-
 def run_phase_a(
     pages_path: str,
     paths: IndexPaths,
@@ -175,17 +166,18 @@ def run_phase_a(
     concurrency: int | None = None,
     verify_extraction: bool = False,
 ) -> dict:
-    """Extraction checkpoint: one sub-pipeline per input partition, each
-    writing ``docs/part=<i>/`` + an atomic lineage manifest. A rerun
-    skips partitions whose manifest exists (tests/test_resume.py).
+    """Extraction checkpoint: ONE streaming pipeline over all pending
+    partitions — fragment-read tasks feed a single shared ExtractDocs
+    actor pool, and ``partition_cols=["part"]`` routes every row to its
+    ``docs/part=<i>/`` directory. A commit pass then writes each
+    partition's atomic lineage manifest (+ sampled hot-term partial).
 
-    Partitions run CONCURRENTLY (driver threads, one Ray Data pipeline
-    each); Ray schedules all of them onto the shared CPU pool, so the
-    checkpoint granularity costs no wall-clock serialization. Per-
-    partition doc/token metrics come from a cheap column read of the
-    freshly written parquet — no extra pipeline passes."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    Resume contract (tests/test_resume.py): a partition is done iff its
+    manifest exists; a rerun processes only pending partitions, after
+    clearing their (manifest-less = incomplete) directories. One
+    pipeline = one actor-pool spin-up per BUILD, not per partition —
+    actor cold-start was the dominant fixed cost of the previous
+    pipeline-per-partition design."""
     parts = _plan_partitions(pages_path, num_partitions)
     cols = ["url", "warc_ts", "html", "lang"] + (["text"] if verify_extraction else [])
     pending = [
@@ -201,40 +193,60 @@ def run_phase_a(
     }
     if not pending:
         return metrics
-    total_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # More concurrent partition pipelines with smaller pools = fewer
-    # total actor cold-starts for the same CPU budget (actor startup is
-    # the dominant fixed cost of a short pipeline). Actors reserve their
-    # CPU for their lifetime; cap the pools at half the cluster so
-    # read/write TASKS of the concurrent pipelines always have headroom
-    # (otherwise: resource deadlock).
-    workers = min(8, len(pending), max(1, total_cpus // 4))
-    pool_size = concurrency or max(1, (total_cpus // 2) // workers)
+    part_walls = {pid: time.time() for pid, _ in pending}
+    for pid, _frags in pending:  # incomplete leftovers from a crashed run
+        _fresh_dir(os.path.join(paths.docs_ckpt, f"part={pid}"))
 
-    def run_one(pid: int, frags: list[InputFragment]) -> tuple[int, int]:
-        t0 = time.time()
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool_size = concurrency or max(1, total_cpus // 2)
+
+    frag_items = [
+        {
+            "part": pid,
+            "path": f.path,
+            "rg_start": f.row_group_start,
+            "rg_end": f.row_group_end,
+        }
+        for pid, frags in pending
+        for f in frags
+    ]
+
+    # The read yields bounded chunks and the extract stage runs with
+    # batch_size=None (per yielded block). This matters: Ray FUSES the
+    # two map_batches into one actor-pool operator, and a downstream
+    # batch_size would be applied to the fused op's INPUT (the tiny
+    # fragment-descriptor rows) — bundling ALL fragments into one task
+    # and serializing the whole stage onto one actor. Chunked yields
+    # keep per-call extraction memory bounded instead (wide html rows).
+    chunk = max(batch_size, 256)
+
+    def read_fragment(batch: pa.Table):
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["path"])
+            t = pf.read_row_groups(list(range(row["rg_start"], row["rg_end"])), columns=cols)
+            t = t.append_column("part", pa.array([row["part"]] * t.num_rows, pa.int64()))
+            for off in range(0, t.num_rows, chunk):
+                yield t.slice(off, chunk)
+
+    # one block per fragment => one parallel read task per fragment
+    ds = rd.from_items(frag_items, override_num_blocks=len(frag_items))
+    ds = ds.map_batches(read_fragment, batch_format="pyarrow", batch_size=1)
+    ds = ds.map_batches(
+        ExtractDocs,
+        fn_constructor_kwargs={"verify_extraction": verify_extraction},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=pool_size,
+        num_cpus=1,
+    )
+    # coalesce output files: phase-B re-reads this checkpoint 4x, and
+    # hundreds of tiny files dominate those reads' wall time (each
+    # streamed block lands as one row group, so reads still split)
+    ds.write_parquet(paths.docs_ckpt, partition_cols=["part"], min_rows_per_file=50_000)
+
+    # commit pass: per-partition metrics + hot partial + atomic manifest
+    for pid, frags in pending:
         part_dir = os.path.join(paths.docs_ckpt, f"part={pid}")
-        os.makedirs(part_dir, exist_ok=True)
-        # Read exactly this partition's row-group fragments (lineage is
-        # precise), pre-sliced into blocks for pool parallelism (a
-        # blocking repartition() inside concurrent pipelines can
-        # deadlock the shared CPU pool; slicing up front is free).
-        tbl = ray.get(_read_fragments.remote(frags, cols))
-        nblocks = max(1, min(64, tbl.num_rows // max(batch_size, 1)))
-        step = -(-tbl.num_rows // nblocks)
-        slices = [tbl.slice(o, step) for o in range(0, tbl.num_rows, step)]
-        ds = rd.from_arrow(slices)
-        ds = ds.map_batches(
-            ExtractDocs,
-            fn_constructor_kwargs={"verify_extraction": verify_extraction},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool_size,
-            num_cpus=1,
-        )
-        # coalesce output files: phase-B re-reads this checkpoint 4x,
-        # and hundreds of tiny files dominate those reads' wall time
-        ds.write_parquet(part_dir, min_rows_per_file=50_000)
         written = pq.read_table(part_dir, columns=["doc_id", "doc_len", "terms"])
         ndocs = written.num_rows
         ntok = int(pc.sum(written["doc_len"]).as_py() or 0)
@@ -245,14 +257,10 @@ def run_phase_a(
             num_docs=ndocs,
             num_tokens=ntok,
             input_bytes=sum(os.path.getsize(p) for p in {f.path for f in frags}),
-            wall_seconds=time.time() - t0,
+            wall_seconds=time.time() - part_walls[pid],
         ).write(part_dir)
-        return ndocs, ntok
-
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        for ndocs, ntok in ex.map(lambda a: run_one(*a), pending):
-            metrics["docs"] += ndocs
-            metrics["tokens"] += ntok
+        metrics["docs"] += ndocs
+        metrics["tokens"] += ntok
     return metrics
 
 
@@ -400,7 +408,9 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     cols = ["doc_id", "url", "warc_ts", "lang", "content_sha1", "title", "body_prefix", "doc_len"]
     ds = rd.read_parquet(_docs_parquet_files(paths), columns=cols)
     ds = ds.map_batches(annotate, batch_format="pyarrow")
-    ds = ds.sort("doc_id")
+    # sort() samples its input for range boundaries (re-executing the
+    # annotate+read otherwise) — materialize the narrow annotated set
+    ds = ds.materialize().sort("doc_id")
     _fresh_dir(paths.docstore)
     ds.write_parquet(paths.docstore, min_rows_per_file=100_000)
 
@@ -464,6 +474,28 @@ def detect_hot_terms(paths: IndexPaths, threshold: int) -> list[str]:
     agg = t.group_by("term").aggregate([("partial_df", "sum")])
     hot = agg.filter(pc.greater_equal(agg["partial_df_sum"], sample_threshold))
     return hot["term"].to_pylist()
+
+
+def audit_doc_ids(paths: IndexPaths) -> dict:
+    """Collision audit for ``doc_id = hash64(url)`` (63-bit): distinct
+    doc_id count must equal distinct url count over the docs checkpoint.
+    At 10^12 docs the birthday bound makes collisions plausible, so a
+    production build runs this before serving; a collision would silently
+    merge two documents' postings. Distributed: per-block distinct
+    (combiner) then one narrow global distinct per column."""
+    ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "url"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["doc_id", "url"]).aggregate([])
+
+    pairs = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+    n_pairs = int(pairs.count())
+    n_ids = int(pairs.groupby("doc_id").count().count())
+    return {
+        "distinct_pairs": n_pairs,
+        "distinct_doc_ids": n_ids,
+        "collisions": n_pairs - n_ids,
+    }
 
 
 def write_term_stats(paths: IndexPaths) -> None:
@@ -654,8 +686,16 @@ def build_shards(
     # parallelism at sandbox scale.
     ds = _docs_ds(paths, loser_ids_ref)
     ds = ds.map_batches(encode_block_runs, batch_format="pyarrow", batch_size=4096)
-    runs = ds.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
-    runs = runs.map_batches(add_shard, batch_format="pyarrow")
+    # Materialize at both shuffle inputs: Ray's sort-based groupby
+    # samples its input to pick range boundaries, re-executing the
+    # upstream plan; without a boundary here the second shuffle would
+    # re-run the first (and the whole extract read) several times. The
+    # materialized sets are packed runs — a small multiple of the final
+    # index size — so the object-store cost is negligible next to the
+    # re-execution it prevents.
+    pre = ds.materialize()
+    runs = pre.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
+    runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     final = runs.groupby("shard").map_groups(_finalize_shard, batch_format="pyarrow")
     _fresh_dir(paths.shards)
     final.write_parquet(

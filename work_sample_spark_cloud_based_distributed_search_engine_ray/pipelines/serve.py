@@ -1,0 +1,136 @@
+"""Distributed query serving: one Ray actor per index shard,
+scatter-gather BM25 top-k.
+
+The reference serves queries from a single process that re-scans the
+whole ``urls`` table per request and fetches each term's postings row
+from the range-partitioned KVS (``search/Searcher.java:44-101``,
+``kvs/KVSClient.java:188-198``). Here the serving tier mirrors the
+index layout instead: shard ``s`` holds exactly the terms with
+``hash64(term) % num_shards == s``, so
+
+- each ``ShardActor`` loads ONLY its shard's parquet (memory scales
+  down with the shard count — on a real cluster, one actor per node);
+- a query routes each term to its one owning shard (same hash), so
+  per-query fan-out is <= #distinct query terms, not #shards;
+- every shard returns per-doc partial BM25 sums for its terms; the
+  router merges partials (scores are additive over terms) and takes the
+  global top-k. Merged scores are summed in deterministic term order,
+  bit-identical to the in-process exhaustive scorer (asserted by
+  tests/test_serve.py).
+
+Global stats (N, avgdl, k1, b) are pinned in ``meta.json`` at build
+time, so every shard scores with identical constants — the same
+invariant that makes N-node and 4N-node builds rank-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import ray
+
+from ..functions.hashing import hash64
+from ..functions.tokenize import tokenize_query
+
+
+@ray.remote
+class ShardActor:
+    """Holds one shard's postings; scores its own terms only."""
+
+    def __init__(self, out_dir: str, shard_id: int):
+        import pyarrow.parquet as pq
+
+        from .query import SearchIndex, _parquet_files
+
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        shard_dir = os.path.join(out_dir, "shards", f"shard={shard_id}")
+        files = _parquet_files(shard_dir)
+        # reuse the lazy-decode reader over just this shard's rows
+        import pyarrow as pa
+
+        table = (
+            pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+            if files
+            else None
+        )
+        store = pq.read_table(
+            os.path.join(out_dir, "docstore"), columns=["doc_id", "doc_len", "is_canonical"]
+        )
+        store = store.filter(store["is_canonical"])
+        ids = store["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        self.idx = SearchIndex(
+            self.meta,
+            table,
+            ids[order].astype(np.int64),
+            store["doc_len"].to_numpy()[order].astype(np.int64),
+            os.path.join(out_dir, "docstore"),
+        )
+
+    def partial_scores(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc partial BM25 sums over OWNED terms, in the given term
+        order (the router relies on this order for bit-identical float
+        association). Returns (doc_ids, partial_scores)."""
+        all_ids, all_scores = [], []
+        for t in terms:
+            if not self.idx.has_term(t):
+                continue
+            p = self.idx.postings(t)
+            dls = self.idx.doc_len(p.ids)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.idx.bm25_idf(p.df)
+                * self.idx._bm25_tf_part(p.tfs.astype(np.float64), dls.astype(np.float64))
+            )
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(all_ids), np.concatenate(all_scores)
+
+
+class DistributedSearch:
+    """Scatter-gather router over the shard actor pool."""
+
+    def __init__(self, out_dir: str):
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.num_shards = self.meta["num_shards"]
+        self.actors = [
+            ShardActor.remote(out_dir, s) for s in range(self.num_shards)
+        ]
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from .query import _topk
+
+        q_terms = tokenize_query(query)
+        if not q_terms:
+            return []
+        # route each term to its one owning shard (hash-partitioned,
+        # replacing the reference's per-term KVS getRow round-trip);
+        # one future PER TERM so contributions concatenate in query-term
+        # order — the same float association as the in-process scorer
+        futs = [
+            self.actors[hash64(t) % self.num_shards].partial_scores.remote([t])
+            for t in q_terms
+        ]
+        parts = ray.get(futs)
+        ids = [p[0] for p in parts if p[0].size]
+        scores = [p[1] for p in parts if p[0].size]
+        if not ids:
+            return []
+        # identical accumulation to the exhaustive scorer: per-posting
+        # contributions summed per doc via one np.add.at
+        all_ids = np.concatenate(ids)
+        all_scores = np.concatenate(scores)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, all_scores)
+        return _topk(uniq, acc, k)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

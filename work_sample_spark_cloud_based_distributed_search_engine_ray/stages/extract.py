@@ -79,20 +79,21 @@ class ExtractDocs:
             texts.append(text)
         terms_list, tfs_list, doc_lens = tokenize_count_batch(texts)
 
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids),
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
-                "content_sha1": pa.array(sha1s, pa.string()),
-                "title": pa.array(titles, pa.string()),
-                "body_prefix": pa.array([t[: self.body_prefix_len] for t in texts], pa.string()),
-                "doc_len": pa.array(doc_lens),
-                "terms": terms_list,
-                "tfs": tfs_list,
-            }
-        )
+        out = {
+            "doc_id": pa.array(doc_ids),
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "content_sha1": pa.array(sha1s, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "body_prefix": pa.array([t[: self.body_prefix_len] for t in texts], pa.string()),
+            "doc_len": pa.array(doc_lens),
+            "terms": terms_list,
+            "tfs": tfs_list,
+        }
+        if "part" in batch.column_names:  # checkpoint-partition routing key
+            out["part"] = batch["part"]
+        return pa.table(out)
 
 
 def dedup_keep_first(group: pa.Table) -> pa.Table:
