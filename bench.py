@@ -50,7 +50,7 @@ def _init_ray(num_cpus: int) -> None:
 def _build_once(num_cpus: int, out_dir: str, scale_mult: int = 1) -> dict:
     """One full index build over the sf-scaled synthetic pages corpus;
     returns docs, wall seconds, docs/sec. ``scale_mult`` grows the
-    corpus (scaling runs use 4x so per-doc compute dominates fixed
+    corpus (scaling runs use a larger corpus so per-doc compute dominates fixed
     orchestration cost, as it does on a real multi-node corpus)."""
     from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
         build_index,
@@ -85,10 +85,11 @@ def _build_once(num_cpus: int, out_dir: str, scale_mult: int = 1) -> dict:
 def run_scaling() -> None:
     """Fresh-process runs at N=8 and 4N=32 CPUs over the SAME corpus.
 
-    The corpus is 4x the bench sf so per-document compute dominates the
-    fixed orchestration cost (pipeline/actor startup, shuffle setup) the
-    way it does on any real multi-node corpus; both runs see identical
-    input, per the north rule's same-input requirement."""
+    The corpus is 10x the bench sf (1M docs at sf0.1) so per-document
+    compute dominates the fixed orchestration cost (pipeline/actor
+    startup, shuffle setup) the way it does on any real multi-node
+    corpus; both runs see identical input, per the north rule's
+    same-input requirement."""
     results = {}
     # generate/cache the corpus once so neither timed run pays for it
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
@@ -96,13 +97,13 @@ def run_scaling() -> None:
         sf_to_n_docs,
     )
 
-    pages_parquet(sf_to_n_docs(_sf()) * 4)
+    pages_parquet(sf_to_n_docs(_sf()) * 10)
     for n in (8, 32):
         best = None
         for _attempt in range(2):  # min-of-2: damp shared-host noise
             cmd = [
                 sys.executable, __file__, "--one-build", str(n),
-                f"/tmp/wse_bench_scaling_{n}", "--scale-mult", "4",
+                f"/tmp/wse_bench_scaling_{n}", "--scale-mult", "10",
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])

@@ -81,6 +81,7 @@ from ..state.manifest import (
     InputFragment,
     PartitionManifest,
     partition_is_done,
+    read_manifest,
     write_json_atomic,
 )
 from ..stages.extract import ExtractDocs, explode_postings
@@ -244,8 +245,11 @@ def run_phase_a(
     # streamed block lands as one row group, so reads still split)
     ds.write_parquet(paths.docs_ckpt, partition_cols=["part"], min_rows_per_file=50_000)
 
-    # commit pass: per-partition metrics + hot partial + atomic manifest
-    for pid, frags in pending:
+    # commit pass (thread-parallel; parquet decode releases the GIL):
+    # per-partition metrics + hot partial + atomic manifest
+    from concurrent.futures import ThreadPoolExecutor
+
+    def commit_one(pid: int, frags: list[InputFragment]) -> tuple[int, int]:
         part_dir = os.path.join(paths.docs_ckpt, f"part={pid}")
         written = pq.read_table(part_dir, columns=["doc_id", "doc_len", "terms"])
         ndocs = written.num_rows
@@ -259,8 +263,12 @@ def run_phase_a(
             input_bytes=sum(os.path.getsize(p) for p in {f.path for f in frags}),
             wall_seconds=time.time() - part_walls[pid],
         ).write(part_dir)
-        metrics["docs"] += ndocs
-        metrics["tokens"] += ntok
+        return ndocs, ntok
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for ndocs, ntok in ex.map(lambda a: commit_one(*a), pending):
+            metrics["docs"] += ndocs
+            metrics["tokens"] += ntok
     return metrics
 
 
@@ -347,15 +355,31 @@ def _losers_of_bucket(group: pa.Table) -> pa.Table:
     )
 
 
-def compute_dup_losers(paths: IndexPaths) -> None:
-    """B1: narrow shuffle on a 256-way bucket of content_sha1 -> losers
-    map parquet. Bucket key = first 2 hex chars of the sha1 (uniform);
-    group count is fixed at 256 regardless of corpus size, so the
-    shuffle fan-in and per-group Python overhead are both bounded."""
-    ds = rd.read_parquet(
-        _docs_parquet_files(paths),
-        columns=["doc_id", "url", "warc_ts", "content_sha1", "doc_len"],
-    )
+DRIVER_DEDUP_LIMIT = 2_000_000  # docs; above this the bucket shuffle runs
+
+
+def compute_dup_losers(paths: IndexPaths, total_docs: int | None = None) -> None:
+    """B1: exact content dedup -> losers map parquet.
+
+    Two physical plans behind one semantic (the small-side switch, same
+    pattern as broadcast-vs-shuffle join):
+    - corpus <= DRIVER_DEDUP_LIMIT docs: read the five narrow columns to
+      the driver and run ONE vectorized ``_losers_of_bucket`` over the
+      whole set — no shuffle, no pipeline fixed cost;
+    - larger: narrow shuffle on a 256-way bucket of content_sha1.
+      Bucket key = first 2 hex chars of the sha1 (uniform); group count
+      is fixed at 256 regardless of corpus size, so the shuffle fan-in
+      and per-group Python overhead are both bounded.
+    """
+    cols = ["doc_id", "url", "warc_ts", "content_sha1", "doc_len"]
+    files = _docs_parquet_files(paths)
+    _fresh_dir(paths.dup_map)
+    if total_docs is not None and total_docs <= DRIVER_DEDUP_LIMIT:
+        t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+        losers = _losers_of_bucket(t)
+        pq.write_table(losers, os.path.join(paths.dup_map, "losers.parquet"))
+        return
+    ds = rd.read_parquet(files, columns=cols)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -366,7 +390,6 @@ def compute_dup_losers(paths: IndexPaths) -> None:
     losers = ds.groupby("sha_bucket").map_groups(
         _losers_of_bucket, batch_format="pyarrow"
     )
-    _fresh_dir(paths.dup_map)
     losers.write_parquet(paths.dup_map)
 
 
@@ -697,10 +720,16 @@ def build_shards(
     runs = pre.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     final = runs.groupby("shard").map_groups(_finalize_shard, batch_format="pyarrow")
+    final = final.materialize()
     _fresh_dir(paths.shards)
     final.write_parquet(
         paths.shards, partition_cols=["shard"], min_rows_per_file=100_000
     )
+    # exact per-term (df, cf) straight off the finalized rows — no
+    # extra read of the shards
+    stats = final.select_columns(["term", "df", "cf"])
+    _fresh_dir(paths.term_stats)
+    stats.write_parquet(paths.term_stats)
 
 
 def build_index(
@@ -729,13 +758,16 @@ def build_index(
         verify_extraction=verify_extraction,
     )
     t_a = time.time()
-    compute_dup_losers(paths)
+    total_docs = 0
+    for name in sorted(os.listdir(paths.docs_ckpt)):
+        m = read_manifest(os.path.join(paths.docs_ckpt, name))
+        if m is not None:
+            total_docs += m.num_docs
+    compute_dup_losers(paths, total_docs=total_docs)
     loser_table = _load_loser_table(paths)
     loser_ref = ray.put(loser_table)
     loser_ids_ref = ray.put(loser_table["doc_id"].combine_chunks())
-    write_docstore(paths, loser_ref)
     g = global_stats(paths, loser_table)
-    t_b2 = time.time()
     if hot_df_threshold is None:
         # Salting exists to bound the postings one shuffle group holds,
         # so "hot" means the true Zipf head (stopword tier), not merely
@@ -744,9 +776,30 @@ def build_index(
         # the criterion is group size, not relative frequency.
         hot_df_threshold = max(1000, int(0.2 * max(g["N"], 1)))
     hot = detect_hot_terms(paths, hot_df_threshold)
-    t_b3 = time.time()
-    build_shards(paths, loser_ids_ref, hot, num_shards=num_shards, num_salts=num_salts)
-    write_term_stats(paths)
+    t_b1 = time.time()
+
+    # B2 (doc store) and B4 (term shuffle) have disjoint inputs/outputs
+    # once the loser map + hot set exist — run them CONCURRENTLY on the
+    # shared CPU pool (two Ray Data pipelines; the streaming executor
+    # interleaves their tasks). This roughly halves the non-extraction
+    # critical path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    timings: dict[str, float] = {}
+
+    def _timed(name, fn, *args, **kw):
+        s = time.time()
+        fn(*args, **kw)
+        timings[name] = round(time.time() - s, 3)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f2 = ex.submit(_timed, "docstore", write_docstore, paths, loser_ref)
+        f4 = ex.submit(
+            _timed, "shard_build", build_shards, paths, loser_ids_ref, hot,
+            num_shards=num_shards, num_salts=num_salts,
+        )
+        f2.result()
+        f4.result()
     t_b4 = time.time()
     write_json_atomic(
         paths.meta,
@@ -764,9 +817,10 @@ def build_index(
             "phase_a": a_metrics,
             "timings_sec": {
                 "phase_a_extract": round(t_a - t0, 3),
-                "dedup_docstore": round(t_b2 - t_a, 3),
-                "hot_detect": round(t_b3 - t_b2, 3),
-                "shard_build": round(t_b4 - t_b3, 3),
+                "dedup_hot": round(t_b1 - t_a, 3),
+                "docstore_concurrent": timings.get("docstore", 0.0),
+                "shard_build_concurrent": timings.get("shard_build", 0.0),
+                "b2_b4_wall": round(t_b4 - t_b1, 3),
                 "total": round(t_b4 - t0, 3),
             },
         },
