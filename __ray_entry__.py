@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
         embedding_near_dup_pairs,
+        ivf_knn,
         knn_brute_force,
         lsh_knn,
     )
@@ -258,6 +259,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_near_dups(sf_dir: str):
         return embedding_near_dup_pairs(_tbl(sf_dir, "embeddings"), threshold=NEAR_DUP_THR)
+
+    def q_knn_ivf(sf_dir: str):
+        # rows-only: IVF-partitioned approximate variant — recall vs
+        # exact is asserted in tests/test_ann.py, not an equality oracle
+        qids, qm = _query_matrix(sf_dir)
+        out = ivf_knn(_tbl(sf_dir, "embeddings"), qm, k=KNN_K, nlist=32, nprobe=6)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = pc.take(pa.array(qids, pa.int64()), t["query_id"])
+            return t.set_column(t.schema.get_field_index("query_id"), "query_id", mapped)
+
+        return out.map_batches(remap, batch_format="pyarrow")
 
     def q_knn_lsh(sf_dir: str):
         # rows-only: approximate (bucketed) variant — recall vs exact is
@@ -504,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
         "knn_lsh_topk": q_knn_lsh,
+        "knn_ivf_topk": q_knn_ivf,
         "embedding_near_dups": q_near_dups,
         "rel_groupby_agg": q_groupby_agg,
         "rel_broadcast_join_agg": q_broadcast_join,

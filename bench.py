@@ -5,8 +5,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...}
 
---scaling runs the headline index build twice in FRESH processes
-(num_cpus=8 then 32) on the same input and reports both throughputs +
+--scaling runs the headline index build in FRESH processes
+(num_cpus=4 then 16) on the same input and reports both throughputs +
 scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
 node requirement); results also land in BENCH/scaling_r*.json.
 
@@ -83,7 +83,7 @@ def _build_once(num_cpus: int, out_dir: str, scale_mult: int = 1) -> dict:
 
 
 def run_scaling() -> None:
-    """Fresh-process runs at N=8 and 4N=32 CPUs over the SAME corpus.
+    """Fresh-process runs at N=4 and 4N=16 CPUs over the SAME corpus.
 
     The corpus is 10x the bench sf (1M docs at sf0.1) so per-document
     compute dominates the fixed orchestration cost (pipeline/actor
@@ -98,9 +98,9 @@ def run_scaling() -> None:
     )
 
     pages_parquet(sf_to_n_docs(_sf()) * 10)
-    for n in (8, 32):
+    for n in (4, 16):
         best = None
-        for _attempt in range(2):  # min-of-2: damp shared-host noise
+        for _attempt in range(1):  # single run (min-of-2 when time allows)
             cmd = [
                 sys.executable, __file__, "--one-build", str(n),
                 f"/tmp/wse_bench_scaling_{n}", "--scale-mult", "10",
@@ -111,13 +111,13 @@ def run_scaling() -> None:
                 best = r
             shutil.rmtree(f"/tmp/wse_bench_scaling_{n}", ignore_errors=True)
         results[n] = best
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    t8, t32 = results[4]["docs_per_sec"], results[16]["docs_per_sec"]
     eff = (t32 / t8) / 4.0
     payload = {
-        "metric": "index-build scaling N=8 vs 4N=32 cpus (fresh processes, same corpus)",
+        "metric": "index-build scaling N=4 vs 4N=16 cpus (fresh processes, same corpus)",
         "sf": _sf(),
-        "throughput_docs_per_sec": {"8": round(t8, 1), "32": round(t32, 1)},
-        "wall_sec": {"8": round(results[8]["wall_sec"], 2), "32": round(results[32]["wall_sec"], 2)},
+        "throughput_docs_per_sec": {"4": round(t8, 1), "16": round(t32, 1)},
+        "wall_sec": {"4": round(results[4]["wall_sec"], 2), "16": round(results[16]["wall_sec"], 2)},
         "scaling_efficiency": round(eff, 3),
         "docs": results[32]["docs"],
     }

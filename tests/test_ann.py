@@ -103,3 +103,32 @@ def test_near_dup_pairs_planted():
     ).to_pandas()
     got_pairs = set(zip(got["vec_a"], got["vec_b"]))
     assert len(got_pairs & planted) / len(planted) > 0.9
+
+
+def test_ivf_knn_recall_vs_bruteforce():
+    """IVF with nprobe covering a good share of nlist must recover most
+    exact neighbors; with nprobe == nlist it IS exact search."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        ivf_knn,
+        knn_brute_force,
+    )
+
+    tbl, _ = _planted_corpus(n_base=100)
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    queries = vecs[0::2][:20]
+    exact = knn_brute_force(rd.from_arrow(tbl), queries, k=5).to_pandas()
+    # full probe == exact
+    full = ivf_knn(rd.from_arrow(tbl), queries, k=5, nlist=8, nprobe=8).to_pandas()
+    for qi in range(20):
+        e = exact[exact["query_id"] == qi].sort_values(["cosine_e6", "vec_id"], ascending=[False, True])
+        f = full[full["query_id"] == qi].sort_values(["cosine_e6", "vec_id"], ascending=[False, True])
+        assert e["vec_id"].tolist() == f["vec_id"].tolist(), qi
+    # partial probe: recall over exact top-5
+    approx = ivf_knn(rd.from_arrow(tbl), queries, k=5, nlist=8, nprobe=3).to_pandas()
+    hit = tot = 0
+    for qi in range(20):
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        got_ids = set(approx[approx["query_id"] == qi]["vec_id"])
+        hit += len(want & got_ids)
+        tot += len(want)
+    assert hit / tot >= 0.5, f"ivf recall {hit/tot}"

@@ -98,3 +98,24 @@ def test_link_extract_on_generated_corpus(ray_session):
     for row in t.to_pylist():
         assert row["src_url"].startswith("http://")
         assert is_crawlable(row["dst_url"])
+
+
+def test_frontier_bfs_depths(ray_session):
+    """BFS waves == reference crawler frontier loop: first-reach depth,
+    visited dedup, termination on empty frontier."""
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        frontier_bfs,
+    )
+
+    edges = pa.table(
+        {
+            "src_url": pa.array(["a", "a", "b", "c", "d", "x"], pa.string()),
+            "dst_url": pa.array(["b", "c", "d", "d", "a", "y"], pa.string()),
+        }
+    )
+    got = frontier_bfs(rd.from_arrow(edges), ["a"], max_depth=5).to_pylist()
+    depths = {r["url"]: r["depth"] for r in got}
+    # a -> {b,c} -> d -> (a already seen, stop); x/y unreachable
+    assert depths == {"a": 0, "b": 1, "c": 1, "d": 2}

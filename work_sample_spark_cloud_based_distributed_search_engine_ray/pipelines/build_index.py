@@ -219,7 +219,7 @@ def run_phase_a(
     # fragment-descriptor rows) — bundling ALL fragments into one task
     # and serializing the whole stage onto one actor. Chunked yields
     # keep per-call extraction memory bounded instead (wide html rows).
-    chunk = max(batch_size, 256)
+    chunk = max(batch_size, 2048)
 
     def read_fragment(batch: pa.Table):
         for row in batch.to_pylist():
@@ -243,7 +243,14 @@ def run_phase_a(
     # coalesce output files: phase-B re-reads this checkpoint 4x, and
     # hundreds of tiny files dominate those reads' wall time (each
     # streamed block lands as one row group, so reads still split)
-    ds.write_parquet(paths.docs_ckpt, partition_cols=["part"], min_rows_per_file=50_000)
+    # zstd: the checkpoint is written once and re-read 3-4x; smaller
+    # bytes beat codec cpu when the build is storage-bandwidth-bound
+    ds.write_parquet(
+        paths.docs_ckpt,
+        partition_cols=["part"],
+        min_rows_per_file=50_000,
+        compression="zstd",
+    )
 
     # commit pass (thread-parallel; parquet decode releases the GIL):
     # per-partition metrics + hot partial + atomic manifest
@@ -435,7 +442,7 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
     # annotate+read otherwise) — materialize the narrow annotated set
     ds = ds.materialize().sort("doc_id")
     _fresh_dir(paths.docstore)
-    ds.write_parquet(paths.docstore, min_rows_per_file=100_000)
+    ds.write_parquet(paths.docstore, min_rows_per_file=100_000, compression="zstd")
 
 
 def global_stats(paths: IndexPaths, loser_table: pa.Table) -> dict:

@@ -179,6 +179,139 @@ def lsh_embedding_buckets(
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int, *, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Lloyd's k-means on a (normalized) sample — the IVF codebook.
+    Deterministic in (sample, nlist, iters, seed); spherical variant
+    (centroids re-normalized each round) since similarity is cosine."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n = sample.shape[0]
+    nlist = min(nlist, n)
+    centroids = sample[rng.choice(n, size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if members.size:
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Assign each vector to its nearest (cosine) centroid — the IVF
+    inverted-list key. Centroids broadcast once via ``ray.put``."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c: np.ndarray = ray.get(c_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        lists = (m @ c.T).argmax(axis=1).astype(np.int64) if m.size else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "ivf_list": pa.array(lists),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_knn(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    sample_mod: int = 7,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF approximate top-k — the third ANN scale path (exact
+    brute-force -> hyperplane LSH -> IVF): train a centroid codebook on
+    a DETERMINISTIC sample (``vec_id % sample_mod == 0`` — a pure
+    function of the ids, parallelism-invariant), assign every vector to
+    its nearest centroid, then search each query only in its ``nprobe``
+    closest lists. Output schema matches ``knn_brute_force``; recall vs
+    brute force is the tested metric, ``nlist``/``nprobe`` the dial.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def pick_sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % sample_mod == 0)).select([vec_col])
+
+    sample_tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(pick_sample, batch_format="pyarrow").to_arrow_refs()]
+    )
+    centroids = kmeans_centroids(_mat(sample_tbl[vec_col]), nlist, seed=seed)
+    probe = (q @ centroids.T).argsort(axis=1)[:, ::-1][:, : min(nprobe, centroids.shape[0])]
+    payload_ref = ray.put((q, probe))
+
+    assigned = ivf_assign(ds, centroids, vec_col=vec_col, id_col=id_col)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qn_, probe_ = ray.get(payload_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qn_.shape[0]):
+            mask = np.isin(lists, probe_[qi])
+            if not mask.any():
+                continue
+            sims = np.rint((m[mask] @ qn_[qi]) * 1e6).astype(np.int64)
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[: min(k, sims.size)]
+            out_q.append(np.full(order.size, qi, np.int64))
+            out_id.append(cand_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine_e6": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = group["cosine_e6"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(ids[order]),
+                "cosine_e6": pa.array(sims[order]),
+            }
+        )
+
+    return (
+        assigned.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
 def lsh_knn(
     ds: rd.Dataset,
     queries: np.ndarray,

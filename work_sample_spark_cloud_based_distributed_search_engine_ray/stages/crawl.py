@@ -66,6 +66,58 @@ def lang_gate(langs: list[str]):
     return fn
 
 
+def frontier_bfs(
+    edges: "rd.Dataset",
+    seeds: list[str],
+    *,
+    max_depth: int = 3,
+) -> pa.Table:
+    """Frontier-wave BFS over a link-edge table — the Ray-native analog
+    of the reference crawler's loop (``urlQueue = parallelize([seed]);
+    while (count != 0) urlQueue = urlQueue.flatMap(crawlOne)``,
+    ``crawler/Crawler.java:47-213``): each wave expands the current
+    frontier through the edges and drops already-visited urls (the
+    ``contentSeen``/frontier-dedup role).
+
+    The frontier is BROADCAST per wave (``ray.put`` once, read by every
+    map task) and the expansion is a vectorized ``is_in`` filter + local
+    dedup — a frontier is tiny relative to the edge set, so this is the
+    broadcast-side of the join, not a shuffle. Returns (url, depth) for
+    every reached url, depth = first-reach wave (seeds get depth 0);
+    deterministic regardless of partitioning.
+    """
+    import ray
+
+    visited: dict[str, int] = {u: 0 for u in seeds}
+    frontier = sorted(set(seeds))
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(pa.array(frontier, pa.string()))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fr = ray.get(f_ref)
+            hit = batch.filter(pc.is_in(batch["src_url"], value_set=fr))
+            return hit.select(["dst_url"]).group_by("dst_url").aggregate([])
+
+        reached = set()
+        for b in (
+            edges.map_batches(expand, batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs()
+        ):
+            reached.update(ray.get(b)["dst_url"].to_pylist())
+        frontier = sorted(u for u in reached if u not in visited)
+        for u in frontier:
+            visited[u] = depth
+    urls = sorted(visited)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([visited[u] for u in urls], pa.int64()),
+        }
+    )
+
+
 def out_degree(links: "pa.Table") -> pa.Table:
     """Per-page out-degree from a link-edge table (vectorized)."""
     agg = links.group_by("src_url").aggregate([([], "count_all")])
