@@ -472,6 +472,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_sessionize(sf_dir: str):
+        # gap-based sessionization (30-min inactivity): the streaming-
+        # window operator the reference lacks, expressed as ONE
+        # groupby(user) with a vectorized per-group session assignment
+        import ray.data as rd  # noqa: F401
+
+        gap_us = 30 * 60 * 1_000_000
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def sessions(group: pa.Table) -> pa.Table:
+            # vectorized across ALL users of the bucket: one multi-key
+            # sort, session breaks at user change or >gap inactivity
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+            )
+            g = group.take(idx)
+            ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            new_sess = np.ones(ts.size, dtype=bool)
+            new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            starts = np.flatnonzero(new_sess)
+            ends = np.append(starts[1:], ts.size) - 1
+            counts = ends - starts + 1
+            s_uid = uid[starts]
+            first_of_user = np.ones(starts.size, dtype=bool)
+            first_of_user[1:] = s_uid[1:] != s_uid[:-1]
+            seq = np.arange(starts.size) - np.repeat(
+                np.flatnonzero(first_of_user),
+                np.diff(np.append(np.flatnonzero(first_of_user), starts.size)),
+            )
+            return pa.table(
+                {
+                    "user_id": pa.array(s_uid),
+                    "session_seq": pa.array(seq.astype(np.int64)),
+                    "n_events": pa.array(counts.astype(np.int64)),
+                    "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                    "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
+                }
+            )
+
+        return (
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("ubucket")
+            .map_groups(sessions, batch_format="pyarrow")
+        )
+
     def q_crawl_links(sf_dir: str):
         # rows-only: link-graph extraction over the synthetic pages
         # corpus (crawler parity, SURVEY §2.2); no SQL view of pages
@@ -530,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample": q_sample,
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
+        "rel_sessionize": q_sessionize,
         "crawl_links": q_crawl_links,
         "media_features": q_media_features,
     }
@@ -731,4 +783,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        "rel_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+              FROM ordered
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM tagged GROUP BY user_id, session_seq
+        """,
     }
