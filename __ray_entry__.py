@@ -785,7 +785,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_sessionize": """
             WITH ordered AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
               FROM events
@@ -793,8 +793,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             tagged AS (
               SELECT user_id, ts,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                       AS session_seq
               FROM ordered
             )
             SELECT user_id, session_seq, count(*) AS n_events,

@@ -25,6 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CPUS = (4, 16)  # the N / 4N pair used by --scaling
 
 
 def _sf() -> float:
@@ -97,8 +98,9 @@ def run_scaling() -> None:
         sf_to_n_docs,
     )
 
+    n_lo, n_hi = SCALING_CPUS  # N and 4N
     pages_parquet(sf_to_n_docs(_sf()) * 10)
-    for n in (4, 16):
+    for n in (n_lo, n_hi):
         best = None
         for _attempt in range(1):  # single run (min-of-2 when time allows)
             cmd = [
@@ -111,15 +113,18 @@ def run_scaling() -> None:
                 best = r
             shutil.rmtree(f"/tmp/wse_bench_scaling_{n}", ignore_errors=True)
         results[n] = best
-    t8, t32 = results[4]["docs_per_sec"], results[16]["docs_per_sec"]
-    eff = (t32 / t8) / 4.0
+    t_lo, t_hi = results[n_lo]["docs_per_sec"], results[n_hi]["docs_per_sec"]
+    eff = (t_hi / t_lo) / (n_hi / n_lo)
     payload = {
-        "metric": "index-build scaling N=4 vs 4N=16 cpus (fresh processes, same corpus)",
+        "metric": f"index-build scaling N={n_lo} vs 4N={n_hi} cpus (fresh processes, same corpus)",
         "sf": _sf(),
-        "throughput_docs_per_sec": {"4": round(t8, 1), "16": round(t32, 1)},
-        "wall_sec": {"4": round(results[4]["wall_sec"], 2), "16": round(results[16]["wall_sec"], 2)},
+        "throughput_docs_per_sec": {str(n_lo): round(t_lo, 1), str(n_hi): round(t_hi, 1)},
+        "wall_sec": {
+            str(n_lo): round(results[n_lo]["wall_sec"], 2),
+            str(n_hi): round(results[n_hi]["wall_sec"], 2),
+        },
         "scaling_efficiency": round(eff, 3),
-        "docs": results[32]["docs"],
+        "docs": results[n_hi]["docs"],
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:
