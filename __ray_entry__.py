@@ -93,18 +93,26 @@ def _search_table(sf_dir: str, scorer: str) -> pa.Table:
     idx = _cached_index(sf_dir)
     qids, ranks, doc_ids, scores = [], [], [], []
     for qid, q in reference_queries():
-        ranked = idx.bm25_topk(q, k=10) if scorer == "bm25" else idx.reference_topk(q, k=10)
-        for r, (d, s) in enumerate(ranked):
+        # Rank + cut on INTEGER e6 scores, not raw doubles: the engine's
+        # sums are deterministic (np.add.at) but the oracle's (DuckDB
+        # parallel SUM) are not associative-stable, so exact-float
+        # ordering at the top-10 boundary is not reproducible across
+        # engines. Both sides therefore order by (score_e6 desc, doc_id)
+        # — candidates fetched wide (50/300) so the e6-top-10 is inside
+        # the float-ranked prefix.
+        ranked = idx.bm25_topk(q, k=50) if scorer == "bm25" else idx.reference_topk(q, k=300)
+        e6 = sorted(((int(round(s * 1_000_000)), d) for d, s in ranked), key=lambda t: (-t[0], t[1]))[:10]
+        for r, (s6, d) in enumerate(e6):
             qids.append(qid)
             ranks.append(r)
             doc_ids.append(d)
-            scores.append(round(s, 6))
+            scores.append(s6)
     return pa.table(
         {
             "qid": pa.array(qids, pa.int64()),
             "rank": pa.array(ranks, pa.int64()),
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "score": pa.array(scores, pa.float64()),
+            "score_e6": pa.array(scores, pa.int64()),
         }
     )
 
@@ -592,6 +600,252 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 
+def _flagship_oracle_sql(scorer: str) -> str:
+    """DuckDB twin of the FLAGSHIP index-built search queries.
+
+    Recomputes the whole engine contract in SQL over the same synthetic
+    pages parquet the Ray build consumes: exact content dedup
+    (keep-first by (warc_ts, url) per html — ``crawler/Crawler.java:
+    178-190`` semantics), doc_id = first 8 bytes of md5(url) masked to
+    63 bits (``functions/hashing.py:hash64``), canonical tokenization
+    of the ``text`` column (byte-identical to HTML extraction by the
+    generator invariant), exact N/df/dl/avgdl, then BM25
+    (``ln(1+(N-df+.5)/(df+.5))``) or the reference tf-idf scorer
+    (``log10(N/df)*(1+log10(tf))``, threshold 0.3 —
+    ``search/Searcher.java:108-198``), top-10 per reference query with
+    the engine's (score desc, doc_id) tie-break.
+
+    The corpus path is resolved for $GRAFT_ORACLE_SF_DIR (default: the
+    driver's sf0.01 gate); resolving it also materializes the
+    deterministic parquet so the SQL can run before the Ray side.
+    """
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pages_path = pages_for_sf_dir(sf_dir)
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    toks_pages = TOKS  # operates on the `text` column of docs
+
+    if scorer == "bm25":
+        score_expr = (
+            "sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+            " * (tf.tf * (1.2 + 1))"
+            " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)))"
+        )
+        joins = (
+            "FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term "
+            "JOIN dl ON tf.doc_id = dl.doc_id, stats"
+        )
+        having = ""
+    else:
+        score_expr = (
+            "sum(log10(CAST(stats.n AS DOUBLE) / df.df)"
+            " * (1 + log10(CAST(tf.tf AS DOUBLE))))"
+        )
+        joins = "FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term, stats"
+        having = f"HAVING {score_expr} > 0.3"
+
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM winners),
+    toks AS (SELECT doc_id, unnest({toks_pages}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    scores AS (
+      SELECT q.qid, tf.doc_id, {score_expr} AS score
+      {joins}
+      GROUP BY q.qid, tf.doc_id
+      {having}),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM scores)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _sketch_oracle_sqls() -> dict[str, str]:
+    """Containment oracles for the sketch-based near-dup queries.
+
+    The sketches themselves (blake2b token hashes -> MinHash /
+    SimHash) are not expressible in DuckDB, so the per-doc signatures
+    are computed HERE with the same pure functions
+    (``functions/sketches.py``) and embedded as VALUES literals; the
+    SQL then re-derives the full candidate-pair answer from the
+    signatures by brute force — every band collision, estimate,
+    threshold and pair-dedup decision the DISTRIBUTED banding pipeline
+    makes is checked against the quadratic definition. (Recall of the
+    sketches vs exact Jaccard stays a pytest metric, tests/test_dedup.py.)
+    """
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (
+        minhash_params,
+        minhash_signature,
+        shingle_hashes,
+        simhash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+
+    docs = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    # --- MinHash (must mirror queries(): q_dedup_minhash params) ---
+    num_perm, num_bands, shingle_n, seed, est_threshold = 128, 32, 3, 1, 0.2
+    rows_per_band = num_perm // num_bands
+    a, b = minhash_params(num_perm, seed)
+    sig_rows = []
+    sim_rows = []
+    from collections import Counter
+
+    for did, text in zip(ids, texts):
+        toks = tokenize(text)
+        sig = minhash_signature(shingle_hashes(toks, shingle_n), a, b)
+        sig_rows.append(f"({did}, [{','.join(str(int(v)) for v in sig)}])")
+        counts = Counter(toks)
+        sh = simhash64(
+            list(counts.keys()), np.fromiter(counts.values(), np.int64, len(counts))
+        )
+        if sh >= 1 << 63:  # signed int64 view, as the Arrow column stores it
+            sh -= 1 << 64
+        sim_rows.append(f"({did}, {sh})")
+
+    minhash_sql = f"""
+    WITH sig(doc_id, s) AS (VALUES {', '.join(sig_rows)}),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+    m AS (SELECT doc_a, doc_b,
+                 len(list_filter(range(1, {num_perm + 1}), i -> sa[i] = sb[i])) AS agree,
+                 len(list_filter(range(0, {num_bands}), b ->
+                     list_slice(sa, b*{rows_per_band}+1, (b+1)*{rows_per_band}) =
+                     list_slice(sb, b*{rows_per_band}+1, (b+1)*{rows_per_band}))) > 0 AS collide
+          FROM p)
+    SELECT doc_a, doc_b, agree / {num_perm}.0 AS est_jaccard, false AS truncated
+    FROM m WHERE collide AND agree / {num_perm}.0 >= {est_threshold}
+    """
+
+    simhash_sql = f"""
+    WITH sh(doc_id, h) AS (VALUES {', '.join(sim_rows)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """
+    return {"dedup_minhash_lsh": minhash_sql, "dedup_simhash": simhash_sql}
+
+
+def _lsh_knn_oracle_sql() -> str:
+    """Oracle for the hyperplane-LSH KNN query: the plane matrix is
+    deterministic (seed 7), so the corpus-side bucket assignment is
+    recomputed IN SQL from embedded plane literals; the query-side
+    buckets (8 queries) are embedded. Candidates = exact bucket match;
+    exact cosine re-rank + (cosine desc, vec_id) top-k — the entire
+    distributed path replayed by brute force."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        _normalize,
+        hyperplanes,
+    )
+
+    num_planes, seed = 6, 7
+    emb = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    emb = emb.filter(pc.less(emb["vec_id"], KNN_QUERIES))
+    qids = emb["vec_id"].to_numpy()
+    order = np.argsort(qids)
+    qm = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[order]
+    dim = qm.shape[1]
+    planes = hyperplanes(dim, num_planes, seed)
+    qn = _normalize(qm)
+    weights = (1 << np.arange(num_planes, dtype=np.int64)).astype(np.int64)
+    q_buckets = ((qn @ planes.T) > 0.0).astype(np.int64) @ weights
+    qb_rows = ", ".join(
+        f"({int(q)}, {int(bkt)})" for q, bkt in zip(qids[order], q_buckets)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(repr(float(x)) for x in planes[p])}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+    WITH vb AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+    qb(query_id, bucket) AS (VALUES {qb_rows}),
+    q AS (SELECT e.vec_id AS query_id, e.embedding, qb.bucket
+          FROM embeddings e JOIN qb ON e.vec_id = qb.query_id),
+    s AS (SELECT q.query_id, v.vec_id,
+                 CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(v.embedding AS DOUBLE[]))
+                            * 1000000) AS BIGINT) AS cosine_e6
+          FROM q JOIN vb v ON v.bucket = q.bucket)
+    SELECT query_id, vec_id, cosine_e6 FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
+    """
+
+
+def _crawl_links_oracle_sql() -> str:
+    """Oracle for the link-extraction pipeline over the synthetic pages
+    corpus. Scope: the generator emits only absolute
+    ``<a href="http://host/path">`` anchors, so normalization reduces
+    to inserting the explicit :80 default port; the general scalar
+    normalizer is golden-tested separately (tests/test_urls.py). What
+    this row checks end-to-end is the distributed plumbing: per-page
+    href extraction, normalization application and per-page dedup."""
+    pages_path = None
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages)
+    SELECT DISTINCT src_url,
+           regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+    FROM hrefs
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)"
 
@@ -704,6 +958,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "search_bm25_wand": _flagship_oracle_sql("bm25"),
+        "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"
@@ -726,6 +982,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
         "dedup_ngram_jaccard": jaccard,
+        **_sketch_oracle_sqls(),
+        "knn_lsh_topk": _lsh_knn_oracle_sql(),
+        "crawl_links": _crawl_links_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": near_dups,
         "rel_groupby_agg": (

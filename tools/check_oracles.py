@@ -65,6 +65,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # flagship oracles synthesize SQL against the pages corpus of this sf
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
