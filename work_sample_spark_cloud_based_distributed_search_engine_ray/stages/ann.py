@@ -111,38 +111,67 @@ def embedding_near_dup_pairs(
 ) -> rd.Dataset:
     """All (a<b) pairs with cosine >= threshold — exact variant.
 
-    The full normalized matrix is broadcast once; each block computes
-    block x corpus. O(N^2/blocks) flops — exact and fine to ~10^6 rows;
-    beyond that use ``lsh_embedding_buckets`` + per-bucket exact.
+    Blocked all-pairs: the corpus blocks stay IN THE OBJECT STORE
+    (``to_arrow_refs`` — the driver holds only refs); the work list is
+    the O(B^2/2) unordered block pairs, and each task ``ray.get``s just
+    its two blocks and emits one block x block matmul's hits. Exact
+    all-pairs is inherently O(N^2) flops — this distributes the flops
+    and bounds every worker's memory to two blocks; the sub-quadratic
+    scale path is ``lsh_embedding_buckets`` + per-bucket exact verify.
     Output: vec_a, vec_b, cosine_e6 (fixed-point micros; the threshold
     compares on the integer, deterministically in every engine).
     """
     thr_e6 = int(round(threshold * 1e6))
-    all_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    tables = [ray.get(r) for r in all_tbl]
-    full = pa.concat_tables(tables)
-    full_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    full_m = _normalize(_mat(full[vec_col]))
-    m_ref = ray.put((full_ids, full_m))
+    blocks = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    blocks_ref = ray.put(blocks)  # tiny: a list of refs
+    nb = len(blocks)
+    descs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 
     def block_pairs(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(m_ref)
-        m = _normalize(_mat(batch[vec_col]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = np.rint((m @ m_all.T) * 1e6).astype(np.int64)
-        ai, bj = np.nonzero(sims >= thr_e6)
-        a = ids[ai]
-        b = ids_all[bj]
-        keep = a < b  # each pair exactly once, no self-pairs
+        blks = ray.get(blocks_ref)
+        out_a, out_b, out_s = [], [], []
+        for bi, bj_ in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti = ray.get(blks[bi])
+            tj = ti if bj_ == bi else ray.get(blks[bj_])
+            ids_i = ti[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_j = tj[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mi = _normalize(_mat(ti[vec_col]))
+            mj = mi if bj_ == bi else _normalize(_mat(tj[vec_col]))
+            sims = np.rint((mi @ mj.T) * 1e6).astype(np.int64)
+            ai, bj = np.nonzero(sims >= thr_e6)
+            a, b = ids_i[ai], ids_j[bj]
+            if bj_ == bi:
+                # within a block each unordered pair appears twice
+                # (+ self-pairs on the diagonal): keep the a<b half
+                keep = a < b
+                a, b, s = a[keep], b[keep], sims[ai[keep], bj[keep]]
+            else:
+                # across two distinct blocks each unordered pair
+                # appears exactly once — orient it, drop nothing
+                s = sims[ai, bj]
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(s)
+        if not out_a:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "vec_a": pa.array(a[keep]),
-                "vec_b": pa.array(b[keep]),
-                "cosine_e6": pa.array(sims[ai[keep], bj[keep]]),
+                "vec_a": pa.array(np.concatenate(out_a)),
+                "vec_b": pa.array(np.concatenate(out_b)),
+                "cosine_e6": pa.array(np.concatenate(out_s)),
             }
         )
 
-    return ds.map_batches(block_pairs, batch_format="pyarrow")
+    return rd.from_items(descs).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=1
+    )
 
 
 def hyperplanes(dim: int, num_planes: int = 16, seed: int = 7) -> np.ndarray:
@@ -235,6 +264,7 @@ def ivf_knn(
     nprobe: int = 4,
     sample_mod: int = 7,
     seed: int = 11,
+    max_train: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
@@ -245,16 +275,29 @@ def ivf_knn(
     its nearest centroid, then search each query only in its ``nprobe``
     closest lists. Output schema matches ``knn_brute_force``; recall vs
     brute force is the tested metric, ``nlist``/``nprobe`` the dial.
+
+    The training sample is CAPPED at ``max_train`` rows (default
+    256*nlist) via a streaming ``limit`` — driver memory is bounded at
+    any corpus size. If the id predicate selects fewer than ``nlist``
+    vectors (tiny or adversarial id sets), falls back to training on
+    the first ``max_train`` corpus vectors instead of crashing.
     """
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    cap = max_train if max_train is not None else 256 * nlist
 
     def pick_sample(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % sample_mod == 0)).select([vec_col])
 
     sample_tbl = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(pick_sample, batch_format="pyarrow").to_arrow_refs()]
+        ray.get(
+            ds.map_batches(pick_sample, batch_format="pyarrow").limit(cap).to_arrow_refs()
+        )
     )
+    if sample_tbl.num_rows < nlist:
+        sample_tbl = pa.concat_tables(
+            ray.get(ds.select_columns([vec_col]).limit(cap).to_arrow_refs())
+        )
     centroids = kmeans_centroids(_mat(sample_tbl[vec_col]), nlist, seed=seed)
     probe = (q @ centroids.T).argsort(axis=1)[:, ::-1][:, : min(nprobe, centroids.shape[0])]
     payload_ref = ray.put((q, probe))

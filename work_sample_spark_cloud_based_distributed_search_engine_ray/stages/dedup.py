@@ -29,7 +29,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -370,10 +369,13 @@ def ngram_jaccard_pairs(
     """EXACT n-gram (word) Jaccard similarity for all pairs sharing at
     least one shingle, filtered to jaccard >= threshold.
 
-    Plan: distinct (doc_id, shingle-string) explode -> groupby(shingle)
-    emits co-occurrence pairs -> groupby(pair) counts the intersection
-    -> per-doc shingle counts broadcast (small: one int per doc) close
-    the formula |A∩B| / (|A| + |B| - |A∩B|).
+    Plan: distinct (doc_id, shingle-string, set-size) explode ->
+    groupby(shingle) emits co-occurrence pairs CARRYING both docs' set
+    sizes (one int each — computed locally per doc at explode time, no
+    driver pass) -> multi-key groupby(doc_a, doc_b) counts the
+    intersection and closes the formula |A∩B| / (|A| + |B| - |A∩B|)
+    vectorized. Nothing materializes on the driver; every shuffled row
+    is 4 ints + the shingle string.
 
     Shingles are STRINGS (n tokens joined by a space) so the DuckDB
     oracle can reproduce the exact same sets. Output: doc_a, doc_b,
@@ -381,68 +383,72 @@ def ngram_jaccard_pairs(
     """
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
-        ids_out, sh_out = [], []
+        ids_out, sh_out, sz_out = [], [], []
         for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             toks = tokenize(text)
             if len(toks) < n:
                 continue
-            for sh in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+            shset = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            for sh in shset:
                 ids_out.append(did)
                 sh_out.append(sh)
+                sz_out.append(len(shset))
         return pa.table(
-            {"doc_id": pa.array(ids_out, pa.int64()), "shingle": pa.array(sh_out, pa.string())}
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "shingle": pa.array(sh_out, pa.string()),
+                "sz": pa.array(sz_out, pa.int64()),
+            }
         )
 
     shingled = ds.map_batches(explode_shingles, batch_format="pyarrow")
 
-    # per-doc set sizes: tiny table -> broadcast dict
-    sizes = shingled.groupby("doc_id").aggregate(Count(alias_name="sz"))
-    size_map = {r["doc_id"]: r["sz"] for r in sizes.take_all()}
-    size_ref = ray.put(size_map)
-
     def cooccur(group: pa.Table) -> pa.Table:
         m = group.num_rows
-        out_a, out_b = [], []
-        if m > 1:
-            ids = sorted(group["doc_id"].to_pylist())[:max_shingle_docs]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        if m < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "sz_a": pa.array([], pa.int64()),
+                    "sz_b": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        order = pc.array_sort_indices(group["doc_id"].combine_chunks())
+        group = group.take(order.slice(0, min(m, max_shingle_docs)))
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        szs = group["sz"].to_numpy(zero_copy_only=False)
+        iu, ju = np.triu_indices(ids.size, 1)  # vectorized pair emission
         return pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+            {
+                "doc_a": pa.array(ids[iu]),
+                "doc_b": pa.array(ids[ju]),
+                "sz_a": pa.array(szs[iu]),
+                "sz_b": pa.array(szs[ju]),
+                "one": pa.array(np.ones(iu.size, np.int64)),
+            }
         )
 
     pairs = shingled.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["doc_a"], pa.string()), pc.cast(batch["doc_b"], pa.string()), ":"
-        )
-        return pa.table({"pair": key, "one": pa.array(np.ones(batch.num_rows, np.int64))})
-
-    inter = (
-        pairs.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Sum("one", alias_name="inter"))
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("one", alias_name="inter"),
+        Min("sz_a", alias_name="sz_a"),
+        Min("sz_b", alias_name="sz_b"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        sm: dict[int, int] = ray.get(size_ref)
-        a_ids, b_ids, jac = [], [], []
-        for pair, inter_n in zip(batch["pair"].to_pylist(), batch["inter"].to_pylist()):
-            a, b = (int(x) for x in pair.split(":"))
-            union = sm[a] + sm[b] - inter_n
-            j = inter_n / union
-            if j >= threshold:
-                a_ids.append(a)
-                b_ids.append(b)
-                jac.append(j)
+        inter_n = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz_a = batch["sz_a"].to_numpy(zero_copy_only=False)
+        sz_b = batch["sz_b"].to_numpy(zero_copy_only=False)
+        jac = inter_n / (sz_a + sz_b - inter_n)
+        keep = jac >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(a_ids, pa.int64()),
-                "doc_b": pa.array(b_ids, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
