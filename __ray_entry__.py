@@ -157,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
         broadcast_join,
-        cogroup,
+        cogroup_counts,
         distinct_on,
         intersection,
         shuffle_join,
@@ -369,18 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = _tbl(sf_dir, "customer", ["c_custkey"]).map_batches(
             lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
         )
-
-        def counts(left: pa.Table, right: pa.Table) -> pa.Table:
-            key = left["custkey"][0] if left.num_rows else right["custkey"][0]
-            return pa.table(
-                {
-                    "custkey": pa.array([key.as_py()], pa.int64()),
-                    "n_orders": pa.array([left.num_rows], pa.int64()),
-                    "n_customers": pa.array([right.num_rows], pa.int64()),
-                }
-            )
-
-        return cogroup(orders, cust, "custkey", counts)
+        # vectorized bucketed cogroup reduction (one Arrow group_by per
+        # bucket, not one Python call per key)
+        return cogroup_counts(
+            orders, cust, "custkey", left_name="n_orders", right_name="n_customers"
+        )
 
     def q_window_hour(sf_dir: str):
         ds = _tbl(sf_dir, "events", ["event_type", "ts", "value"])

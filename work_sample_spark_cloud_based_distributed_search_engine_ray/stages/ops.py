@@ -121,7 +121,13 @@ def cogroup(
     fn: Callable[[pa.Table, pa.Table], pa.Table],
 ) -> rd.Dataset:
     """Full-outer cogroup: ONE hash shuffle on ``key``; ``fn`` receives
-    the left-rows and right-rows sub-tables of each key group."""
+    the left-rows and right-rows sub-tables of each key group.
+
+    The per-key callback contract makes this a Python call per key —
+    use it only for genuinely per-key logic at bounded key cardinality;
+    for vectorizable reductions prefer ``cogroup_counts`` (counts) or
+    ``shuffle_join`` (join), which shuffle a bounded ``__bucket`` and
+    run Arrow kernels inside each bucket."""
 
     def per_group(group: pa.Table) -> pa.Table:
         side = group["__side"]
@@ -195,40 +201,104 @@ def shuffle_join(
     )
 
 
-def distinct_on(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+def distinct_on(ds: rd.Dataset, cols: list[str], *, num_buckets: int = 64) -> rd.Dataset:
     """Global exact distinct over ``cols``: per-batch local dedup
-    (combiner — shrinks the shuffle), then hash-shuffle keep-first."""
+    (combiner — shrinks the shuffle), then ONE hash shuffle on a
+    BOUNDED bucket of the key and one vectorized Arrow dedup per
+    bucket — no per-key Python call (the shuffle group count is
+    ``num_buckets``, not the key cardinality)."""
 
     def local(batch: pa.Table) -> pa.Table:
         return batch.select(cols).group_by(cols).aggregate([])
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        key = batch[cols[0]] if len(cols) == 1 else _key_expr(batch, cols)
+        return batch.append_column("__bucket", _bucket_of(key, num_buckets))
 
-    narrowed = ds.map_batches(local, batch_format="pyarrow")
-    if len(cols) == 1:
-        return narrowed.groupby(cols[0]).map_groups(first, batch_format="pyarrow")
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__ck", _key_expr(batch, cols))
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["__bucket"]).group_by(cols).aggregate([])
 
     return (
-        narrowed.map_batches(add_key, batch_format="pyarrow")
-        .groupby("__ck")
-        .map_groups(first, batch_format="pyarrow")
-        .drop_columns(["__ck"])
+        ds.map_batches(local, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
-def intersection(ds_left: rd.Dataset, ds_right: rd.Dataset, col: str) -> rd.Dataset:
+def intersection(
+    ds_left: rd.Dataset, ds_right: rd.Dataset, col: str, *, num_buckets: int = 64
+) -> rd.Dataset:
     """Distributed distinct-intersection on one column (vs the
-    reference's collect-to-master, ``FlameContextImpl.java:224-275``)."""
+    reference's collect-to-master, ``FlameContextImpl.java:224-275``).
 
-    def both_sides(left: pa.Table, right: pa.Table) -> pa.Table:
-        if left.num_rows and right.num_rows:
-            return left.select([col]).slice(0, 1)
-        return left.select([col]).slice(0, 0)
+    Per-batch local dedup on both sides, tag + union, ONE bucketed
+    hash shuffle, then a vectorized set-intersection per bucket
+    (``unique`` + ``is_in`` Arrow kernels) — never a per-key group."""
 
-    return cogroup(
-        ds_left.select_columns([col]), ds_right.select_columns([col]), col, both_sides
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select([col]).group_by([col]).aggregate([])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _bucket_of(batch[col], num_buckets))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = pc.unique(group.filter(pc.equal(side, 0))[col].combine_chunks())
+        right = pc.unique(group.filter(pc.equal(side, 1))[col].combine_chunks())
+        return pa.table({col: left.filter(pc.is_in(left, value_set=right))})
+
+    lk = ds_left.map_batches(local, batch_format="pyarrow")
+    rk = ds_right.map_batches(local, batch_format="pyarrow")
+    return (
+        tag_union(lk, rk, col)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def cogroup_counts(
+    ds_left: rd.Dataset,
+    ds_right: rd.Dataset,
+    key: str,
+    *,
+    left_name: str = "n_left",
+    right_name: str = "n_right",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Full-outer per-key row counts of both sides — the common cogroup
+    reduction, fully vectorized: tag + union + ONE bucketed hash
+    shuffle, then one Arrow ``group_by(key).sum`` per bucket (contrast
+    the generic ``cogroup``, whose per-key callback contract forces a
+    Python call per key). Output: key, ``left_name``, ``right_name``."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        side = batch["__side"]
+        return pa.table(
+            {
+                key: batch[key],
+                "__l": pc.cast(pc.equal(side, 0), pa.int64()),
+                "__r": pc.cast(pc.equal(side, 1), pa.int64()),
+                "__bucket": _bucket_of(batch[key], num_buckets),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        agg = group.group_by(key).aggregate([("__l", "sum"), ("__r", "sum")])
+        return pa.table(
+            {
+                key: agg[key],
+                left_name: agg["__l_sum"],
+                right_name: agg["__r_sum"],
+            }
+        )
+
+    lk = ds_left.select_columns([key])
+    rk = ds_right.select_columns([key])
+    return (
+        tag_union(lk, rk, key)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
