@@ -125,6 +125,10 @@ def run_scaling() -> None:
         },
         "scaling_efficiency": round(eff, 3),
         "docs": results[n_hi]["docs"],
+        "stage_timings_sec": {
+            str(n_lo): results[n_lo]["timings"],
+            str(n_hi): results[n_hi]["timings"],
+        },
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:

@@ -42,3 +42,42 @@ def test_distributed_zero_hit(served):
     ds, _ = served
     assert ds.bm25_topk("zzqx42nohit", 10) == []
     assert ds.bm25_topk("", 10) == []
+
+
+def test_http_endpoint(served):
+    """GET /search?query= serves the reference JSON shape with CORS,
+    rank- and score-identical to the in-process index."""
+    import json
+    import urllib.request
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    ds, idx = served
+    srv = SearchHTTPServer(ds, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        for _qid, q in reference_queries()[:12]:
+            from urllib.parse import quote
+
+            with urllib.request.urlopen(f"{base}/search?query={quote(q)}") as r:
+                assert r.headers["Access-Control-Allow-Origin"] == "*"
+                assert r.headers["Content-Type"] == "application/json"
+                got = json.loads(r.read())
+            want = idx.bm25_topk(q, 10)
+            want_rows = idx.search(q, 10)
+            assert [g["rank_score"] for g in got] == [s for _d, s in want], q
+            assert [g["url"] for g in got] == [w["url"] for w in want_rows], q
+            assert all(set(g) == {"url", "rank_score", "title", "body"} for g in got)
+        # error paths: bad route, missing query
+        import urllib.error
+
+        for path, code in [("/nope", 404), ("/search", 400), ("/search?query=", 400)]:
+            try:
+                urllib.request.urlopen(base + path)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+    finally:
+        srv.shutdown()

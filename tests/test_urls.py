@@ -41,6 +41,16 @@ def test_normalize_url_fragment_and_relative():
     assert normalize_url(BASE, "//cdn.com/x") == "https://cdn.com:443/x"
     # non-http scheme dropped
     assert normalize_url(BASE, "mailto:x@y.com") is None
+    # a relative href whose QUERY embeds a url resolves against the
+    # base (regression: "://" substring misclassified it as absolute)
+    assert (
+        normalize_url(BASE, "/redirect?u=http://x.com")
+        == "https://foo.com:443/redirect?u=http://x.com"
+    )
+    assert (
+        normalize_url(BASE, "go?u=https://y.com/z")
+        == "https://foo.com:443/bar/go?u=https://y.com/z"
+    )
 
 
 def test_is_crawlable():

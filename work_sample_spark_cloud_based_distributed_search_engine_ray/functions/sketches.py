@@ -134,15 +134,22 @@ def rolling_fingerprint(tokens: list[str], window: int = 8) -> int:
     2003). Deterministic content id robust to doc-order of metadata."""
     if not tokens:
         return 0
-    th = hash_tokens_u64(tokens)
+    return rolling_fingerprint_from_hashes(hash_tokens_u64(tokens), window)
+
+
+def rolling_fingerprint_from_hashes(th: np.ndarray, window: int = 8) -> int:
+    """Same fingerprint from PRE-HASHED tokens — lets a batch stage hash
+    each distinct token once (dictionary-encoded) instead of re-hashing
+    per document."""
+    if th.size == 0:
+        return 0
+    mult = np.uint64(0x100000001B3)
     if th.size <= window:
         acc = np.uint64(0)
-        mult = np.uint64(0x100000001B3)
         for v in th:
             acc = acc * mult + v
         return int(acc)
     acc = np.zeros(th.size - window + 1, dtype=np.uint64)
-    mult = np.uint64(0x100000001B3)
     for j in range(window):
         acc = acc * mult + th[j : j + acc.size]
     return int(acc.min())

@@ -89,10 +89,13 @@ def normalize_url(base: str, href: str) -> str | None:
     href = href.split("#", 1)[0].strip()
     if not href:
         return None  # pure-fragment link points back at the base page
+    # absolute iff the href STARTS with "scheme://" — a relative href
+    # whose query merely embeds a URL (e.g. "/redirect?u=http://x")
+    # must resolve against the base, not be parsed as absolute
     m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", href)
     if m and not href[m.end() :].startswith("//"):
         return None  # non-hierarchical scheme (mailto:, javascript:, data:)
-    if "://" in href:
+    if m:
         parts = _split(href)
         if parts is None:
             return None

@@ -253,12 +253,17 @@ def run_phase_a(
     )
 
     # commit pass (thread-parallel; parquet decode releases the GIL):
-    # per-partition metrics + hot partial + atomic manifest
+    # per-partition metrics + hot partial + atomic manifest. The same
+    # read also yields the NARROW dedup columns, handed back to the
+    # caller so B1 need not re-read the checkpoint on a fresh build
+    # (the dominant non-extraction read at scaling-bench size).
     from concurrent.futures import ThreadPoolExecutor
 
-    def commit_one(pid: int, frags: list[InputFragment]) -> tuple[int, int]:
+    dedup_cols = ["doc_id", "url", "warc_ts", "content_sha1", "doc_len"]
+
+    def commit_one(pid: int, frags: list[InputFragment]) -> tuple[int, int, pa.Table]:
         part_dir = os.path.join(paths.docs_ckpt, f"part={pid}")
-        written = pq.read_table(part_dir, columns=["doc_id", "doc_len", "terms"])
+        written = pq.read_table(part_dir, columns=dedup_cols + ["sampled_terms"])
         ndocs = written.num_rows
         ntok = int(pc.sum(written["doc_len"]).as_py() or 0)
         _write_hot_partial(part_dir, written)
@@ -270,12 +275,18 @@ def run_phase_a(
             input_bytes=sum(os.path.getsize(p) for p in {f.path for f in frags}),
             wall_seconds=time.time() - part_walls[pid],
         ).write(part_dir)
-        return ndocs, ntok
+        return ndocs, ntok, written.select(dedup_cols)
 
+    narrow: list[pa.Table] = []
     with ThreadPoolExecutor(max_workers=8) as ex:
-        for ndocs, ntok in ex.map(lambda a: commit_one(*a), pending):
+        for ndocs, ntok, tbl in ex.map(lambda a: commit_one(*a), pending):
             metrics["docs"] += ndocs
             metrics["tokens"] += ntok
+            narrow.append(tbl)
+    if metrics["skipped"] == 0 and metrics["docs"] <= DRIVER_DEDUP_LIMIT:
+        # fresh complete build within the driver-dedup budget: hand the
+        # narrow columns over in memory (resumed/huge builds read disk)
+        metrics["dedup_narrow"] = narrow
     return metrics
 
 
@@ -286,15 +297,14 @@ def _write_hot_partial(part_dir: str, written: pa.Table) -> None:
     """Part of the phase-A checkpoint: per-partition partial document
     frequencies over the deterministic ``doc_id % HOT_SAMPLE_MOD == 0``
     sample (doc_id = hash64(url): the sample is a pure function of
-    content, identical at any parallelism). The underscore prefix keeps
+    content, identical at any parallelism). The sample's term sets are
+    pre-split into the checkpoint's ``sampled_terms`` column at extract
+    time (non-sampled docs hold empty lists), so this reads ~1/8 of the
+    terms bytes rather than the full column. The underscore prefix keeps
     the file out of every dataset read of ``docs/`` (pyarrow's default
     ``ignore_prefixes``); hot-term detection later reads ONLY these tiny
     tables — no extra pass over the postings."""
-    sampled = written.filter(
-        pc.equal(pc.bit_wise_and(written["doc_id"], HOT_SAMPLE_MOD - 1), 0)
-    )
-    terms = sampled["terms"].combine_chunks()
-    flat = pc.list_flatten(terms)
+    flat = pc.list_flatten(written["sampled_terms"].combine_chunks())
     agg = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
     out = pa.table(
         {"term": agg["term"], "partial_df": agg["count_all"].cast(pa.int64())}
@@ -330,10 +340,12 @@ def _fresh_dir(path: str) -> None:
 
 def _losers_of_bucket(group: pa.Table) -> pa.Table:
     """One hash BUCKET of content-sha1 groups -> loser rows (doc_id +
-    canonical_url), fully vectorized: one Arrow multi-key sort + numpy
-    run detection over all groups in the bucket (a ``map_groups`` call
-    per sha1 would be one Python call per DOCUMENT — mostly singleton
-    groups). Winner rule per sha1: min (warc_ts, url)."""
+    canonical_url), fully vectorized: one Arrow multi-key sort, run
+    detection via an Arrow string not-equal on shifted slices (no
+    Python-object string conversion — this also runs as the whole-corpus
+    driver pass below DRIVER_DEDUP_LIMIT, where ``to_pylist`` on
+    millions of urls was a fixed serial cost). Winner rule per sha1:
+    min (warc_ts, url)."""
     idx = pc.sort_indices(
         group,
         sort_keys=[
@@ -342,22 +354,37 @@ def _losers_of_bucket(group: pa.Table) -> pa.Table:
             ("url", "ascending"),
         ],
     )
-    g = group.take(idx)
-    sha = np.asarray(g["content_sha1"].to_pylist(), dtype=object)
-    first = np.ones(sha.size, dtype=bool)
-    first[1:] = sha[1:] != sha[:-1]
+    g = group.take(idx).combine_chunks()
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "canonical_url": pa.array([], pa.string()),
+                "doc_len": pa.array([], pa.int64()),
+            }
+        )
+    sha = g["content_sha1"].combine_chunks()
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = pc.not_equal(sha.slice(1), sha.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
     run_id = np.cumsum(first) - 1
-    urls = np.asarray(g["url"].to_pylist(), dtype=object)
-    canonical = urls[np.flatnonzero(first)][run_id]
+    first_idx = np.flatnonzero(first)
     losers = ~first
+    canonical = pc.take(
+        g["url"].combine_chunks(), pa.array(first_idx[run_id[losers]], pa.int64())
+    )
+    mask = pa.array(losers)
     return pa.table(
         {
-            "doc_id": pa.array(g["doc_id"].to_numpy(zero_copy_only=False)[losers], pa.int64()),
-            "canonical_url": pa.array(canonical[losers].tolist(), pa.string()),
+            "doc_id": g["doc_id"].filter(mask),
+            "canonical_url": canonical,
             # loser doc lengths travel with the map so global N/avgdl
             # are pure arithmetic over manifests + this table (no extra
             # pass over the doc store)
-            "doc_len": pa.array(g["doc_len"].to_numpy(zero_copy_only=False)[losers], pa.int64()),
+            "doc_len": g["doc_len"].filter(mask),
         }
     )
 
@@ -365,14 +392,20 @@ def _losers_of_bucket(group: pa.Table) -> pa.Table:
 DRIVER_DEDUP_LIMIT = 2_000_000  # docs; above this the bucket shuffle runs
 
 
-def compute_dup_losers(paths: IndexPaths, total_docs: int | None = None) -> None:
+def compute_dup_losers(
+    paths: IndexPaths,
+    total_docs: int | None = None,
+    narrow_tables: list[pa.Table] | None = None,
+) -> None:
     """B1: exact content dedup -> losers map parquet.
 
     Two physical plans behind one semantic (the small-side switch, same
     pattern as broadcast-vs-shuffle join):
-    - corpus <= DRIVER_DEDUP_LIMIT docs: read the five narrow columns to
-      the driver and run ONE vectorized ``_losers_of_bucket`` over the
-      whole set — no shuffle, no pipeline fixed cost;
+    - corpus <= DRIVER_DEDUP_LIMIT docs: ONE vectorized
+      ``_losers_of_bucket`` over the whole narrow column set — no
+      shuffle, no pipeline fixed cost. On a fresh build the phase-A
+      commit pass already read exactly these columns and passes them in
+      (``narrow_tables``), so this path touches no disk at all.
     - larger: narrow shuffle on a 256-way bucket of content_sha1.
       Bucket key = first 2 hex chars of the sha1 (uniform); group count
       is fixed at 256 regardless of corpus size, so the shuffle fan-in
@@ -382,7 +415,10 @@ def compute_dup_losers(paths: IndexPaths, total_docs: int | None = None) -> None
     files = _docs_parquet_files(paths)
     _fresh_dir(paths.dup_map)
     if total_docs is not None and total_docs <= DRIVER_DEDUP_LIMIT:
-        t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+        if narrow_tables is not None:
+            t = pa.concat_tables(narrow_tables)
+        else:
+            t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
         losers = _losers_of_bucket(t)
         pq.write_table(losers, os.path.join(paths.dup_map, "losers.parquet"))
         return
@@ -770,7 +806,11 @@ def build_index(
         m = read_manifest(os.path.join(paths.docs_ckpt, name))
         if m is not None:
             total_docs += m.num_docs
-    compute_dup_losers(paths, total_docs=total_docs)
+    compute_dup_losers(
+        paths,
+        total_docs=total_docs,
+        narrow_tables=a_metrics.pop("dedup_narrow", None),
+    )
     loser_table = _load_loser_table(paths)
     loser_ref = ray.put(loser_table)
     loser_ids_ref = ray.put(loser_table["doc_id"].combine_chunks())

@@ -109,7 +109,12 @@ class SearchIndex:
         # index is therefore O(shard bytes) I/O with NO decode work —
         # per-query cost touches only the query terms' postings.
         self._shards = shard_table
-        self._term_row = {t: i for i, t in enumerate(shard_table["term"].to_pylist())}
+        # shard_table is None for an EMPTY index (no parquet under
+        # shards/ — e.g. a zero-doc build, or a serving shard that owns
+        # no terms): every query then takes the has_term=False path
+        self._term_row = (
+            {} if shard_table is None else {t: i for i, t in enumerate(shard_table["term"].to_pylist())}
+        )
         self._cache: dict[str, _Postings] = {}
         self._doc_ids = doc_ids  # canonical docs, ascending
         self._doc_lens = doc_lens

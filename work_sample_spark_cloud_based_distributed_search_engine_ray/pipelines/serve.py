@@ -97,10 +97,12 @@ class DistributedSearch:
     def __init__(self, out_dir: str):
         with open(os.path.join(out_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        self.out_dir = out_dir
         self.num_shards = self.meta["num_shards"]
         self.actors = [
             ShardActor.remote(out_dir, s) for s in range(self.num_shards)
         ]
+        self._docstore = None
 
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         from .query import _topk
@@ -130,7 +132,99 @@ class DistributedSearch:
         np.add.at(acc, inv, all_scores)
         return _topk(uniq, acc, k)
 
+    def search(self, query: str, k: int = 10) -> list[dict]:
+        """Top-k with url/title/body assembled from the doc store —
+        the reference's JSON result shape (``Searcher.java:186-195``)."""
+        from .query import DocStore
+
+        ranked = self.bm25_topk(query, k)
+        if self._docstore is None:
+            self._docstore = DocStore(os.path.join(self.out_dir, "docstore"))
+        rows = self._docstore.lookup([d for d, _ in ranked])
+        return [
+            {
+                "url": rows[d]["url"],
+                "rank_score": s,
+                "title": rows[d]["title"],
+                "body": rows[d]["body_prefix"],
+            }
+            for d, s in ranked
+        ]
+
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class SearchHTTPServer:
+    """The reference's user-facing API: ``GET /search?query=...`` ->
+    JSON ``[{url, rank_score, title, body}]`` with a CORS header
+    (``search/Searcher.java:30-37`` route registration, ``:186-207``
+    JSON assembly + ``Access-Control-Allow-Origin: *`` — consumed by
+    ``frontEnd/search_engine/src/router/fetcher.js:3-9``).
+
+    Backed by any object with ``search(query, k) -> list[dict]``
+    (``DistributedSearch`` for the shard-actor tier, ``SearchIndex``
+    for single-process serving — the reference's deployment shape).
+    Binds an ephemeral port when ``port=0``; ``start()`` serves on a
+    daemon thread, ``shutdown()`` stops it.
+    """
+
+    def __init__(self, backend, *, host: str = "127.0.0.1", port: int = 8080):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlsplit
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            def _reply(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                # the reference sets CORS wide open for its React front
+                # end (Searcher.java:204-205)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:
+                u = urlsplit(self.path)
+                if u.path != "/search":
+                    self._reply(404, {"error": "not found"})
+                    return
+                q = parse_qs(u.query)
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    # Searcher.java:38 null-query guard
+                    self._reply(400, {"error": "missing query"})
+                    return
+                try:
+                    k = int((q.get("k") or ["10"])[0])
+                except ValueError:
+                    self._reply(400, {"error": "bad k"})
+                    return
+                rows = backend.search(query, k)
+                # exact reference JSON shape (Searcher.java:186-195)
+                self._reply(
+                    200,
+                    [
+                        {f: r[f] for f in ("url", "rank_score", "title", "body")}
+                        for r in rows
+                    ],
+                )
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_port
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self) -> "SearchHTTPServer":
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

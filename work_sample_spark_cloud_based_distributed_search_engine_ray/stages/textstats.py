@@ -12,10 +12,13 @@ Semantics are deliberately SQL-expressible (single divisions of integer
 counts, md5 over the canonical token join) so the driver's DuckDB oracle
 can value-hash-match them exactly — see ``__ray_entry__.oracle_sql``.
 
-Scale: per-doc string work is the only non-vectorizable part (same as
-extraction); everything downstream of tokenization is integer numpy.
-No shuffle in any of these stages — they are embarrassingly parallel
-map_batches over column-pruned reads.
+Scale: tokenization and all counting run as Arrow kernels over the
+whole batch (RE2 + dictionary-encode + bincount); distinct-token work
+(stopword membership, blake2b hashing) is VOCAB-bounded, not
+token-bounded. The only per-doc Python is the C-speed md5/rolling
+digest calls and the BPE-ish regex (lookahead not in RE2). No shuffle
+in any of these stages — they are embarrassingly parallel map_batches
+over column-pruned reads.
 """
 
 from __future__ import annotations
@@ -48,43 +51,93 @@ class TextStatsStage:
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        from ..functions.sketches import rolling_fingerprint
+        from ..functions.sketches import hash_tokens_u64, rolling_fingerprint_from_hashes
 
         self.text_col = text_col
         self.id_col = id_col
-        self.stops = {
-            "en": frozenset(EN_STOP),
-            "de": frozenset(DE_STOP),
-            "fr": frozenset(FR_STOP),
+        self.stop_arrays = {
+            "en": pa.array(EN_STOP, pa.string()),
+            "de": pa.array(DE_STOP, pa.string()),
+            "fr": pa.array(FR_STOP, pa.string()),
         }
-        self.punct_re = re.compile(r"[!-/:-@\[-`{-~]")
-        self._rolling = rolling_fingerprint
+        self.punct_pattern = r"[!-/:-@\[-`{-~]"
+        self._hash_tokens = hash_tokens_u64
+        self._rolling = rolling_fingerprint_from_hashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, np.int64)
-        n_unique = np.zeros(n, np.int64)
-        sum_tok_len = np.zeros(n, np.int64)
-        hits = {k: np.zeros(n, np.int64) for k in ("en", "de", "fr")}
-        n_chars = np.zeros(n, np.int64)
-        punct_chars = np.zeros(n, np.int64)
-        fp_md5: list[str] = []
-        fp_roll = np.zeros(n, np.uint64)
-        n_bpe = np.zeros(n, np.int64)
+        import pyarrow.compute as pc
 
-        for i, text in enumerate(texts):
-            toks = tokenize(text)
-            n_tokens[i] = len(toks)
-            n_unique[i] = len(set(toks))
-            sum_tok_len[i] = sum(len(t) for t in toks)
-            for lang, stop in self.stops.items():
-                hits[lang][i] = sum(1 for t in toks if t in stop)
-            n_chars[i] = len(text)
-            punct_chars[i] = len(self.punct_re.findall(text))
-            fp_md5.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
-            fp_roll[i] = np.uint64(self._rolling(toks))
-            n_bpe[i] = len(BPEISH_RE.findall(text))
+        from ..functions.tokenize import PUNCT_RE, TAG_RE
+
+        texts_arr = batch[self.text_col].combine_chunks() if isinstance(
+            batch[self.text_col], pa.ChunkedArray
+        ) else batch[self.text_col]
+        n = len(texts_arr)
+
+        # canonical tokenization as one Arrow kernel chain (identical to
+        # functions.tokenize.tokenize per doc — asserted by tests)
+        step = pc.replace_substring_regex(texts_arr, pattern=TAG_RE.pattern, replacement="")
+        step = pc.replace_substring_regex(step, pattern=PUNCT_RE.pattern, replacement=" ")
+        tok_lists = pc.utf8_split_whitespace(pc.utf8_lower(step))
+        flat = pc.list_flatten(tok_lists)
+        parents = pc.list_parent_indices(tok_lists)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parents = parents.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_tok_len = np.bincount(parents, weights=tok_lens, minlength=n).astype(np.int64)
+
+        # distinct-token work is VOCAB-bounded: dictionary-encode once,
+        # then per-distinct stopword membership / blake2b hashing map
+        # back through the code array
+        d = flat.dictionary_encode()
+        vocab = d.dictionary
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = max(len(vocab), 1)
+        uniq_keys = np.unique(parents * nd + codes)
+        n_unique = np.bincount(uniq_keys // nd, minlength=n).astype(np.int64)
+
+        hits = {}
+        for lang, stop in self.stop_arrays.items():
+            vocab_hit = (
+                pc.is_in(vocab, value_set=stop).to_numpy(zero_copy_only=False)
+                if len(vocab)
+                else np.zeros(0, bool)
+            )
+            hits[lang] = np.bincount(
+                parents, weights=vocab_hit[codes].astype(np.float64), minlength=n
+            ).astype(np.int64)
+
+        n_chars = pc.utf8_length(texts_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct_chars = (
+            pc.count_substring_regex(texts_arr, self.punct_pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        # per-doc canonical-token join for the md5 fingerprint (the
+        # md5/rolling loops below are per-DOC C-speed digests; the
+        # per-TOKEN work above is all kernels)
+        offsets = np.searchsorted(parents, np.arange(n + 1)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+        ).to_pylist()
+        fp_md5 = [hashlib.md5(j.encode()).hexdigest() for j in joined]
+
+        vocab_hash = self._hash_tokens(vocab.to_pylist()) if len(vocab) else np.empty(0, np.uint64)
+        th_flat = vocab_hash[codes]
+        fp_roll = np.zeros(n, np.uint64)
+        for i in range(n):
+            seg = th_flat[offsets[i] : offsets[i + 1]]
+            if seg.size:
+                fp_roll[i] = np.uint64(self._rolling(seg))
+
+        texts = texts_arr.to_pylist()
+        n_bpe = np.fromiter(
+            (len(BPEISH_RE.findall(t)) for t in texts), dtype=np.int64, count=n
+        )
 
         en, de, fr = hits["en"], hits["de"], hits["fr"]
         # argmax vote with fixed tie-break order en > de > fr — matches
