@@ -78,9 +78,17 @@ def _cached_index(sf_dir: str):
         pages_for_sf_dir,
     )
 
+    import json
+    import shutil
+
     pages = pages_for_sf_dir(sf_dir)
     out_dir = f"/tmp/wse_entry_index_{os.path.basename(pages).replace('.parquet', '')}"
-    if not os.path.exists(os.path.join(out_dir, "meta.json")):
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("index_format") != 2:  # stale on-disk format
+                shutil.rmtree(out_dir, ignore_errors=True)
+    if not os.path.exists(meta_path):
         build_index(pages, out_dir, num_partitions=8, batch_size=128)
     return SearchIndex.load(out_dir)
 

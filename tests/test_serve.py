@@ -44,6 +44,21 @@ def test_distributed_zero_hit(served):
     assert ds.bm25_topk("", 10) == []
 
 
+def test_shard_memory_scales_down(served):
+    """Each shard actor's resident Arrow bytes are ~1/num_shards of the
+    whole index — no per-actor O(N) side table (doc lengths live in
+    dl_blob)."""
+    import ray
+
+    ds, idx = served
+    sizes = ray.get([a.loaded_bytes.remote() for a in ds.actors])
+    total = idx._shards.nbytes
+    assert sum(sizes) <= total * 1.05  # shards partition the index
+    # no single actor holds the whole index (tolerate hash imbalance on
+    # a small vocabulary)
+    assert max(sizes) < total * 0.6
+
+
 def test_http_endpoint(served):
     """GET /search?query= serves the reference JSON shape with CORS,
     rank- and score-identical to the in-process index."""

@@ -96,8 +96,10 @@ POSTING_SCHEMA = pa.schema(
         ("cf", pa.int64()),
         ("doc_blob", pa.binary()),
         ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
         ("block_last_id", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
     ]
 )
 
@@ -252,17 +254,17 @@ def run_phase_a(
         compression="zstd",
     )
 
-    # commit pass (thread-parallel; parquet decode releases the GIL):
-    # per-partition metrics + hot partial + atomic manifest. The same
-    # read also yields the NARROW dedup columns, handed back to the
-    # caller so B1 need not re-read the checkpoint on a fresh build
-    # (the dominant non-extraction read at scaling-bench size).
-    from concurrent.futures import ThreadPoolExecutor
-
+    # commit pass (one RAY TASK per partition — distributed, off the
+    # driver): per-partition metrics + hot partial + atomic manifest.
+    # The same read also yields the NARROW dedup columns, handed back
+    # (as object refs resolved once) so B1 need not re-read the
+    # checkpoint on a fresh build.
     dedup_cols = ["doc_id", "url", "warc_ts", "content_sha1", "doc_len"]
+    docs_ckpt = paths.docs_ckpt
 
-    def commit_one(pid: int, frags: list[InputFragment]) -> tuple[int, int, pa.Table]:
-        part_dir = os.path.join(paths.docs_ckpt, f"part={pid}")
+    @ray.remote
+    def commit_one(pid: int, frags: list[InputFragment], wall_start: float):
+        part_dir = os.path.join(docs_ckpt, f"part={pid}")
         written = pq.read_table(part_dir, columns=dedup_cols + ["sampled_terms"])
         ndocs = written.num_rows
         ntok = int(pc.sum(written["doc_len"]).as_py() or 0)
@@ -273,16 +275,16 @@ def run_phase_a(
             num_docs=ndocs,
             num_tokens=ntok,
             input_bytes=sum(os.path.getsize(p) for p in {f.path for f in frags}),
-            wall_seconds=time.time() - part_walls[pid],
+            wall_seconds=time.time() - wall_start,
         ).write(part_dir)
         return ndocs, ntok, written.select(dedup_cols)
 
     narrow: list[pa.Table] = []
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        for ndocs, ntok, tbl in ex.map(lambda a: commit_one(*a), pending):
-            metrics["docs"] += ndocs
-            metrics["tokens"] += ntok
-            narrow.append(tbl)
+    futs = [commit_one.remote(pid, frags, part_walls[pid]) for pid, frags in pending]
+    for ndocs, ntok, tbl in ray.get(futs):
+        metrics["docs"] += ndocs
+        metrics["tokens"] += ntok
+        narrow.append(tbl)
     if metrics["skipped"] == 0 and metrics["docs"] <= DRIVER_DEDUP_LIMIT:
         # fresh complete build within the driver-dedup budget: hand the
         # narrow columns over in memory (resumed/huge builds read disk)
@@ -511,7 +513,9 @@ def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
             return batch
         return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=ids)))
 
-    ds = rd.read_parquet(_docs_parquet_files(paths), columns=["doc_id", "terms", "tfs"])
+    ds = rd.read_parquet(
+        _docs_parquet_files(paths), columns=["doc_id", "doc_len", "terms", "tfs"]
+    )
     return ds.map_batches(drop_losers, batch_format="pyarrow", batch_size=None)
 
 
@@ -579,7 +583,8 @@ def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
     nt = enc["codes_out"].size
     mv_doc = memoryview(enc["doc_blob_buf"])
     mv_tf = memoryview(enc["tf_blob_buf"])
-    do, to = enc["doc_blob_offsets"], enc["tf_blob_offsets"]
+    mv_dl = memoryview(enc["dl_blob_buf"])
+    do, to, dlo = enc["doc_blob_offsets"], enc["tf_blob_offsets"], enc["dl_blob_offsets"]
     return pa.table(
         {
             "term": terms,
@@ -591,6 +596,9 @@ def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
             "tf_blob": pa.array(
                 [mv_tf[to[i] : to[i + 1]] for i in range(nt)], pa.binary()
             ),
+            "dl_blob": pa.array(
+                [mv_dl[dlo[i] : dlo[i + 1]] for i in range(nt)], pa.binary()
+            ),
             "block_last_id": pa.ListArray.from_arrays(
                 pa.array(enc["block_last_offsets"], pa.int32()),
                 pa.array(enc["block_last_id"], pa.int64()),
@@ -598,6 +606,10 @@ def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
             "block_max_tf": pa.ListArray.from_arrays(
                 pa.array(enc["block_last_offsets"], pa.int32()),
                 pa.array(enc["block_max_tf"], pa.int64()),
+            ),
+            "block_min_dl": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_min_dl"], pa.int64()),
             ),
         }
     )
@@ -615,13 +627,13 @@ def _encode_bucket(group: pa.Table) -> pa.Table:
     payload entering this stage is already compressed runs."""
     g = group.combine_chunks()
     ns = g["df"].to_numpy(zero_copy_only=False)
-    ids, tfs = decode_runs_concat(
-        g["doc_blob"].to_pylist(), g["tf_blob"].to_pylist(), ns
+    ids, tfs, dls = decode_runs_concat(
+        g["doc_blob"].to_pylist(), g["tf_blob"].to_pylist(), g["dl_blob"].to_pylist(), ns
     )
     d = g["term"].combine_chunks().dictionary_encode()
     run_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     codes = np.repeat(run_codes, ns)
-    enc = encode_postings_multi(codes, ids, tfs)
+    enc = encode_postings_multi(codes, ids, tfs, dls)
     return _encoded_table(pc.take(d.dictionary, pa.array(enc["codes_out"])), enc)
 
 
@@ -630,7 +642,12 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
     if group.num_rows == 1:
         return group.select(POSTING_SCHEMA.names)
     runs = [
-        (group["doc_blob"][i].as_py(), group["tf_blob"][i].as_py(), group["df"][i].as_py())
+        (
+            group["doc_blob"][i].as_py(),
+            group["tf_blob"][i].as_py(),
+            group["dl_blob"][i].as_py(),
+            group["df"][i].as_py(),
+        )
         for i in range(group.num_rows)
     ]
     enc = merge_encoded_runs(runs)
@@ -641,8 +658,10 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
             "cf": pa.array([int(pc.sum(group["cf"]).as_py())], pa.int64()),
             "doc_blob": pa.array([enc["doc_blob"]], pa.binary()),
             "tf_blob": pa.array([enc["tf_blob"]], pa.binary()),
+            "dl_blob": pa.array([enc["dl_blob"]], pa.binary()),
             "block_last_id": pa.array([enc["block_last_id"].tolist()], pa.list_(pa.int64())),
             "block_max_tf": pa.array([enc["block_max_tf"].tolist()], pa.list_(pa.int64())),
+            "block_min_dl": pa.array([enc["block_min_dl"].tolist()], pa.list_(pa.int64())),
         }
     )
 
@@ -712,7 +731,12 @@ def build_shards(
     hot_ref = ray.put(hot_arr)
     salt_div = np.uint64(((1 << 63) + num_salts - 1) // num_salts)  # doc_id-range salt
     if num_buckets is None:
-        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        # 8 buckets per CPU: the largest UNSALTED term (df just under
+        # the hot threshold) must stay a small fraction of one bucket's
+        # postings, and the straggler bucket bounds the stage's critical
+        # path — measured at 4 buckets/CPU the max bucket task ran ~7x
+        # the mean and capped shard-build scaling at ~2x for 4x CPUs
+        num_buckets = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def encode_block_runs(batch: pa.Table) -> pa.Table:
@@ -734,7 +758,12 @@ def build_shards(
             hot_mask[codes], ids.astype(np.uint64) // salt_div, np.uint64(0)
         ).astype(np.int64)
         gkey = codes * num_salts + salts
-        enc = encode_postings_multi(gkey, ids, exploded["tf"].to_numpy(zero_copy_only=False))
+        enc = encode_postings_multi(
+            gkey,
+            ids,
+            exploded["tf"].to_numpy(zero_copy_only=False),
+            exploded["dl"].to_numpy(zero_copy_only=False),
+        )
         t_codes = enc["codes_out"] // num_salts
         s_out = (enc["codes_out"] % num_salts).astype(np.uint64)
         bucket = ((uh[t_codes] + (s_out + np.uint64(1)) * mix) % np.uint64(num_buckets)).astype(np.int64)
@@ -750,6 +779,8 @@ def build_shards(
     # 4096 docs x ~130 uniq terms ~ 0.5M postings per encode task — a
     # sub-second vectorized kernel that still gives full pool
     # parallelism at sandbox scale.
+    sub: dict[str, float] = {}
+    t0 = time.time()
     ds = _docs_ds(paths, loser_ids_ref)
     ds = ds.map_batches(encode_block_runs, batch_format="pyarrow", batch_size=4096)
     # Materialize at both shuffle inputs: Ray's sort-based groupby
@@ -760,10 +791,16 @@ def build_shards(
     # index size — so the object-store cost is negligible next to the
     # re-execution it prevents.
     pre = ds.materialize()
+    sub["pre_encode"] = round(time.time() - t0, 3)
+    t0 = time.time()
     runs = pre.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
+    sub["bucket_merge"] = round(time.time() - t0, 3)
+    t0 = time.time()
     final = runs.groupby("shard").map_groups(_finalize_shard, batch_format="pyarrow")
     final = final.materialize()
+    sub["finalize"] = round(time.time() - t0, 3)
+    t0 = time.time()
     _fresh_dir(paths.shards)
     final.write_parquet(
         paths.shards, partition_cols=["shard"], min_rows_per_file=100_000
@@ -773,6 +810,8 @@ def build_shards(
     stats = final.select_columns(["term", "df", "cf"])
     _fresh_dir(paths.term_stats)
     stats.write_parquet(paths.term_stats)
+    sub["write"] = round(time.time() - t0, 3)
+    return sub
 
 
 def build_index(
@@ -836,8 +875,10 @@ def build_index(
 
     def _timed(name, fn, *args, **kw):
         s = time.time()
-        fn(*args, **kw)
+        ret = fn(*args, **kw)
         timings[name] = round(time.time() - s, 3)
+        if isinstance(ret, dict):  # sub-phase timings (build_shards)
+            timings[f"{name}_sub"] = ret
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         f2 = ex.submit(_timed, "docstore", write_docstore, paths, loser_ref)
@@ -851,6 +892,7 @@ def build_index(
     write_json_atomic(
         paths.meta,
         {
+            "index_format": 2,  # 2 = postings carry dl_blob/block_min_dl
             "N": g["N"],
             "avgdl": g["avgdl"],
             "total_len": g["total_len"],
@@ -867,6 +909,7 @@ def build_index(
                 "dedup_hot": round(t_b1 - t_a, 3),
                 "docstore_concurrent": timings.get("docstore", 0.0),
                 "shard_build_concurrent": timings.get("shard_build", 0.0),
+                "shard_build_sub": timings.get("shard_build_sub", {}),
                 "b2_b4_wall": round(t_b4 - t_b1, 3),
                 "total": round(t_b4 - t0, 3),
             },

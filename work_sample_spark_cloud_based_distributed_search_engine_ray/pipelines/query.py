@@ -80,12 +80,13 @@ class DocStore:
 
 
 class _Postings:
-    __slots__ = ("df", "cf", "ids", "tfs", "block_last", "block_max_tf")
+    __slots__ = ("df", "cf", "ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl")
 
-    def __init__(self, df, cf, ids, tfs, block_last, block_max_tf):
+    def __init__(self, df, cf, ids, tfs, dls, block_last, block_max_tf, block_min_dl):
         self.df, self.cf = df, cf
-        self.ids, self.tfs = ids, tfs
+        self.ids, self.tfs, self.dls = ids, tfs, dls
         self.block_last, self.block_max_tf = block_last, block_max_tf
+        self.block_min_dl = block_min_dl
 
 
 class SearchIndex:
@@ -98,7 +99,7 @@ class SearchIndex:
     ``kvs/KVSClient.java:188-198``).
     """
 
-    def __init__(self, meta: dict, shard_table: pa.Table, doc_ids: np.ndarray, doc_lens: np.ndarray, docstore_path: str):
+    def __init__(self, meta: dict, shard_table: pa.Table, docstore_path: str):
         self.meta = meta
         self.N = meta["N"]
         self.avgdl = meta["avgdl"] or 1.0
@@ -107,7 +108,10 @@ class SearchIndex:
         # lazy postings: blobs stay packed in the Arrow shard table;
         # a term is decoded on first access and cached. Loading the
         # index is therefore O(shard bytes) I/O with NO decode work —
-        # per-query cost touches only the query terms' postings.
+        # per-query cost touches only the query terms' postings. Doc
+        # lengths are IN the postings (dl_blob), so no doc-length side
+        # table is loaded: a serving shard holds 1/num_shards of the
+        # index, full stop.
         self._shards = shard_table
         # shard_table is None for an EMPTY index (no parquet under
         # shards/ — e.g. a zero-doc build, or a serving shard that owns
@@ -116,9 +120,6 @@ class SearchIndex:
             {} if shard_table is None else {t: i for i, t in enumerate(shard_table["term"].to_pylist())}
         )
         self._cache: dict[str, _Postings] = {}
-        self._doc_ids = doc_ids  # canonical docs, ascending
-        self._doc_lens = doc_lens
-        self.min_dl = int(doc_lens.min()) if doc_lens.size else 1
         self._docstore: DocStore | None = None
         self._docstore_path = docstore_path
 
@@ -132,24 +133,15 @@ class SearchIndex:
         shard_table = (
             pq.read_table(
                 shards_dir,
-                columns=["term", "df", "cf", "doc_blob", "tf_blob", "block_last_id", "block_max_tf"],
+                columns=[
+                    "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob",
+                    "block_last_id", "block_max_tf", "block_min_dl",
+                ],
             ).combine_chunks()
             if _parquet_files(shards_dir)
             else None
         )
-        store = pq.read_table(
-            os.path.join(out_dir, "docstore"), columns=["doc_id", "doc_len", "is_canonical"]
-        )
-        store = store.filter(store["is_canonical"])
-        ids = store["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        return cls(
-            meta,
-            shard_table,
-            ids[order].astype(np.int64),
-            store["doc_len"].to_numpy()[order].astype(np.int64),
-            os.path.join(out_dir, "docstore"),
-        )
+        return cls(meta, shard_table, os.path.join(out_dir, "docstore"))
 
     def has_term(self, term: str) -> bool:
         return term in self._term_row
@@ -165,26 +157,24 @@ class SearchIndex:
         if p is None:
             i = self._term_row[term]
             df = self._shards["df"][i].as_py()
-            ids, tfs = decode_postings(
-                self._shards["doc_blob"][i].as_py(), self._shards["tf_blob"][i].as_py(), df
+            ids, tfs, dls = decode_postings(
+                self._shards["doc_blob"][i].as_py(),
+                self._shards["tf_blob"][i].as_py(),
+                self._shards["dl_blob"][i].as_py(),
+                df,
             )
             p = _Postings(
                 df,
                 self._shards["cf"][i].as_py(),
                 ids,
                 tfs,
+                dls,
                 np.asarray(self._shards["block_last_id"][i].as_py(), dtype=np.int64),
                 np.asarray(self._shards["block_max_tf"][i].as_py(), dtype=np.int64),
+                np.asarray(self._shards["block_min_dl"][i].as_py(), dtype=np.int64),
             )
             self._cache[term] = p
         return p
-
-    def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self._doc_ids, doc_ids)
-        pos = np.clip(pos, 0, self._doc_ids.size - 1)
-        if not np.array_equal(self._doc_ids[pos], doc_ids):
-            raise KeyError("unknown doc_id in postings")
-        return self._doc_lens[pos]
 
     # ---------------- BM25 ----------------
 
@@ -204,9 +194,8 @@ class SearchIndex:
         all_ids, all_scores = [], []
         for t in q_terms:
             p = self.postings(t)
-            dls = self.doc_len(p.ids)
             all_ids.append(p.ids)
-            all_scores.append(self.bm25_idf(p.df) * self._bm25_tf_part(p.tfs.astype(np.float64), dls.astype(np.float64)))
+            all_scores.append(self.bm25_idf(p.df) * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64)))
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -239,22 +228,27 @@ class SearchIndex:
         for t in q_terms:
             p = self.postings(t)
             idf = self.bm25_idf(p.df)
-            min_dl = np.float64(self.min_dl)
+            # per-block upper bound: max tf and min dl over THE block
+            # (score increases in tf, decreases in dl) — tighter than a
+            # global min_dl, valid per block, and self-contained in the
+            # shard row
             block_ub = idf * self._bm25_tf_part(
-                p.block_max_tf.astype(np.float64), np.full(p.block_max_tf.size, min_dl)
+                p.block_max_tf.astype(np.float64), p.block_min_dl.astype(np.float64)
             )
-            cursors.append(_Cursor(p.ids, p.tfs, idf, p.block_last, block_ub, order=len(cursors)))
+            cursors.append(
+                _Cursor(p.ids, p.tfs, p.dls, idf, p.block_last, block_ub, order=len(cursors))
+            )
         return self._wand(cursors, k)
 
     def _score_doc(self, cursors: list["_Cursor"], doc: int) -> float:
-        dl = float(self.doc_len(np.array([doc], dtype=np.int64))[0])
         s = 0.0
         # accumulate in query-term order, with the same float association
         # (idf * tf_part) as the exhaustive scorer, so sums are
-        # bit-identical to it
+        # bit-identical to it; dl comes off the cursor's own postings
         for c in sorted(cursors, key=lambda c: c.order):
             if c.doc() == doc:
                 tf = float(c.tf())
+                dl = float(c.dl())
                 part = tf * (self.k1 + 1.0) / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
                 s += c.idf * part
         return s
@@ -395,10 +389,10 @@ class _TermMap:
 
 
 class _Cursor:
-    __slots__ = ("ids", "tfs", "idf", "block_last", "block_ub", "pos", "term_ub", "order")
+    __slots__ = ("ids", "tfs", "dls", "idf", "block_last", "block_ub", "pos", "term_ub", "order")
 
-    def __init__(self, ids, tfs, idf, block_last, block_ub, order=0):
-        self.ids, self.tfs, self.idf = ids, tfs, idf
+    def __init__(self, ids, tfs, dls, idf, block_last, block_ub, order=0):
+        self.ids, self.tfs, self.dls, self.idf = ids, tfs, dls, idf
         self.block_last, self.block_ub = block_last, block_ub
         self.pos = 0
         self.term_ub = float(block_ub.max()) if block_ub.size else 0.0
@@ -409,6 +403,9 @@ class _Cursor:
 
     def tf(self) -> int:
         return int(self.tfs[self.pos])
+
+    def dl(self) -> int:
+        return int(self.dls[self.pos])
 
     def advance_to(self, d: int) -> None:
         if self.pos < self.ids.size and self.ids[self.pos] < d:

@@ -49,7 +49,10 @@ class ShardActor:
             self.meta = json.load(f)
         shard_dir = os.path.join(out_dir, "shards", f"shard={shard_id}")
         files = _parquet_files(shard_dir)
-        # reuse the lazy-decode reader over just this shard's rows
+        # reuse the lazy-decode reader over just this shard's rows.
+        # Doc lengths live IN the postings (dl_blob), so the actor
+        # loads nothing but its own shard — peak memory is exactly
+        # 1/num_shards of the index (asserted by tests/test_serve.py).
         import pyarrow as pa
 
         table = (
@@ -57,19 +60,11 @@ class ShardActor:
             if files
             else None
         )
-        store = pq.read_table(
-            os.path.join(out_dir, "docstore"), columns=["doc_id", "doc_len", "is_canonical"]
-        )
-        store = store.filter(store["is_canonical"])
-        ids = store["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        self.idx = SearchIndex(
-            self.meta,
-            table,
-            ids[order].astype(np.int64),
-            store["doc_len"].to_numpy()[order].astype(np.int64),
-            os.path.join(out_dir, "docstore"),
-        )
+        self.idx = SearchIndex(self.meta, table, os.path.join(out_dir, "docstore"))
+
+    def loaded_bytes(self) -> int:
+        """Arrow bytes resident for this shard (memory-scaling probe)."""
+        return int(self.idx._shards.nbytes) if self.idx._shards is not None else 0
 
     def partial_scores(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Per-doc partial BM25 sums over OWNED terms, in the given term
@@ -80,11 +75,10 @@ class ShardActor:
             if not self.idx.has_term(t):
                 continue
             p = self.idx.postings(t)
-            dls = self.idx.doc_len(p.ids)
             all_ids.append(p.ids)
             all_scores.append(
                 self.idx.bm25_idf(p.df)
-                * self.idx._bm25_tf_part(p.tfs.astype(np.float64), dls.astype(np.float64))
+                * self.idx._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
             )
         if not all_ids:
             return np.empty(0, np.int64), np.empty(0, np.float64)

@@ -137,9 +137,11 @@ def dedup_keep_first(group: pa.Table) -> pa.Table:
 
 
 def explode_postings(batch: pa.Table) -> pa.Table:
-    """Vectorized (terms, tfs) list columns -> one (term, doc_id, tf)
-    row per posting. Replaces the reference's per-word
-    ``flatMapToPair(word -> (word, doc:freq))`` emission (SURVEY §2.3)."""
+    """Vectorized (terms, tfs) list columns -> one (term, doc_id, tf,
+    dl) row per posting (``dl`` = the posting's document length, carried
+    into the postings encode so scoring needs no doc-length side table).
+    Replaces the reference's per-word ``flatMapToPair(word ->
+    (word, doc:freq))`` emission (SURVEY §2.3)."""
     terms = batch["terms"].combine_chunks()
     tfs = batch["tfs"].combine_chunks()
     parents = pc.list_parent_indices(terms)
@@ -148,6 +150,7 @@ def explode_postings(batch: pa.Table) -> pa.Table:
             "term": terms.flatten(),
             "doc_id": pc.take(batch["doc_id"].combine_chunks(), parents),
             "tf": tfs.flatten().cast(pa.int64()),
+            "dl": pc.take(batch["doc_len"].combine_chunks(), parents).cast(pa.int64()),
         }
     )
 
