@@ -532,6 +532,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_groups(sessions, batch_format="pyarrow")
         )
 
+    def q_lang_gate(sf_dir: str):
+        # content/lang gate over the pages corpus (replaces the
+        # crawler's content-type gate, Crawler.java:174) + per-lang count
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            lang_gate,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "lang"])
+        return (
+            pages.map_batches(lang_gate(["en", "de"]), batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_pages"))
+        )
+
     def q_crawl_links(sf_dir: str):
         # rows-only: link-graph extraction over the synthetic pages
         # corpus (crawler parity, SURVEY §2.2); no SQL view of pages
@@ -591,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
+        "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
         "media_features": q_media_features,
     }
@@ -821,6 +841,78 @@ def _lsh_knn_oracle_sql() -> str:
     """
 
 
+def _lang_gate_oracle_sql() -> str:
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return (
+        f"SELECT lang, count(*) AS n_pages FROM read_parquet('{pages_path}') "
+        "WHERE lang IN ('en', 'de') GROUP BY lang"
+    )
+
+
+def _ivf_knn_oracle_sql() -> str:
+    """Oracle for the IVF KNN query: the codebook is deterministic
+    (seeded k-means on the vec_id %% 7 sample), so the NORMALIZED
+    centroids are embedded as literals and the SQL re-derives the whole
+    answer by brute force — nearest-centroid assignment per vector
+    (cosine desc, centroid-index tie-break, matching numpy argmax),
+    candidate filtering to each query's probe lists, exact cosine
+    re-rank, (cosine desc, vec_id) top-k."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        _normalize,
+        kmeans_centroids,
+    )
+
+    k, nlist, nprobe, sample_mod, seed = KNN_K, 32, 6, 7, 11
+    emb = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = emb["vec_id"].to_numpy()
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cap = 256 * nlist
+    sample = m[ids % sample_mod == 0][:cap]
+    if sample.shape[0] < nlist:
+        sample = m[:cap]
+    centroids = kmeans_centroids(sample, nlist, seed=seed)
+
+    qmask = ids < KNN_QUERIES
+    qids = ids[qmask]
+    order = np.argsort(qids)
+    qn = _normalize(m[qmask][order])
+    probe = (qn @ centroids.T).argsort(axis=1)[:, ::-1][:, : min(nprobe, centroids.shape[0])]
+    probe_rows = ", ".join(
+        f"({int(q)}, [{','.join(str(int(c)) for c in probe[i])}])"
+        for i, q in enumerate(qids[order])
+    )
+    cent_rows = ", ".join(
+        f"({ci}, [{','.join(repr(float(x)) for x in centroids[ci])}])"
+        for ci in range(centroids.shape[0])
+    )
+    return f"""
+    WITH cents(cidx, c) AS (VALUES {cent_rows}),
+    a AS (SELECT vec_id, embedding,
+                 (SELECT cidx FROM cents
+                  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c) DESC, cidx
+                  LIMIT 1) AS ivf_list
+          FROM embeddings e),
+    probe(query_id, lists) AS (VALUES {probe_rows}),
+    q AS (SELECT e.vec_id AS query_id, e.embedding, p.lists
+          FROM embeddings e JOIN probe p ON e.vec_id = p.query_id),
+    s AS (SELECT q.query_id, a.vec_id,
+                 CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[]))
+                            * 1000000) AS BIGINT) AS cosine_e6
+          FROM q JOIN a ON list_contains(q.lists, a.ivf_list))
+    SELECT query_id, vec_id, cosine_e6 FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {k}
+    """
+
+
 def _crawl_links_oracle_sql() -> str:
     """Oracle for the link-extraction pipeline over the synthetic pages
     corpus. Scope: the generator emits only absolute
@@ -985,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": jaccard,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
+        "knn_ivf_topk": _ivf_knn_oracle_sql(),
+        "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": near_dups,

@@ -129,3 +129,24 @@ def test_frontier_bfs_depths(ray_session):
     depths = {r["url"]: r["depth"] for r in got}
     # a -> {b,c} -> d -> (a already seen, stop); x/y unreachable
     assert depths == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_lang_gate():
+    """Content gate (replaces the crawler's content-type gate,
+    Crawler.java:174): keeps only allow-listed lang rows."""
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        lang_gate,
+    )
+
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(5)]),
+            "lang": pa.array(["en", "de", "fr", "en", "xx"]),
+        }
+    )
+    out = lang_gate(["en", "de"])(batch)
+    assert out["url"].to_pylist() == ["u0", "u1", "u3"]
+    assert lang_gate([])(batch).num_rows == 0
+    assert lang_gate(["en", "de", "fr", "xx"])(batch).num_rows == 5

@@ -568,15 +568,6 @@ def audit_doc_ids(paths: IndexPaths) -> dict:
     }
 
 
-def write_term_stats(paths: IndexPaths) -> None:
-    """B3b: the exact per-term (df, cf) table, derived from the shard
-    rows (the encode computes both exactly) — no extra pass over the
-    postings."""
-    stats = rd.read_parquet(paths.shards, columns=["term", "df", "cf"])
-    _fresh_dir(paths.term_stats)
-    stats.write_parquet(paths.term_stats)
-
-
 def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
     """Assemble POSTING_SCHEMA columns from an ``encode_postings_multi``
     result (per-term blob slicing is O(#terms) memoryview cuts)."""
@@ -667,13 +658,17 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
 
 
 def _finalize_shard(group: pa.Table) -> pa.Table:
-    """One SHARD group of encoded runs -> final shard rows.
+    """One finalize group of encoded runs -> final shard rows.
 
-    Cold terms have exactly one run and pass through untouched
-    (vectorized). A hot term's ``num_salts`` runs are contiguous after
-    the sort; each is merged canonically (decode -> sort -> re-encode),
-    so final blobs are bit-identical regardless of salting/parallelism —
-    the N-vs-4N parity invariant. Per-group Python work is O(#hot)."""
+    The group key is a TERM-hash bucket (finer than the shard count so
+    the merge parallelizes past num_shards and no single group holds
+    several of the hottest terms; the ``shard`` COLUMN routes rows to
+    their output directory at write time). Cold terms have exactly one
+    run and pass through untouched (vectorized). A hot term's
+    ``num_salts`` runs are contiguous after the sort; each is merged
+    canonically (decode -> sort -> re-encode), so final blobs are
+    bit-identical regardless of salting/parallelism — the N-vs-4N
+    parity invariant. Per-group Python work is O(#hot)."""
     idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
     g = group.take(idx).combine_chunks()
     terms = np.asarray(g["term"].to_pylist(), dtype=object)
@@ -770,9 +765,17 @@ def build_shards(
         tbl = _encoded_table(pc.take(uniq, pa.array(t_codes)), enc)
         return tbl.append_column("bucket", pa.array(bucket))
 
+    fin_groups = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
+
     def add_shard(batch: pa.Table) -> pa.Table:
-        shard = pa.array([hash64(t) % num_shards for t in batch["term"].to_pylist()], pa.int64())
-        return batch.append_column("shard", shard)
+        hs = [hash64(t) for t in batch["term"].to_pylist()]
+        shard = pa.array([h % num_shards for h in hs], pa.int64())
+        # finer finalize-group key off the same hash: all of a term's
+        # salted runs share it, but ~8 groups per CPU keep the merge
+        # stage parallel and un-skewed (16 shard groups capped the
+        # stage at 1.7x scaling for 4x CPUs)
+        fg = pa.array([(h // num_shards) % fin_groups for h in hs], pa.int64())
+        return batch.append_column("shard", shard).append_column("__fg", fg)
 
     # Pre-encode over LARGE doc batches: runs per batch ~ vocabulary, so
     # doubling the batch halves the total run count (and the shuffle).
@@ -797,7 +800,7 @@ def build_shards(
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     sub["bucket_merge"] = round(time.time() - t0, 3)
     t0 = time.time()
-    final = runs.groupby("shard").map_groups(_finalize_shard, batch_format="pyarrow")
+    final = runs.groupby("__fg").map_groups(_finalize_shard, batch_format="pyarrow")
     final = final.materialize()
     sub["finalize"] = round(time.time() - t0, 3)
     t0 = time.time()
