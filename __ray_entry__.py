@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cogroup_counts,
         distinct_on,
         intersection,
+        sample_with_replacement,
         shuffle_join,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
@@ -481,6 +482,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_sample_replace(sf_dir: str):
+        # with-replacement sample (Flame invokeSampling parity) —
+        # deterministic Poisson multiplicity per key, fraction 1.5 so
+        # duplicated rows actually appear in the output multiset
+        return sample_with_replacement(
+            _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+            1.5,
+            "o_orderkey",
+            seed=7,
+        )
+
     def q_sessionize(sf_dir: str):
         # gap-based sessionization (30-min inactivity): the streaming-
         # window operator the reference lacks, expressed as ONE
@@ -525,11 +537,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return (
-            _tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
-            .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-            .groupby("ubucket")
-            .map_groups(sessions, batch_format="pyarrow")
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            sessions,
         )
 
     def q_lang_gate(sf_dir: str):
@@ -566,8 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_media_features(sf_dir: str):
-        # rows-only: synthetic media corpus (no media in the sf tables);
-        # exercises the multimodal plumbing end-to-end
+        # rows-only: synthetic media corpus (no media in the sf tables).
+        # REAL decode: BMP/WAV/WSMV payloads -> pixels/samples ->
+        # thumbnail/spectrum features (functions/media_codecs.py)
         import ray.data as rd
 
         n = 200
@@ -575,8 +593,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(
             MediaFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=2
         ).map_batches(
-            lambda t: t.select(["media_id", "kind", "payload_bytes", "payload_sha1"]),
+            lambda t: t.select(
+                ["media_id", "kind", "payload_bytes", "payload_sha1", "decoded",
+                 "width", "height", "duration_ms"]
+            ),
             batch_format="pyarrow",
+        )
+
+    def q_media_frames(sf_dir: str):
+        # rows-only: per-frame explode of the video payloads — each
+        # sampled frame is sliced out via the container offset table and
+        # BMP-decoded (mean_luma/frame_sha1 are of the actual pixels)
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            FrameSampleStage,
+        )
+
+        tbl = synth_media(200)
+        vids = tbl.filter(pc.equal(tbl["kind"], "video"))
+        return rd.from_arrow(vids).map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=2
         )
 
     return {
@@ -607,12 +644,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
         "rel_sample": q_sample,
+        "rel_sample_replace": q_sample_replace,
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
         "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
@@ -838,6 +877,29 @@ def _lsh_knn_oracle_sql() -> str:
           FROM q JOIN vb v ON v.bucket = q.bucket)
     SELECT query_id, vec_id, cosine_e6 FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
+    """
+
+
+def _sample_replace_oracle_sql() -> str:
+    """Oracle for the deterministic with-replacement sampler: the same
+    Poisson(fraction) breakpoints (identical float64 literals) applied
+    to the same md5-derived uniform, each row repeated ``k`` times."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        poisson_breakpoints,
+    )
+
+    fraction, seed = 1.5, 7
+    bps = ", ".join(repr(b) for b in poisson_breakpoints(fraction, 16))
+    return f"""
+    WITH u AS (SELECT o_orderkey, o_totalprice,
+                      ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':{seed}'), 1, 13))::UBIGINT
+                        / 4503599627370496.0 AS u
+               FROM orders),
+    c AS (SELECT o_orderkey, o_totalprice,
+                 len(list_filter([{bps}], b -> u >= b)) AS k
+          FROM u)
+    SELECT o_orderkey, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice, unnest(range(k)) FROM c)
     """
 
 
@@ -1124,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sample": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0"
         ),
+        "rel_sample_replace": _sample_replace_oracle_sql(),
         "rel_union_count": (
             "SELECT o_orderpriority, count(*) AS n FROM ("
             "SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT' "

@@ -172,6 +172,17 @@ def run_bench() -> None:
     extras["index_build_docs_per_sec"] = round(build["docs_per_sec"], 1)
     extras["index_build_stage_timings"] = build["timings"]
 
+    # 1b. doc_id collision audit over the build's checkpoint (untimed
+    # w.r.t. the headline: a production gate, not a throughput stage)
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        IndexPaths,
+        audit_doc_ids,
+    )
+
+    audit = audit_doc_ids(IndexPaths("/tmp/wse_bench_index"))
+    extras["doc_id_collisions"] = audit["collisions"]
+    assert audit["collisions"] == 0, f"doc_id collision audit failed: {audit}"
+
     # 2. query serving: load + run the reference query set, p50/p95
     t0 = time.time()
     idx = SearchIndex.load("/tmp/wse_bench_index")

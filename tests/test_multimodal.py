@@ -1,11 +1,21 @@
-"""Multimodal plumbing: schema, actor-pool stage, frame explode, stub
-seam. Decoders are fakes by design (no image/audio libs in container)."""
+"""Multimodal stages with REAL pure-numpy codecs (BMP / WAV-PCM16 /
+WSMV frame container): codec round-trips, decoded features, frame
+sampling that touches actual pixels, and malformed-payload fallback."""
 
 import numpy as np
 import pyarrow as pa
-import pytest
 import ray.data as rd
 
+from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+    decode_bmp,
+    decode_wav,
+    decode_wsmv_frame,
+    encode_bmp,
+    encode_wav,
+    encode_wsmv,
+    image_features,
+    wsmv_info,
+)
 from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
@@ -15,13 +25,36 @@ from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimod
 )
 
 
+def test_bmp_roundtrip_including_padding():
+    rng = np.random.default_rng(0)
+    for w, h in [(1, 1), (3, 2), (5, 7), (64, 16)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (w, h)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.integers(-30000, 30000, size=4321).astype(np.int16)
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and np.array_equal(got, x)
+
+
+def test_wsmv_frame_addressing():
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8) for _ in range(5)]
+    blob = encode_wsmv(frames, 250)
+    assert wsmv_info(blob) == (5, 250)
+    for i in (0, 2, 4):
+        assert np.array_equal(decode_wsmv_frame(blob, i), frames[i])
+
+
 def test_synth_media_schema_and_determinism():
     a, b = synth_media(50), synth_media(50)
     assert a.schema.equals(MEDIA_SCHEMA)
     assert a.equals(b)
 
 
-def test_feature_stage_pipeline():
+def test_feature_stage_pipeline(ray_session):
     tbl = synth_media(60)
     ds = rd.from_arrow(tbl)
     # small batches on purpose: large binary payloads
@@ -30,17 +63,60 @@ def test_feature_stage_pipeline():
     ).to_pandas()
     assert len(out) == 60
     assert "payload" not in out.columns  # payload dropped after extract
+    assert out["decoded"].all()  # every synthetic payload really decodes
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    # decoded metadata matches the generator's
+    src = tbl.to_pandas()
+    m = out.set_index("media_id")
+    for _, row in src.iterrows():
+        if row["kind"] == "image":
+            assert m.loc[row["media_id"], "width"] == row["width"]
+            assert m.loc[row["media_id"], "height"] == row["height"]
+        elif row["kind"] == "audio":
+            assert abs(m.loc[row["media_id"], "duration_ms"] - row["duration_ms"]) <= 1
     # identical payload bytes -> identical features (dedup by feature works)
     by_sha = out.groupby("payload_sha1")["feature"].apply(
         lambda fs: len({tuple(np.round(f, 6)) for f in fs})
     )
     assert (by_sha == 1).all()
-    dups = out["payload_sha1"].duplicated().sum()
-    assert dups > 0  # corpus really contains dup payloads
+    assert out["payload_sha1"].duplicated().sum() > 0  # corpus has dup payloads
 
 
-def test_frame_sample_explode():
+def test_feature_is_really_the_thumbnail():
+    """The image feature is the actual 8x8 area-averaged grayscale
+    thumbnail of the decoded pixels — check against a flat-color image."""
+    img = np.full((32, 40, 3), 200, np.uint8)
+    stage = MediaFeatureStage()
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_bmp(img)], pa.binary()),
+            "mime": pa.array(["image/bmp"]),
+        }
+    )
+    out = stage(batch)
+    feat = np.array(out["feature"][0].as_py(), np.float32)
+    assert np.allclose(feat, 200.0 / 255.0, atol=1e-3)
+    assert np.allclose(feat, image_features(img), atol=1e-6)
+
+
+def test_malformed_payload_falls_back_not_crashes():
+    stage = MediaFeatureStage()
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image", "audio"]),
+            "payload": pa.array([b"not a bmp", b"junk"], pa.binary()),
+            "mime": pa.array(["image/bmp", "audio/wav"]),
+        }
+    )
+    out = stage(batch)
+    assert out["decoded"].to_pylist() == [False, False]
+    assert all(len(f) == FEATURE_DIM for f in out["feature"].to_pylist())
+
+
+def test_frame_sample_really_decodes(ray_session):
     tbl = synth_media(30)
     vids = tbl.filter(pa.compute.equal(tbl["kind"], "video"))
     assert vids.num_rows > 0
@@ -49,14 +125,15 @@ def test_frame_sample_explode():
         .map_batches(FrameSampleStage, batch_format="pyarrow", batch_size=4, concurrency=2)
         .to_pandas()
     )
-    for mid, dur in zip(vids["media_id"].to_pylist(), vids["duration_ms"].to_pylist()):
-        frames = out[out["media_id"] == mid]
-        assert len(frames) == min(32, max(1, dur // 1000))
-        assert frames["frame_idx"].tolist() == list(range(len(frames)))
+    for mid, payload in zip(vids["media_id"].to_pylist(), vids["payload"].to_pylist()):
+        n_frames, frame_ms = wsmv_info(payload)
+        step = max(1, 1000 // frame_ms)
+        picks = list(range(0, n_frames, step))[:32]
+        frames = out[out["media_id"] == mid].sort_values("frame_idx")
+        assert frames["frame_idx"].tolist() == picks
+        # sha and luma match a direct decode of the same frame
+        import hashlib
 
-
-def test_real_mode_raises_at_decode_seam():
-    stage = MediaFeatureStage(decode_mode="real")
-    tbl = synth_media(3)
-    with pytest.raises(NotImplementedError):
-        stage(tbl)
+        rgb = decode_wsmv_frame(payload, picks[0])
+        assert frames.iloc[0]["frame_sha1"] == hashlib.sha1(rgb.tobytes()).hexdigest()
+        assert abs(frames.iloc[0]["mean_luma"] - float(rgb.astype(np.float32).mean())) < 1e-6

@@ -112,3 +112,30 @@ def test_cogroup_counts():
     assert got["k"].tolist() == ["a", "b", "c"]
     assert got["nl"].tolist() == [2, 1, 0]
     assert got["nr"].tolist() == [1, 0, 1]
+
+
+def test_sample_with_replacement(ray_session):
+    """Deterministic Poisson multiplicities: expected size ~ fraction*N,
+    duplicates present at fraction>1, and bit-stable across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        poisson_breakpoints,
+        sample_with_replacement,
+    )
+
+    tbl = pa.table({"k": pa.array(list(range(2000)), pa.int64())})
+    out1 = sample_with_replacement(rd.from_arrow(tbl), 1.5, "k", seed=7).to_pandas()
+    out2 = sample_with_replacement(rd.from_arrow(tbl), 1.5, "k", seed=7).to_pandas()
+    assert sorted(out1["k"]) == sorted(out2["k"])  # deterministic
+    assert 0.8 * 1.5 * 2000 < len(out1) < 1.2 * 1.5 * 2000  # expected size
+    counts = out1["k"].value_counts()
+    assert counts.max() >= 2  # replacement: some key drawn twice+
+    # a different seed gives a different multiset
+    out3 = sample_with_replacement(rd.from_arrow(tbl), 1.5, "k", seed=8).to_pandas()
+    assert sorted(out3["k"]) != sorted(out1["k"])
+    # breakpoints are a proper CDF
+    bps = poisson_breakpoints(1.5)
+    assert all(b2 > b1 for b1, b2 in zip(bps, bps[1:])) and bps[-1] < 1.0 + 1e-12

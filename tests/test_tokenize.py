@@ -6,6 +6,7 @@ import pyarrow.parquet as pq
 from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
     extract_html,
     tokenize,
+    tokenize_count_batch,
     tokenize_query,
 )
 from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
@@ -92,3 +93,28 @@ def test_tokenize_count_batch_matches_counter():
         got = dict(zip(terms[i].as_py(), tfs[i].as_py()))
         assert got == dict(want), text
         assert lens[i] == sum(want.values())
+
+
+def test_tokenize_count_batch_repeated_allocation_stability():
+    """Regression: pyarrow 16.1's utf8_split_whitespace intermittently
+    extended a token's end offset by one byte (allocation-dependent,
+    ~1% of calls on a ~30-doc batch), yielding tokens like 'of ' that
+    corrupted the index vocabulary. The kernel chain now holds its
+    intermediates alive and trims every token; this loop catches a
+    recurrence with high probability."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+
+    pages = pq.read_table(pages_parquet(200, row_group_size=32))
+    texts = [extract_html(h)[1] for h in pages.slice(160, 32)["html"].to_pylist()]
+    expected = [dict(Counter(tokenize(t))) for t in texts]
+    for _trial in range(200):
+        terms_list, tfs_list, _ = tokenize_count_batch(texts)
+        for i in range(len(texts)):
+            got = dict(zip(terms_list[i].as_py(), tfs_list[i].as_py()))
+            assert got == expected[i]

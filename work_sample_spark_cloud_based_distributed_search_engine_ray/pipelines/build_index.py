@@ -85,6 +85,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 from ..stages.extract import ExtractDocs, explode_postings
+from ..stages.shuffle import hash_map_groups
 
 K1 = 1.2
 B = 0.75
@@ -432,9 +433,7 @@ def compute_dup_losers(
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-    losers = ds.groupby("sha_bucket").map_groups(
-        _losers_of_bucket, batch_format="pyarrow"
-    )
+    losers = hash_map_groups(ds, "sha_bucket", _losers_of_bucket)
     losers.write_parquet(paths.dup_map)
 
 
@@ -708,13 +707,15 @@ def build_shards(
        the raw postings' bytes — the external-merge-of-partition-local-
        segments design); each bucket group decodes+merges+re-encodes ALL
        its terms in two vectorized passes (``_encode_bucket``).
-    3. A second ``groupby(shard)`` shuffle over the ENCODED runs (the
-       compressed index, ~1-2% of input volume) routes every term's runs
-       to its output shard and merges hot terms' salted runs inline
-       (``_finalize_shard``: vectorized passthrough for single-run
-       terms, canonical decode->sort->re-encode for the O(#hot) rest).
-       Output blocks == shard groups, so the write yields one file per
-       shard directory.
+    3. A cold term's runs ALL meet in its one bucket, so after step 2 a
+       cold term is one finished row — only HOT terms (num_salts rows
+       each) need the finalize shuffle. The hot slice alone goes through
+       a second ``groupby`` on a fine term-hash key and merges its
+       salted runs canonically (``_finalize_shard``); cold rows pass
+       straight to the writer. Buckets and finalize groups are
+       SHARD-ALIGNED (key = shard * sub + local), so output blocks map
+       to O(1) shard directories each and the partitioned write yields
+       ~num_buckets files, not blocks x shards.
 
     Scale knobs: ``num_buckets`` bounds the raw postings held by one
     encode task (bucket ~ total_postings/num_buckets rows);
@@ -732,6 +733,9 @@ def build_shards(
         # path — measured at 4 buckets/CPU the max bucket task ran ~7x
         # the mean and capped shard-build scaling at ~2x for 4x CPUs
         num_buckets = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
+    # shard-aligned buckets: bucket = shard(term) * sub_b + local
+    sub_b = max(1, num_buckets // num_shards)
+    num_buckets = num_shards * sub_b
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def encode_block_runs(batch: pa.Table) -> pa.Table:
@@ -761,20 +765,22 @@ def build_shards(
         )
         t_codes = enc["codes_out"] // num_salts
         s_out = (enc["codes_out"] % num_salts).astype(np.uint64)
-        bucket = ((uh[t_codes] + (s_out + np.uint64(1)) * mix) % np.uint64(num_buckets)).astype(np.int64)
+        shard_of = uh[t_codes] % np.uint64(num_shards)
+        local = (uh[t_codes] // np.uint64(num_shards) + (s_out + np.uint64(1)) * mix) % np.uint64(sub_b)
+        bucket = (shard_of * np.uint64(sub_b) + local).astype(np.int64)
         tbl = _encoded_table(pc.take(uniq, pa.array(t_codes)), enc)
         return tbl.append_column("bucket", pa.array(bucket))
-
-    fin_groups = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         hs = [hash64(t) for t in batch["term"].to_pylist()]
         shard = pa.array([h % num_shards for h in hs], pa.int64())
-        # finer finalize-group key off the same hash: all of a term's
-        # salted runs share it, but ~8 groups per CPU keep the merge
-        # stage parallel and un-skewed (16 shard groups capped the
-        # stage at 1.7x scaling for 4x CPUs)
-        fg = pa.array([(h // num_shards) % fin_groups for h in hs], pa.int64())
+        # shard-aligned finalize-group key: all of a term's salted runs
+        # share it; ~sub_b groups per shard keep the hot merge parallel
+        # past num_shards while every group maps to ONE shard directory
+        fg = pa.array(
+            [(h % num_shards) * sub_b + (h // num_shards) % sub_b for h in hs],
+            pa.int64(),
+        )
         return batch.append_column("shard", shard).append_column("__fg", fg)
 
     # Pre-encode over LARGE doc batches: runs per batch ~ vocabulary, so
@@ -796,18 +802,39 @@ def build_shards(
     pre = ds.materialize()
     sub["pre_encode"] = round(time.time() - t0, 3)
     t0 = time.time()
-    runs = pre.groupby("bucket").map_groups(_encode_bucket, batch_format="pyarrow")
+    runs = hash_map_groups(pre, "bucket", _encode_bucket)
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     sub["bucket_merge"] = round(time.time() - t0, 3)
     t0 = time.time()
-    final = runs.groupby("__fg").map_groups(_finalize_shard, batch_format="pyarrow")
-    final = final.materialize()
+    # a cold term's runs all met in its single bucket, so its one row is
+    # FINAL already — only the hot slice (num_salts rows per hot term)
+    # re-shuffles for the salted-run merge
+    out_cols = POSTING_SCHEMA.names + ["shard"]
+
+    def cold_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch["term"], value_set=ray.get(hot_ref)))
+        return batch.filter(keep).select(out_cols)
+
+    def hot_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=ray.get(hot_ref)))
+
+    cold = runs.map_batches(cold_rows, batch_format="pyarrow")
+    if len(hot_terms):
+        merged_hot = hash_map_groups(
+            runs.map_batches(hot_rows, batch_format="pyarrow"), "__fg", _finalize_shard
+        ).map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+        final = cold.union(merged_hot).materialize()
+    else:
+        final = cold.materialize()
     sub["finalize"] = round(time.time() - t0, 3)
     t0 = time.time()
     _fresh_dir(paths.shards)
-    final.write_parquet(
-        paths.shards, partition_cols=["shard"], min_rows_per_file=100_000
-    )
+    # NO min_rows_per_file here: shard rows average ~10-100 KB (packed
+    # posting blobs), so a row-count floor funnels the whole multi-GB
+    # write into ONE task (measured: a serial 22-59s write). Default =
+    # one file per (block, shard value); blocks are shard-aligned, so
+    # file count stays ~#blocks and the write parallelizes.
+    final.write_parquet(paths.shards, partition_cols=["shard"])
     # exact per-term (df, cf) straight off the finalized rows — no
     # extra read of the shards
     stats = final.select_columns(["term", "df", "cf"])

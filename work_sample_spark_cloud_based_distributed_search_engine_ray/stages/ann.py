@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .shuffle import hash_map_groups
+
 
 def _mat(batch_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, d) float64 matrix from a list<float> column, zero-copy where
@@ -95,10 +97,8 @@ def knn_brute_force(
             }
         )
 
-    return (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pyarrow")
+    return hash_map_groups(
+        ds.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
     )
 
 
@@ -348,10 +348,8 @@ def ivf_knn(
             }
         )
 
-    return (
-        assigned.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pyarrow")
+    return hash_map_groups(
+        assigned.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
     )
 
 
@@ -425,8 +423,6 @@ def lsh_knn(
             }
         )
 
-    return (
-        bucketed.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pyarrow")
+    return hash_map_groups(
+        bucketed.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
     )

@@ -43,6 +43,7 @@ from ..functions.sketches import (
     simhash_chunk_keys,
 )
 from ..functions.tokenize import tokenize
+from .shuffle import hash_map_groups
 
 
 # --------------------------------------------------------------------------
@@ -87,10 +88,8 @@ def exact_dup_losers(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "d
             }
         )
 
-    return (
-        ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(losers, batch_format="pyarrow")
+    return hash_map_groups(
+        ds.map_batches(hash_batch, batch_format="pyarrow"), "text_md5", losers
     )
 
 
@@ -215,13 +214,10 @@ def minhash_lsh_pairs(
     # the alternative (narrow bucket shuffle + join sigs back by doc_id)
     # trades one shuffle for two — banding payload here is
     # num_bands * num_perm * 8B per doc, acceptable vs text size.
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: _pairs_from_bucket(g, est_threshold, max_bucket),
-            batch_format="pyarrow",
-        )
+    pairs = hash_map_groups(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        "bucket",
+        lambda g: _pairs_from_bucket(g, est_threshold, max_bucket),
     )
 
     def add_pair_key(batch: pa.Table) -> pa.Table:
@@ -230,12 +226,11 @@ def minhash_lsh_pairs(
         )
         return batch.append_column("pair", key)
 
-    return (
-        pairs.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pair"])
-    )
+    return hash_map_groups(
+        pairs.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pair",
+        lambda g: g.slice(0, 1),
+    ).drop_columns(["pair"])
 
 
 # --------------------------------------------------------------------------
@@ -332,10 +327,8 @@ def simhash_pairs(
             }
         )
 
-    pairs = (
-        hashes.map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+    pairs = hash_map_groups(
+        hashes.map_batches(explode_chunks, batch_format="pyarrow"), "bucket", verify
     )
 
     def add_pair_key(batch: pa.Table) -> pa.Table:
@@ -344,12 +337,11 @@ def simhash_pairs(
         )
         return batch.append_column("pair", key)
 
-    return (
-        pairs.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pair"])
-    )
+    return hash_map_groups(
+        pairs.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pair",
+        lambda g: g.slice(0, 1),
+    ).drop_columns(["pair"])
 
 
 # --------------------------------------------------------------------------
@@ -430,7 +422,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = shingled.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
+    pairs = hash_map_groups(shingled, "shingle", cooccur)
 
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("one", alias_name="inter"),

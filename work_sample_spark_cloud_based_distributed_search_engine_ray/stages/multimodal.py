@@ -1,14 +1,16 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by actor-pool ``map_batches``
-stages.
+"""Multimodal columns: image/audio/video as ``binary`` payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages — with
+REAL decoders.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries — see ``_require_codec``): ``decode_mode="fake"``
-substitutes a deterministic, size-aware fake so the Ray-side plumbing —
-schema, small-batch sizing for large payloads, actor signature, output
-layout — is real and tested; ``decode_mode="real"`` raises
-``NotImplementedError`` at the exact seam where PIL/ffmpeg would slot
-in.
+This environment ships no media libraries, so the decoders are
+pure-numpy implementations of simple public formats
+(``functions/media_codecs.py``): 24-bit BMP for images, RIFF/WAVE PCM16
+for audio, and a minimal offset-indexed frame container (WSMV) for
+video. Decode, feature extraction (8x8 grayscale thumbnail / 64-band
+log spectrum) and per-frame sampling all operate on actual pixels and
+samples; a payload that fails to parse falls back to a digest-derived
+feature and is flagged in the ``decoded`` column rather than crashing
+the pipeline (malformed inputs are a fact of 100 TB corpora).
 
 Scale notes:
 - Large binary payloads mean SMALL batches: callers pass
@@ -16,17 +18,32 @@ Scale notes:
   payload column is dropped as soon as features are extracted
   (projection discipline, same as the ``html`` column in the index
   build).
-- The stage is stateful on purpose: a real decoder/model would be
+- The stages are stateful on purpose: a heavier decoder/model would be
   loaded once per actor in ``__init__`` (the reference analog is the
   per-JVM robots cache, ``crawler/Crawler.java:27``).
+- Frame sampling decodes ONLY the sampled frames (the container's
+  offset table makes that an O(frame) slice, not a full-video decode).
 """
 
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.media_codecs import (
+    audio_features,
+    decode_bmp,
+    decode_wav,
+    decode_wsmv_frame,
+    encode_bmp,
+    encode_wav,
+    encode_wsmv,
+    image_features,
+    wsmv_info,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -43,47 +60,64 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 64
 
 
-def _require_codec(kind: str) -> None:
-    raise NotImplementedError(
-        f"no {kind} codec in this environment — plug a real decoder "
-        "(PIL / soundfile / pyav) into MediaFeatureStage._decode_real; "
-        "the surrounding Ray plumbing is complete and tested with "
-        "decode_mode='fake'"
-    )
-
-
-def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in feature vector: seeded by the payload's
-    blake2b digest, so identical bytes -> identical features (lets tests
-    assert dedup-by-feature without a real model)."""
+def _digest_features(payload: bytes, dim: int) -> np.ndarray:
+    """Fallback feature for undecodable payloads: seeded by the
+    payload's blake2b digest (identical bytes -> identical feature, so
+    exact dedup still works on junk inputs)."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim).astype(np.float32)
 
 
 class MediaFeatureStage:
-    """binary payload -> feature vector + basic metadata.
+    """binary payload -> REAL decoded features + basic metadata.
 
-    Output: media_id, kind, mime, payload_bytes, feature(list<float>),
-    payload_sha1. The ``payload`` column is consumed and NOT re-emitted.
+    Output: media_id, kind, mime, payload_bytes, payload_sha1, decoded
+    (bool), width, height, duration_ms, feature(list<float>). The
+    ``payload`` column is consumed and NOT re-emitted.
+
+    - image: BMP decode -> 8x8 grayscale thumbnail (FEATURE_DIM=64).
+    - audio: WAV decode -> 64-band log-magnitude spectrum; duration
+      from sample count / rate.
+    - video: container header + FIRST frame's thumbnail as the feature
+      (per-frame work belongs to ``FrameSampleStage``).
     """
 
-    def __init__(self, *, decode_mode: str = "fake", feature_dim: int = FEATURE_DIM):
-        assert decode_mode in ("fake", "real")
-        self.decode_mode = decode_mode
+    def __init__(self, *, feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
-        # a real implementation loads the model/codec here, once per actor
+        # a heavier decoder/model would be loaded here, once per actor
+
+    def _one(self, payload: bytes, kind: str):
+        if kind == "image":
+            rgb = decode_bmp(payload)
+            return image_features(rgb), rgb.shape[1], rgb.shape[0], -1
+        if kind == "audio":
+            samples, rate = decode_wav(payload)
+            return audio_features(samples), -1, -1, int(samples.size * 1000 / rate)
+        if kind == "video":
+            n, frame_ms = wsmv_info(payload)
+            first = decode_wsmv_frame(payload, 0)
+            return image_features(first), first.shape[1], first.shape[0], n * frame_ms
+        raise ValueError(kind)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        feats = np.empty((len(payloads), self.feature_dim), dtype=np.float32)
+        n = len(payloads)
+        feats = np.empty((n, self.feature_dim), dtype=np.float32)
+        widths = np.full(n, -1, np.int32)
+        heights = np.full(n, -1, np.int32)
+        durs = np.full(n, -1, np.int32)
+        decoded = np.zeros(n, bool)
         sha1s: list[str] = []
-        sizes = np.empty(len(payloads), dtype=np.int64)
+        sizes = np.empty(n, dtype=np.int64)
         for i, (p, kind) in enumerate(zip(payloads, kinds)):
-            if self.decode_mode == "real":
-                _require_codec(kind)
-            feats[i] = _fake_features(p, self.feature_dim)
+            try:
+                f, widths[i], heights[i], durs[i] = self._one(p, kind)
+                feats[i, : f.size] = f[: self.feature_dim]
+                decoded[i] = True
+            except (ValueError, IndexError, struct_error):
+                feats[i] = _digest_features(p, self.feature_dim)
             sha1s.append(hashlib.sha1(p).hexdigest())
             sizes[i] = len(p)
         return pa.table(
@@ -93,80 +127,115 @@ class MediaFeatureStage:
                 "mime": batch["mime"],
                 "payload_bytes": pa.array(sizes),
                 "payload_sha1": pa.array(sha1s, pa.string()),
+                "decoded": pa.array(decoded.tolist(), pa.bool_()),
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "duration_ms": pa.array(durs),
                 "feature": pa.array(
-                    [feats[i].tolist() for i in range(feats.shape[0])],
-                    pa.list_(pa.float32()),
+                    [feats[i].tolist() for i in range(n)], pa.list_(pa.float32())
                 ),
             }
         )
 
 
-class FrameSampleStage:
-    """video payload -> one row per sampled frame offset.
 
-    Frame DECODE is stubbed; frame SELECTION (uniform every
-    ``stride_ms`` over ``duration_ms``) and the 1->N row explode are
-    real. Output: media_id, frame_idx, frame_ts_ms, frame_sha1."""
+class FrameSampleStage:
+    """video payload -> one row per sampled frame, REALLY decoded.
+
+    Frame selection is uniform every ``stride_ms`` (capped at
+    ``max_frames``); each selected frame is sliced out of the container
+    via its offset-table entry and BMP-decoded — only sampled frames'
+    bytes are touched. Output: media_id, frame_idx, frame_ts_ms,
+    mean_luma, frame_sha1 (sha1 of the decoded RGB pixels, so identical
+    frames dedup regardless of container framing)."""
 
     def __init__(self, *, stride_ms: int = 1000, max_frames: int = 32):
         self.stride_ms = stride_ms
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_id, out_idx, out_ts, out_sha = [], [], [], []
-        for mid, payload, dur in zip(
-            batch["media_id"].to_pylist(),
-            batch["payload"].to_pylist(),
-            batch["duration_ms"].to_pylist(),
+        out_id, out_idx, out_ts, out_luma, out_sha = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            n = min(self.max_frames, max(1, int(dur) // self.stride_ms))
-            for f in range(n):
-                ts = f * self.stride_ms
-                # real path: decode frame at ts; fake: hash(payload, ts)
-                h = hashlib.sha1(payload + ts.to_bytes(8, "big")).hexdigest()
+            n_frames, frame_ms = wsmv_info(payload)
+            step = max(1, self.stride_ms // max(frame_ms, 1))
+            picks = list(range(0, n_frames, step))[: self.max_frames]
+            for f in picks:
+                rgb = decode_wsmv_frame(payload, f)
                 out_id.append(mid)
                 out_idx.append(f)
-                out_ts.append(ts)
-                out_sha.append(h)
+                out_ts.append(f * frame_ms)
+                out_luma.append(float(rgb.astype(np.float32).mean()))
+                out_sha.append(hashlib.sha1(rgb.tobytes()).hexdigest())
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.int64()),
                 "frame_idx": pa.array(out_idx, pa.int32()),
                 "frame_ts_ms": pa.array(out_ts, pa.int32()),
+                "mean_luma": pa.array(out_luma, pa.float64()),
                 "frame_sha1": pa.array(out_sha, pa.string()),
             }
         )
 
 
+def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient + noise image."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1)) % 256
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.int64)
+    rgb = (base[:, :, None] + noise) % 256
+    return rgb.astype(np.uint8)
+
+
 def synth_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (binary payloads with realistic
-    size spread; ~6% exact-duplicate payloads) for tests/bench."""
+    """Deterministic media corpus with REAL payloads: BMP images, WAV
+    sine mixtures, WSMV frame containers; ~6% exact-duplicate payloads
+    (dedup fodder). Pure function of (n, seed)."""
     rng = np.random.default_rng(seed)
     kinds = rng.choice(np.array(["image", "audio", "video"]), size=n, p=[0.7, 0.2, 0.1])
-    sizes = np.clip(np.exp(rng.normal(np.log(4096), 1.0, size=n)).astype(np.int64), 64, 262144)
     dup = rng.random(n) < 0.06
-    rows_payload: list[bytes] = []
+    payloads: list[bytes] = []
+    widths = np.full(n, -1, np.int32)
+    heights = np.full(n, -1, np.int32)
+    durs = np.full(n, -1, np.int32)
     for i in range(n):
         if dup[i] and i > 0:
-            rows_payload.append(rows_payload[rng.integers(0, i)])
+            j = int(rng.integers(0, i))
+            payloads.append(payloads[j])
+            kinds[i] = kinds[j]
+            widths[i], heights[i], durs[i] = widths[j], heights[j], durs[j]
+            continue
+        k = kinds[i]
+        if k == "image":
+            w, h = int(rng.integers(16, 160)), int(rng.integers(16, 160))
+            payloads.append(encode_bmp(_synth_image(rng, w, h)))
+            widths[i], heights[i] = w, h
+        elif k == "audio":
+            rate = 8000
+            ms = int(rng.integers(200, 3000))
+            t = np.arange(rate * ms // 1000, dtype=np.float32) / rate
+            f1, f2 = rng.uniform(100, 2000, size=2)
+            x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+            payloads.append(encode_wav((x * 20000).astype(np.int16), rate))
+            durs[i] = ms
         else:
-            rows_payload.append(rng.bytes(int(sizes[i])))
-    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+            nf = int(rng.integers(2, 10))
+            frame_ms = 500
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            frames = [_synth_image(rng, w, h) for _ in range(nf)]
+            payloads.append(encode_wsmv(frames, frame_ms))
+            widths[i], heights[i], durs[i] = w, h, nf * frame_ms
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-wsmv"}
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "kind": pa.array(kinds.tolist(), pa.string()),
-            "payload": pa.array(rows_payload, pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array([mimes[k] for k in kinds.tolist()], pa.string()),
-            "width": pa.array(
-                np.where(kinds == "image", rng.integers(64, 2048, n), -1).astype(np.int32)
-            ),
-            "height": pa.array(
-                np.where(kinds == "image", rng.integers(64, 2048, n), -1).astype(np.int32)
-            ),
-            "duration_ms": pa.array(
-                np.where(kinds != "image", rng.integers(1000, 30000, n), -1).astype(np.int32)
-            ),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "duration_ms": pa.array(durs),
         },
         schema=MEDIA_SCHEMA,
     )

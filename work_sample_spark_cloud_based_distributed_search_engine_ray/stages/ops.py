@@ -30,11 +30,14 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from .shuffle import hash_map_groups
 
 
 def _key_expr(batch: pa.Table, keys: list[str]) -> pa.Array:
@@ -135,9 +138,7 @@ def cogroup(
         right = group.filter(pc.equal(side, 1)).drop_columns(["__side"])
         return fn(left, right)
 
-    return tag_union(ds_left, ds_right, key).groupby(key).map_groups(
-        per_group, batch_format="pyarrow"
-    )
+    return hash_map_groups(tag_union(ds_left, ds_right, key), key, per_group)
 
 
 def _bucket_of(column: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
@@ -195,10 +196,7 @@ def shuffle_join(
     lk = ds_left.select_columns([key] + left_cols)
     rk = ds_right.select_columns([key] + right_cols)
     tagged = tag_union(lk, rk, key).map_batches(add_bucket, batch_format="pyarrow")
-    return (
-        tagged.groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    return hash_map_groups(tagged, "__bucket", per_bucket)
 
 
 def distinct_on(ds: rd.Dataset, cols: list[str], *, num_buckets: int = 64) -> rd.Dataset:
@@ -218,11 +216,12 @@ def distinct_on(ds: rd.Dataset, cols: list[str], *, num_buckets: int = 64) -> rd
     def per_bucket(group: pa.Table) -> pa.Table:
         return group.drop_columns(["__bucket"]).group_by(cols).aggregate([])
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
     )
 
 
@@ -250,12 +249,67 @@ def intersection(
 
     lk = ds_left.map_batches(local, batch_format="pyarrow")
     rk = ds_right.map_batches(local, batch_format="pyarrow")
-    return (
-        tag_union(lk, rk, col)
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return hash_map_groups(
+        tag_union(lk, rk, col).map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        per_bucket,
     )
+
+
+def poisson_breakpoints(fraction: float, kmax: int = 16) -> list[float]:
+    """Cumulative Poisson(fraction) probabilities P(X <= k), k = 0..kmax
+    (float64). Shared between the Ray sampler and its DuckDB oracle so
+    the multiplicity of every row is the identical double comparison in
+    both engines."""
+    import math
+
+    p = math.exp(-fraction)
+    cum = [p]
+    for k in range(1, kmax + 1):
+        p = p * fraction / k
+        cum.append(cum[-1] + p)
+    return cum
+
+
+def sample_with_replacement(
+    ds: rd.Dataset,
+    fraction: float,
+    key_col: str,
+    *,
+    seed: int = 7,
+    kmax: int = 16,
+) -> rd.Dataset:
+    """Distributed with-replacement sample — expected ``fraction`` copies
+    of each row (Flame ``invokeSampling(withReplacement=true)`` parity,
+    ``flame/FlameContextImpl.java:277-339``; the reference collects the
+    WHOLE table to the master and draws with ``new Random()``).
+
+    Documented deviations, both required at scale: (1) distributed — a
+    per-row Poisson(fraction) multiplicity replaces the exact-size
+    global draw (standard Bernoulli/Poisson bootstrap equivalence);
+    (2) deterministic — the uniform is the top 52 bits of
+    ``md5(key || ':' || seed)``, so the sample is a pure function of
+    the data (reproducible, oracle-checkable), not of an unseeded RNG.
+    """
+    import hashlib
+
+    cum = np.array(poisson_breakpoints(fraction, kmax), dtype=np.float64)
+
+    def multiply(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        u = np.fromiter(
+            (
+                int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:13], 16)
+                for k in keys
+            ),
+            dtype=np.uint64,
+            count=len(keys),
+        ).astype(np.float64) / float(1 << 52)
+        mult = np.searchsorted(cum, u, side="right")
+        take = np.repeat(np.arange(len(keys), dtype=np.int64), mult)
+        return batch.take(pa.array(take))
+
+    return ds.map_batches(multiply, batch_format="pyarrow")
 
 
 def cogroup_counts(
@@ -296,9 +350,8 @@ def cogroup_counts(
 
     lk = ds_left.select_columns([key])
     rk = ds_right.select_columns([key])
-    return (
-        tag_union(lk, rk, key)
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return hash_map_groups(
+        tag_union(lk, rk, key).map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        per_bucket,
     )
