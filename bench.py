@@ -136,6 +136,10 @@ def run_scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:
         json.dump(payload, f, indent=2)
+    # append-only history: the sandbox VM's noise swings single runs by
+    # 2x, so the record keeps every measurement, not just the last
+    with open("BENCH/scaling_history.jsonl", "a") as f:
+        f.write(json.dumps(payload) + "\n")
     print(json.dumps(payload))
 
 
