@@ -73,6 +73,7 @@ def test_http_endpoint(served):
     srv = SearchHTTPServer(ds, port=0).start()
     try:
         base = f"http://127.0.0.1:{srv.port}"
+        full_bodies_seen = False
         for _qid, q in reference_queries()[:12]:
             from urllib.parse import quote
 
@@ -85,6 +86,11 @@ def test_http_endpoint(served):
             assert [g["rank_score"] for g in got] == [s for _d, s in want], q
             assert [g["url"] for g in got] == [w["url"] for w in want_rows], q
             assert all(set(g) == {"url", "rank_score", "title", "body"} for g in got)
+            # the reference returns the FULL extracted body per result
+            # (Searcher.java:52-57,186-191) — not a truncated prefix
+            assert [g["body"] for g in got] == [w["body"] for w in want_rows], q
+            full_bodies_seen |= any(len(g["body"]) > 200 for g in got)
+        assert full_bodies_seen  # corpus has >200-char docs; no silent truncation
         # error paths: bad route, missing query
         import urllib.error
 

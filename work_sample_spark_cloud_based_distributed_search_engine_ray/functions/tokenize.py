@@ -76,30 +76,24 @@ def tokenize_count_batch(texts: "list[str] | object"):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n_docs = len(arr)
-    # Every intermediate is bound to its OWN name and kept alive until
-    # the outputs below are materialized copies. Rebinding/chaining
-    # frees a temporary whose buffer a later kernel output still views,
-    # and pyarrow 16.1 then intermittently misreads token boundaries
-    # (observed: ~1-2% of runs emitted a token with a trailing space —
-    # a one-byte overrun into the freed source buffer). Do NOT "clean
-    # this up" back into a chain.
     no_tags = pc.replace_substring_regex(arr, pattern=TAG_RE.pattern, replacement="")
     no_punct = pc.replace_substring_regex(no_tags, pattern=PUNCT_RE.pattern, replacement=" ")
     lowered = pc.utf8_lower(no_punct)
     toks = pc.utf8_split_whitespace(lowered)
     flat_all = pc.list_flatten(toks)
     parents_all = pc.list_parent_indices(toks)
-    # repair pass: pyarrow 16.1's split kernel intermittently extends
-    # a token's end offset by one byte into the source buffer
-    # (allocation-dependent, ~1% of calls on this corpus shape), so a
-    # token could carry its trailing delimiter. Trimming is the
-    # identity on correct tokens and restores the corrupted ones;
-    # the empty-filter then runs on the trimmed values.
+    # Defensive repair pass: intermittent (~1% of calls, allocation-
+    # dependent) one-byte token-boundary corruption was observed on this
+    # pyarrow (a token carrying its trailing whitespace delimiter, e.g.
+    # 'of '). Root cause was never pinned to a minimal repro; since every
+    # inter-token byte is whitespace, a trim is the identity on correct
+    # tokens and restores a +-1-byte overrun, so the trim stays as a
+    # cheap invariant-enforcing pass (regression-tested 200x in
+    # tests/test_tokenize.py). The empty-filter runs on trimmed values.
     flat_trimmed = pc.utf8_trim_whitespace(flat_all)
     nonempty = pc.not_equal(flat_trimmed, "")
     flat = flat_trimmed.filter(nonempty)
     parents = parents_all.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
-    _keepalive = (no_tags, no_punct, lowered, toks, flat_all, parents_all, flat_trimmed)
 
     d = flat.dictionary_encode()
     vocab = d.dictionary

@@ -257,9 +257,11 @@ def run_phase_a(
 
     # commit pass (one RAY TASK per partition — distributed, off the
     # driver): per-partition metrics + hot partial + atomic manifest.
-    # The same read also yields the NARROW dedup columns, handed back
-    # (as object refs resolved once) so B1 need not re-read the
-    # checkpoint on a fresh build.
+    # The same read also yields the NARROW dedup columns as OBJECT REFS
+    # (``ray.put`` inside the task): the driver resolves them only when
+    # the broadcast-dedup path will actually use them (fresh complete
+    # build within the driver budget); otherwise the refs are dropped
+    # unread, so driver memory never scales with the corpus.
     dedup_cols = ["doc_id", "url", "warc_ts", "content_sha1", "doc_len"]
     docs_ckpt = paths.docs_ckpt
 
@@ -278,18 +280,18 @@ def run_phase_a(
             input_bytes=sum(os.path.getsize(p) for p in {f.path for f in frags}),
             wall_seconds=time.time() - wall_start,
         ).write(part_dir)
-        return ndocs, ntok, written.select(dedup_cols)
+        return ndocs, ntok, ray.put(written.select(dedup_cols))
 
-    narrow: list[pa.Table] = []
+    narrow_refs = []
     futs = [commit_one.remote(pid, frags, part_walls[pid]) for pid, frags in pending]
-    for ndocs, ntok, tbl in ray.get(futs):
+    for ndocs, ntok, tbl_ref in ray.get(futs):
         metrics["docs"] += ndocs
         metrics["tokens"] += ntok
-        narrow.append(tbl)
+        narrow_refs.append(tbl_ref)
     if metrics["skipped"] == 0 and metrics["docs"] <= DRIVER_DEDUP_LIMIT:
         # fresh complete build within the driver-dedup budget: hand the
         # narrow columns over in memory (resumed/huge builds read disk)
-        metrics["dedup_narrow"] = narrow
+        metrics["dedup_narrow"] = [ray.get(r) for r in narrow_refs]
     return metrics
 
 
@@ -472,7 +474,7 @@ def write_docstore(paths: IndexPaths, loser_ref) -> dict:
         )
         return batch.append_column("is_canonical", is_can).append_column("canonical_url", can_url)
 
-    cols = ["doc_id", "url", "warc_ts", "lang", "content_sha1", "title", "body_prefix", "doc_len"]
+    cols = ["doc_id", "url", "warc_ts", "lang", "content_sha1", "title", "body", "doc_len"]
     ds = rd.read_parquet(_docs_parquet_files(paths), columns=cols)
     ds = ds.map_batches(annotate, batch_format="pyarrow")
     # sort() samples its input for range boundaries (re-executing the

@@ -355,7 +355,7 @@ class SearchIndex:
                 "url": rows[d]["url"],
                 "rank_score": s,
                 "title": rows[d]["title"],
-                "body": rows[d]["body_prefix"],
+                "body": rows[d]["body"],
             }
             for d, s in ranked
         ]

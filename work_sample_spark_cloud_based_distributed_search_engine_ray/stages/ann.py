@@ -26,7 +26,14 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .shuffle import hash_map_groups
+from .shuffle import hash_map_groups, hash_partitions
+
+
+def _merge_partitions(n_queries: int) -> int:
+    """Partition count for the per-query top-k merge shuffle: there are
+    exactly ``n_queries`` groups, so partitions beyond that are idle
+    aggregator actors (measured: 24 of 32 idle on an 8-query set)."""
+    return max(2, min(hash_partitions(), n_queries))
 
 
 def _mat(batch_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -98,7 +105,10 @@ def knn_brute_force(
         )
 
     return hash_map_groups(
-        ds.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id",
+        merge_topk,
+        num_partitions=_merge_partitions(qn.shape[0]),
     )
 
 
@@ -349,7 +359,10 @@ def ivf_knn(
         )
 
     return hash_map_groups(
-        assigned.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
+        assigned.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id",
+        merge_topk,
+        num_partitions=_merge_partitions(q.shape[0]),
     )
 
 
@@ -424,5 +437,8 @@ def lsh_knn(
         )
 
     return hash_map_groups(
-        bucketed.map_batches(local_topk, batch_format="pyarrow"), "query_id", merge_topk
+        bucketed.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id",
+        merge_topk,
+        num_partitions=_merge_partitions(qn.shape[0]),
     )

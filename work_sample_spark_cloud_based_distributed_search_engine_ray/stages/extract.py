@@ -22,6 +22,12 @@ import pyarrow.compute as pc
 from ..functions.hashing import hash64, sha1_hex
 from ..functions.tokenize import extract_html, tokenize_count_batch
 
+# Hot-term detection samples 1 in HOT_SAMPLE_MOD docs (deterministic by
+# doc_id). Single source of truth: ExtractDocs writes the sampled_terms
+# column with it and build_index scales the hot threshold by it — the
+# two MUST agree or hot-term salting decisions corrupt silently.
+HOT_SAMPLE_MOD = 8
+
 DOC_META_COLS = [
     "doc_id",
     "url",
@@ -29,7 +35,7 @@ DOC_META_COLS = [
     "lang",
     "content_sha1",
     "title",
-    "body_prefix",
+    "body",
     "doc_len",
     "is_canonical",
     "canonical_url",
@@ -43,7 +49,7 @@ class ExtractDocs:
     pattern holds for real parsers/models) happens once in ``__init__``,
     per-batch work in ``__call__``. Input: pages batches (Arrow,
     zero-copy). Output columns: doc_id, url, warc_ts, lang,
-    content_sha1, title, body_prefix, doc_len, terms(list<string>),
+    content_sha1, title, body, doc_len, terms(list<string>),
     tfs(list<int32>).
 
     Tokenization happens HERE, once, and term counts travel as Arrow
@@ -56,11 +62,9 @@ class ExtractDocs:
     def __init__(
         self,
         verify_extraction: bool = False,
-        body_prefix_len: int = 200,
-        hot_sample_mod: int = 8,
+        hot_sample_mod: int = HOT_SAMPLE_MOD,
     ):
         self.verify = verify_extraction
-        self.body_prefix_len = body_prefix_len
         self.hot_sample_mod = hot_sample_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,7 +110,11 @@ class ExtractDocs:
             "lang": batch["lang"],
             "content_sha1": pa.array(sha1s, pa.string()),
             "title": pa.array(titles, pa.string()),
-            "body_prefix": pa.array([t[: self.body_prefix_len] for t in texts], pa.string()),
+            # the FULL extracted body: the reference's /search JSON
+            # returns it per result (``urls`` row ``body``,
+            # ``Searcher.java:52-57,186-191``) — a prefix here was a
+            # silent contract deviation on the one user-facing API
+            "body": pa.array(texts, pa.string()),
             "doc_len": pa.array(doc_lens),
             "terms": terms_list,
             "tfs": tfs_list,

@@ -104,7 +104,10 @@ class MediaFeatureStage:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
         n = len(payloads)
-        feats = np.empty((n, self.feature_dim), dtype=np.float32)
+        # zeros, not empty: a decoder returning fewer than feature_dim
+        # values must leave deterministic (zero) padding, never
+        # uninitialized memory
+        feats = np.zeros((n, self.feature_dim), dtype=np.float32)
         widths = np.full(n, -1, np.int32)
         heights = np.full(n, -1, np.int32)
         durs = np.full(n, -1, np.int32)

@@ -75,27 +75,19 @@ class TextStatsStage:
         n = len(texts_arr)
 
         # canonical tokenization as one Arrow kernel chain (identical to
-        # functions.tokenize.tokenize per doc — asserted by tests).
-        # Intermediates are HELD ALIVE deliberately: freeing them
-        # mid-chain triggers a pyarrow 16.1 buffer misread in the split
-        # output (see functions/tokenize.py — do not re-chain).
+        # functions.tokenize.tokenize per doc — asserted by tests),
+        # including the defensive trim-repair pass (see
+        # functions/tokenize.py:tokenize_count_batch for the rationale)
         no_tags = pc.replace_substring_regex(texts_arr, pattern=TAG_RE.pattern, replacement="")
         no_punct = pc.replace_substring_regex(no_tags, pattern=PUNCT_RE.pattern, replacement=" ")
         lowered = pc.utf8_lower(no_punct)
         tok_lists = pc.utf8_split_whitespace(lowered)
         flat_all = pc.list_flatten(tok_lists)
         parents_all = pc.list_parent_indices(tok_lists)
-        # repair pass: pyarrow 16.1's split kernel intermittently extends
-        # a token's end offset by one byte into the source buffer
-        # (allocation-dependent, ~1% of calls on this corpus shape), so a
-        # token could carry its trailing delimiter. Trimming is the
-        # identity on correct tokens and restores the corrupted ones;
-        # the empty-filter then runs on the trimmed values.
         flat_trimmed = pc.utf8_trim_whitespace(flat_all)
         nonempty = pc.not_equal(flat_trimmed, "")
         flat = flat_trimmed.filter(nonempty)
         parents = parents_all.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
-        _keepalive = (no_tags, no_punct, lowered, tok_lists, flat_all, parents_all, flat_trimmed)
 
         n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
         tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)

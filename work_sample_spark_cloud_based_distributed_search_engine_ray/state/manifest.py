@@ -22,6 +22,12 @@ import os
 import time
 from dataclasses import asdict, dataclass, field
 
+# Bump when the checkpoint/docstore schema changes incompatibly so a
+# resume never mixes old and new partition outputs.
+# v2: docs checkpoint stores the FULL extracted ``body`` (was a 200-char
+#     ``body_prefix``) to match the reference's /search contract.
+CURRENT_SCHEMA_VERSION = 2
+
 
 @dataclass
 class InputFragment:
@@ -40,7 +46,7 @@ class PartitionManifest:
     input_bytes: int = 0
     wall_seconds: float = 0.0
     finished_at_unix: float = field(default_factory=time.time)
-    schema_version: int = 1
+    schema_version: int = CURRENT_SCHEMA_VERSION
 
     def write(self, part_dir: str) -> str:
         path = os.path.join(part_dir, "manifest.json")
@@ -65,7 +71,8 @@ def read_manifest(part_dir: str) -> PartitionManifest | None:
 
 
 def partition_is_done(part_dir: str) -> bool:
-    return read_manifest(part_dir) is not None
+    m = read_manifest(part_dir)
+    return m is not None and m.schema_version == CURRENT_SCHEMA_VERSION
 
 
 def write_json_atomic(path: str, obj: dict) -> None:
