@@ -120,6 +120,97 @@ def test_simhash_pairs_on_near_dups():
         assert hamming64(sa, sb) == hd <= 3
 
 
+def _weird_texts():
+    """Texts hitting every batch-kernel branch: empty, all-punct (0
+    tokens), shorter than the shingle width, exactly the width, long,
+    and HTML-tagged."""
+    return [
+        "",
+        "...!!!",
+        "one",
+        "two words",
+        "three token doc",
+        "<p>Hello, World &amp; <b>friends</b></p> again and again",
+        " ".join(f"tok{i % 37}" for i in range(400)),
+        "The quick brown fox jumps over the lazy dog",
+    ]
+
+
+def test_minhash_stage_bit_identical_to_per_doc():
+    """The batch MinHash kernel path must produce EXACTLY the signature
+    of minhash_signature(shingle_hashes(tokenize(t))) per doc."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        MinHashStage,
+    )
+
+    texts = _weird_texts()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    stage = MinHashStage(num_perm=64, seed=7, shingle_n=3)
+    out = stage(batch)
+    sigs = np.array(out["sig"].to_pylist(), dtype=np.int64).view(np.uint64)
+    for i, t in enumerate(texts):
+        want = minhash_signature(shingle_hashes(tokenize(t), 3), stage.a, stage.b)
+        assert (sigs[i] == want).all(), f"doc {i!r} signature drifted"
+
+
+def test_minhash_from_segments_chunked_paths():
+    """Slab chunking and the oversized-single-segment fold must match
+    the naive per-segment signature."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (
+        minhash_from_segments,
+    )
+
+    rng = np.random.default_rng(11)
+    a, b = minhash_params(32, seed=2)
+    seg_lens = [5, 1, 300, 17, 2, 90]  # chunk=64 forces multi-slab + fold
+    sh = rng.integers(0, 1 << 61, size=sum(seg_lens), dtype=np.uint64)
+    offs = np.concatenate(([0], np.cumsum(seg_lens)))
+    got = minhash_from_segments(sh, offs, a, b, chunk=64)
+    for i in range(len(seg_lens)):
+        want = minhash_signature(sh[offs[i] : offs[i + 1]], a, b)
+        assert (got[i] == want).all(), f"segment {i}"
+
+
+def test_band_keys_matrix_identical_to_per_doc():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (
+        band_keys_matrix,
+        lsh_band_keys,
+    )
+
+    rng = np.random.default_rng(4)
+    sigs = rng.integers(0, 1 << 61, size=(10, 128), dtype=np.uint64)
+    got = band_keys_matrix(sigs, 16)
+    for i in range(10):
+        assert got[i].tolist() == lsh_band_keys(sigs[i], 16)
+
+
+def test_simhash_stage_bit_identical_to_per_doc():
+    from collections import Counter
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        SimHashStage,
+    )
+
+    texts = _weird_texts()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = SimHashStage()(batch)
+    got = out["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    for i, t in enumerate(texts):
+        c = Counter(tokenize(t))
+        want = simhash64(list(c.keys()), np.fromiter(c.values(), np.int64, len(c)))
+        assert int(got[i]) == want, f"doc {i!r} simhash drifted"
+
+
 def test_ngram_jaccard_exact_vs_bruteforce():
     tbl, _near = _mutated_corpus(n_base=15)
     ds = rd.from_arrow(tbl)

@@ -128,6 +128,133 @@ def simhash_chunk_keys(sim: int, num_chunks: int = 4) -> list[tuple[int, int]]:
     return [(i, (sim >> (i * width)) & mask) for i in range(num_chunks)]
 
 
+# --------------------------------------------------------------------------
+# batch (multi-doc) sketch kernels — bit-identical to the per-doc
+# functions above (asserted by tests/test_dedup.py), but one numpy pass
+# per batch instead of a Python loop per document.
+# --------------------------------------------------------------------------
+
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def window_hashes_flat(th: np.ndarray, n: int) -> np.ndarray:
+    """Polynomial n-window hashes over a FLAT token-hash array: one
+    value per window start (size - n + 1 of them). Identical arithmetic
+    to ``shingle_hashes``'s long-doc branch; the caller masks out
+    windows that straddle a document boundary."""
+    w = th.size - n + 1
+    if w <= 0:
+        return np.empty(0, np.uint64)
+    acc = np.zeros(w, dtype=np.uint64)
+    for j in range(n):
+        acc = acc * _SHINGLE_MULT + th[j : j + w]
+    return acc
+
+
+def minhash_from_segments(
+    sh_flat: np.ndarray,
+    seg_offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    *,
+    chunk: int = 1 << 16,
+) -> np.ndarray:
+    """MinHash signatures for many shingle-hash segments at once.
+
+    ``sh_flat`` concatenates every segment's shingle hashes;
+    ``seg_offsets`` (len S+1, strictly increasing — every segment
+    non-empty) delimits them. Returns (S, num_perm) uint64, each row
+    bit-identical to ``minhash_signature(sh_flat[o_i:o_{i+1}], a, b)``
+    (duplicates in a segment cannot change a min, so de-duplication of
+    shingles is unnecessary). Work proceeds in ~``chunk``-shingle slabs
+    aligned to segment boundaries so peak memory is
+    num_perm * chunk * 8 B regardless of corpus size; a single segment
+    longer than ``chunk`` is folded with a running minimum.
+    """
+    num_seg = len(seg_offsets) - 1
+    num_perm = a.shape[0]
+    out = np.empty((num_seg, num_perm), dtype=np.uint64)
+    s0 = 0
+    while s0 < num_seg:
+        s1 = int(np.searchsorted(seg_offsets, seg_offsets[s0] + chunk, side="left"))
+        s1 = min(max(s1, s0 + 1), num_seg)
+        f0, f1 = int(seg_offsets[s0]), int(seg_offsets[s1])
+        if s1 == s0 + 1 and f1 - f0 > chunk:
+            # one oversized segment: running min over pieces
+            acc = np.full(num_perm, _MAX_HASH, dtype=np.uint64)
+            for p0 in range(f0, f1, chunk):
+                sh = sh_flat[p0 : min(p0 + chunk, f1)]
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+                np.minimum(acc, vals.min(axis=1), out=acc)
+            out[s0] = acc
+        else:
+            sh = sh_flat[f0:f1]
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, F)
+            starts = (seg_offsets[s0:s1] - f0).astype(np.intp)
+            out[s0:s1] = np.minimum.reduceat(vals, starts, axis=1).T
+        s0 = s1
+    return out
+
+
+def band_keys_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """``lsh_band_keys`` for a whole (n_docs, num_perm) signature
+    matrix at once: returns (n_docs, num_bands) int64, row-identical to
+    the per-doc function."""
+    n, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    mult = np.uint64(0xC2B2AE3D27D4EB4F)
+    sig3 = sigs.reshape(n, num_bands, rows)
+    acc = np.broadcast_to(
+        np.arange(1, num_bands + 1, dtype=np.uint64), (n, num_bands)
+    ).copy()
+    for r in range(rows):
+        acc = acc * mult + sig3[:, :, r]
+    return acc.view(np.int64)
+
+
+def simhash_batch(th: np.ndarray, parents: np.ndarray, n_docs: int) -> np.ndarray:
+    """``simhash64`` for every doc of a batch from the FLAT token-hash
+    array (one entry per token OCCURRENCE — tf-weighting is implicit).
+    Returns uint64[n_docs]; empty docs hash to 0. Processes docs in
+    ~64k-token slabs so the 64-wide bit-vote matrix stays bounded."""
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if th.size == 0:
+        return out
+    counts = np.bincount(parents, minlength=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    shifts = np.arange(64, dtype=np.uint64)
+    d0 = 0
+    slab = 1 << 16
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(offsets, offsets[d0] + slab, side="left"))
+        d1 = min(max(d1, d0 + 1), n_docs)
+        f0, f1 = int(offsets[d0]), int(offsets[d1])
+        if f1 == f0:
+            d0 = d1
+            continue
+        t = th[f0:f1]
+        votes = (((t[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2) - 1
+        nonempty = np.flatnonzero(counts[d0:d1] > 0)
+        starts = (offsets[d0 + nonempty] - f0).astype(np.intp)
+        col = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, 64)
+        vals = ((col > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[d0 + nonempty] = vals
+        d0 = d1
+    return out
+
+
+def pairwise_hamming_matrix(h: np.ndarray) -> np.ndarray:
+    """(k, k) hamming distances of uint64 hashes (numpy<2 has no
+    bitwise_count; popcount via unpackbits on the byte view)."""
+    k = h.shape[0]
+    x = np.bitwise_xor(h[:, None], h[None, :])
+    return np.unpackbits(x.view(np.uint8).reshape(k, k, 8), axis=2).sum(
+        axis=2, dtype=np.int64
+    )
+
+
 def rolling_fingerprint(tokens: list[str], window: int = 8) -> int:
     """Document fingerprint: min-sampled polynomial rolling hash over
     token windows (winnowing-style single fingerprint; Schleimer et al.

@@ -55,6 +55,41 @@ def tokenize_query(query: str) -> list[str]:
     return out
 
 
+def flat_tokens_batch(texts: "list[str] | object"):
+    """Vectorized whole-batch tokenization preserving per-doc token
+    ORDER (the counting variant below destroys it).
+
+    Semantically identical to ``tokenize(t)`` per text — the same Arrow
+    kernel chain (tag strip, punct->space, lower, whitespace split,
+    defensive trim, empty filter) — but one kernel invocation per batch.
+    Returns ``(flat: pa.StringArray, parents: np.ndarray[int64],
+    n_docs: int)`` where ``flat[parents == i]`` is exactly
+    ``tokenize(texts[i])`` in order. Shared by the sketch stages
+    (MinHash shingling, SimHash votes, n-gram Jaccard), which need
+    ordered tokens, not counts.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    no_tags = pc.replace_substring_regex(arr, pattern=TAG_RE.pattern, replacement="")
+    no_punct = pc.replace_substring_regex(no_tags, pattern=PUNCT_RE.pattern, replacement=" ")
+    lowered = pc.utf8_lower(no_punct)
+    toks = pc.utf8_split_whitespace(lowered)
+    flat_all = pc.list_flatten(toks)
+    parents_all = pc.list_parent_indices(toks)
+    # defensive trim pass — see tokenize_count_batch for the rationale
+    flat_trimmed = pc.utf8_trim_whitespace(flat_all)
+    nonempty = pc.not_equal(flat_trimmed, "")
+    flat = flat_trimmed.filter(nonempty)
+    parents = parents_all.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, parents, n_docs
+
+
 def tokenize_count_batch(texts: "list[str] | object"):
     """Vectorized per-doc term counting for a whole batch.
 

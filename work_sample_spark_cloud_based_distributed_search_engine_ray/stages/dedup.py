@@ -33,17 +33,17 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.sketches import (
-    hamming64,
-    lsh_band_keys,
-    minhash_est_jaccard,
+    band_keys_matrix,
+    hash_tokens_u64,
+    minhash_from_segments,
     minhash_params,
     minhash_signature,
-    shingle_hashes,
-    simhash64,
-    simhash_chunk_keys,
+    pairwise_hamming_matrix,
+    simhash_batch,
+    window_hashes_flat,
 )
-from ..functions.tokenize import tokenize
-from .shuffle import hash_map_groups
+from ..functions.tokenize import flat_tokens_batch
+from .shuffle import hash_map_groups, hash_partitions
 
 
 # --------------------------------------------------------------------------
@@ -98,11 +98,59 @@ def exact_dup_losers(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "d
 # --------------------------------------------------------------------------
 
 
+class _TokenHasher:
+    """Per-actor token-hash cache: each DISTINCT token's blake2b hash is
+    computed once across all batches the actor sees (webtext vocab is
+    Zipfian, so the hit rate approaches 1 after the first batches); the
+    per-occurrence lookup is a vectorized gather."""
+
+    def __init__(self, max_entries: int = 1 << 22):
+        self._cache: dict[str, int] = {}
+        self._max = max_entries
+
+    def hashes_for_vocab(self, vocab: list[str]) -> np.ndarray:
+        import hashlib as _hl
+
+        cache = self._cache
+        out = np.empty(len(vocab), dtype=np.uint64)
+        admit = len(cache) < self._max
+        for i, t in enumerate(vocab):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(_hl.blake2b(t.encode(), digest_size=8).digest(), "big")
+                if admit:
+                    cache[t] = h
+            out[i] = h
+        return out
+
+
+def _hashed_flat_tokens(texts_col, hasher: _TokenHasher):
+    """Batch tokenization + per-occurrence token hashes.
+
+    Returns (flat: pa.StringArray, parents, th: uint64[n_occurrences],
+    counts, offsets, n_docs) — ``th[parents == i]`` is exactly
+    ``hash_tokens_u64(tokenize(texts[i]))`` in order."""
+    flat, parents, n_docs = flat_tokens_batch(texts_col)
+    counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    if len(flat) == 0:
+        return flat, parents, np.empty(0, np.uint64), counts, offsets, n_docs
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = hasher.hashes_for_vocab(d.dictionary.to_pylist())[codes]
+    return flat, parents, th, counts, offsets, n_docs
+
+
 class MinHashStage:
     """Actor-pool stage: text -> MinHash signature (list<int64>).
 
     Permutation coefficients are deterministic in ``seed`` and built
-    ONCE per actor in ``__init__`` — the stateful-stage pattern."""
+    ONCE per actor in ``__init__`` — the stateful-stage pattern. The
+    whole batch is tokenized with one Arrow kernel chain, shingle-hashed
+    with one rolling-window pass over the flat token-hash array, and
+    signed with a chunked segment-min — no per-doc Python loop
+    (bit-identical to ``minhash_signature(shingle_hashes(tokenize(t)))``
+    per doc; asserted by tests/test_dedup.py)."""
 
     def __init__(
         self,
@@ -117,46 +165,130 @@ class MinHashStage:
         self.shingle_n = shingle_n
         self.text_col = text_col
         self.id_col = id_col
+        self._hasher = _TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch[self.text_col].to_pylist():
-            sh = shingle_hashes(tokenize(text), self.shingle_n)
-            sigs.append(minhash_signature(sh, self.a, self.b).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "doc_id": batch[self.id_col],
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
-            }
+        n_sh = self.shingle_n
+        num_perm = self.a.shape[0]
+        flat, parents, th, counts, offsets, n_docs = _hashed_flat_tokens(
+            batch[self.text_col], self._hasher
         )
+        from ..functions.sketches import _MAX_HASH
+
+        sigs = np.full((n_docs, num_perm), _MAX_HASH, dtype=np.uint64)
+
+        # long docs (>= n tokens): rolling n-window hashes over the flat
+        # array; windows straddling a doc boundary are masked out
+        long_ids = np.flatnonzero(counts >= n_sh)
+        if long_ids.size:
+            wh_all = window_hashes_flat(th, n_sh)
+            w = wh_all.size
+            pos_in_doc = np.arange(w) - offsets[parents[:w]]
+            valid = pos_in_doc <= counts[parents[:w]] - n_sh
+            wh = wh_all[valid]  # grouped by doc, doc order preserved
+            seg_off = np.concatenate(([0], np.cumsum(counts[long_ids] - n_sh + 1)))
+            sigs[long_ids] = minhash_from_segments(wh, seg_off, self.a, self.b)
+
+        # short docs (0 < len < n): single whole-doc shingle (rare)
+        for d in np.flatnonzero((counts > 0) & (counts < n_sh)):
+            toks = flat.slice(offsets[d], counts[d]).to_pylist()
+            sh = hash_tokens_u64([" ".join(toks)])
+            sigs[d] = minhash_signature(sh, self.a, self.b)
+
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n_docs + 1) * num_perm, num_perm, dtype=np.int32)),
+            pa.array(sigs.view(np.int64).ravel()),
+        )
+        return pa.table({"doc_id": batch[self.id_col], "sig": sig_list})
 
 
 def _pairs_from_bucket(group: pa.Table, est_threshold: float, max_bucket: int) -> pa.Table:
     """All (a<b) pairs of one LSH bucket whose signature-estimated
-    Jaccard reaches the threshold. Groups beyond ``max_bucket`` are
-    truncated (flagged) — skew protection."""
+    Jaccard reaches the threshold — one vectorized (k, k, P) slot
+    comparison per bucket (k <= max_bucket, so the compare tensor is
+    bounded). Groups beyond ``max_bucket`` are truncated (flagged) —
+    skew protection."""
     nrows = group.num_rows
-    out_a, out_b, out_j = [], [], []
     truncated = nrows > max_bucket
-    if nrows > 1:
-        order = pc.array_sort_indices(group["doc_id"].combine_chunks())
-        group = group.take(order.slice(0, min(nrows, max_bucket)))
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sigs = [np.asarray(s, dtype=np.int64) for s in group["sig"].to_pylist()]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = minhash_est_jaccard(sigs[i], sigs[j])
-                if est >= est_threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(est)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+            "truncated": pa.array([], pa.bool_()),
+        }
+    )
+    if nrows < 2:
+        return empty
+    order = pc.array_sort_indices(group["doc_id"].combine_chunks())
+    group = group.take(order.slice(0, min(nrows, max_bucket)))
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    k = ids.size
+    sig_col = group["sig"].combine_chunks()
+    num_perm = len(sig_col[0])
+    sigs = (
+        pc.list_flatten(sig_col)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .reshape(k, num_perm)
+    )
+    iu, ju = np.triu_indices(k, 1)
+    est = (sigs[iu] == sigs[ju]).sum(axis=1) / num_perm
+    keep = est >= est_threshold
+    nkeep = int(keep.sum())
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "est_jaccard": pa.array(out_j, pa.float64()),
-            "truncated": pa.array([truncated] * len(out_a), pa.bool_()),
+            "doc_a": pa.array(ids[iu[keep]]),
+            "doc_b": pa.array(ids[ju[keep]]),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+            "truncated": pa.array(np.full(nkeep, truncated), pa.bool_()),
         }
+    )
+
+
+def _dedup_pairs(
+    pairs: rd.Dataset,
+    value_aggs: list[tuple[str, str]],
+    *,
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Global (doc_a, doc_b) dedup of candidate pairs (one pair can
+    surface from several bands/chunks): per-batch local dedup
+    (combiner), then ONE hash shuffle on a BOUNDED bucket of the mixed
+    pair hash and one vectorized Arrow group_by per bucket — no per-pair
+    Python call (the shuffle group count is ``num_buckets``, not the
+    pair cardinality). ``value_aggs`` are Arrow (col, fn) aggregates for
+    the carried value columns; every duplicate row carries the same
+    sketch-derived values, so min/max are arbitrary-row-identical."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["doc_a", "doc_b"]).aggregate(value_aggs)
+        return agg.rename_columns(["doc_a", "doc_b"] + [c for c, _ in value_aggs])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ua = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (ua * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            ub * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        bucket = ((mixed >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__bucket"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate(value_aggs)
+        )
+        return agg.rename_columns(["doc_a", "doc_b"] + [c for c, _ in value_aggs])
+
+    return hash_map_groups(
+        pairs.map_batches(local, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
+        num_partitions=min(hash_partitions(), num_buckets),
     )
 
 
@@ -193,20 +325,30 @@ def minhash_lsh_pairs(
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        keys, ids, sig_out = [], [], []
-        sig_lists = batch["sig"].to_pylist()
-        id_list = batch["doc_id"].to_pylist()
-        for did, sig in zip(id_list, sig_lists):
-            s = np.asarray(sig, dtype=np.uint64)
-            for bkey in lsh_band_keys(s, num_bands):
-                keys.append(bkey)
-                ids.append(did)
-                sig_out.append(sig)
+        nb = batch.num_rows
+        if nb == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sig_col = batch["sig"].combine_chunks()
+        sig_mat = (
+            pc.list_flatten(sig_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+            .reshape(nb, num_perm)
+        )
+        keys = band_keys_matrix(sig_mat, num_bands)  # (nb, num_bands) int64
+        rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_bands))
         return pa.table(
             {
-                "bucket": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sig_out, pa.list_(pa.int64())),
+                "bucket": pa.array(keys.ravel()),
+                "doc_id": batch["doc_id"].take(rep),
+                "sig": sig_col.take(rep),
             }
         )
 
@@ -220,17 +362,10 @@ def minhash_lsh_pairs(
         lambda g: _pairs_from_bucket(g, est_threshold, max_bucket),
     )
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["doc_a"], pa.string()), pc.cast(batch["doc_b"], pa.string()), ":"
-        )
-        return batch.append_column("pair", key)
-
-    return hash_map_groups(
-        pairs.map_batches(add_pair_key, batch_format="pyarrow"),
-        "pair",
-        lambda g: g.slice(0, 1),
-    ).drop_columns(["pair"])
+    # a pair surfacing from several bands carries the identical estimate
+    # in every copy; 'truncated' ORs across bands (deterministic, vs the
+    # old arbitrary-row pick)
+    return _dedup_pairs(pairs, [("est_jaccard", "min"), ("truncated", "max")])
 
 
 # --------------------------------------------------------------------------
@@ -239,22 +374,22 @@ def minhash_lsh_pairs(
 
 
 class SimHashStage:
-    """Actor-pool stage: text -> 64-bit SimHash (tf-weighted)."""
+    """Actor-pool stage: text -> 64-bit SimHash (tf-weighted).
+
+    One Arrow tokenize chain + one slab-chunked bit-vote pass per batch
+    (bit-identical to ``simhash64(Counter(tokenize(t)))`` per doc —
+    tf-weighted distinct-token votes equal one vote per occurrence)."""
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
-        from collections import Counter
-
-        self._counter = Counter
         self.text_col = text_col
         self.id_col = id_col
+        self._hasher = _TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch[self.text_col].to_pylist()):
-            counts = self._counter(tokenize(text))
-            out[i] = np.uint64(
-                simhash64(list(counts.keys()), np.fromiter(counts.values(), np.int64, len(counts)))
-            )
+        _flat, parents, th, _counts, _offsets, n_docs = _hashed_flat_tokens(
+            batch[self.text_col], self._hasher
+        )
+        out = simhash_batch(th, parents, n_docs)
         return pa.table(
             {
                 "doc_id": batch[self.id_col],
@@ -289,41 +424,53 @@ def simhash_pairs(
         concurrency=concurrency or 4,
     )
 
+    width = 64 // num_chunks
+    cmask = np.uint64((1 << width) - 1)
+
     def explode_chunks(batch: pa.Table) -> pa.Table:
-        keys, ids, sims = [], [], []
-        for did, sim in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            for cidx, cval in simhash_chunk_keys(int(sim) & 0xFFFFFFFFFFFFFFFF, num_chunks):
-                keys.append((cidx << 48) | cval)
-                ids.append(did)
-                sims.append(sim)
+        nb = batch.num_rows
+        sims = (
+            batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+        keys = np.empty((nb, num_chunks), dtype=np.int64)
+        for c in range(num_chunks):
+            keys[:, c] = (
+                (np.uint64(c) << np.uint64(48)) | ((sims >> np.uint64(c * width)) & cmask)
+            ).view(np.int64)
+        rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_chunks))
         return pa.table(
             {
-                "bucket": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array(sims, pa.int64()),
+                "bucket": pa.array(keys.ravel()),
+                "doc_id": batch["doc_id"].take(rep),
+                "simhash": batch["simhash"].take(rep),
             }
         )
 
     def verify(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        out_a, out_b, out_h = [], [], []
-        if n > 1:
-            order = pc.array_sort_indices(group["doc_id"].combine_chunks())
-            group = group.take(order.slice(0, min(n, max_bucket)))
-            ids = group["doc_id"].to_pylist()
-            sims = [s & 0xFFFFFFFFFFFFFFFF for s in group["simhash"].to_pylist()]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    hd = hamming64(sims[i], sims[j])
-                    if hd <= max_hamming:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_h.append(hd)
+        if n < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        order = pc.array_sort_indices(group["doc_id"].combine_chunks())
+        group = group.take(order.slice(0, min(n, max_bucket)))
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sims = (
+            group["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+        hd = pairwise_hamming_matrix(sims)  # (k, k), k <= max_bucket
+        iu, ju = np.triu_indices(ids.size, 1)
+        hv = hd[iu, ju]
+        keep = hv <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
+                "doc_a": pa.array(ids[iu[keep]]),
+                "doc_b": pa.array(ids[ju[keep]]),
+                "hamming": pa.array(hv[keep], pa.int64()),
             }
         )
 
@@ -331,17 +478,7 @@ def simhash_pairs(
         hashes.map_batches(explode_chunks, batch_format="pyarrow"), "bucket", verify
     )
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["doc_a"], pa.string()), pc.cast(batch["doc_b"], pa.string()), ":"
-        )
-        return batch.append_column("pair", key)
-
-    return hash_map_groups(
-        pairs.map_batches(add_pair_key, batch_format="pyarrow"),
-        "pair",
-        lambda g: g.slice(0, 1),
-    ).drop_columns(["pair"])
+    return _dedup_pairs(pairs, [("hamming", "min")])
 
 
 # --------------------------------------------------------------------------
@@ -355,74 +492,140 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_docs: int = 1024,
+    num_shingle_buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> rd.Dataset:
     """EXACT n-gram (word) Jaccard similarity for all pairs sharing at
     least one shingle, filtered to jaccard >= threshold.
 
-    Plan: distinct (doc_id, shingle-string, set-size) explode ->
-    groupby(shingle) emits co-occurrence pairs CARRYING both docs' set
-    sizes (one int each — computed locally per doc at explode time, no
-    driver pass) -> multi-key groupby(doc_a, doc_b) counts the
-    intersection and closes the formula |A∩B| / (|A| + |B| - |A∩B|)
-    vectorized. Nothing materializes on the driver; every shuffled row
-    is 4 ints + the shingle string.
+    Plan: distinct (doc_id, shingle-string, set-size) explode (one
+    Arrow kernel chain + one np.unique per batch, no per-doc loop) ->
+    ONE hash shuffle on a BOUNDED bucket of the shingle (the per-group
+    Python callback count is ``num_shingle_buckets``, never the shingle
+    cardinality) -> per bucket: sort by (shingle, doc_id), vectorized
+    run detection, and pair emission batched by run-length class (one
+    ``np.triu_indices`` per DISTINCT capped run length — bounded by
+    ``max_shingle_docs``) -> multi-key groupby(doc_a, doc_b) counts the
+    intersection and closes |A∩B| / (|A| + |B| - |A∩B|) vectorized.
+    Pairs carry both docs' set sizes (computed locally at explode time,
+    no driver pass). A shingle shared by more than ``max_shingle_docs``
+    docs keeps only the lowest-doc_id cap (skew protection, same
+    semantics as before).
 
     Shingles are STRINGS (n tokens joined by a space) so the DuckDB
     oracle can reproduce the exact same sets. Output: doc_a, doc_b,
     jaccard (float64).
     """
+    empty_shingled = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "shingle": pa.array([], pa.string()),
+            "sz": pa.array([], pa.int64()),
+        }
+    )
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
-        ids_out, sh_out, sz_out = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = tokenize(text)
-            if len(toks) < n:
-                continue
-            shset = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            for sh in shset:
-                ids_out.append(did)
-                sh_out.append(sh)
-                sz_out.append(len(shset))
+        flat, parents, n_docs = flat_tokens_batch(batch[text_col])
+        counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        total = len(flat)
+        w = total - n + 1
+        if w <= 0:
+            return empty_shingled
+        # n shifted views joined with spaces == " ".join(toks[i:i+n])
+        joined = flat.slice(0, w)
+        for j in range(1, n):
+            joined = pc.binary_join_element_wise(joined, flat.slice(j, w), " ")
+        # windows must not straddle a doc boundary (docs shorter than n
+        # emit nothing — same as the per-doc version's `continue`)
+        pos_in_doc = np.arange(w) - offsets[parents[:w]]
+        valid = pos_in_doc <= counts[parents[:w]] - n
+        sh_arr = joined.filter(pa.array(valid))
+        p_w = parents[:w][valid]
+        if len(sh_arr) == 0:
+            return empty_shingled
+        # distinct (doc, shingle) + per-doc set size via one np.unique
+        d = sh_arr.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = max(len(d.dictionary), 1)
+        uniq = np.unique(p_w * nd + codes)
+        up, uc = uniq // nd, uniq % nd
+        sz_per_doc = np.bincount(up, minlength=n_docs)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "shingle": pa.array(sh_out, pa.string()),
-                "sz": pa.array(sz_out, pa.int64()),
+                "doc_id": pa.array(doc_ids[up]),
+                "shingle": d.dictionary.take(pa.array(uc)),
+                "sz": pa.array(sz_per_doc[up]),
             }
         )
 
     shingled = ds.map_batches(explode_shingles, batch_format="pyarrow")
 
-    def cooccur(group: pa.Table) -> pa.Table:
+    from .ops import _bucket_of
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _bucket_of(batch["shingle"], num_shingle_buckets)
+        )
+
+    empty_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sz_a": pa.array([], pa.int64()),
+            "sz_b": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64()),
+        }
+    )
+
+    def cooccur_bucket(group: pa.Table) -> pa.Table:
         m = group.num_rows
         if m < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "sz_a": pa.array([], pa.int64()),
-                    "sz_b": pa.array([], pa.int64()),
-                    "one": pa.array([], pa.int64()),
-                }
-            )
-        order = pc.array_sort_indices(group["doc_id"].combine_chunks())
-        group = group.take(order.slice(0, min(m, max_shingle_docs)))
+            return empty_pairs
+        d = group["shingle"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         szs = group["sz"].to_numpy(zero_copy_only=False)
-        iu, ju = np.triu_indices(ids.size, 1)  # vectorized pair emission
+        order = np.lexsort((ids, codes))  # shingle runs, doc_id-sorted within
+        codes_s, ids_s, szs_s = codes[order], ids[order], szs[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+        lens = np.diff(np.concatenate((starts, [m])))
+        capped = np.minimum(lens, max_shingle_docs)
+        out_a, out_b, out_sza, out_szb = [], [], [], []
+        # one triu per DISTINCT capped run length, applied to every run
+        # of that length at once
+        for run_len in np.unique(capped):
+            if run_len < 2:
+                continue
+            run_starts = starts[capped == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            src_a = (run_starts[:, None] + iu[None, :]).ravel()
+            src_b = (run_starts[:, None] + ju[None, :]).ravel()
+            out_a.append(ids_s[src_a])
+            out_b.append(ids_s[src_b])
+            out_sza.append(szs_s[src_a])
+            out_szb.append(szs_s[src_b])
+        if not out_a:
+            return empty_pairs
+        a = np.concatenate(out_a)
         return pa.table(
             {
-                "doc_a": pa.array(ids[iu]),
-                "doc_b": pa.array(ids[ju]),
-                "sz_a": pa.array(szs[iu]),
-                "sz_b": pa.array(szs[ju]),
-                "one": pa.array(np.ones(iu.size, np.int64)),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "sz_a": pa.array(np.concatenate(out_sza)),
+                "sz_b": pa.array(np.concatenate(out_szb)),
+                "one": pa.array(np.ones(a.size, np.int64)),
             }
         )
 
-    pairs = hash_map_groups(shingled, "shingle", cooccur)
+    pairs = hash_map_groups(
+        shingled.map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        cooccur_bucket,
+        num_partitions=min(hash_partitions(), num_shingle_buckets),
+    )
 
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("one", alias_name="inter"),
