@@ -43,6 +43,13 @@ TFIDF_QUERY = "vector merge stream"
 KNN_QUERIES = 8
 KNN_K = 10
 NEAR_DUP_THR = 0.4
+# embedding_near_dups cutover: exact all-pairs at/below this row count,
+# banded hyperplane LSH + per-bucket exact verify above it. 256 puts the
+# driver's sf0.01 corpus (500 vectors) on the LSH side, so the SCALE
+# path is the one the oracle hash-verifies; production default in
+# stages/ann.py is 100k.
+NEAR_DUP_EXACT_MAX = 256
+NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 
 
@@ -145,7 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_tfidf_topk,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
-        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_auto,
         ivf_knn,
         knn_brute_force,
         lsh_knn,
@@ -275,7 +282,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(remap, batch_format="pyarrow")
 
     def q_near_dups(sf_dir: str):
-        return embedding_near_dup_pairs(_tbl(sf_dir, "embeddings"), threshold=NEAR_DUP_THR)
+        # auto cutover (stages/ann.py): exact all-pairs <= NEAR_DUP_EXACT_MAX
+        # rows, banded-LSH + per-bucket exact verify above — the oracle
+        # SQL replays whichever side the sf dir's row count selects
+        return embedding_near_dup_pairs_auto(
+            _tbl(sf_dir, "embeddings"),
+            threshold=NEAR_DUP_THR,
+            exact_max_rows=NEAR_DUP_EXACT_MAX,
+            num_bands=NEAR_DUP_BANDS,
+        )
 
     def q_knn_ivf(sf_dir: str):
         # rows-only: IVF-partitioned approximate variant — recall vs
@@ -830,6 +845,66 @@ def _sketch_oracle_sqls() -> dict[str, str]:
     return {"dedup_minhash_lsh": minhash_sql, "dedup_simhash": simhash_sql}
 
 
+def _near_dups_oracle_sql() -> str:
+    """Oracle for embedding_near_dups, mirroring the size-aware cutover
+    in ``stages/ann.py:embedding_near_dup_pairs_auto``: plain exact
+    all-pairs SQL at/below NEAR_DUP_EXACT_MAX rows; above it, the banded
+    hyperplane LSH is REPLAYED in SQL — per-band bucket keys recomputed
+    from embedded plane literals (planes deterministic in seed 7), a
+    same-(band,bucket) self-join for candidates, exact cosine verify,
+    DISTINCT across bands — brute-forcing the distributed scale path."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        hyperplanes,
+        near_dup_planes_per_band,
+    )
+
+    thr_e6 = int(round(NEAR_DUP_THR * 1e6))
+    pf = pq.ParquetFile(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    n = pf.metadata.num_rows
+    if n <= NEAR_DUP_EXACT_MAX:
+        return f"""
+    WITH s AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine_e6 FROM s WHERE cosine_e6 >= {thr_e6}
+    """
+    dim = len(pf.read_row_group(0, columns=["embedding"])["embedding"][0])
+    ppb = near_dup_planes_per_band(n)
+    planes = hyperplanes(dim, NEAR_DUP_BANDS * ppb, 7)
+    band_selects = []
+    for bnd in range(NEAR_DUP_BANDS):
+        expr = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{','.join(repr(float(x)) for x in planes[bnd * ppb + j])}]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(ppb)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {bnd} AS band, {expr} AS bucket FROM embeddings"
+        )
+    keys_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH keys AS (
+      {keys_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keys a JOIN keys b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    s AS (
+      SELECT c.vec_a, c.vec_b,
+             CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, cosine_e6 FROM s WHERE cosine_e6 >= {thr_e6}
+    """
+
+
 def _lsh_knn_oracle_sql() -> str:
     """Oracle for the hyperplane-LSH KNN query: the plane matrix is
     deterministic (seed 7), so the corpus-side bucket assignment is
@@ -1072,14 +1147,6 @@ def oracle_sql() -> dict[str, str]:
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
     """
 
-    near_dups = f"""
-    WITH s AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, cosine_e6 FROM s WHERE cosine_e6 >= {int(NEAR_DUP_THR * 1e6)}
-    """
 
     lang_id = f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
@@ -1143,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "knn_cosine_topk": knn,
-        "embedding_near_dups": near_dups,
+        "embedding_near_dups": _near_dups_oracle_sql(),
         "rel_groupby_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
             "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2, "

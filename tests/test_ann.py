@@ -132,3 +132,65 @@ def test_ivf_knn_recall_vs_bruteforce():
         hit += len(want & got_ids)
         tot += len(want)
     assert hit / tot >= 0.5, f"ivf recall {hit/tot}"
+
+
+def test_near_dup_auto_cutover_both_sides():
+    """The auto wrapper must take the exact plan below the cutoff and
+    the banded-LSH plan above it; the LSH side must equal the numpy
+    replay of bucketing + exact verify (deterministic, not just recall)."""
+    import pytest
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        banded_lsh_near_dup_pairs,
+        embedding_near_dup_pairs_auto,
+        hyperplanes,
+    )
+
+    ids, m = _load()
+    mn = _norm(m)
+    thr = 0.4
+    sims = np.rint((mn @ mn.T) * 1e6).astype(np.int64)
+    ai, bj = np.nonzero(sims >= int(thr * 1e6))
+    exact = {(int(ids[i]), int(ids[j])) for i, j in zip(ai, bj) if ids[i] < ids[j]}
+
+    # exact side of the cutover
+    got = embedding_near_dup_pairs_auto(
+        rd.read_parquet(EMB), threshold=thr, exact_max_rows=10_000
+    ).to_pandas()
+    assert set(zip(got["vec_a"], got["vec_b"])) == exact
+
+    # LSH side: replay banding in numpy for the expected candidate set
+    num_bands, ppb = 8, 4
+    planes = hyperplanes(m.shape[1], num_bands * ppb, 7)
+    signs = (m @ planes.T) > 0.0
+    weights = 1 << np.arange(ppb)
+    want = set()
+    for bnd in range(num_bands):
+        keys = signs[:, bnd * ppb : (bnd + 1) * ppb].astype(np.int64) @ weights
+        for key in np.unique(keys):
+            members = np.flatnonzero(keys == key)
+            for x in range(members.size):
+                for y in range(x + 1, members.size):
+                    i, j = members[x], members[y]
+                    if sims[i, j] >= int(thr * 1e6):
+                        a, b = sorted((int(ids[i]), int(ids[j])))
+                        want.add((a, b))
+    got2 = embedding_near_dup_pairs_auto(
+        rd.read_parquet(EMB),
+        threshold=thr,
+        exact_max_rows=0,
+        num_bands=num_bands,
+        planes_per_band=ppb,
+    ).to_pandas()
+    got2_pairs = set(zip(got2["vec_a"], got2["vec_b"]))
+    assert got2_pairs == want
+    assert want <= exact  # LSH finds only true pairs
+    # direct call agrees with the auto dispatch
+    got3 = banded_lsh_near_dup_pairs(
+        rd.read_parquet(EMB), threshold=thr, num_bands=num_bands, planes_per_band=ppb
+    ).to_pandas()
+    assert set(zip(got3["vec_a"], got3["vec_b"])) == want
+    # each surviving pair carries the exact cosine
+    for a, b, c in zip(got2["vec_a"], got2["vec_b"], got2["cosine_e6"]):
+        ia, ib = int(np.flatnonzero(ids == a)[0]), int(np.flatnonzero(ids == b)[0])
+        assert c == sims[ia, ib]

@@ -117,3 +117,41 @@ def test_parallelism_invariance(built, tmp_path):
     for t, p in idx.terms.items():
         p2 = idx2.terms[t]
         assert np.array_equal(p.ids, p2.ids) and np.array_equal(p.tfs, p2.tfs), t
+
+
+def test_docstore_lookup_indexed(tmp_path):
+    """DocStore.lookup routes each id to its row group via searchsorted
+    on the (min,max) stats index — both the disjoint-sorted fast path
+    and the overlapping-range fallback return exact rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        DocStore,
+    )
+
+    def write_store(root, ranges):
+        root.mkdir()
+        for i, ids in enumerate(ranges):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "url": pa.array([f"u{d}" for d in ids]),
+                }
+            )
+            pq.write_table(t, root / f"part-{i}.parquet", row_group_size=4)
+
+    sorted_root = tmp_path / "sorted"
+    write_store(sorted_root, [list(range(0, 20)), list(range(20, 40))])
+    ds = DocStore(str(sorted_root))
+    assert ds._disjoint
+    got = ds.lookup([3, 19, 20, 39, 999])
+    assert sorted(got) == [3, 19, 20, 39]
+    assert got[20]["url"] == "u20"
+
+    overlap_root = tmp_path / "overlap"
+    write_store(overlap_root, [[0, 5, 30], [2, 6, 31]])
+    ds2 = DocStore(str(overlap_root))
+    assert not ds2._disjoint
+    got2 = ds2.lookup([5, 6, 31, 7])
+    assert sorted(got2) == [5, 6, 31]

@@ -56,25 +56,46 @@ class DocStore:
     """
 
     def __init__(self, path: str):
-        self.files: list[tuple[str, int, int, int]] = []  # (file, rg, min_id, max_id)
+        entries: list[tuple[str, int, int, int]] = []  # (file, rg, min_id, max_id)
         for f in _parquet_files(path):
             md = pq.ParquetFile(f).metadata
             idx = md.schema.to_arrow_schema().names.index("doc_id")
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
-                self.files.append((f, rg, st.min, st.max))
+                entries.append((f, rg, st.min, st.max))
+        entries.sort(key=lambda e: (e[2], e[3]))
+        self.files = entries
+        self._mins = np.array([e[2] for e in entries], dtype=np.int64)
+        self._maxs = np.array([e[3] for e in entries], dtype=np.int64)
+        # The store is written doc_id-sorted, so row-group id ranges are
+        # disjoint; when they are, id -> row group is one searchsorted.
+        self._disjoint = bool(np.all(self._maxs[:-1] < self._mins[1:]))
 
     def lookup(self, doc_ids: list[int]) -> dict[int, dict]:
-        want = set(doc_ids)
         out: dict[int, dict] = {}
-        for f, rg, lo, hi in self.files:
-            hits = [d for d in want if lo <= d <= hi]
-            if not hits:
-                continue
+        if not len(self.files):
+            return out
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if self._disjoint:
+            # O(n_ids * log RG): locate each id's candidate row group
+            pos = np.searchsorted(self._mins, ids, side="right") - 1
+            ok = (pos >= 0) & (ids <= self._maxs[np.clip(pos, 0, None)])
+            pos, ids = pos[ok], ids[ok]
+            groups = [(rg_i, ids[pos == rg_i]) for rg_i in np.unique(pos)]
+        else:
+            # overlapping ranges (unsorted store): binary-search the
+            # sorted id list against every row-group range instead of a
+            # per-rowgroup scan of the whole want set
+            groups = []
+            for i, (_f, _rg, lo, hi) in enumerate(self.files):
+                s, e = np.searchsorted(ids, [lo, hi + 1])
+                if e > s:
+                    groups.append((i, ids[s:e]))
+        for rg_i, hits in groups:
+            f, rg, _lo, _hi = self.files[rg_i]
             t = pq.ParquetFile(f).read_row_group(rg)
             mask = pc.is_in(t["doc_id"], value_set=pa.array(hits, pa.int64()))
-            sel = t.filter(mask)
-            for row in sel.to_pylist():
+            for row in t.filter(mask).to_pylist():
                 out[row["doc_id"]] = row
         return out
 

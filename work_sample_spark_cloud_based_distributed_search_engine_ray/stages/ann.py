@@ -184,6 +184,143 @@ def embedding_near_dup_pairs(
     )
 
 
+def near_dup_planes_per_band(
+    n_rows: int, *, target_bucket: int = 4096, min_planes: int = 4, max_planes: int = 24
+) -> int:
+    """Deterministic band width for banded near-dup LSH: enough planes
+    that the EXPECTED bucket size (n / 2^planes under a balanced split)
+    stays near ``target_bucket``, so the per-bucket exact-verify matmul
+    is bounded as the corpus grows — the knob that keeps the plan
+    sub-quadratic at 100 TB."""
+    import math
+
+    if n_rows <= target_bucket:
+        return min_planes
+    return int(min(max_planes, max(min_planes, math.ceil(math.log2(n_rows / target_bucket)))))
+
+
+def banded_lsh_near_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> rd.Dataset:
+    """Near-dup pairs via BANDED random-hyperplane LSH + per-bucket
+    exact verify — the sub-quadratic scale path of
+    ``embedding_near_dup_pairs`` (same output contract: vec_a < vec_b,
+    cosine_e6 >= threshold, but only pairs that collide in >= 1 band;
+    per-band collision prob. = (1 - theta/pi)^planes_per_band).
+
+    Plan: one plane matmul per batch -> explode (band, bucket) keys ->
+    hash-bucket groupby -> one (k, k) exact cosine matmul per bucket ->
+    global pair dedup on a bounded bucket of the pair hash (a pair can
+    collide in several bands). No stage is driver-side; the all-to-all
+    moves only (bucket, id, vec) rows, num_bands x the corpus."""
+    thr_e6 = int(round(threshold * 1e6))
+    if dim is None:
+        dim = len(ds.take(1)[0][vec_col])
+    planes = hyperplanes(dim, num_bands * planes_per_band, seed)
+    p_ref = ray.put(planes)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64)).astype(np.int64)
+
+    empty_pairs = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine_e6": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch[vec_col],
+                }
+            )
+        p: np.ndarray = ray.get(p_ref)
+        signs = (_mat(batch[vec_col]) @ p.T) > 0.0  # (n, bands*ppb)
+        keys = np.empty((n, num_bands), dtype=np.int64)
+        for bnd in range(num_bands):
+            sl = signs[:, bnd * planes_per_band : (bnd + 1) * planes_per_band]
+            keys[:, bnd] = (np.int64(bnd) << np.int64(56)) | (sl.astype(np.int64) @ weights)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel()),
+                id_col: batch[id_col].take(rep),
+                vec_col: batch[vec_col].take(rep),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        k = group.num_rows
+        if k < 2:
+            return empty_pairs
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_mat(group[vec_col]))
+        sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+        iu, ju = np.triu_indices(k, 1)
+        sv = sims[iu, ju]
+        keep = sv >= thr_e6
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b)),
+                "vec_b": pa.array(np.maximum(a, b)),
+                "cosine_e6": pa.array(sv[keep]),
+            }
+        )
+
+    from .dedup import _dedup_pairs
+
+    pairs = hash_map_groups(
+        ds.map_batches(bucketize, batch_format="pyarrow"), "bucket", verify
+    )
+    return _dedup_pairs(pairs, [("cosine_e6", "min")], key_cols=("vec_a", "vec_b"))
+
+
+def embedding_near_dup_pairs_auto(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    exact_max_rows: int = 100_000,
+    num_bands: int = 8,
+    planes_per_band: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Size-aware cutover for embedding near-dup detection: EXACT
+    blocked all-pairs below ``exact_max_rows`` (O(N^2) flops are cheap
+    and recall is 1.0), banded-LSH + per-bucket exact verify above it
+    (sub-quadratic; the default at corpus scale). Both sides share the
+    output contract (vec_a < vec_b, cosine_e6 >= threshold)."""
+    n = ds.count()
+    if n <= exact_max_rows:
+        return embedding_near_dup_pairs(
+            ds, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    ppb = planes_per_band or near_dup_planes_per_band(n)
+    return banded_lsh_near_dup_pairs(
+        ds,
+        threshold=threshold,
+        num_bands=num_bands,
+        planes_per_band=ppb,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def hyperplanes(dim: int, num_planes: int = 16, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim))

@@ -251,6 +251,7 @@ def _dedup_pairs(
     value_aggs: list[tuple[str, str]],
     *,
     num_buckets: int = 256,
+    key_cols: tuple[str, str] = ("doc_a", "doc_b"),
 ) -> rd.Dataset:
     """Global (doc_a, doc_b) dedup of candidate pairs (one pair can
     surface from several bands/chunks): per-batch local dedup
@@ -261,13 +262,15 @@ def _dedup_pairs(
     the carried value columns; every duplicate row carries the same
     sketch-derived values, so min/max are arbitrary-row-identical."""
 
+    ka, kb = key_cols
+
     def local(batch: pa.Table) -> pa.Table:
-        agg = batch.group_by(["doc_a", "doc_b"]).aggregate(value_aggs)
-        return agg.rename_columns(["doc_a", "doc_b"] + [c for c, _ in value_aggs])
+        agg = batch.group_by([ka, kb]).aggregate(value_aggs)
+        return agg.rename_columns([ka, kb] + [c for c, _ in value_aggs])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ua = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ub = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ua = batch[ka].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = batch[kb].to_numpy(zero_copy_only=False).astype(np.uint64)
         mixed = (ua * np.uint64(0x9E3779B97F4A7C15)) ^ (
             ub * np.uint64(0xC2B2AE3D27D4EB4F)
         )
@@ -277,10 +280,10 @@ def _dedup_pairs(
     def per_bucket(group: pa.Table) -> pa.Table:
         agg = (
             group.drop_columns(["__bucket"])
-            .group_by(["doc_a", "doc_b"])
+            .group_by([ka, kb])
             .aggregate(value_aggs)
         )
-        return agg.rename_columns(["doc_a", "doc_b"] + [c for c, _ in value_aggs])
+        return agg.rename_columns([ka, kb] + [c for c, _ in value_aggs])
 
     return hash_map_groups(
         pairs.map_batches(local, batch_format="pyarrow").map_batches(
