@@ -49,6 +49,7 @@ NEAR_DUP_THR = 0.4
 # path is the one the oracle hash-verifies; production default in
 # stages/ann.py is 100k.
 NEAR_DUP_EXACT_MAX = 256
+MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 
@@ -230,14 +231,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_fingerprint(sf_dir: str):
+        # fp_md5 re-derived in SQL; fp_rolling (blake2b winnowing, not
+        # SQL-expressible) checked via embedded per-doc VALUES computed
+        # with the pure function — the sketch-oracle pattern
         return _stats(sf_dir).map_batches(
-            lambda t: t.select(["doc_id", "fp_md5"]), batch_format="pyarrow"
+            lambda t: t.select(["doc_id", "fp_md5", "fp_rolling"]), batch_format="pyarrow"
         )
 
     def q_bpe_count(sf_dir: str):
-        # rows-only: BPE-ish regex not expressible in DuckDB's RE2
+        # full SQL oracle: the lookahead in BPEISH_RE is equivalent, for
+        # RE2-compatible whitespace, to the lookahead-free pattern plus
+        # a correction term counted by a second regex (see oracle_sql;
+        # proven by 5k-case fuzz + full-corpus check in tests)
         return _stats(sf_dir).map_batches(
-            lambda t: t.select(["doc_id", "n_bpe_tokens", "fp_rolling"]),
+            lambda t: t.select(["doc_id", "n_bpe_tokens"]),
             batch_format="pyarrow",
         )
 
@@ -603,8 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thumbnail/spectrum features (functions/media_codecs.py)
         import ray.data as rd
 
-        n = 200
-        ds = rd.from_arrow(synth_media(n))
+        ds = rd.from_arrow(synth_media(MEDIA_N))
         return ds.map_batches(
             MediaFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=2
         ).map_batches(
@@ -843,6 +849,97 @@ def _sketch_oracle_sqls() -> dict[str, str]:
     WHERE bit_count(xor(a.h, b.h)) <= 3
     """
     return {"dedup_minhash_lsh": minhash_sql, "dedup_simhash": simhash_sql}
+
+
+def _fingerprint_oracle_sql() -> str:
+    """text_fingerprint oracle: fp_md5 fully re-derived in SQL from the
+    canonical tokenizer expression; fp_rolling (winnowing over blake2b
+    token hashes — not SQL-expressible) computed HERE with the pure
+    function per doc and embedded as VALUES, joined back by doc_id (the
+    sketch-oracle pattern, same as dedup_minhash_lsh)."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (
+        rolling_fingerprint,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+
+    docs = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        fp = rolling_fingerprint(tokenize(text))
+        if fp >= 1 << 63:  # signed int64 view, as the Arrow column stores it
+            fp -= 1 << 64
+        rows.append(f"({did}, {fp})")
+    return f"""
+    WITH roll(doc_id, fp_rolling) AS (VALUES {', '.join(rows)})
+    SELECT d.doc_id, md5(array_to_string({TOKS}, ' ')) AS fp_md5, r.fp_rolling
+    FROM documents d JOIN roll r ON r.doc_id = d.doc_id
+    """
+
+
+# BPEISH_RE count in pure RE2: the only non-RE2 piece of the pretokenizer
+# is the lookahead in `\s+(?!\S)`, which never changes the MATCH COUNT
+# except when a whitespace run of length >= 2 ends with a non-space
+# whitespace char right before a token — each such site splits one extra
+# match, and is itself countable by a second (lookahead-free) regex.
+# Exact for RE2-compatible whitespace ([ \t\n\r\f]); proven by a
+# 5000-case fuzz + the full driver corpus in tests/test_textstats.py.
+BPE_RE2_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+BPE_CORR_SQL = "\\s[^\\S ]\\S"
+
+
+def _bpe_count_oracle_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_RE2_SQL}'))
+             + len(regexp_extract_all(text, '{BPE_CORR_SQL}')) AS n_bpe_tokens
+    FROM documents
+    """
+
+
+def _media_features_oracle_sql() -> str:
+    """media_features oracle: the synthetic corpus generator
+    (stages/multimodal.py:synth_media) is a pure function of (n, seed)
+    whose METADATA columns (width/height/duration_ms) are chosen before
+    encoding; the pipeline must recover them by actually DECODING the
+    payload bytes. The oracle embeds, per media_id, the generator
+    metadata plus sha1/length computed directly from the generated
+    payloads — decode-inverts-encode, checked row by row."""
+    import hashlib
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_media,
+    )
+
+    t = synth_media(MEDIA_N)
+    rows = []
+    for i in range(t.num_rows):
+        payload = t["payload"][i].as_py()
+        rows.append(
+            "({}, '{}', {}, '{}', true, {}, {}, {})".format(
+                t["media_id"][i].as_py(),
+                t["kind"][i].as_py(),
+                len(payload),
+                hashlib.sha1(payload).hexdigest(),
+                t["width"][i].as_py(),
+                t["height"][i].as_py(),
+                t["duration_ms"][i].as_py(),
+            )
+        )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes, payload_sha1,
+           decoded, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(duration_ms AS INTEGER) AS duration_ms
+    FROM (VALUES {', '.join(rows)})
+      AS t(media_id, kind, payload_bytes, payload_sha1, decoded, width, height, duration_ms)
+    """
 
 
 def _near_dups_oracle_sql() -> str:
@@ -1196,9 +1293,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": lang_id,
         "text_quality": quality,
-        "text_fingerprint": (
-            f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp_md5 FROM documents"
-        ),
+        "text_fingerprint": _fingerprint_oracle_sql(),
+        "text_bpe_count": _bpe_count_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"

@@ -84,3 +84,40 @@ def test_bpe_token_count_positive_and_deterministic():
     assert a["n_bpe_tokens"].tolist() == b["n_bpe_tokens"].tolist()
     assert (a[a["n_tokens"] > 0]["n_bpe_tokens"] > 0).all()
     assert a["fp_rolling"].tolist() == b["fp_rolling"].tolist()
+
+
+def test_bpe_count_re2_formula_exact():
+    """The lookahead-free RE2 pattern + correction term used by the
+    text_bpe_count SQL oracle equals the Python BPEISH_RE match count —
+    fuzzed over every RE2-compatible whitespace char and checked over
+    the full driver corpus."""
+    import random
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import BPE_CORR_SQL, BPE_RE2_SQL
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        BPEISH_RE,
+    )
+
+    pat_re2 = BPE_RE2_SQL.replace("''", "'")
+    con = duckdb.connect()
+
+    def sql_count(t: str) -> int:
+        return con.execute(
+            "SELECT len(regexp_extract_all(?, ?)) + len(regexp_extract_all(?, ?))",
+            [t, pat_re2, t, BPE_CORR_SQL],
+        ).fetchone()[0]
+
+    random.seed(1)
+    alphabet = list("ab1!' \t\n\r\x0c")  # chars where Python \s == RE2 \s
+    for _ in range(1500):
+        t = "".join(random.choice(alphabet) for _ in range(random.randint(0, 40)))
+        assert len(BPEISH_RE.findall(t)) == sql_count(t), repr(t)
+
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    for t in texts:
+        assert len(BPEISH_RE.findall(t)) == sql_count(t)
