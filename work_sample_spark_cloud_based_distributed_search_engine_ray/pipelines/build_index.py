@@ -85,7 +85,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 from ..stages.extract import ExtractDocs, explode_postings
-from ..stages.shuffle import hash_map_groups
+from ..stages.shuffle import hash_map_groups, packed_map_groups
 
 K1 = 1.2
 B = 0.75
@@ -520,31 +520,60 @@ def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
     return ds.map_batches(drop_losers, batch_format="pyarrow", batch_size=None)
 
 
-def detect_hot_terms(paths: IndexPaths, threshold: int) -> list[str]:
-    """B3a: find the skew head (terms with sampled df >= threshold /
-    HOT_SAMPLE_MOD) by combining the per-partition ``_hot_partial``
-    tables written as part of the phase-A checkpoint — this stage reads
-    a few vocabulary-sized files, never the postings. The hot set only
-    steers salting/load balance; exact df/cf come from the encode
-    itself, and the final merged blobs are salting-invariant, so
-    sampling noise at the threshold is harmless (and the deterministic
-    sample makes the set parallelism-invariant anyway — N-vs-4N parity).
+def detect_term_salts(
+    paths: IndexPaths,
+    *,
+    num_salts_max: int,
+    num_buckets: int,
+    hot_df_threshold: int,
+) -> pa.Table:
+    """B3a: the SIZE-AWARE salt plan — (term, n_salts) for every term
+    whose postings need spreading over more than one shuffle bucket.
+
+    Combines the per-partition ``_hot_partial`` tables written as part
+    of the phase-A checkpoint (a few vocabulary-sized files, never the
+    postings) into estimated per-term df (sampled df x HOT_SAMPLE_MOD),
+    then sizes each term's salt count against a per-(term,salt) posting
+    BUDGET of half the average bucket's postings: a term estimated at
+    k x budget postings splits into ~k doc_id-range salts (capped at
+    ``num_salts_max``). The legacy stopword tier (df >= hot_df_threshold)
+    always gets the full ``num_salts_max``. Round 2's binary hot/cold
+    split left the largest COLD terms (df just under the threshold)
+    whole — a handful of them hashing into one bucket made that bucket
+    the straggler that capped shard-build scaling at ~0.55-0.8; the
+    budget rule bounds every bucket's largest member instead.
+
+    The plan only steers load balance: exact df/cf come from the encode
+    itself, and final merged blobs are salting-invariant (canonical
+    decode-sort-re-encode on merge), so sampling noise is harmless —
+    and the deterministic doc_id sample makes the plan
+    parallelism-invariant anyway (N-vs-4N parity).
 
     Combine is driver-side (#partitions x sampled-vocab rows). At an
     extreme vocabulary (10^8+ terms) swap the concat for a Ray
     ``groupby(term).aggregate(Sum)`` over the same partial files."""
-    sample_threshold = max(1, threshold // HOT_SAMPLE_MOD)
     partials = []
     for root, _dirs, names in os.walk(paths.docs_ckpt):
         for n in names:
             if n == "_hot_partial.parquet":
                 partials.append(pq.read_table(os.path.join(root, n)))
+    empty = pa.table({"term": pa.array([], pa.string()), "n_salts": pa.array([], pa.int64())})
     if not partials:
-        return []
+        return empty
     t = pa.concat_tables(partials)
     agg = t.group_by("term").aggregate([("partial_df", "sum")])
-    hot = agg.filter(pc.greater_equal(agg["partial_df_sum"], sample_threshold))
-    return hot["term"].to_pylist()
+    est_df = agg["partial_df_sum"].to_numpy(zero_copy_only=False) * HOT_SAMPLE_MOD
+    total_est = int(est_df.sum())
+    budget = max(4 * HOT_SAMPLE_MOD, total_est // (2 * num_buckets))
+    n_salts = np.minimum(-(-est_df // budget), num_salts_max)
+    n_salts = np.where(est_df >= hot_df_threshold, num_salts_max, n_salts)
+    keep = n_salts > 1
+    if not keep.any():
+        return empty
+    out = pa.table(
+        {"term": agg["term"].filter(pa.array(keep)), "n_salts": pa.array(n_salts[keep])}
+    )
+    return out.sort_by("term")
 
 
 def audit_doc_ids(paths: IndexPaths) -> dict:
@@ -686,10 +715,24 @@ def _finalize_shard(group: pa.Table) -> pa.Table:
     return pa.concat_tables(out, promote_options="default")
 
 
+def _resolve_num_buckets(
+    num_shards: int, num_buckets: int | None = None
+) -> tuple[int, int]:
+    """(num_buckets, sub_b) with buckets shard-aligned. 8 buckets per
+    CPU: the largest single-salt term-run must stay a small fraction of
+    one bucket's postings, and the straggler bucket bounds the stage's
+    critical path — measured at 4 buckets/CPU the max bucket task ran
+    ~7x the mean and capped shard-build scaling at ~2x for 4x CPUs."""
+    if num_buckets is None:
+        num_buckets = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
+    sub_b = max(1, num_buckets // num_shards)
+    return num_shards * sub_b, sub_b
+
+
 def build_shards(
     paths: IndexPaths,
     loser_ids_ref,
-    hot_terms: list[str],
+    salt_plan: pa.Table,
     *,
     num_shards: int = 16,
     num_salts: int = 8,
@@ -702,9 +745,11 @@ def build_shards(
        IN MEMORY and immediately pre-encodes one compressed run per
        (term, salt-range) (``encode_block_runs``), keyed by ``bucket =
        H(term, salt) % num_buckets`` where ``salt`` is a doc_id-RANGE
-       sub-key for hot terms (df >= threshold) and 0 otherwise. Hot
-       terms therefore spread over ``num_salts`` buckets — the skew
-       defusal; cold terms land in exactly one bucket.
+       sub-key with a PER-TERM salt count from ``salt_plan`` (sized so
+       no (term, salt) run group exceeds ~half a bucket's average
+       postings — see ``detect_term_salts``) and 0 for unplanned terms.
+       Salted terms therefore spread over up to ``num_salts`` buckets —
+       the skew defusal; cold terms land in exactly one bucket.
     2. ONE wide ``groupby(bucket)`` shuffle of the PACKED RUNS (~1-2% of
        the raw postings' bytes — the external-merge-of-partition-local-
        segments design); each bucket group decodes+merges+re-encodes ALL
@@ -725,19 +770,17 @@ def build_shards(
     Raise both with cluster size / corpus so a group fits in a worker's
     heap.
     """
-    hot_arr = pa.array(sorted(hot_terms), pa.string())
+    # the salted-term broadcast: sorted term array + per-term doc_id
+    # divisor (ceil(2^63 / n_salts); unplanned terms use 2^63 -> salt 0,
+    # one uniform formula for every posting)
+    hot_arr = salt_plan["term"].combine_chunks()
+    k_arr = salt_plan["n_salts"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    divisors = ((np.uint64(1) << np.uint64(63)) + k_arr - np.uint64(1)) // np.maximum(
+        k_arr, np.uint64(1)
+    )
     hot_ref = ray.put(hot_arr)
-    salt_div = np.uint64(((1 << 63) + num_salts - 1) // num_salts)  # doc_id-range salt
-    if num_buckets is None:
-        # 8 buckets per CPU: the largest UNSALTED term (df just under
-        # the hot threshold) must stay a small fraction of one bucket's
-        # postings, and the straggler bucket bounds the stage's critical
-        # path — measured at 4 buckets/CPU the max bucket task ran ~7x
-        # the mean and capped shard-build scaling at ~2x for 4x CPUs
-        num_buckets = max(128, int(ray.cluster_resources().get("CPU", 8)) * 8)
-    # shard-aligned buckets: bucket = shard(term) * sub_b + local
-    sub_b = max(1, num_buckets // num_shards)
-    num_buckets = num_shards * sub_b
+    div_ref = ray.put(divisors)
+    num_buckets, sub_b = _resolve_num_buckets(num_shards, num_buckets)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def encode_block_runs(batch: pa.Table) -> pa.Table:
@@ -752,12 +795,18 @@ def build_shards(
         uniq = d.dictionary
         # per-UNIQUE-term work only (vocab-bounded, not postings-bounded)
         uh = np.fromiter((hash64(t) for t in uniq.to_pylist()), dtype=np.uint64, count=len(uniq))
-        hot_mask = pc.is_in(uniq, value_set=ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        pos = (
+            pc.index_in(uniq, value_set=ray.get(hot_ref))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        div_u = np.full(len(uniq), np.uint64(1) << np.uint64(63), np.uint64)
+        found = pos >= 0
+        div_u[found] = ray.get(div_ref)[pos[found]]
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = exploded["doc_id"].to_numpy(zero_copy_only=False)
-        salts = np.where(
-            hot_mask[codes], ids.astype(np.uint64) // salt_div, np.uint64(0)
-        ).astype(np.int64)
+        salts = (ids.astype(np.uint64) // div_u[codes]).astype(np.int64)
         gkey = codes * num_salts + salts
         enc = encode_postings_multi(
             gkey,
@@ -804,7 +853,12 @@ def build_shards(
     pre = ds.materialize()
     sub["pre_encode"] = round(time.time() - t0, 3)
     t0 = time.time()
-    runs = hash_map_groups(pre, "bucket", _encode_bucket)
+    # packed + balanced: Ray's hash shuffle routes each ROW with a
+    # Python hash() call and assigns keys to aggregators multinomially;
+    # packing each block's runs per bucket into one IPC payload row and
+    # remapping bucket ids through hash-pre-imaged key values removes
+    # both costs (see stages/shuffle.py:packed_map_groups).
+    runs = packed_map_groups(pre, "bucket", _encode_bucket, num_buckets=num_buckets)
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     sub["bucket_merge"] = round(time.time() - t0, 3)
     t0 = time.time()
@@ -821,7 +875,7 @@ def build_shards(
         return batch.filter(pc.is_in(batch["term"], value_set=ray.get(hot_ref)))
 
     cold = runs.map_batches(cold_rows, batch_format="pyarrow")
-    if len(hot_terms):
+    if salt_plan.num_rows:
         merged_hot = hash_map_groups(
             runs.map_batches(hot_rows, batch_format="pyarrow"), "__fg", _finalize_shard
         ).map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
@@ -887,13 +941,17 @@ def build_index(
     loser_ids_ref = ray.put(loser_table["doc_id"].combine_chunks())
     g = global_stats(paths, loser_table)
     if hot_df_threshold is None:
-        # Salting exists to bound the postings one shuffle group holds,
-        # so "hot" means the true Zipf head (stopword tier), not merely
-        # common terms: df >= 20% of the corpus. At 10^12 docs pin this
-        # to the per-task posting budget instead (e.g. 10M postings) —
-        # the criterion is group size, not relative frequency.
+        # The stopword tier (full num_salts fan-out): df >= 20% of the
+        # corpus. Below it, detect_term_salts sizes each term's salt
+        # count against the per-(term,salt) posting budget — the
+        # criterion is group size, not relative frequency.
         hot_df_threshold = max(1000, int(0.2 * max(g["N"], 1)))
-    hot = detect_hot_terms(paths, hot_df_threshold)
+    salt_plan = detect_term_salts(
+        paths,
+        num_salts_max=num_salts,
+        num_buckets=_resolve_num_buckets(num_shards)[0],
+        hot_df_threshold=hot_df_threshold,
+    )
     t_b1 = time.time()
 
     # B2 (doc store) and B4 (term shuffle) have disjoint inputs/outputs
@@ -915,7 +973,7 @@ def build_index(
     with ThreadPoolExecutor(max_workers=2) as ex:
         f2 = ex.submit(_timed, "docstore", write_docstore, paths, loser_ref)
         f4 = ex.submit(
-            _timed, "shard_build", build_shards, paths, loser_ids_ref, hot,
+            _timed, "shard_build", build_shards, paths, loser_ids_ref, salt_plan,
             num_shards=num_shards, num_salts=num_salts,
         )
         f2.result()
@@ -933,7 +991,7 @@ def build_index(
             "num_shards": num_shards,
             "num_salts": num_salts,
             "hot_df_threshold": hot_df_threshold,
-            "num_hot_terms": len(hot),
+            "num_salted_terms": salt_plan.num_rows,
             "num_duplicate_docs": loser_table.num_rows,
             "phase_a": a_metrics,
             "timings_sec": {

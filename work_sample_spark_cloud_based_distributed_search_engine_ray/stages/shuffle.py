@@ -27,13 +27,136 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray
 import ray.data as rd
 
 
 def hash_partitions(num_partitions: int | None = None) -> int:
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return num_partitions or max(2, cpus)
+    if num_partitions:
+        return num_partitions
+    return max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def balanced_bucket_keys(num_buckets: int, num_partitions: int | None = None) -> np.ndarray:
+    """int64 key VALUES that Ray's hash shuffle assigns EXACTLY evenly
+    across ``num_partitions`` aggregators.
+
+    Ray 2.49's hash shuffle partitions each row by
+    ``hash((scalar,)) % num_partitions`` (ray.data._internal.arrow_ops.
+    transform_pyarrow.hash_partition). Random int keys therefore land
+    multinomially: with B buckets over P partitions the heaviest
+    partition holds ~B/P + O(sqrt(B/P)) buckets — measured as the
+    bucket_merge straggler that capped shard-build scaling. pyarrow
+    scalar hashes are value-determined and process-stable, so the
+    driver can PRE-IMAGE the assignment: probe k = 0, 1, 2, ... and keep
+    exactly B/P keys per partition. Callers remap their logical bucket
+    ids (0..B-1) through the returned array.
+
+    Robustness: if a future Ray changes the partition hash, the keys
+    simply land arbitrarily again — load balance degrades, correctness
+    is untouched (any bijective remap of group keys is semantics-free).
+    """
+    p = hash_partitions(num_partitions)
+    per = (num_buckets + p - 1) // p
+    filled = [0] * p
+    out = np.empty(num_buckets, dtype=np.int64)
+    got = 0
+    k = 0
+    while got < num_buckets:
+        part = hash((pa.scalar(k, pa.int64()),)) % p
+        if filled[part] < per:
+            filled[part] += 1
+            out[got] = k
+            got += 1
+        k += 1
+    return out
+
+
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_table(buf) -> pa.Table:
+    return pa.ipc.open_stream(buf).read_all()
+
+
+def packed_map_groups(
+    ds: rd.Dataset,
+    key: str,
+    fn: Callable,
+    *,
+    num_partitions: int | None = None,
+    balance_keys: bool = True,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """``hash_map_groups`` for BOUNDED-cardinality int64 bucket keys,
+    with the shuffle payload packed one row per (input block, bucket).
+
+    Why: Ray 2.49's hash shuffle computes a PYTHON ``hash(tuple)`` per
+    input ROW to route it (see ``balanced_bucket_keys``); a shuffle of
+    millions of small rows pays ~10us/row of driver-grade Python before
+    any data moves. Packing each block's rows for one bucket into a
+    single Arrow-IPC payload row cuts the routed row count to
+    #blocks x #buckets (orders of magnitude), after which the per-row
+    loop is free and the shuffle moves a few large binary cells instead
+    of many small rows. ``fn`` receives the unpacked, concatenated group
+    (key column re-attached) — identical semantics to
+    ``hash_map_groups(ds, key, fn)``.
+
+    Requirements: ``key`` is int64 in ``[0, num_buckets)`` (a bucket
+    id, not a data key; default bound 65536, asserted at pack time).
+    When ``balance_keys`` is set the caller's bucket ids are remapped
+    through ``balanced_bucket_keys`` so every aggregator receives the
+    same bucket COUNT — note ``fn`` then sees the REMAPPED key value in
+    the re-attached key column (bucket ids are arbitrary labels; no
+    caller derives meaning from them).
+    """
+    n = hash_partitions(num_partitions)
+    nb = num_buckets or (1 << 16)
+    keymap_ref = None
+    if balance_keys:
+        keymap_ref = ray.put(balanced_bucket_keys(nb, n))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), "__payload": pa.array([], pa.large_binary())}
+            )
+        idx = pc.sort_indices(batch[key])
+        g = batch.take(idx).combine_chunks()
+        kv = g[key].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(kv)) + 1))
+        lens = np.diff(np.concatenate((starts, [kv.size])))
+        body = g.drop_columns([key])
+        payloads = [
+            _ipc_bytes(body.slice(int(s), int(l))) for s, l in zip(starts, lens)
+        ]
+        keys_out = kv[starts]
+        if keymap_ref is not None:
+            if keys_out[-1] >= nb or keys_out[0] < 0:
+                raise ValueError(f"bucket id outside [0, {nb}): {keys_out[[0, -1]]}")
+            keys_out = ray.get(keymap_ref)[keys_out]
+        return pa.table(
+            {key: pa.array(keys_out), "__payload": pa.array(payloads, pa.large_binary())}
+        )
+
+    def unpack_apply(group: pa.Table) -> pa.Table:
+        tables = [_ipc_table(b) for b in group["__payload"].to_pylist()]
+        body = pa.concat_tables(tables, promote_options="default")
+        kval = group[key][0].as_py()
+        body = body.append_column(key, pa.array(np.full(body.num_rows, kval, np.int64)))
+        return fn(body)
+
+    return hash_map_groups(
+        ds.map_batches(pack, batch_format="pyarrow"), key, unpack_apply, num_partitions=n
+    )
 
 
 def hash_map_groups(
