@@ -52,6 +52,8 @@ NEAR_DUP_EXACT_MAX = 256
 MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 10
 
 
 def _docs(sf_dir: str):
@@ -604,6 +606,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         )
 
+    def q_crawl_pagerank(sf_dir: str):
+        # iterative PageRank over the extracted link graph — the
+        # consumer of the reference's vestigial rank hook
+        # (search/Searcher.java:48,155); damping/iterations mirrored
+        # exactly by the unrolled-CTE SQL oracle
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            pagerank,
+        )
+
+        pages_path = pages_for_sf_dir(sf_dir)
+        edges = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+        urls = pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        t = pagerank(edges, urls, damping=PAGERANK_D, iters=PAGERANK_ITERS)
+        e9 = np.round(t["rank"].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
+        return pa.table({"url": t["url"], "rank_e9": pa.array(e9)})
+
     def q_media_features(sf_dir: str):
         # rows-only: synthetic media corpus (no media in the sf tables).
         # REAL decode: BMP/WAV/WSMV payloads -> pixels/samples ->
@@ -671,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": q_sessionize,
         "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
+        "crawl_pagerank": q_crawl_pagerank,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
@@ -1173,6 +1201,57 @@ def _crawl_links_oracle_sql() -> str:
     """
 
 
+def _pagerank_oracle_sql() -> str:
+    """Oracle for ``crawl_pagerank``: re-derives the link edges in SQL
+    (same CTEs as the hash-matched ``crawl_links`` oracle), restricts
+    them to the crawled node set, and unrolls ``PAGERANK_ITERS`` damped
+    power iterations as a CTE chain — r_{k+1}(v) = (1-d)/n +
+    d*(sum_{u->v} r_k(u)/deg(u) + dangling_k/n), identical semantics to
+    ``stages.crawl.pagerank``. The damping constants are written as the
+    same (1 - 0.85) expression both engines evaluate, and ranks are
+    quantized to rank_e9 AFTER the final iteration (the repo's *_e6/_e9
+    float-parity pattern)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    d = PAGERANK_D
+    head = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS (SELECT DISTINCT src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    nodes AS (SELECT DISTINCT url FROM pages),
+    e AS MATERIALIZED (SELECT src_url, dst_url FROM edges0
+          JOIN nodes ON edges0.dst_url = nodes.url),
+    deg AS MATERIALIZED (SELECT src_url, count(*) AS deg FROM e GROUP BY src_url),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(PAGERANK_ITERS):
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS m FROM r{k} r
+             LEFT JOIN deg ON r.url = deg.src_url WHERE deg.src_url IS NULL),
+    r{k + 1} AS MATERIALIZED (SELECT nodes.url,
+               (1 - {d}) / (SELECT n FROM nn)
+               + {d} * (coalesce(c.c, 0.0) + (SELECT m FROM d{k}) / (SELECT n FROM nn)) AS rank
+             FROM nodes LEFT JOIN (
+               SELECT e.dst_url AS url, sum(r.rank / deg.deg) AS c
+               FROM e JOIN r{k} r ON e.src_url = r.url
+               JOIN deg ON deg.src_url = e.src_url
+               GROUP BY e.dst_url) c ON nodes.url = c.url)""")
+    tail = f"""
+    SELECT url, CAST(round(rank * 1000000000) AS BIGINT) AS rank_e9
+    FROM r{PAGERANK_ITERS} ORDER BY url
+    """
+    return head + "".join(steps) + tail
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)"
 
@@ -1306,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
+        "crawl_pagerank": _pagerank_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),
         "rel_groupby_agg": (

@@ -155,3 +155,27 @@ def test_docstore_lookup_indexed(tmp_path):
     assert not ds2._disjoint
     got2 = ds2.lookup([5, 6, 31, 7])
     assert sorted(got2) == [5, 6, 31]
+
+
+def test_reference_topk_rank_multiplier(built):
+    """The vestigial Searcher.java:48,155 rank hook: admission set is
+    unchanged (threshold applies pre-boost), scores scale by
+    (1 + w * rank), order follows the boosted score."""
+    _pages, _paths, idx, _oracle = built
+    q = base = None
+    for _qid, cand in reference_queries():
+        got = idx.reference_topk(cand, k=50)
+        if len(got) >= 2:
+            q, base = cand, got
+            break
+    assert base, "no reference query admits >=2 docs at this corpus size"
+    # zero weight / empty map are no-ops
+    assert idx.reference_topk(q, k=50, page_ranks={}) == base
+    assert idx.reference_topk(q, k=50, page_ranks={base[0][0]: 9.0}, rank_weight=0.0) == base
+    # boosting the last doc reorders it to the front, same admission set
+    last_doc = base[-1][0]
+    boosted = idx.reference_topk(q, k=50, page_ranks={last_doc: 100.0})
+    assert {d for d, _ in boosted} == {d for d, _ in base}
+    assert boosted[0][0] == last_doc
+    want = dict(base)[last_doc] * (1.0 + 100.0)
+    assert abs(boosted[0][1] - want) < 1e-12

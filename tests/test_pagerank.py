@@ -1,0 +1,86 @@
+"""PageRank over the link graph: numpy golden (dense power iteration)
+on a fixture graph with dangling nodes, plus edges from the real link
+extractor over synthetic pages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+    LinkExtractStage,
+    pagerank,
+)
+
+
+def _numpy_pagerank(urls, edges, d=0.85, iters=10):
+    """Dense reference: standard damped PageRank, dangling mass spread
+    uniformly — the exact semantics pagerank() documents."""
+    n = len(urls)
+    idx = {u: i for i, u in enumerate(urls)}
+    deg = np.zeros(n)
+    for s, t in edges:
+        if s in idx and t in idx:
+            deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            if s in idx and t in idx:
+                contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        dang = r[deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dang / n)
+    return {u: r[idx[u]] for u in urls}
+
+
+FIXTURE_URLS = ["http://a:80/", "http://b:80/", "http://c:80/", "http://d:80/", "http://e:80/"]
+FIXTURE_EDGES = [
+    ("http://a:80/", "http://b:80/"),
+    ("http://a:80/", "http://c:80/"),
+    ("http://b:80/", "http://c:80/"),
+    ("http://c:80/", "http://a:80/"),
+    # d is dangling (no out-links); e links out of the node set only
+    ("http://e:80/", "http://zz-external:80/"),
+]
+
+
+def test_pagerank_matches_numpy_golden(ray_session):
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([e[0] for e in FIXTURE_EDGES]),
+                "dst_url": pa.array([e[1] for e in FIXTURE_EDGES]),
+            }
+        )
+    )
+    got = pagerank(edges_ds, FIXTURE_URLS, damping=0.85, iters=10)
+    # external-dst edge is dropped, so e is dangling too
+    kept = [(s, t) for s, t in FIXTURE_EDGES if t in FIXTURE_URLS]
+    want = _numpy_pagerank(FIXTURE_URLS, kept)
+    assert got.num_rows == len(FIXTURE_URLS)
+    ranks = dict(zip(got["url"].to_pylist(), got["rank"].to_pylist()))
+    for u in FIXTURE_URLS:
+        assert ranks[u] == pytest.approx(want[u], rel=1e-12), u
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)  # mass conserved
+    # the 2-in-degree hub outranks the dangling leaf
+    assert ranks["http://c:80/"] > ranks["http://d:80/"]
+
+
+def test_pagerank_on_extracted_links(ray_session):
+    """End-to-end: pages -> LinkExtractStage -> pagerank, checked
+    against the dense numpy reference over the same extracted edges."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        synth_pages,
+    )
+
+    pages = synth_pages(300)
+    edges_tbl = LinkExtractStage()(pages.select(["url", "html"]))
+    urls = pages["url"].to_pylist()
+    got = pagerank(rd.from_arrow(edges_tbl), urls, iters=5)
+    edges = list(zip(edges_tbl["src_url"].to_pylist(), edges_tbl["dst_url"].to_pylist()))
+    want = _numpy_pagerank(sorted(set(urls)), [e for e in edges if e[1] in set(urls)], iters=5)
+    ranks = dict(zip(got["url"].to_pylist(), got["rank"].to_pylist()))
+    assert len(ranks) == len(set(urls))
+    worst = max(abs(ranks[u] - want[u]) for u in want)
+    assert worst < 1e-12

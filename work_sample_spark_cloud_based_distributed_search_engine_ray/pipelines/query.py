@@ -340,9 +340,25 @@ class SearchIndex:
 
     # ---------------- reference tf-idf scorer ----------------
 
-    def reference_topk(self, query: str, k: int = 300, threshold: float = 0.3) -> list[tuple[int, float]]:
+    def reference_topk(
+        self,
+        query: str,
+        k: int = 300,
+        threshold: float = 0.3,
+        page_ranks: dict[int, float] | None = None,
+        rank_weight: float = 1.0,
+    ) -> list[tuple[int, float]]:
         """The reference's shipped ranking (``Searcher.java:108-198``):
-        log10 tf-idf, keep score > threshold, top ``k``."""
+        log10 tf-idf, keep score > threshold, top ``k``.
+
+        ``page_ranks`` re-enables the reference's vestigial link-rank
+        multiplier (the commented-out ``* pagerank`` hook,
+        ``Searcher.java:48,155``): when given a {doc_id: rank} map
+        (e.g. from ``stages.crawl.pagerank`` keyed by hash64(url)),
+        the tf-idf score is multiplied by ``1 + rank_weight * rank``
+        AFTER the admission threshold — threshold semantics match the
+        shipped (rank-less) reference exactly; only the final order
+        changes."""
         q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
         if not q_terms:
             return []
@@ -358,7 +374,13 @@ class SearchIndex:
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, scores)
         keep = acc > threshold
-        return _topk(uniq[keep], acc[keep], k)
+        uniq, acc = uniq[keep], acc[keep]
+        if page_ranks is not None and uniq.size:
+            boost = np.fromiter(
+                (page_ranks.get(int(d), 0.0) for d in uniq), dtype=np.float64, count=uniq.size
+            )
+            acc = acc * (1.0 + rank_weight * boost)
+        return _topk(uniq, acc, k)
 
     # ---------------- result assembly ----------------
 

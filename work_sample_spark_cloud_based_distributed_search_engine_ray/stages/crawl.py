@@ -118,6 +118,132 @@ def frontier_bfs(
     )
 
 
+def pagerank(
+    edges: "rd.Dataset",
+    node_urls: list[str],
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> pa.Table:
+    """Iterative PageRank over a link-edge table — the consumer of the
+    link graph the reference left vestigial (``search/Searcher.java:
+    48,155`` keeps a commented-out rank multiplier with no job that
+    ever computes it; this fills that hole with standard damped
+    PageRank, dangling mass redistributed uniformly).
+
+    Semantics (matched exactly by the SQL oracle and the numpy golden):
+    nodes = the crawled page urls; edges restricted to endpoints in the
+    node set; ``deg`` = restricted out-degree; r_0 = 1/n;
+    r_{k+1}(v) = (1-d)/n + d * (sum_{u->v} r_k(u)/deg(u) + dangling_k/n)
+    where dangling_k = sum of r_k over zero-out-degree nodes.
+
+    Physical plan (the broadcast-join variant the verdict prescribed):
+    per iteration the rank/out-degree vector is BROADCAST (``ray.put``
+    once, read per task), each edge block emits per-dst partial sums
+    (map-side combine via one ``np.unique`` per batch), and ONE
+    ``groupby(dst).aggregate(Sum)`` closes the iteration — so the
+    shuffle moves at most #distinct-dst rows, never raw edges. The
+    rank vector is node-count-bounded driver/worker state: fine up to
+    ~10^8 nodes per the repo's broadcast-vs-shuffle convention
+    (``build_index.DRIVER_DEDUP_LIMIT``); at 10^12 pages swap the
+    broadcast for rank tables hash-bucketed by url alongside
+    equally-bucketed edges (same bucketed-join pattern as
+    ``stages.ops.shuffle_join``) — one all-to-all per iteration is
+    inherent to distributed PageRank.
+
+    Returns (url, rank) sorted by url; ranks sum to 1 (mass conserved).
+    """
+    import ray
+
+    from ..functions.hashing import hash64_array
+
+    import numpy as np
+
+    urls = sorted(set(node_urls))
+    ids = hash64_array(urls)
+    order = np.argsort(ids)
+    ids, urls = ids[order], [urls[i] for i in order]
+    n = len(urls)
+    if n == 0:
+        return pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+    ids_ref = ray.put(ids)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        node_ids = ray.get(ids_ref)
+        # hash only DISTINCT urls per batch (dictionary encode), then
+        # gather — the per-edge cost is one int index
+        out = {}
+        for col, name in (("src_url", "src_id"), ("dst_url", "dst_id")):
+            d = batch[col].combine_chunks().dictionary_encode()
+            h = hash64_array(d.dictionary.to_pylist())
+            out[name] = h[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        pos_s = np.searchsorted(node_ids, out["src_id"])
+        pos_d = np.searchsorted(node_ids, out["dst_id"])
+        np.clip(pos_s, 0, n - 1, out=pos_s)
+        np.clip(pos_d, 0, n - 1, out=pos_d)
+        keep = (node_ids[pos_s] == out["src_id"]) & (node_ids[pos_d] == out["dst_id"])
+        return pa.table(
+            {"src_id": pa.array(out["src_id"][keep]), "dst_id": pa.array(out["dst_id"][keep])}
+        )
+
+    edges_i = edges.map_batches(to_int, batch_format="pyarrow").materialize()
+
+    def _collect(ds: "rd.Dataset") -> pa.Table:
+        return pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+             for b in (ray.get(r) for r in ds.to_arrow_refs())],
+            promote_options="default",
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    deg_t = _collect(edges_i.groupby("src_id").aggregate(Count(alias_name="deg")))
+    deg = np.zeros(n, dtype=np.float64)
+    if deg_t.num_rows:
+        deg[np.searchsorted(ids, deg_t["src_id"].to_numpy(zero_copy_only=False))] = (
+            deg_t["deg"].to_numpy(zero_copy_only=False)
+        )
+    dangling_mask = deg == 0
+    inv_deg = np.where(dangling_mask, 0.0, 1.0 / np.maximum(deg, 1.0))
+
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    for _it in range(iters):
+        w_ref = ray.put(ranks * inv_deg)
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            node_ids = ray.get(ids_ref)
+            si = np.searchsorted(node_ids, batch["src_id"].to_numpy(zero_copy_only=False))
+            c = w[si]
+            u, inv = np.unique(
+                batch["dst_id"].to_numpy(zero_copy_only=False), return_inverse=True
+            )
+            s = np.zeros(u.size, dtype=np.float64)
+            np.add.at(s, inv, c)
+            return pa.table({"dst_id": pa.array(u), "c": pa.array(s)})
+
+        agg = _collect(
+            edges_i.map_batches(contribs, batch_format="pyarrow")
+            .groupby("dst_id")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        contrib = np.zeros(n, dtype=np.float64)
+        if agg.num_rows:
+            contrib[np.searchsorted(ids, agg["dst_id"].to_numpy(zero_copy_only=False))] = (
+                agg["c"].to_numpy(zero_copy_only=False)
+            )
+        dang = float(ranks[dangling_mask].sum())
+        ranks = (1.0 - damping) / n + damping * (contrib + dang / n)
+
+    by_url = sorted(range(n), key=lambda i: urls[i])
+    return pa.table(
+        {
+            "url": pa.array([urls[i] for i in by_url], pa.string()),
+            "rank": pa.array(ranks[np.array(by_url)], pa.float64()),
+        }
+    )
+
+
 def out_degree(links: "pa.Table") -> pa.Table:
     """Per-page out-degree from a link-edge table (vectorized)."""
     agg = links.group_by("src_url").aggregate([([], "count_all")])
