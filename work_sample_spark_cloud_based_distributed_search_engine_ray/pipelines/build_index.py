@@ -84,7 +84,7 @@ from ..state.manifest import (
     read_manifest,
     write_json_atomic,
 )
-from ..stages.extract import ExtractDocs, explode_postings
+from ..stages.extract import HOT_SAMPLE_MOD, ExtractDocs, explode_postings
 from ..stages.shuffle import hash_map_groups, packed_map_groups
 
 K1 = 1.2
@@ -293,9 +293,6 @@ def run_phase_a(
         # narrow columns over in memory (resumed/huge builds read disk)
         metrics["dedup_narrow"] = [ray.get(r) for r in narrow_refs]
     return metrics
-
-
-HOT_SAMPLE_MOD = 8  # hot detection sees 1/8 of docs (deterministic by doc_id)
 
 
 def _write_hot_partial(part_dir: str, written: pa.Table) -> None:

@@ -38,12 +38,11 @@ from ..functions.sketches import (
     minhash_from_segments,
     minhash_params,
     minhash_signature,
-    pairwise_hamming_matrix,
     simhash_batch,
     window_hashes_flat,
 )
 from ..functions.tokenize import flat_tokens_batch
-from .shuffle import hash_map_groups, hash_partitions
+from .shuffle import hash_map_groups, hash_partitions, packed_map_groups
 
 
 # --------------------------------------------------------------------------
@@ -202,46 +201,83 @@ class MinHashStage:
         return pa.table({"doc_id": batch[self.id_col], "sig": sig_list})
 
 
-def _pairs_from_bucket(group: pa.Table, est_threshold: float, max_bucket: int) -> pa.Table:
-    """All (a<b) pairs of one LSH bucket whose signature-estimated
-    Jaccard reaches the threshold — one vectorized (k, k, P) slot
-    comparison per bucket (k <= max_bucket, so the compare tensor is
-    bounded). Groups beyond ``max_bucket`` are truncated (flagged) —
-    skew protection."""
-    nrows = group.num_rows
-    truncated = nrows > max_bucket
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-            "truncated": pa.array([], pa.bool_()),
-        }
-    )
-    if nrows < 2:
-        return empty
-    order = pc.array_sort_indices(group["doc_id"].combine_chunks())
-    group = group.take(order.slice(0, min(nrows, max_bucket)))
+_EMPTY_EST_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+        "truncated": pa.array([], pa.bool_()),
+    }
+)
+
+
+def _band_runs(group: pa.Table, key_col: str, max_bucket: int):
+    """Common prep for a BOUNDED band-bucket group holding many exact
+    band-key runs: sort by (band key, doc_id), detect runs, cap each run
+    at ``max_bucket`` members (lowest doc_ids kept — skew protection,
+    identical semantics to the old per-key group cap). Returns
+    (ids_sorted, sorted_row_indices, run_starts, capped_lens,
+    truncated_flags) with runs of length < 2 already dropped."""
+    m = group.num_rows
+    bk = group[key_col].to_numpy(zero_copy_only=False)
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    k = ids.size
-    sig_col = group["sig"].combine_chunks()
-    num_perm = len(sig_col[0])
+    order = np.lexsort((ids, bk))
+    bk_s, ids_s = bk[order], ids[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(bk_s)) + 1))
+    lens = np.diff(np.concatenate((starts, [m])))
+    multi = lens > 1
+    starts, lens = starts[multi], lens[multi]
+    capped = np.minimum(lens, max_bucket)
+    return ids_s, order, starts, capped, lens > max_bucket
+
+
+def _pairs_from_band_bucket(
+    group: pa.Table, est_threshold: float, max_bucket: int, num_perm: int
+) -> pa.Table:
+    """All (a<b) candidate pairs of every exact band-key run inside one
+    BOUNDED band bucket, est-Jaccard-filtered. One Python call handles
+    the whole bucket: runs are batched by capped length class and each
+    class is compared as a single (n_runs x n_pairs, P) slot tensor —
+    no per-band-key Python call (the old plan made one ``map_groups``
+    call per DISTINCT band key: ~docs x bands calls corpus-wide)."""
+    if group.num_rows < 2:
+        return _EMPTY_EST_PAIRS
+    ids_s, order, starts, capped, trunc = _band_runs(group, "band_key", max_bucket)
+    if starts.size == 0:
+        return _EMPTY_EST_PAIRS
     sigs = (
-        pc.list_flatten(sig_col)
+        pc.list_flatten(group["sig"].combine_chunks())
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
-        .reshape(k, num_perm)
+        .reshape(group.num_rows, num_perm)[order]
     )
-    iu, ju = np.triu_indices(k, 1)
-    est = (sigs[iu] == sigs[ju]).sum(axis=1) / num_perm
-    keep = est >= est_threshold
-    nkeep = int(keep.sum())
+    out_a, out_b, out_e, out_t = [], [], [], []
+    for run_len in np.unique(capped):
+        if run_len < 2:
+            continue
+        sel = capped == run_len
+        rs, tr = starts[sel], trunc[sel]
+        iu, ju = np.triu_indices(int(run_len), 1)
+        # slab-chunk the (runs x pairs, P) compare tensor to ~32 MB
+        slab = max(1, (1 << 25) // max(1, iu.size * num_perm))
+        for s0 in range(0, rs.size, slab):
+            r = rs[s0 : s0 + slab]
+            src_a = (r[:, None] + iu[None, :]).ravel()
+            src_b = (r[:, None] + ju[None, :]).ravel()
+            est = (sigs[src_a] == sigs[src_b]).sum(axis=1) / num_perm
+            keep = est >= est_threshold
+            out_a.append(ids_s[src_a[keep]])
+            out_b.append(ids_s[src_b[keep]])
+            out_e.append(est[keep])
+            out_t.append(np.repeat(tr[s0 : s0 + slab], iu.size)[keep])
+    if not out_a:
+        return _EMPTY_EST_PAIRS
     return pa.table(
         {
-            "doc_a": pa.array(ids[iu[keep]]),
-            "doc_b": pa.array(ids[ju[keep]]),
-            "est_jaccard": pa.array(est[keep], pa.float64()),
-            "truncated": pa.array(np.full(nkeep, truncated), pa.bool_()),
+            "doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b)),
+            "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
+            "truncated": pa.array(np.concatenate(out_t), pa.bool_()),
         }
     )
 
@@ -285,13 +321,14 @@ def _dedup_pairs(
         )
         return agg.rename_columns([ka, kb] + [c for c, _ in value_aggs])
 
-    return hash_map_groups(
+    return packed_map_groups(
         pairs.map_batches(local, batch_format="pyarrow").map_batches(
             add_bucket, batch_format="pyarrow"
         ),
         "__bucket",
         per_bucket,
         num_partitions=min(hash_partitions(), num_buckets),
+        num_buckets=num_buckets,
     )
 
 
@@ -327,12 +364,18 @@ def minhash_lsh_pairs(
         concurrency=concurrency or 4,
     )
 
+    # bucket count trades per-(block,bucket) IPC payload size against
+    # per-group memory: 8/CPU keeps payloads ~hundreds of rows while a
+    # group (bucket) holds ~bands*docs/buckets narrow rows + sigs
+    num_band_buckets = max(256, 8 * hash_partitions())
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
         if nb == 0:
             return pa.table(
                 {
                     "bucket": pa.array([], pa.int64()),
+                    "band_key": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                     "sig": pa.array([], pa.list_(pa.int64())),
                 }
@@ -346,10 +389,17 @@ def minhash_lsh_pairs(
             .reshape(nb, num_perm)
         )
         keys = band_keys_matrix(sig_mat, num_bands)  # (nb, num_bands) int64
+        # route by a BOUNDED bucket of the band key; exact band-key runs
+        # are re-separated inside the group (collisions are harmless)
+        bucket = (
+            (keys.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(32)
+        ) % np.uint64(num_band_buckets)
         rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_bands))
         return pa.table(
             {
-                "bucket": pa.array(keys.ravel()),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "band_key": pa.array(keys.ravel()),
                 "doc_id": batch["doc_id"].take(rep),
                 "sig": sig_col.take(rep),
             }
@@ -358,11 +408,15 @@ def minhash_lsh_pairs(
     # At 100 TB the sig payload re-shipped per band is the cost driver;
     # the alternative (narrow bucket shuffle + join sigs back by doc_id)
     # trades one shuffle for two — banding payload here is
-    # num_bands * num_perm * 8B per doc, acceptable vs text size.
-    pairs = hash_map_groups(
+    # num_bands * num_perm * 8B per doc, acceptable vs text size. The
+    # shuffle key is a BOUNDED bucket (packed IPC payloads, one Python
+    # group call per bucket) rather than the raw band key, which made
+    # one map_groups call per distinct band key — ~docs x bands calls.
+    pairs = packed_map_groups(
         sigs.map_batches(explode_bands, batch_format="pyarrow"),
         "bucket",
-        lambda g: _pairs_from_bucket(g, est_threshold, max_bucket),
+        lambda g: _pairs_from_band_bucket(g, est_threshold, max_bucket, num_perm),
+        num_buckets=num_band_buckets,
     )
 
     # a pair surfacing from several bands carries the identical estimate
@@ -429,6 +483,7 @@ def simhash_pairs(
 
     width = 64 // num_chunks
     cmask = np.uint64((1 << width) - 1)
+    num_band_buckets = max(256, 8 * hash_partitions())
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
@@ -440,45 +495,71 @@ def simhash_pairs(
             keys[:, c] = (
                 (np.uint64(c) << np.uint64(48)) | ((sims >> np.uint64(c * width)) & cmask)
             ).view(np.int64)
+        bucket = (
+            (keys.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(32)
+        ) % np.uint64(num_band_buckets)
         rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_chunks))
         return pa.table(
             {
-                "bucket": pa.array(keys.ravel()),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "band_key": pa.array(keys.ravel()),
                 "doc_id": batch["doc_id"].take(rep),
                 "simhash": batch["simhash"].take(rep),
             }
         )
 
+    empty_ham = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
     def verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        order = pc.array_sort_indices(group["doc_id"].combine_chunks())
-        group = group.take(order.slice(0, min(n, max_bucket)))
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        """Exact hamming verify of every exact chunk-key run inside one
+        bounded bucket — runs batched by capped length class, popcount
+        on the pair xor vector (no per-chunk-key Python call)."""
+        if group.num_rows < 2:
+            return empty_ham
+        ids_s, order, starts, capped, _tr = _band_runs(group, "band_key", max_bucket)
+        if starts.size == 0:
+            return empty_ham
         sims = (
             group["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        )
-        hd = pairwise_hamming_matrix(sims)  # (k, k), k <= max_bucket
-        iu, ju = np.triu_indices(ids.size, 1)
-        hv = hd[iu, ju]
-        keep = hv <= max_hamming
+        )[order]
+        out_a, out_b, out_h = [], [], []
+        for run_len in np.unique(capped):
+            if run_len < 2:
+                continue
+            rs = starts[capped == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            src_a = (rs[:, None] + iu[None, :]).ravel()
+            src_b = (rs[:, None] + ju[None, :]).ravel()
+            x = np.bitwise_xor(sims[src_a], sims[src_b])
+            hv = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+                axis=1, dtype=np.int64
+            )
+            keep = hv <= max_hamming
+            out_a.append(ids_s[src_a[keep]])
+            out_b.append(ids_s[src_b[keep]])
+            out_h.append(hv[keep])
+        if not out_a:
+            return empty_ham
         return pa.table(
             {
-                "doc_a": pa.array(ids[iu[keep]]),
-                "doc_b": pa.array(ids[ju[keep]]),
-                "hamming": pa.array(hv[keep], pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
-    pairs = hash_map_groups(
-        hashes.map_batches(explode_chunks, batch_format="pyarrow"), "bucket", verify
+    pairs = packed_map_groups(
+        hashes.map_batches(explode_chunks, batch_format="pyarrow"),
+        "bucket",
+        verify,
+        num_buckets=num_band_buckets,
     )
 
     return _dedup_pairs(pairs, [("hamming", "min")])
@@ -623,11 +704,12 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = hash_map_groups(
+    pairs = packed_map_groups(
         shingled.map_batches(add_bucket, batch_format="pyarrow"),
         "__bucket",
         cooccur_bucket,
         num_partitions=min(hash_partitions(), num_shingle_buckets),
+        num_buckets=num_shingle_buckets,
     )
 
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
