@@ -561,7 +561,13 @@ def detect_term_salts(
     agg = t.group_by("term").aggregate([("partial_df", "sum")])
     est_df = agg["partial_df_sum"].to_numpy(zero_copy_only=False) * HOT_SAMPLE_MOD
     total_est = int(est_df.sum())
-    budget = max(4 * HOT_SAMPLE_MOD, total_est // (2 * num_buckets))
+    # budget = 1/8 of the average bucket's postings: the largest
+    # single-salt run is then <= 12.5% of a bucket, so a bucket's size
+    # (and the partition straggler) is set by the law of large numbers,
+    # not by one or two mid-df terms. At /2 the budget sat ABOVE the
+    # 20%-of-N stopword threshold for Zipfian webtext, making the plan
+    # degenerate to the old binary hot/cold split.
+    budget = max(4 * HOT_SAMPLE_MOD, total_est // (8 * num_buckets))
     n_salts = np.minimum(-(-est_df // budget), num_salts_max)
     n_salts = np.where(est_df >= hot_df_threshold, num_salts_max, n_salts)
     keep = n_salts > 1
