@@ -33,6 +33,40 @@ def _sf() -> float:
     return float(name.replace("sf", "")) if name.startswith("sf") else 0.1
 
 
+def host_health() -> dict:
+    """First-touch page-fault, warm-copy and disk-write throughput (MB/s).
+
+    The sandbox VM intermittently degrades to ~9 MB/s on BOTH fresh-page
+    fault-in and disk writes while warm-page copies stay at ~8 GB/s and
+    CPU shows zero steal — host-side backing-store contention that
+    inflates build walls 2-4x (observed 2026-08-17, see BASELINE.md).
+    Every scaling observation records this probe so degraded-window runs
+    are identifiable after the fact."""
+    import numpy as np
+
+    a = np.ones(200 * 1024 * 1024, np.uint8)
+    b = np.empty_like(a)
+    t = time.time()
+    np.copyto(b, a)
+    fault_mbs = 200 / max(time.time() - t, 1e-9)
+    t = time.time()
+    np.copyto(b, a)
+    warm_mbs = 200 / max(time.time() - t, 1e-9)
+    path = "/tmp/wse_health_probe.bin"
+    t = time.time()
+    with open(path, "wb") as f:
+        f.write(memoryview(a)[: 100 * 1024 * 1024])
+        f.flush()
+        os.fsync(f.fileno())
+    disk_mbs = 100 / max(time.time() - t, 1e-9)
+    os.remove(path)
+    return {
+        "fault_in_mb_s": round(fault_mbs, 1),
+        "warm_copy_mb_s": round(warm_mbs, 1),
+        "disk_write_mb_s": round(disk_mbs, 1),
+    }
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
 
@@ -100,6 +134,7 @@ def run_scaling() -> None:
 
     n_lo, n_hi = SCALING_CPUS  # N and 4N
     pages_parquet(sf_to_n_docs(_sf()) * 10)
+    health_before = host_health()
     for n in (n_lo, n_hi):
         best = None
         # best-of-2: the sandbox VM shows 2-3% steal and sporadic 2x
@@ -132,6 +167,7 @@ def run_scaling() -> None:
             str(n_lo): results[n_lo]["timings"],
             str(n_hi): results[n_hi]["timings"],
         },
+        "host_health_mb_s": {"before": health_before, "after": host_health()},
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:
