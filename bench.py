@@ -203,6 +203,9 @@ def run_bench() -> None:
 
     queries: dict[str, float] = {}
     extras: dict[str, object] = {}
+    # untimed: identifies degraded-host windows (see BASELINE.md) in the
+    # recorded bench line itself
+    extras["host_health_mb_s"] = host_health()
     t_all = time.time()
 
     # 1. headline: index build
