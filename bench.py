@@ -135,21 +135,37 @@ def run_scaling() -> None:
     n_lo, n_hi = SCALING_CPUS  # N and 4N
     pages_parquet(sf_to_n_docs(_sf()) * 10)
     health_before = host_health()
+    attempts_log: dict[str, list] = {}
     for n in (n_lo, n_hi):
+        # adaptive best-of-N: the sandbox VM shows sporadic 2x+
+        # throughput swings from host-side backing-store contention
+        # (see BASELINE.md / host_health); min wall per level is the
+        # honest estimator of the build's own cost, and we repeat until
+        # the two best walls agree within 8% (max 4 attempts) so one
+        # degraded attempt can't set the level's number alone. Every
+        # attempt's wall + pre-attempt health probe is recorded.
+        walls: list[float] = []
         best = None
-        # best-of-2: the sandbox VM shows 2-3% steal and sporadic 2x
-        # throughput swings from hypervisor neighbors; min wall per
-        # level is the honest estimator of the build's own cost
-        for _attempt in range(2):
+        attempts_log[str(n)] = []
+        for _attempt in range(4):
+            probe = host_health()
             cmd = [
                 sys.executable, __file__, "--one-build", str(n),
                 f"/tmp/wse_bench_scaling_{n}", "--scale-mult", "10",
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            walls.append(r["wall_sec"])
+            attempts_log[str(n)].append(
+                {"wall_sec": round(r["wall_sec"], 2), "health_before": probe}
+            )
             if best is None or r["wall_sec"] < best["wall_sec"]:
                 best = r
             shutil.rmtree(f"/tmp/wse_bench_scaling_{n}", ignore_errors=True)
+            if len(walls) >= 2:
+                lo1, lo2 = sorted(walls)[:2]
+                if lo2 <= lo1 * 1.08:
+                    break
         results[n] = best
     t_lo, t_hi = results[n_lo]["docs_per_sec"], results[n_hi]["docs_per_sec"]
     eff = (t_hi / t_lo) / (n_hi / n_lo)
@@ -168,6 +184,7 @@ def run_scaling() -> None:
             str(n_hi): results[n_hi]["timings"],
         },
         "host_health_mb_s": {"before": health_before, "after": host_health()},
+        "attempts": attempts_log,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:
