@@ -114,3 +114,54 @@ def test_merge_sums_tf_on_same_doc():
     assert ids.tolist() == [10, 20, 30]
     assert tfs.tolist() == [1, 5, 4]
     assert dls.tolist() == [50, 60, 70]
+
+
+def test_binary_values_view_matches_join():
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.codec import (
+        binary_values_view,
+    )
+
+    vals = [b"abc", b"", b"\x80\xffxyz", b"q"]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(vals, typ)
+        assert bytes(binary_values_view(arr)) == b"".join(vals)
+        # sliced window (non-zero array offset)
+        assert bytes(binary_values_view(arr.slice(1, 2))) == b"" + b"\x80\xffxyz"
+        # chunked
+        ch = pa.chunked_array([pa.array(vals[:2], typ), pa.array(vals[2:], typ)])
+        assert bytes(binary_values_view(ch)) == b"".join(vals)
+    # empty array and all-empty elements
+    assert bytes(binary_values_view(pa.array([], pa.binary()))) == b""
+    assert bytes(binary_values_view(pa.array([b"", b""], pa.binary()))) == b""
+
+
+def test_decode_runs_concat_accepts_concatenated_view():
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.codec import (
+        binary_values_view,
+        decode_runs_concat,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(7)
+    runs = []
+    for _ in range(5):
+        n = int(rng.integers(1, 300))
+        ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, n).astype(np.int64)
+        dls = rng.integers(10, 500, n).astype(np.int64)
+        runs.append((encode_postings(ids, tfs, dls), ids, tfs, dls))
+    ns = np.array([r[1].size for r in runs], dtype=np.int64)
+    lists = (
+        [r[0]["doc_blob"] for r in runs],
+        [r[0]["tf_blob"] for r in runs],
+        [r[0]["dl_blob"] for r in runs],
+    )
+    a = decode_runs_concat(*lists, ns)
+    views = tuple(binary_values_view(pa.array(col, pa.binary())) for col in lists)
+    b = decode_runs_concat(*views, ns)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)

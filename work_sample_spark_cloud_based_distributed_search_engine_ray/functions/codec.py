@@ -167,10 +167,35 @@ def decode_postings(
     )
 
 
+def binary_values_view(arr) -> memoryview:
+    """Zero-copy view of a pyarrow (large_)binary array's element bytes
+    back-to-back — exactly ``b"".join(arr.to_pylist())`` without the
+    per-element Python bytes objects or the join copy. A shuffle bucket
+    holds ~10^5 runs; this is what keeps the bucket-merge decode free of
+    per-run allocation."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return memoryview(b"")
+    if arr.null_count:  # defensive: blobs are never null in our schemas
+        return memoryview(b"".join(x or b"" for x in arr.to_pylist()))
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    dt = np.int64 if wide else np.int32
+    off = np.frombuffer(
+        arr.buffers()[1], dtype=dt, count=len(arr) + 1, offset=arr.offset * dt().itemsize
+    )
+    data = arr.buffers()[2]
+    if data is None:  # every element empty
+        return memoryview(b"")
+    return memoryview(data)[int(off[0]) : int(off[-1])]
+
+
 def decode_runs_concat(
-    doc_blobs: list[bytes],
-    tf_blobs: list[bytes],
-    dl_blobs: list[bytes],
+    doc_blobs,
+    tf_blobs,
+    dl_blobs,
     ns: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode MANY encoded runs in one vectorized pass.
@@ -178,7 +203,10 @@ def decode_runs_concat(
     ``ns[i]`` is the posting count of run ``i``. All blobs are LEB128
     streams with delta restarts (absolute doc_id) at every in-run BLOCK
     boundary — the layout both ``encode_postings`` and
-    ``encode_postings_multi`` produce. Returns the concatenated
+    ``encode_postings_multi`` produce. Each ``*_blobs`` argument is a
+    list of per-run bytes OR one bytes-like holding the runs already
+    concatenated (e.g. ``binary_values_view`` of the Arrow blob column —
+    the zero-copy hot path). Returns the concatenated
     (doc_ids, tfs, dls) arrays, run-by-run in input order.
 
     This is the hot kernel of the run-merge side of the index build:
@@ -186,11 +214,15 @@ def decode_runs_concat(
     calls and one segmented-cumsum reconstruction, not a per-run Python
     loop.
     """
+
+    def _cat(blobs):
+        return blobs if isinstance(blobs, (bytes, memoryview)) else b"".join(blobs)
+
     ns = np.asarray(ns, dtype=np.int64)
     n = int(ns.sum())
-    v = varint_decode(b"".join(doc_blobs), n).astype(np.int64)
-    tfs = varint_decode(b"".join(tf_blobs), n).astype(np.int64)
-    dls = varint_decode(b"".join(dl_blobs), n).astype(np.int64)
+    v = varint_decode(_cat(doc_blobs), n).astype(np.int64)
+    tfs = varint_decode(_cat(tf_blobs), n).astype(np.int64)
+    dls = varint_decode(_cat(dl_blobs), n).astype(np.int64)
     if n == 0:
         return v, tfs, dls
     run_starts = np.concatenate(([0], np.cumsum(ns)[:-1]))

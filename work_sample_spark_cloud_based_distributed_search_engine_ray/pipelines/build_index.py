@@ -75,7 +75,12 @@ except ModuleNotFoundError:
     _m.HTTPFileSystem = _NoHTTPFileSystem
     sys.modules["fsspec.implementations.http"] = _m
 
-from ..functions.codec import decode_runs_concat, encode_postings_multi, merge_encoded_runs
+from ..functions.codec import (
+    binary_values_view,
+    decode_runs_concat,
+    encode_postings_multi,
+    merge_encoded_runs,
+)
 from ..functions.hashing import hash64
 from ..state.manifest import (
     InputFragment,
@@ -652,7 +657,10 @@ def _encode_bucket(group: pa.Table) -> pa.Table:
     g = group.combine_chunks()
     ns = g["df"].to_numpy(zero_copy_only=False)
     ids, tfs, dls = decode_runs_concat(
-        g["doc_blob"].to_pylist(), g["tf_blob"].to_pylist(), g["dl_blob"].to_pylist(), ns
+        binary_values_view(g["doc_blob"]),
+        binary_values_view(g["tf_blob"]),
+        binary_values_view(g["dl_blob"]),
+        ns,
     )
     d = g["term"].combine_chunks().dictionary_encode()
     run_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
