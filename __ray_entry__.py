@@ -573,6 +573,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_asof_join(sf_dir: str):
+        # AS-OF join (click -> most recent prior view per user): a
+        # custom temporal operator Ray Data lacks, expressed as one
+        # user-bucket shuffle + vectorized multi-user kernel
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            asof_join_events,
+        )
+
+        return asof_join_events(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        )
+
+    def q_range_join(sf_dir: str):
+        # banded RANGE join (events within 60s after each error, per
+        # user), counted; packed-key searchsorted kernel
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            range_count_after,
+        )
+
+        return range_count_after(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        )
+
     def q_lang_gate(sf_dir: str):
         # content/lang gate over the pages corpus (replaces the
         # crawler's content-type gate, Crawler.java:174) + per-lang count
@@ -696,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
+        "rel_asof_join": q_asof_join,
+        "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
         "crawl_pagerank": q_crawl_pagerank,
@@ -1462,5 +1487,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_seq
+        """,
+        # as-of tie rule stated on both sides: a view at the identical
+        # timestamp matches iff its event_id is smaller (event_id is
+        # unique so the (ts, event_id) order is total)
+        "rel_asof_join": """
+            SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+                   m.event_id AS view_event_id,
+                   CAST(date_diff('microsecond', m.ts, c.ts) AS BIGINT) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN LATERAL (
+              SELECT v.event_id, v.ts
+              FROM events v
+              WHERE v.event_type = 'view' AND v.user_id = c.user_id
+                AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) m ON TRUE
+        """,
+        "rel_range_join_count": """
+            SELECT a.event_id AS event_id, a.user_id AS user_id, a.ts AS ts,
+                   (SELECT count(*) FROM events e
+                    WHERE e.user_id = a.user_id
+                      AND e.ts > a.ts
+                      AND e.ts <= a.ts + INTERVAL 60 SECOND) AS n_follow
+            FROM events a WHERE a.event_type = 'error'
         """,
     }

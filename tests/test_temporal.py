@@ -1,0 +1,121 @@
+"""As-of join and banded range join: tie rules, cross-user isolation,
+window bounds (stages/temporal.py). Oracles for the registered queries
+are the DuckDB SQL twins in __ray_entry__; these tests pin the exact
+edge semantics on a hand-built table."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+    asof_join_events,
+    range_count_after,
+)
+
+US = 1_000_000
+
+
+def _events(rows):
+    eid, uid, ts, et = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "event_type": pa.array(et),
+            }
+        )
+    )
+
+
+def test_asof_basic_tie_and_cross_user():
+    rows = [
+        # user 1: view@10, view@20, click@20 (tie: view 2 has smaller id -> matches),
+        # click@15 (matches view@10), click@5 (no prior view -> NULL)
+        (1, 1, 10 * US, "view"),
+        (2, 1, 20 * US, "view"),
+        (3, 1, 20 * US, "click"),
+        (4, 1, 15 * US, "click"),
+        (5, 1, 5 * US, "click"),
+        # user 2 has no views; its click must NOT steal user 1's views
+        (6, 2, 30 * US, "click"),
+        # tie with LARGER view id: view@40 id=8 > click@40 id=7 -> not prior
+        (7, 3, 40 * US, "click"),
+        (8, 3, 40 * US, "view"),
+        (9, 3, 35 * US, "view"),
+    ]
+    out = asof_join_events(_events(rows)).take_all()
+    by_id = {r["event_id"]: r for r in out}
+    assert len(out) == 5
+    assert by_id[3]["view_event_id"] == 2 and by_id[3]["gap_us"] == 0
+    assert by_id[4]["view_event_id"] == 1 and by_id[4]["gap_us"] == 5 * US
+    assert by_id[5]["view_event_id"] is None and by_id[5]["gap_us"] is None
+    assert by_id[6]["view_event_id"] is None
+    assert by_id[7]["view_event_id"] == 9 and by_id[7]["gap_us"] == 5 * US
+
+
+def test_range_count_window_bounds():
+    rows = [
+        # anchor error@100; same user events at 100 (excluded: not > ts),
+        # 130, 160 (included: <= +60s), 161 (excluded), other-user at 110
+        (1, 1, 100 * US, "error"),
+        (2, 1, 100 * US, "view"),
+        (3, 1, 130 * US, "view"),
+        (4, 1, 160 * US, "click"),
+        (5, 1, 161 * US, "view"),
+        (6, 2, 110 * US, "view"),
+        # second anchor, user 2: only its own event at 111
+        (7, 2, 110 * US, "error"),
+        (8, 2, 111 * US, "click"),
+    ]
+    out = range_count_after(_events(rows), window_sec=60).take_all()
+    got = {r["event_id"]: r["n_follow"] for r in out}
+    assert got == {1: 2, 7: 1}
+
+
+def test_asof_matches_bruteforce_random():
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 12)),
+            int(rng.integers(0, 5000)) * US,
+            ["view", "click", "error"][int(rng.integers(0, 3))],
+        )
+        for i in range(n)
+    ]
+    out = asof_join_events(_events(rows)).take_all()
+    assert len(out) == sum(1 for r in rows if r[3] == "click")
+    views = [r for r in rows if r[3] == "view"]
+    for r in out:
+        cand = [
+            v
+            for v in views
+            if v[1] == r["user_id"] and (v[2], v[0]) < (r["ts"].timestamp() * US, r["event_id"])
+        ]
+        want = max(cand, key=lambda v: (v[2], v[0]))[0] if cand else None
+        assert r["view_event_id"] == want, r
+
+
+def test_range_count_matches_bruteforce_random():
+    rng = np.random.default_rng(4)
+    n = 400
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 12)),
+            int(rng.integers(0, 5000)) * US,
+            ["view", "click", "error"][int(rng.integers(0, 3))],
+        )
+        for i in range(n)
+    ]
+    out = range_count_after(_events(rows), window_sec=60).take_all()
+    assert len(out) == sum(1 for r in rows if r[3] == "error")
+    for r in out:
+        t = r["ts"].timestamp() * US
+        want = sum(
+            1 for e in rows if e[1] == r["user_id"] and t < e[2] <= t + 60 * US
+        )
+        assert r["n_follow"] == want, r
