@@ -573,6 +573,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_quantiles(sf_dir: str):
+        # exact per-group discrete quantiles via distributed histogram
+        # (map-side combine -> one narrow shuffle of histogram rows)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_quantiles,
+        )
+
+        return grouped_quantiles(
+            _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+        )
+
     def q_asof_join(sf_dir: str):
         # AS-OF join (click -> most recent prior view per user): a
         # custom temporal operator Ray Data lacks, expressed as one
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
+        "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
@@ -1487,6 +1499,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_seq
+        """,
+        # exact discrete quantiles; DuckDB's quantile_disc index rule is
+        # max(0, ceil(q*n)-1) — the histogram kernel implements the same
+        "rel_quantiles": """
+            SELECT event_type,
+                   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_e2,
+                   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
+                   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
+            FROM events GROUP BY event_type
         """,
         # as-of tie rule stated on both sides: a view at the identical
         # timestamp matches iff its event_id is smaller (event_id is

@@ -139,3 +139,36 @@ def test_sample_with_replacement(ray_session):
     # breakpoints are a proper CDF
     bps = poisson_breakpoints(1.5)
     assert all(b2 > b1 for b1, b2 in zip(bps, bps[1:])) and bps[-1] < 1.0 + 1e-12
+
+
+def test_grouped_quantiles_matches_duckdb_rule():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "v": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+        }
+    )
+    out = {
+        r["g"]: r
+        for r in grouped_quantiles(rd.from_arrow(t), "g", "v", (0.5, 0.9, 0.99)).take_all()
+    }
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT g, quantile_disc(CAST(round(v*100) AS BIGINT), 0.5) p50,"
+        " quantile_disc(CAST(round(v*100) AS BIGINT), 0.9) p90,"
+        " quantile_disc(CAST(round(v*100) AS BIGINT), 0.99) p99 FROM t GROUP BY g"
+    ).fetchall()
+    assert len(out) == 3
+    for g, p50, p90, p99 in want:
+        assert (out[g]["p50_e2"], out[g]["p90_e2"], out[g]["p99_e2"]) == (p50, p90, p99)
