@@ -573,6 +573,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_anti_join(sf_dir: str):
+        # distributed ANTI join: customers with no URGENT order — one
+        # bounded bucket shuffle of key columns, vectorized is_in per
+        # bucket (the predicate keeps the result non-vacuous: the
+        # synthetic orders table covers every custkey otherwise)
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            anti_join_keys,
+        )
+
+        cust = _tbl(sf_dir, "customer", ["c_custkey"])
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        ).rename_columns({"o_custkey": "c_custkey"})
+        return anti_join_keys(cust, orders, "c_custkey")
+
     def q_quantiles(sf_dir: str):
         # exact per-group discrete quantiles via distributed histogram
         # (map-side combine -> one narrow shuffle of histogram rows)
@@ -730,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
+        "rel_anti_join": q_anti_join,
         "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -1500,6 +1521,11 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_seq
         """,
+        "rel_anti_join": (
+            "SELECT DISTINCT c_custkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
         # exact discrete quantiles; DuckDB's quantile_disc index rule is
         # max(0, ceil(q*n)-1) — the histogram kernel implements the same
         "rel_quantiles": """

@@ -172,3 +172,33 @@ def test_grouped_quantiles_matches_duckdb_rule():
     assert len(out) == 3
     for g, p50, p90, p99 in want:
         assert (out[g]["p50_e2"], out[g]["p90_e2"], out[g]["p99_e2"]) == (p50, p90, p99)
+
+
+def test_anti_join_keys(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        anti_join_keys,
+    )
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    urgent = (
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+        .filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    got = anti_join_keys(cust, urgent, "c_custkey").to_pandas()
+    want = con.sql(
+        "SELECT DISTINCT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')"
+    ).df()
+    assert sorted(got["c_custkey"]) == sorted(want["c_custkey"])
+    # empty-right degenerate: every left key survives
+    none = (
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .filter(lambda r: r["o_totalprice"] < 0)
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    all_kept = anti_join_keys(cust, none, "c_custkey").to_pandas()
+    n_cust = con.sql("SELECT count(DISTINCT c_custkey) FROM customer").fetchone()[0]
+    assert len(all_kept) == n_cust

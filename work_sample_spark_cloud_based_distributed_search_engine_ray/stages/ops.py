@@ -415,3 +415,46 @@ def grouped_quantiles(
 
     hist = ds.map_batches(partial_hist, batch_format="pyarrow")
     return hash_map_groups(hist, group_col, pick)
+
+
+def anti_join_keys(
+    ds_left: rd.Dataset,
+    ds_right: rd.Dataset,
+    key: str,
+    *,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Distributed ANTI join on ``key``: the DISTINCT left keys with NO
+    matching right row (``... WHERE k NOT IN (SELECT k FROM right)``).
+
+    Same single bounded-bucket shuffle as ``cogroup_counts`` — both
+    sides project to (key, side), each bucket group resolves
+    membership with one vectorized ``pc.is_in`` — so per-group work is
+    Arrow kernels, never per-key Python, and the shuffle carries only
+    key columns."""
+
+    def tag(side: int) -> Callable[[pa.Table], pa.Table]:
+        # both sides are projected to exactly (key,) so the generic
+        # null-padding tag_union is unnecessary — and it needs a
+        # schema, which an empty filtered side doesn't have
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: t[key],
+                    "__side": pa.array([side] * t.num_rows, pa.int8()),
+                    "__bucket": _bucket_of(t[key], num_buckets),
+                }
+            )
+
+        return fn
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = group.filter(pc.equal(side, 0))[key]
+        right = group.filter(pc.equal(side, 1))[key]
+        keep = pc.invert(pc.is_in(left, value_set=right.combine_chunks()))
+        return pa.table({key: left.filter(keep).combine_chunks().unique()})
+
+    lk = ds_left.select_columns([key]).map_batches(tag(0), batch_format="pyarrow")
+    rk = ds_right.select_columns([key]).map_batches(tag(1), batch_format="pyarrow")
+    return hash_map_groups(lk.union(rk), "__bucket", per_bucket)
