@@ -712,10 +712,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FrameSampleStage,
         )
 
-        tbl = synth_media(200)
+        tbl = synth_media(MEDIA_N)
         vids = tbl.filter(pc.equal(tbl["kind"], "video"))
-        return rd.from_arrow(vids).map_batches(
-            FrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=2
+
+        def round_luma(t: pa.Table) -> pa.Table:
+            # float parity discipline (module docstring): round the one
+            # float column for the driver's value hash — DuckDB parses
+            # decimal literals through DECIMAL, off the exact double by
+            # ~1 ulp
+            return t.set_column(
+                t.schema.get_field_index("mean_luma"),
+                "mean_luma",
+                pc.round(t["mean_luma"], ndigits=6),
+            )
+
+        return (
+            rd.from_arrow(vids)
+            .map_batches(
+                FrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=2
+            )
+            .map_batches(round_luma, batch_format="pyarrow")
         )
 
     return {
@@ -1025,6 +1041,42 @@ def _media_features_oracle_sql() -> str:
            CAST(duration_ms AS INTEGER) AS duration_ms
     FROM (VALUES {', '.join(rows)})
       AS t(media_id, kind, payload_bytes, payload_sha1, decoded, width, height, duration_ms)
+    """
+
+
+def _media_frames_oracle_sql() -> str:
+    """media_frames oracle: per-frame ground truth (mean_luma /
+    frame_sha1 of the PRE-ENCODE pixel arrays, synth_media_frame_truth)
+    is embedded as VALUES for EVERY frame; the frame-sampling rule of
+    FrameSampleStage (uniform every stride_ms, capped at max_frames) is
+    re-expressed in SQL, so the pipeline must recover the sampled rows
+    by slicing + decoding the actual container payloads."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_media_frame_truth,
+    )
+
+    t = synth_media_frame_truth(MEDIA_N)
+    rows = [
+        "({}, {}, {}, {!r}, '{}')".format(
+            t["media_id"][i].as_py(),
+            t["frame_idx"][i].as_py(),
+            t["frame_ts_ms"][i].as_py(),
+            t["mean_luma"][i].as_py(),
+            t["frame_sha1"][i].as_py(),
+        )
+        for i in range(t.num_rows)
+    ]
+    # FrameSampleStage defaults: stride_ms=1000, max_frames=32; the
+    # synthetic corpus encodes every video at frame_ms=500
+    step = max(1, 1000 // 500)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_ts_ms AS INTEGER) AS frame_ts_ms,
+           round(CAST(mean_luma AS DOUBLE), 6) AS mean_luma, frame_sha1
+    FROM (VALUES {', '.join(rows)})
+      AS t(media_id, frame_idx, frame_ts_ms, mean_luma, frame_sha1)
+    WHERE frame_idx % {step} = 0 AND frame_idx // {step} < 32
     """
 
 
@@ -1433,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_bpe_count": _bpe_count_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_frames": _media_frames_oracle_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"

@@ -191,10 +191,15 @@ def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return rgb.astype(np.uint8)
 
 
-def synth_media(n: int, seed: int = 42) -> pa.Table:
+def synth_media(n: int, seed: int = 42, _frame_truth: list | None = None) -> pa.Table:
     """Deterministic media corpus with REAL payloads: BMP images, WAV
     sine mixtures, WSMV frame containers; ~6% exact-duplicate payloads
-    (dedup fodder). Pure function of (n, seed)."""
+    (dedup fodder). Pure function of (n, seed).
+
+    ``_frame_truth`` (internal, used by ``synth_media_frame_truth``):
+    when a list is passed, one dict per (video row, frame) is appended
+    with mean_luma/sha1 computed from the PRE-ENCODE pixel arrays — the
+    decode-inverts-encode ground truth for the frame-sampling oracle."""
     rng = np.random.default_rng(seed)
     kinds = rng.choice(np.array(["image", "audio", "video"]), size=n, p=[0.7, 0.2, 0.1])
     dup = rng.random(n) < 0.06
@@ -202,12 +207,31 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
     widths = np.full(n, -1, np.int32)
     heights = np.full(n, -1, np.int32)
     durs = np.full(n, -1, np.int32)
+    vid_frames: dict[int, tuple[list[np.ndarray], int]] = {}
+
+    def _record_truth(media_id: int, frames: list[np.ndarray], frame_ms: int):
+        if _frame_truth is None:
+            return
+        for f_idx, frame in enumerate(frames):
+            _frame_truth.append(
+                {
+                    "media_id": media_id,
+                    "frame_idx": f_idx,
+                    "frame_ts_ms": f_idx * frame_ms,
+                    "mean_luma": float(frame.astype(np.float32).mean()),
+                    "frame_sha1": hashlib.sha1(frame.tobytes()).hexdigest(),
+                }
+            )
+
     for i in range(n):
         if dup[i] and i > 0:
             j = int(rng.integers(0, i))
             payloads.append(payloads[j])
             kinds[i] = kinds[j]
             widths[i], heights[i], durs[i] = widths[j], heights[j], durs[j]
+            if j in vid_frames:
+                vid_frames[i] = vid_frames[j]
+                _record_truth(i, *vid_frames[j])
             continue
         k = kinds[i]
         if k == "image":
@@ -229,6 +253,8 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             frames = [_synth_image(rng, w, h) for _ in range(nf)]
             payloads.append(encode_wsmv(frames, frame_ms))
             widths[i], heights[i], durs[i] = w, h, nf * frame_ms
+            vid_frames[i] = (frames, frame_ms)
+            _record_truth(i, frames, frame_ms)
     mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-wsmv"}
     return pa.table(
         {
@@ -241,4 +267,23 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array(durs),
         },
         schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_media_frame_truth(n: int, seed: int = 42) -> pa.Table:
+    """Ground truth for EVERY frame of every video row of
+    ``synth_media(n, seed)``: (media_id, frame_idx, frame_ts_ms,
+    mean_luma, frame_sha1) computed from the pre-encode pixel arrays.
+    The frame-sampling pipeline must reproduce these by decoding the
+    container payloads — decode-inverts-encode, per frame."""
+    truth: list[dict] = []
+    synth_media(n, seed, _frame_truth=truth)
+    return pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in truth], pa.int64()),
+            "frame_idx": pa.array([r["frame_idx"] for r in truth], pa.int32()),
+            "frame_ts_ms": pa.array([r["frame_ts_ms"] for r in truth], pa.int32()),
+            "mean_luma": pa.array([r["mean_luma"] for r in truth], pa.float64()),
+            "frame_sha1": pa.array([r["frame_sha1"] for r in truth], pa.string()),
+        }
     )
