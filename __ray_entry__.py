@@ -593,6 +593,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).rename_columns({"o_custkey": "c_custkey"})
         return anti_join_keys(cust, orders, "c_custkey")
 
+    def q_semi_join(sf_dir: str):
+        # distributed SEMI join: customers WITH at least one urgent
+        # order (same kernel as the anti join, inverted membership)
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            semi_join_keys,
+        )
+
+        cust = _tbl(sf_dir, "customer", ["c_custkey"])
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        ).rename_columns({"o_custkey": "c_custkey"})
+        return semi_join_keys(cust, orders, "c_custkey")
+
     def q_quantiles(sf_dir: str):
         # exact per-group discrete quantiles via distributed histogram
         # (map-side combine -> one narrow shuffle of histogram rows)
@@ -767,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_sessionize": q_sessionize,
         "rel_anti_join": q_anti_join,
+        "rel_semi_join": q_semi_join,
         "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -1577,6 +1596,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": (
             "SELECT DISTINCT c_custkey FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "rel_semi_join": (
+            "SELECT DISTINCT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
         ),
         # exact discrete quantiles; DuckDB's quantile_disc index rule is

@@ -202,3 +202,23 @@ def test_anti_join_keys(con):
     all_kept = anti_join_keys(cust, none, "c_custkey").to_pandas()
     n_cust = con.sql("SELECT count(DISTINCT c_custkey) FROM customer").fetchone()[0]
     assert len(all_kept) == n_cust
+
+
+def test_semi_join_keys(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        semi_join_keys,
+    )
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    urgent = (
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+        .filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    got = semi_join_keys(cust, urgent, "c_custkey").to_pandas()
+    want = con.sql(
+        "SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')"
+    ).df()
+    assert sorted(got["c_custkey"]) == sorted(want["c_custkey"])

@@ -417,15 +417,16 @@ def grouped_quantiles(
     return hash_map_groups(hist, group_col, pick)
 
 
-def anti_join_keys(
+def _membership_join_keys(
     ds_left: rd.Dataset,
     ds_right: rd.Dataset,
     key: str,
     *,
+    keep_matches: bool,
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    """Distributed ANTI join on ``key``: the DISTINCT left keys with NO
-    matching right row (``... WHERE k NOT IN (SELECT k FROM right)``).
+    """Shared kernel for SEMI/ANTI join on ``key``: the DISTINCT left
+    keys WITH (semi) or WITHOUT (anti) a matching right row.
 
     Same single bounded-bucket shuffle as ``cogroup_counts`` — both
     sides project to (key, side), each bucket group resolves
@@ -452,9 +453,29 @@ def anti_join_keys(
         side = group["__side"]
         left = group.filter(pc.equal(side, 0))[key]
         right = group.filter(pc.equal(side, 1))[key]
-        keep = pc.invert(pc.is_in(left, value_set=right.combine_chunks()))
+        keep = pc.is_in(left, value_set=right.combine_chunks())
+        if not keep_matches:
+            keep = pc.invert(keep)
         return pa.table({key: left.filter(keep).combine_chunks().unique()})
 
     lk = ds_left.select_columns([key]).map_batches(tag(0), batch_format="pyarrow")
     rk = ds_right.select_columns([key]).map_batches(tag(1), batch_format="pyarrow")
     return hash_map_groups(lk.union(rk), "__bucket", per_bucket)
+
+
+def anti_join_keys(
+    ds_left: rd.Dataset, ds_right: rd.Dataset, key: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """``SELECT DISTINCT k FROM left WHERE k NOT IN (SELECT k FROM right)``."""
+    return _membership_join_keys(
+        ds_left, ds_right, key, keep_matches=False, num_buckets=num_buckets
+    )
+
+
+def semi_join_keys(
+    ds_left: rd.Dataset, ds_right: rd.Dataset, key: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """``SELECT DISTINCT k FROM left WHERE k IN (SELECT k FROM right)``."""
+    return _membership_join_keys(
+        ds_left, ds_right, key, keep_matches=True, num_buckets=num_buckets
+    )
