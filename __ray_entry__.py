@@ -694,14 +694,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pagerank,
         )
 
+        import re
+
         pages_path = pages_for_sf_dir(sf_dir)
-        edges = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
-            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+
+        def canon_src(t: pa.Table) -> pa.Table:
+            # canonicalize src like the normalizer canonicalizes dst
+            # (explicit :80), or the node-restricted edge set is empty
+            return pa.table(
+                {
+                    "src_url": pc.replace_substring_regex(
+                        t["src_url"], r"^http://([^/]*)", r"http://\1:80"
+                    ),
+                    "dst_url": t["dst_url"],
+                }
+            )
+
+        edges = (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(canon_src, batch_format="pyarrow")
         )
-        urls = pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        urls = [
+            re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+            for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        ]
         t = pagerank(edges, urls, damping=PAGERANK_D, iters=PAGERANK_ITERS)
         e9 = np.round(t["rank"].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
         return pa.table({"url": t["url"], "rank_e9": pa.array(e9)})
+
+    def q_frontier_bfs(sf_dir: str):
+        # frontier-wave BFS over the extracted link graph (the
+        # reference crawler's urlQueue loop, Crawler.java:47-213):
+        # per-wave broadcast frontier, vectorized is_in expansion
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            frontier_bfs,
+        )
+
+        pages_path = pages_for_sf_dir(sf_dir)
+
+        def canon_src(t: pa.Table) -> pa.Table:
+            # edge dst urls come out of the normalizer with the explicit
+            # :80 default port; canonicalize src urls (and seeds, below)
+            # the same way or the graph is artificially disconnected
+            return pa.table(
+                {
+                    "src_url": pc.replace_substring_regex(
+                        t["src_url"], r"^http://([^/]*)", r"http://\1:80"
+                    ),
+                    "dst_url": t["dst_url"],
+                }
+            )
+
+        edges = (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(canon_src, batch_format="pyarrow")
+        )
+        import re
+
+        seeds = [
+            re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+            for u in sorted(
+                pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+            )[:3]
+        ]
+        return frontier_bfs(edges, seeds, max_depth=3)
 
     def q_media_features(sf_dir: str):
         # rows-only: synthetic media corpus (no media in the sf tables).
@@ -792,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
@@ -1330,6 +1399,40 @@ def _crawl_links_oracle_sql() -> str:
     """
 
 
+def _frontier_bfs_oracle_sql() -> str:
+    """Oracle for ``crawl_frontier_bfs``: the edges CTE is the
+    hash-matched ``crawl_links`` replica; the wave loop becomes a
+    recursive CTE whose depth column is capped at max_depth=3, and the
+    first-reach depth is ``min(depth)`` per url (seeds = the 3
+    lexicographically smallest page urls, mirrored in the query)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH RECURSIVE pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    seeds AS (SELECT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS url
+              FROM (SELECT url FROM pages ORDER BY url LIMIT 3)),
+    bfs(url, depth) AS (
+      SELECT url, 0 FROM seeds
+      UNION
+      SELECT e.dst_url, b.depth + 1
+      FROM bfs b JOIN edges0 e ON e.src_url = b.url
+      WHERE b.depth < 3
+    )
+    SELECT url, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY url
+    """
+
+
 def _pagerank_oracle_sql() -> str:
     """Oracle for ``crawl_pagerank``: re-derives the link edges in SQL
     (same CTEs as the hash-matched ``crawl_links`` oracle), restricts
@@ -1352,10 +1455,12 @@ def _pagerank_oracle_sql() -> str:
     hrefs AS (SELECT url AS src_url,
                      unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
               FROM pages),
-    edges0 AS (SELECT DISTINCT src_url,
+    edges0 AS (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
                       regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
                FROM hrefs),
-    nodes AS (SELECT DISTINCT url FROM pages),
+    nodes AS (SELECT DISTINCT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS url
+              FROM pages),
     e AS MATERIALIZED (SELECT src_url, dst_url FROM edges0
           JOIN nodes ON edges0.dst_url = nodes.url),
     deg AS MATERIALIZED (SELECT src_url, count(*) AS deg FROM e GROUP BY src_url),
@@ -1516,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),
+        "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),
         "rel_groupby_agg": (

@@ -74,13 +74,35 @@ def test_pagerank_on_extracted_links(ray_session):
         synth_pages,
     )
 
+    import re
+
+    def canon(u: str) -> str:
+        return re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+
     pages = synth_pages(300)
     edges_tbl = LinkExtractStage()(pages.select(["url", "html"]))
-    urls = pages["url"].to_pylist()
-    got = pagerank(rd.from_arrow(edges_tbl), urls, iters=5)
-    edges = list(zip(edges_tbl["src_url"].to_pylist(), edges_tbl["dst_url"].to_pylist()))
-    want = _numpy_pagerank(sorted(set(urls)), [e for e in edges if e[1] in set(urls)], iters=5)
+    # canonicalize src like the normalizer canonicalizes dst (:80) so
+    # the graph connects — same convention as the registered query
+    edges = [
+        (canon(s), t)
+        for s, t in zip(edges_tbl["src_url"].to_pylist(), edges_tbl["dst_url"].to_pylist())
+    ]
+    edges_c = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([e[0] for e in edges]),
+                "dst_url": pa.array([e[1] for e in edges]),
+            }
+        )
+    )
+    urls = [canon(u) for u in pages["url"].to_pylist()]
+    kept = [e for e in edges if e[1] in set(urls)]
+    assert kept, "generator must produce page->page edges"
+    got = pagerank(edges_c, urls, iters=5)
+    want = _numpy_pagerank(sorted(set(urls)), kept, iters=5)
     ranks = dict(zip(got["url"].to_pylist(), got["rank"].to_pylist()))
     assert len(ranks) == len(set(urls))
     worst = max(abs(ranks[u] - want[u]) for u in want)
     assert worst < 1e-12
+    # real links -> non-uniform ranks
+    assert max(ranks.values()) > 1.5 * min(ranks.values())

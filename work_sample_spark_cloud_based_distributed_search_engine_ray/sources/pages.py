@@ -157,7 +157,13 @@ def synth_pages(n_docs: int, seed: int = 42) -> pa.Table:
             if k % 12 == 0:
                 parts.append("</p>\n<p>" if k else "<p>")
             if k % 29 == 7:
-                w = f'<a href="http://site{(i * 7 + k) % n_hosts}.example/p/{k}">{w}</a>'
+                # link to a REAL page of this corpus (never self): the
+                # frontier/BFS/PageRank family needs a connected
+                # page->page graph, like any actual web crawl
+                t = (i + 1 + (k * 9973) % (n_docs - 1)) % n_docs if n_docs > 1 else i
+                w = (
+                    f'<a href="http://site{t % n_hosts}.example/p/{t:08d}">{w}</a>'
+                )
             elif k % 17 == 3:
                 w = f"<b>{w}</b>"
             parts.append(w)
@@ -200,7 +206,9 @@ def pages_parquet(
     """
     os.makedirs(cache_dir, exist_ok=True)
     rgs = row_group_size or max(256, n_docs // 64)
-    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}_rg{rgs}.parquet")
+    # _g2: bump on generator changes that alter payload bytes, or stale
+    # caches from an older generator poison cross-process comparisons
+    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}_rg{rgs}_g2.parquet")
     if not os.path.exists(path):
         tbl = synth_pages(n_docs, seed)
         tmp = path + ".tmp"
