@@ -611,6 +611,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).rename_columns({"o_custkey": "c_custkey"})
         return semi_join_keys(cust, orders, "c_custkey")
 
+    def q_topn_per_group(sf_dir: str):
+        # top-3 events by value per event_type — map-side combine +
+        # one bounded bucket shuffle, vectorized sort/run-detect per
+        # bucket (never a per-group Python call)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+
+        ev = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+        return topn_per_group(
+            ev,
+            "event_type",
+            3,
+            [("value", "descending"), ("event_id", "ascending")],
+        ).select_columns(["event_type", "event_id", "value"])
+
     def q_quantiles(sf_dir: str):
         # exact per-group discrete quantiles via distributed histogram
         # (map-side combine -> one narrow shuffle of histogram rows)
@@ -854,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": q_sessionize,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
+        "rel_topn_per_group": q_topn_per_group,
         "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -1709,6 +1726,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
         ),
+        "rel_topn_per_group": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
         # exact discrete quantiles; DuckDB's quantile_disc index rule is
         # max(0, ceil(q*n)-1) — the histogram kernel implements the same
         "rel_quantiles": """

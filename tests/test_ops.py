@@ -222,3 +222,29 @@ def test_semi_join_keys(con):
         "(SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')"
     ).df()
     assert sorted(got["c_custkey"]) == sorted(want["c_custkey"])
+
+
+def test_topn_per_group(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        topn_per_group,
+    )
+
+    li = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    got = topn_per_group(
+        li,
+        "l_returnflag",
+        5,
+        [("l_quantity", "descending"), ("l_orderkey", "ascending")],
+    ).to_pandas()
+    want = con.sql(
+        "SELECT l_returnflag, l_orderkey, l_quantity FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey) rn"
+        "  FROM lineitem) WHERE rn <= 5"
+    ).df()
+    key = ["l_returnflag", "l_orderkey", "l_quantity"]
+    got_rows = sorted(map(tuple, got[key].values))
+    want_rows = sorted(map(tuple, want[key].values))
+    assert got_rows == want_rows

@@ -479,3 +479,52 @@ def semi_join_keys(
     return _membership_join_keys(
         ds_left, ds_right, key, keep_matches=True, num_buckets=num_buckets
     )
+
+
+def topn_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    n: int,
+    sort_keys: list[tuple[str, str]],
+    *,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Top-N rows per group (``row_number() OVER (PARTITION BY g ORDER
+    BY ...) <= n``), deterministic when ``sort_keys`` totally orders
+    rows within a group.
+
+    Map-side combine (each batch keeps at most n rows per group it
+    sees — the shuffle carries <= n * groups-per-batch rows), then ONE
+    hash shuffle on a BOUNDED bucket of the group key and the same
+    vectorized top-n per bucket: one multi-key Arrow sort + run
+    detection over the group column — never a per-group Python call."""
+
+    keys = [(group_col, "ascending")] + list(sort_keys)
+
+    def topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        taken = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = taken[group_col].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(len(g)) - starts[run_id]
+        return taken.filter(pa.array(pos < n))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t[group_col], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return topn(t.drop_columns(["__bucket"]))
+
+    return hash_map_groups(
+        ds.map_batches(topn, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
+    )
