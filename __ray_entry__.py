@@ -573,6 +573,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_moving_avg(sf_dir: str):
+        # window frame: 3-row trailing moving average of value per
+        # user ordered by (ts, event_id) — same 64-way user bucket as
+        # sessionize, one vectorized shift/mask pass for ALL users of
+        # a bucket (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def ma3(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            v = g["value"].to_numpy(zero_copy_only=False)
+            n = v.size
+            m1 = np.zeros(n, dtype=bool)
+            m2 = np.zeros(n, dtype=bool)
+            m1[1:] = uid[1:] == uid[:-1]
+            m2[2:] = uid[2:] == uid[:-2]
+            # oldest-first addition order, matching the SQL frame
+            s = np.where(m2, np.roll(v, 2), 0.0)
+            s = s + np.where(m1, np.roll(v, 1), 0.0)
+            s = s + v
+            cnt = 1.0 + m1 + m2
+            ma_e6 = np.rint(s / cnt * 1e6).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": g["event_id"],
+                    "user_id": g["user_id"],
+                    "ma3_e6": pa.array(ma_e6),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            ma3,
+        )
+
     def q_anti_join(sf_dir: str):
         # distributed ANTI join: customers with no URGENT order — one
         # bounded bucket shuffle of key columns, vectorized is_in per
@@ -625,6 +677,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type",
             3,
             [("value", "descending"), ("event_id", "ascending")],
+        ).select_columns(["event_type", "event_id", "value"])
+
+    def q_group_sample(sf_dir: str):
+        # deterministic stratified sample: the 5 smallest-hash64 events
+        # per event_type — same bounded-bucket top-n kernel; the hash
+        # order is process/partitioning-independent, so the sample is
+        # stable across cluster sizes (and replayable in SQL)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64_array,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+
+        def add_hash(t: pa.Table) -> pa.Table:
+            h = hash64_array(
+                t["event_id"].cast(pa.string()).to_pylist()
+            )
+            return t.append_column("__h", pa.array(h))
+
+        ev = _tbl(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+            add_hash, batch_format="pyarrow"
+        )
+        return topn_per_group(
+            ev, "event_type", 5, [("__h", "ascending"), ("event_id", "ascending")]
         ).select_columns(["event_type", "event_id", "value"])
 
     def q_quantiles(sf_dir: str):
@@ -871,6 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
+        "rel_group_sample": q_group_sample,
+        "rel_moving_avg": q_moving_avg,
         "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -1733,6 +1812,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY value DESC, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        # same md5-prefix hash64 as functions/hashing.py, replayed in SQL
+        "rel_group_sample": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+                                     & 9223372036854775807::UBIGINT AS BIGINT),
+                                event_id) AS rn
+              FROM events) WHERE rn <= 5
+        """,
+        "rel_moving_avg": """
+            SELECT event_id, user_id,
+                   CAST(round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000000)
+                     AS BIGINT) AS ma3_e6
+            FROM events
         """,
         # exact discrete quantiles; DuckDB's quantile_disc index rule is
         # max(0, ceil(q*n)-1) — the histogram kernel implements the same
