@@ -354,6 +354,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def q_rollup(sf_dir: str):
+        # GROUP BY ROLLUP(flag, status): ONE distributed aggregation at
+        # the finest level; the coarser levels are re-aggregated from
+        # that tiny result locally (group-count-bounded), never from a
+        # second scan — the scale plan for hierarchical totals
+        ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
+        )
+
+        import pandas as pd
+
+        # the finest level is group-count-bounded (6 rows here); one
+        # local pass computes every coarser level
+        df = finest.to_pandas()
+        lvl1 = (
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            .sum()
+            .assign(l_linestatus=None)
+        )
+        lvl0 = pd.DataFrame(
+            {
+                "l_returnflag": [None],
+                "l_linestatus": [None],
+                "n_rows": [df["n_rows"].sum()],
+                "sum_qty_raw": [df["sum_qty_raw"].sum()],
+            }
+        )
+        allv = pd.concat([df, lvl1, lvl0], ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
+                "n_rows": pa.array(allv["n_rows"].astype("int64")),
+                "sum_qty_e2": pa.array(
+                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
     def q_broadcast_join(sf_dir: str):
         import pyarrow.parquet as pq
 
@@ -950,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topn_per_group": q_topn_per_group,
         "rel_group_sample": q_group_sample,
         "rel_moving_avg": q_moving_avg,
+        "rel_rollup": q_rollup,
         "rel_quantiles": q_quantiles,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -1823,6 +1866,11 @@ def oracle_sql() -> dict[str, str]:
                                      & 9223372036854775807::UBIGINT AS BIGINT),
                                 event_id) AS rn
               FROM events) WHERE rn <= 5
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "rel_moving_avg": """
             SELECT event_id, user_id,
