@@ -255,6 +255,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_summary(_docs(sf_dir))
 
+    def q_dedup_losers(sf_dir: str):
+        # the reference's canonicalURL pointer column
+        # (Crawler.java:183-185): (loser doc, canonical doc) pairs,
+        # bucket-vectorized (bounded content-hash buckets, one sorted
+        # run-detect pass per bucket); over the synthetic pages corpus
+        # (~3% exact duplicates — the driver documents table has none)
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64_array,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            exact_dup_losers,
+        )
+
+        def add_id(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array(hash64_array(t["url"].to_pylist())),
+                    "text": t["text"],
+                }
+            )
+
+        pages = rd.read_parquet(
+            pages_for_sf_dir(sf_dir), columns=["url", "text"]
+        ).map_batches(add_id, batch_format="pyarrow")
+        return exact_dup_losers(pages)
+
     def q_dedup_jaccard(sf_dir: str):
         # jaccard is a SINGLE int/int division — bit-identical in any
         # IEEE engine, no rounding needed (or wanted)
@@ -967,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_fingerprint,
         "text_bpe_count": q_bpe_count,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1538,6 +1570,29 @@ def _crawl_links_oracle_sql() -> str:
     """
 
 
+def _dedup_losers_oracle_sql() -> str:
+    """Oracle for ``dedup_exact_losers`` over the synthetic pages
+    corpus: doc_id = md5-prefix hash64(url) (same convention as the
+    flagship, replayed in SQL), canonical = min doc_id per identical
+    extracted text."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM read_parquet('{pages_path}'))
+    SELECT doc_id, canonical_doc_id FROM (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+      FROM docs) WHERE doc_id != canonical_doc_id
+    """
+
+
 def _frontier_bfs_oracle_sql() -> str:
     """Oracle for ``crawl_frontier_bfs``: the edges CTE is the
     hash-matched ``crawl_links`` replica; the wave loop becomes a
@@ -1753,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
+        "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),

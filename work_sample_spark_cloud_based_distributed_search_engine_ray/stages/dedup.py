@@ -72,23 +72,46 @@ def exact_dup_losers(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "d
     """Rows for the non-canonical copies only: (doc_id, canonical_doc_id).
     The Ray analog of the reference's ``canonicalURL`` pointer column."""
 
+    num_buckets = 256
+
     def hash_batch(batch: pa.Table) -> pa.Table:
         md5s = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
-        return pa.table({"text_md5": pa.array(md5s, pa.string()), id_col: batch[id_col]})
+        bucket = np.fromiter(
+            (int(m[:8], 16) % num_buckets for m in md5s), dtype=np.int64, count=len(md5s)
+        )
+        return pa.table(
+            {
+                "text_md5": pa.array(md5s, pa.string()),
+                id_col: batch[id_col],
+                "__bucket": pa.array(bucket),
+            }
+        )
 
-    def losers(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        canon = int(ids.min())
-        keep = ids != canon
+    def losers_of_bucket(group: pa.Table) -> pa.Table:
+        # BOUNDED bucket of the content hash, one vectorized pass for
+        # every md5 run in it — never a per-distinct-hash Python call
+        idx = pc.sort_indices(
+            group, sort_keys=[("text_md5", "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        m = g["text_md5"].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        first = np.ones(len(m), dtype=bool)
+        first[1:] = m[1:] != m[:-1]
+        run_id = np.cumsum(first) - 1
+        canon = ids[np.flatnonzero(first)][run_id]
+        keep = ~first
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep]),
-                "canonical_doc_id": pa.array(np.full(int(keep.sum()), canon, np.int64)),
+                "canonical_doc_id": pa.array(canon[keep]),
             }
         )
 
     return hash_map_groups(
-        ds.map_batches(hash_batch, batch_format="pyarrow"), "text_md5", losers
+        ds.map_batches(hash_batch, batch_format="pyarrow"), "__bucket", losers_of_bucket
     )
 
 
