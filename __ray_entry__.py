@@ -56,6 +56,28 @@ PAGERANK_D = 0.85
 PAGERANK_ITERS = 10
 
 
+def _canon80(u: str) -> str:
+    """Canonical url form for graph joins: explicit :80 default port,
+    matching what the link normalizer emits for dst urls. ONE rule —
+    the PageRank/BFS node-edge matching silently breaks if the src and
+    dst conventions ever diverge."""
+    import re
+
+    return re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+
+
+def _canon80_src(t: pa.Table) -> pa.Table:
+    """Batch form of ``_canon80`` over an edge table's src column."""
+    return pa.table(
+        {
+            "src_url": pc.replace_substring_regex(
+                t["src_url"], r"^http://([^/]*)", r"http://\1:80"
+            ),
+            "dst_url": t["dst_url"],
+        }
+    )
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -648,54 +670,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_moving_avg(sf_dir: str):
         # window frame: 3-row trailing moving average of value per
-        # user ordered by (ts, event_id) — same 64-way user bucket as
-        # sessionize, one vectorized shift/mask pass for ALL users of
-        # a bucket (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        def add_bucket(t: pa.Table) -> pa.Table:
-            uid = t["user_id"].to_numpy(zero_copy_only=False)
-            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
-
-        def ma3(group: pa.Table) -> pa.Table:
-            idx = pc.sort_indices(
-                group,
-                sort_keys=[
-                    ("user_id", "ascending"),
-                    ("ts", "ascending"),
-                    ("event_id", "ascending"),
-                ],
-            )
-            g = group.take(idx)
-            uid = g["user_id"].to_numpy(zero_copy_only=False)
-            v = g["value"].to_numpy(zero_copy_only=False)
-            n = v.size
-            m1 = np.zeros(n, dtype=bool)
-            m2 = np.zeros(n, dtype=bool)
-            m1[1:] = uid[1:] == uid[:-1]
-            m2[2:] = uid[2:] == uid[:-2]
-            # oldest-first addition order, matching the SQL frame
-            s = np.where(m2, np.roll(v, 2), 0.0)
-            s = s + np.where(m1, np.roll(v, 1), 0.0)
-            s = s + v
-            cnt = 1.0 + m1 + m2
-            ma_e6 = np.rint(s / cnt * 1e6).astype(np.int64)
-            return pa.table(
-                {
-                    "event_id": g["event_id"],
-                    "user_id": g["user_id"],
-                    "ma3_e6": pa.array(ma_e6),
-                }
-            )
-
-        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
-            hash_map_groups,
+        # user ordered by (ts, event_id) — ROWS BETWEEN 2 PRECEDING
+        # AND CURRENT ROW, stages/temporal.py kernel
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            moving_avg_per_user,
         )
 
-        return hash_map_groups(
-            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
-                add_bucket, batch_format="pyarrow", batch_size=None
-            ),
-            "ubucket",
-            ma3,
+        return moving_avg_per_user(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+            window=3,
+            quantize_e=6,
         )
 
     def q_anti_join(sf_dir: str):
@@ -860,31 +844,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pagerank,
         )
 
-        import re
-
         pages_path = pages_for_sf_dir(sf_dir)
-
-        def canon_src(t: pa.Table) -> pa.Table:
-            # canonicalize src like the normalizer canonicalizes dst
-            # (explicit :80), or the node-restricted edge set is empty
-            return pa.table(
-                {
-                    "src_url": pc.replace_substring_regex(
-                        t["src_url"], r"^http://([^/]*)", r"http://\1:80"
-                    ),
-                    "dst_url": t["dst_url"],
-                }
-            )
-
+        # canonicalize src like the normalizer canonicalizes dst
+        # (explicit :80), or the node-restricted edge set is empty
         edges = (
             rd.read_parquet(pages_path, columns=["url", "html"])
             .map_batches(
                 LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
             )
-            .map_batches(canon_src, batch_format="pyarrow")
+            .map_batches(_canon80_src, batch_format="pyarrow")
         )
         urls = [
-            re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+            _canon80(u)
             for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
         ]
         t = pagerank(edges, urls, damping=PAGERANK_D, iters=PAGERANK_ITERS)
@@ -906,31 +877,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         pages_path = pages_for_sf_dir(sf_dir)
-
-        def canon_src(t: pa.Table) -> pa.Table:
-            # edge dst urls come out of the normalizer with the explicit
-            # :80 default port; canonicalize src urls (and seeds, below)
-            # the same way or the graph is artificially disconnected
-            return pa.table(
-                {
-                    "src_url": pc.replace_substring_regex(
-                        t["src_url"], r"^http://([^/]*)", r"http://\1:80"
-                    ),
-                    "dst_url": t["dst_url"],
-                }
-            )
-
+        # src urls canonicalized like dst (:80) or the graph is
+        # artificially disconnected — see _canon80
         edges = (
             rd.read_parquet(pages_path, columns=["url", "html"])
             .map_batches(
                 LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
             )
-            .map_batches(canon_src, batch_format="pyarrow")
+            .map_batches(_canon80_src, batch_format="pyarrow")
         )
-        import re
-
         seeds = [
-            re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+            _canon80(u)
             for u in sorted(
                 pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
             )[:3]

@@ -175,6 +175,18 @@ def test_minhash_from_segments_chunked_paths():
         want = minhash_signature(sh[offs[i] : offs[i + 1]], a, b)
         assert (got[i] == want).all(), f"segment {i}"
 
+    # small segment immediately before an oversized one: the oversized
+    # segment must NOT be dragged into the small segment's slab (it
+    # would bypass the fold and allocate (num_perm, huge) at once) —
+    # the boundary-crossing segment is excluded, then folded alone
+    seg_lens2 = [3, 500]
+    sh2 = rng.integers(0, 1 << 61, size=sum(seg_lens2), dtype=np.uint64)
+    offs2 = np.concatenate(([0], np.cumsum(seg_lens2)))
+    got2 = minhash_from_segments(sh2, offs2, a, b, chunk=64)
+    for i in range(len(seg_lens2)):
+        want2 = minhash_signature(sh2[offs2[i] : offs2[i + 1]], a, b)
+        assert (got2[i] == want2).all(), f"segment {i}"
+
 
 def test_band_keys_matrix_identical_to_per_doc():
     from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.sketches import (

@@ -173,6 +173,24 @@ def test_grouped_quantiles_matches_duckdb_rule():
     for g, p50, p90, p99 in want:
         assert (out[g]["p50_e2"], out[g]["p90_e2"], out[g]["p99_e2"]) == (p50, p90, p99)
 
+    # adversarial (q, n): binary-float q*n floats just above the true
+    # integer (0.07*100 == 7.000000000000001), which used to pick one
+    # rank too high; n=100 distinct values make any off-by-one visible
+    t100 = pa.table(
+        {"g": pa.array(["x"] * 100), "v": pa.array(np.arange(100, dtype=float))}
+    )
+    qs = (0.07, 0.14, 0.28, 0.55, 0.56)
+    out100 = grouped_quantiles(rd.from_arrow(t100), "g", "v", qs).take_all()[0]
+    exprs = ", ".join(
+        f"quantile_disc(CAST(round(v*100) AS BIGINT), {q}) q{i}"
+        for i, q in enumerate(qs)
+    )
+    want100 = con.sql(f"SELECT {exprs} FROM t100").fetchone()
+    got100 = tuple(
+        out100[f"p{q * 100:g}_e2".replace(".", "_")] for q in qs
+    )
+    assert got100 == want100
+
 
 def test_anti_join_keys(con):
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (

@@ -176,7 +176,12 @@ def minhash_from_segments(
     out = np.empty((num_seg, num_perm), dtype=np.uint64)
     s0 = 0
     while s0 < num_seg:
-        s1 = int(np.searchsorted(seg_offsets, seg_offsets[s0] + chunk, side="left"))
+        # largest s1 with seg_offsets[s1] <= f0 + chunk: a segment that
+        # CROSSES the chunk boundary must be excluded from the slab
+        # (else a small segment before a huge one drags the huge one
+        # into a single (num_perm, huge) allocation, bypassing the
+        # oversized-segment fold below and its memory bound)
+        s1 = int(np.searchsorted(seg_offsets, seg_offsets[s0] + chunk, side="right")) - 1
         s1 = min(max(s1, s0 + 1), num_seg)
         f0, f1 = int(seg_offsets[s0]), int(seg_offsets[s1])
         if s1 == s0 + 1 and f1 - f0 > chunk:
@@ -226,7 +231,11 @@ def simhash_batch(th: np.ndarray, parents: np.ndarray, n_docs: int) -> np.ndarra
     d0 = 0
     slab = 1 << 16
     while d0 < n_docs:
-        d1 = int(np.searchsorted(offsets, offsets[d0] + slab, side="left"))
+        # same boundary rule as minhash_from_segments: exclude the doc
+        # that crosses the slab boundary so the 64-wide vote matrix
+        # stays ~slab rows (a single oversized doc still processes
+        # whole — there is no smaller correct unit for it)
+        d1 = int(np.searchsorted(offsets, offsets[d0] + slab, side="right")) - 1
         d1 = min(max(d1, d0 + 1), n_docs)
         f0, f1 = int(offsets[d0]), int(offsets[d1])
         if f1 == f0:

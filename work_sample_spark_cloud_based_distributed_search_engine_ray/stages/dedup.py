@@ -42,6 +42,7 @@ from ..functions.sketches import (
     window_hashes_flat,
 )
 from ..functions.tokenize import flat_tokens_batch
+from .ops import bucket_mix
 from .shuffle import hash_map_groups, hash_partitions, packed_map_groups
 
 
@@ -414,10 +415,7 @@ def minhash_lsh_pairs(
         keys = band_keys_matrix(sig_mat, num_bands)  # (nb, num_bands) int64
         # route by a BOUNDED bucket of the band key; exact band-key runs
         # are re-separated inside the group (collisions are harmless)
-        bucket = (
-            (keys.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            >> np.uint64(32)
-        ) % np.uint64(num_band_buckets)
+        bucket = bucket_mix(keys.ravel(), num_band_buckets)
         rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_bands))
         return pa.table(
             {
@@ -518,10 +516,7 @@ def simhash_pairs(
             keys[:, c] = (
                 (np.uint64(c) << np.uint64(48)) | ((sims >> np.uint64(c * width)) & cmask)
             ).view(np.int64)
-        bucket = (
-            (keys.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            >> np.uint64(32)
-        ) % np.uint64(num_band_buckets)
+        bucket = bucket_mix(keys.ravel(), num_band_buckets)
         rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), num_chunks))
         return pa.table(
             {

@@ -28,6 +28,8 @@ Python rows in a hot path.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
 from typing import Callable
 
 import numpy as np
@@ -141,6 +143,15 @@ def cogroup(
     return hash_map_groups(tag_union(ds_left, ds_right, key), key, per_group)
 
 
+def bucket_mix(v: "np.ndarray", num_buckets: int) -> "np.ndarray":
+    """Golden-ratio multiplicative mix of an int64/uint64 array into
+    ``num_buckets`` bounded buckets (int64). THE canonical int bucket
+    hash — every bounded-bucket stage must route through it so bucket
+    assignment never drifts between operators."""
+    mixed = (v.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    return (mixed % np.uint64(num_buckets)).astype(np.int64)
+
+
 def _bucket_of(column: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     """Vectorized hash bucket of a key column (int: masked bits of a
     mixed value; string: md5-based hash64 per DISTINCT value)."""
@@ -150,9 +161,8 @@ def _bucket_of(column: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array
 
     col = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
     if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        return pa.array((mixed % np.uint64(num_buckets)).astype(np.int64))
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array(bucket_mix(v, num_buckets))
     d = col.dictionary_encode()
     uh = np.fromiter(
         (hash64(t) % num_buckets for t in d.dictionary.to_pylist()),
@@ -388,7 +398,12 @@ def grouped_quantiles(
         return f"p{q * 100:g}_e{exp}".replace(".", "_")
 
     def partial_hist(t: pa.Table) -> pa.Table:
-        v = pc.round(pc.multiply(t[value_col], float(scale)))
+        # half-away-from-zero, matching SQL round(); Arrow's default
+        # round mode is half-to-even, which bins exact .5 differently
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        )
         qt = pa.table({group_col: t[group_col], "__vq": v.cast(pa.int64())})
         agg = qt.group_by([group_col, "__vq"]).aggregate([([], "count_all")])
         return agg.rename_columns([group_col, "__vq", "__n"])
@@ -408,7 +423,11 @@ def grouped_quantiles(
         n = int(cum[-1])
         cols = {group_col: g.slice(0, 1)[group_col]}
         for q in qs:
-            target = max(1, int(np.ceil(q * n)))
+            # ceil(q*n) under EXACT decimal arithmetic: the binary
+            # float product floats above the true integer for many
+            # (q, n) pairs (0.07*100 == 7.000000000000001 -> ceil 8,
+            # one rank too high vs DuckDB quantile_disc)
+            target = max(1, math.ceil(Fraction(str(q)) * n))
             j = int(np.searchsorted(cum, target, side="left"))
             cols[_pname(q)] = pa.array([int(vals[min(j, vals.size - 1)])], pa.int64())
         return pa.table(cols)

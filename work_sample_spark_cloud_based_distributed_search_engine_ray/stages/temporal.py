@@ -162,3 +162,55 @@ def range_count_after(
 
     ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
     return hash_map_groups(ev, "ubucket", counts)
+
+
+def moving_avg_per_user(
+    events: rd.Dataset,
+    value_col: str = "value",
+    window: int = 3,
+    num_buckets: int = 64,
+    quantize_e: int = 6,
+) -> rd.Dataset:
+    """Trailing moving average per user ordered by (ts, event_id) —
+    ``avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — one vectorized
+    shift/mask pass for ALL users of a bucket.
+
+    The sum adds oldest-first (matching the SQL frame order) and the
+    result is quantized to ``ma{window}_e{quantize_e}`` int64 for
+    cross-engine hash parity."""
+
+    def ma(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        n = v.size
+        cnt = np.ones(n, dtype=np.float64)
+        # oldest-first accumulation: s = v[i-w+1] + ... + v[i]
+        total = np.zeros(n, dtype=np.float64)
+        for back in range(window - 1, 0, -1):
+            m = np.zeros(n, dtype=bool)
+            m[back:] = uid[back:] == uid[:-back]
+            total = total + np.where(m, np.roll(v, back), 0.0)
+            cnt += m
+        total = total + v
+        scale = 10.0**quantize_e
+        out = np.rint(total / cnt * scale).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                f"ma{window}_e{quantize_e}": pa.array(out),
+            }
+        )
+
+    ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+    return hash_map_groups(ev, "ubucket", ma)
