@@ -119,3 +119,38 @@ def test_range_count_matches_bruteforce_random():
             1 for e in rows if e[1] == r["user_id"] and t < e[2] <= t + 60 * US
         )
         assert r["n_follow"] == want, r
+
+
+def test_moving_avg_matches_bruteforce_random():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+        moving_avg_per_user,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 400
+    eid = np.arange(n)
+    uid = rng.integers(0, 10, n)
+    ts = rng.integers(0, 2000, n) * US
+    val = np.round(rng.uniform(-5, 5, n), 3)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+                "value": pa.array(val),
+            }
+        )
+    )
+    out = {r["event_id"]: r["ma3_e6"] for r in moving_avg_per_user(ds, window=3).take_all()}
+    assert len(out) == n
+    order = np.lexsort((eid, ts, uid))
+    for pos, i in enumerate(order):
+        window = [val[i]]
+        for back in (1, 2):
+            j = pos - back
+            if j >= 0 and uid[order[j]] == uid[i]:
+                window.append(val[order[j]])
+        # oldest-first addition, like the kernel and the SQL frame
+        want = int(np.rint(sum(reversed(window)) / len(window) * 1e6))
+        assert out[eid[i]] == want, (i, window)

@@ -88,6 +88,10 @@ def frontier_bfs(
     """
     import ray
 
+    # pin the edge blocks in the object store ONCE: the wave loop
+    # re-reads them every iteration, and without this each wave would
+    # re-execute the whole upstream plan (e.g. link extraction)
+    edges = edges.materialize()
     visited: dict[str, int] = {u: 0 for u in seeds}
     frontier = sorted(set(seeds))
     for depth in range(1, max_depth + 1):
