@@ -16,6 +16,18 @@ import json
 import sys
 import time
 
+# `python jobs/<name>.py` puts jobs/ (not the repo root) on sys.path;
+# make the library importable without an install — and export it via
+# PYTHONPATH so Ray WORKER processes (which do not inherit the
+# driver's sys.path edits) can unpickle the stage classes too
+import os as _os
+import sys as _sys
+
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _repo_root)
+_os.environ["PYTHONPATH"] = _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
