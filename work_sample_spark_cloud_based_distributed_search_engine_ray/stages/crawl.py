@@ -142,18 +142,24 @@ def pagerank(
     where dangling_k = sum of r_k over zero-out-degree nodes.
 
     Physical plan (the broadcast-join variant the verdict prescribed):
-    per iteration the rank/out-degree vector is BROADCAST (``ray.put``
-    once, read per task), each edge block emits per-dst partial sums
-    (map-side combine via one ``np.unique`` per batch), and ONE
-    ``groupby(dst).aggregate(Sum)`` closes the iteration — so the
-    shuffle moves at most #distinct-dst rows, never raw edges. The
-    rank vector is node-count-bounded driver/worker state: fine up to
+    the edge set is integer-encoded and PREPPED ONCE per block (src
+    node positions + dst ``np.unique`` inverse, held in the object
+    store); per iteration the rank/out-degree vector is BROADCAST
+    (``ray.put`` once, read per task) and one Ray task per edge block
+    returns its node-bounded per-dst partial sums, which the driver
+    adds into the dense rank vector. Partial sums move at most
+    #distinct-dst-per-block rows, never raw edges — the same map-side
+    combine a groupby(dst).aggregate(Sum) would do, without paying a
+    Dataset hash-shuffle spin-up per iteration (measured 10x the
+    useful work at small scale). The rank vector and the per-block
+    partials are node-count-bounded driver/worker state: fine up to
     ~10^8 nodes per the repo's broadcast-vs-shuffle convention
     (``build_index.DRIVER_DEDUP_LIMIT``); at 10^12 pages swap the
     broadcast for rank tables hash-bucketed by url alongside
     equally-bucketed edges (same bucketed-join pattern as
-    ``stages.ops.shuffle_join``) — one all-to-all per iteration is
-    inherent to distributed PageRank.
+    ``stages.ops.shuffle_join``, with a tree-combine of the partials)
+    — one all-to-all per iteration is inherent to distributed
+    PageRank.
 
     Returns (url, rank) sorted by url; ranks sum to 1 (mass conserved).
     """
@@ -192,50 +198,45 @@ def pagerank(
 
     edges_i = edges.map_batches(to_int, batch_format="pyarrow").materialize()
 
-    def _collect(ds: "rd.Dataset") -> pa.Table:
-        return pa.concat_tables(
-            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-             for b in (ray.get(r) for r in ds.to_arrow_refs())],
-            promote_options="default",
+    # Prep each edge block ONCE: src node positions + the dst unique/
+    # inverse decomposition. Iterations are then pure numpy per block
+    # (gather + segmented add), with only the node-bounded (dst_pos,
+    # partial_sum) pair crossing the object store per task.
+    @ray.remote(num_returns=2)
+    def prep_block(block, node_ids_r):
+        if isinstance(block, pa.RecordBatch):
+            block = pa.Table.from_batches([block])
+        si = np.searchsorted(node_ids_r, block["src_id"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(
+            block["dst_id"].to_numpy(zero_copy_only=False), return_inverse=True
         )
+        u_pos = np.searchsorted(node_ids_r, u)
+        deg_local = np.bincount(si, minlength=len(node_ids_r)).astype(np.int64)
+        return (si.astype(np.int64), u_pos.astype(np.int64), inv.astype(np.int64)), deg_local
 
-    from ray.data.aggregate import Count, Sum
-
-    deg_t = _collect(edges_i.groupby("src_id").aggregate(Count(alias_name="deg")))
+    block_refs = edges_i.to_arrow_refs()
+    pairs = [prep_block.remote(r, ids_ref) for r in block_refs]
+    prep_refs = [p for p, _d in pairs]  # edge-sized: stay in the object store
     deg = np.zeros(n, dtype=np.float64)
-    if deg_t.num_rows:
-        deg[np.searchsorted(ids, deg_t["src_id"].to_numpy(zero_copy_only=False))] = (
-            deg_t["deg"].to_numpy(zero_copy_only=False)
-        )
+    for dl in ray.get([d for _p, d in pairs]):  # node-bounded: driver sums
+        deg += dl
     dangling_mask = deg == 0
     inv_deg = np.where(dangling_mask, 0.0, 1.0 / np.maximum(deg, 1.0))
+
+    @ray.remote
+    def block_contrib(prep, w):
+        si, u_pos, inv = prep
+        s = np.zeros(u_pos.size, dtype=np.float64)
+        np.add.at(s, inv, w[si])
+        return u_pos, s
 
     ranks = np.full(n, 1.0 / n, dtype=np.float64)
     for _it in range(iters):
         w_ref = ray.put(ranks * inv_deg)
-
-        def contribs(batch: pa.Table) -> pa.Table:
-            w = ray.get(w_ref)
-            node_ids = ray.get(ids_ref)
-            si = np.searchsorted(node_ids, batch["src_id"].to_numpy(zero_copy_only=False))
-            c = w[si]
-            u, inv = np.unique(
-                batch["dst_id"].to_numpy(zero_copy_only=False), return_inverse=True
-            )
-            s = np.zeros(u.size, dtype=np.float64)
-            np.add.at(s, inv, c)
-            return pa.table({"dst_id": pa.array(u), "c": pa.array(s)})
-
-        agg = _collect(
-            edges_i.map_batches(contribs, batch_format="pyarrow")
-            .groupby("dst_id")
-            .aggregate(Sum("c", alias_name="c"))
-        )
+        parts = ray.get([block_contrib.remote(p, w_ref) for p in prep_refs])
         contrib = np.zeros(n, dtype=np.float64)
-        if agg.num_rows:
-            contrib[np.searchsorted(ids, agg["dst_id"].to_numpy(zero_copy_only=False))] = (
-                agg["c"].to_numpy(zero_copy_only=False)
-            )
+        for u_pos, s in parts:
+            np.add.at(contrib, u_pos, s)
         dang = float(ranks[dangling_mask].sum())
         ranks = (1.0 - damping) / n + damping * (contrib + dang / n)
 
