@@ -200,8 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cogroup_counts,
         distinct_on,
         intersection,
+        kmv_distinct,
         sample_with_replacement,
         shuffle_join,
+        skew_join,
+        zip_with_index,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
         TextStatsStage,
@@ -601,6 +604,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_skew_join(sf_dir: str):
+        # skew-defusing salted join: orders with >= 4 lineitems count as
+        # HOT (their lineitem rows salt over 4 buckets; the order row is
+        # replicated per salt) — same result set as a plain join, which
+        # is exactly what the SQL oracle checks
+        li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+            lambda t: t.rename_columns(["orderkey", "l_linenumber", "l_quantity"]),
+            batch_format="pyarrow",
+        )
+        od = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+            lambda t: t.rename_columns(["orderkey", "o_orderstatus"]),
+            batch_format="pyarrow",
+        )
+        j = skew_join(
+            li,
+            od,
+            "orderkey",
+            fact_cols=["l_linenumber", "l_quantity"],
+            dim_cols=["o_orderstatus"],
+            salt_col="l_linenumber",
+            num_salts=4,
+            hot_count_threshold=4,
+        )
+        agg = j.groupby("o_orderstatus").aggregate(
+            Count(alias_name="n_items"), Sum("l_quantity", alias_name="qty_raw")
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "n_items": t["n_items"],
+                    "qty_e2": pa.array(
+                        np.rint(t["qty_raw"].to_numpy(zero_copy_only=False) * 100).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_kmv_distinct(sf_dir: str):
+        # approximate COUNT(DISTINCT user_id) per event_type via the
+        # KMV sketch (k=64) — deterministic md5 hash64, so the DuckDB
+        # twin re-derives the identical estimate from the raw rows
+        return kmv_distinct(
+            _tbl(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+            k=64,
+        )
+
+    def q_zip_with_index(sf_dir: str):
+        # Spark zipWithIndex parity: global row numbers from one sort +
+        # a metadata-only prefix-sum over per-block counts
+        return zip_with_index(
+            _tbl(sf_dir, "events", ["event_id", "ts"]),
+            ["ts", "event_id"],
+            out_cols=["event_id"],
+        )
+
     def q_sample_replace(sf_dir: str):
         # with-replacement sample (Flame invokeSampling parity) —
         # deterministic Poisson multiplicity per key, fraction 1.5 so
@@ -975,6 +1039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_replace": q_sample_replace,
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
+        "rel_skew_join_agg": q_skew_join,
+        "rel_approx_distinct_kmv": q_kmv_distinct,
+        "rel_zip_with_index": q_zip_with_index,
         "rel_sessionize": q_sessionize,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
@@ -1831,6 +1898,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS rev_e2 "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # the salted join must produce exactly the plain join's rows —
+        # salting is physical routing, invisible in the result
+        "rel_skew_join_agg": (
+            "SELECT o_orderstatus, count(*) AS n_items, "
+            "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_e2 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
+        # KMV estimator replayed exactly: same md5-prefix hash64, same
+        # k-th-smallest threshold, same floor(x + 0.5) quantization
+        "rel_approx_distinct_kmv": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                          & 9223372036854775807::UBIGINT AS BIGINT) AS hv
+              FROM events),
+            r AS (SELECT event_type, hv,
+                         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                  FROM h)
+            SELECT event_type,
+                   CAST(CASE WHEN max(rn) < 64 THEN max(rn)
+                        ELSE floor(63.0 * 9223372036854775808.0
+                                   / max(CASE WHEN rn = 64 THEN hv END) + 0.5)
+                        END AS BIGINT) AS est_distinct
+            FROM r GROUP BY event_type
+        """,
+        "rel_zip_with_index": (
+            "SELECT event_id, "
+            "CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS row_idx "
+            "FROM events"
         ),
         "rel_sessionize": """
             WITH ordered AS (

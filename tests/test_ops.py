@@ -266,3 +266,89 @@ def test_topn_per_group(con):
     got_rows = sorted(map(tuple, got[key].values))
     want_rows = sorted(map(tuple, want[key].values))
     assert got_rows == want_rows
+
+
+def test_skew_join_matches_plain_join(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        skew_join,
+    )
+
+    li = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(
+        lambda t: t.rename_columns(["orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    od = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.rename_columns(["orderkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+    )
+    # threshold 2 at this scale: a large share of orders is HOT, so the
+    # salting path (fact salts + dim replication) is genuinely exercised
+    got = skew_join(
+        li,
+        od,
+        "orderkey",
+        fact_cols=["l_linenumber", "l_quantity"],
+        dim_cols=["o_orderstatus"],
+        salt_col="l_linenumber",
+        num_salts=4,
+        hot_count_threshold=2,
+    ).to_pandas()
+    want = con.sql(
+        "SELECT l_orderkey AS orderkey, l_linenumber, l_quantity, o_orderstatus "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).df()
+    # the hot path must actually fire: >= 1 order has >= 2 lineitems
+    n_hot = con.sql(
+        "SELECT count(*) FROM (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING count(*) >= 2)"
+    ).fetchone()[0]
+    assert n_hot > 0
+    key = ["orderkey", "l_linenumber", "l_quantity", "o_orderstatus"]
+    assert sorted(map(tuple, got[key].values)) == sorted(map(tuple, want[key].values))
+
+
+def test_kmv_distinct_exact_below_k_and_estimate_above(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        kmv_distinct,
+    )
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+    # k larger than any group's distinct count -> EXACT counts
+    got = kmv_distinct(ds, "o_orderpriority", "o_custkey", k=100_000).to_pandas()
+    want = con.sql(
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n FROM orders "
+        "GROUP BY o_orderpriority"
+    ).df()
+    g = dict(zip(got["o_orderpriority"], got["est_distinct"]))
+    for p, n in zip(want["o_orderpriority"], want["n"]):
+        assert g[p] == n, (p, g[p], n)
+
+    # small k -> estimator mode; must be within 3 sigma (~3/sqrt(k)) of
+    # the true count for every group (k=64 -> 37.5%)
+    est = kmv_distinct(ds, "o_orderpriority", "o_custkey", k=64).to_pandas()
+    e = dict(zip(est["o_orderpriority"], est["est_distinct"]))
+    for p, n in zip(want["o_orderpriority"], want["n"]):
+        assert abs(e[p] - n) <= max(8, 0.375 * n), (p, e[p], n)
+
+
+def test_zip_with_index_is_dense_and_order_correct(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        zip_with_index,
+    )
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    got = zip_with_index(
+        ds, ["o_orderdate", "o_orderkey"], out_cols=["o_orderkey"]
+    ).to_pandas()
+    want = con.sql(
+        "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 "
+        "AS row_idx FROM orders"
+    ).df()
+    gm = dict(zip(got["o_orderkey"], got["row_idx"]))
+    assert len(gm) == len(want)
+    for k, idx in zip(want["o_orderkey"], want["row_idx"]):
+        assert gm[k] == idx

@@ -547,3 +547,243 @@ def topn_per_group(
         "__bucket",
         per_bucket,
     )
+
+
+def skew_join(
+    ds_fact: rd.Dataset,
+    ds_dim: rd.Dataset,
+    key: str,
+    *,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    salt_col: str,
+    num_salts: int = 8,
+    hot_count_threshold: int = 100_000,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """``shuffle_join`` with HOT-KEY SALTING — the skew-defusing join
+    (same defusal the index build applies to hot terms,
+    ``pipelines.build_index.detect_term_salts``; the reference's join
+    has no skew handling at all and serializes a hot key onto one
+    worker, ``flame/FlameWorker.java:491-544``).
+
+    Plan: (1) exact per-key fact counts via per-batch partial counts +
+    one vocabulary-bounded ``groupby(key).sum`` — keys with count >=
+    ``hot_count_threshold`` form the HOT set (small by the definition
+    of skew; broadcast via ``ray.put`` once). (2) A hot fact row takes
+    salt = ``salt_col`` % num_salts, a cold row salt 0; hot DIM rows
+    are REPLICATED once per salt (dim duplication is num_salts x
+    |hot keys| rows — the small side of the trade). (3) ONE bounded-
+    bucket shuffle routes on (key, salt) so a hot key's postings spread
+    over ``num_salts`` buckets, then an Arrow C++ join per bucket on
+    [key, salt]. Result rows identical to ``shuffle_join``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: agg[key], "__c": agg["count_all"].cast(pa.int64())})
+
+    hot_t = (
+        ds_fact.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("__c", alias_name="n"))
+        .filter(expr=f"n >= {int(hot_count_threshold)}")
+        .take_all()
+    )
+    hot_keys = pa.array([r[key] for r in hot_t])
+    hot_ref = ray.put(hot_keys)
+
+    def salt_fact(batch: pa.Table) -> pa.Table:
+        base = batch.select([key] + fact_cols)
+        hot = pc.is_in(batch[key], value_set=ray.get(hot_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        s = (
+            batch[salt_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            % num_salts
+        )
+        return base.append_column("__salt", pa.array(np.where(hot, s, 0)))
+
+    def explode_dim(batch: pa.Table) -> pa.Table:
+        base = batch.select([key] + dim_cols)
+        hot = pc.is_in(batch[key], value_set=ray.get(hot_ref))
+        cold = base.filter(pc.invert(hot))
+        cold = cold.append_column(
+            "__salt", pa.array(np.zeros(cold.num_rows, np.int64))
+        )
+        hot_rows = base.filter(hot)
+        reps = [
+            hot_rows.append_column(
+                "__salt", pa.array(np.full(hot_rows.num_rows, s, np.int64))
+            )
+            for s in range(num_salts)
+        ]
+        return pa.concat_tables([cold] + reps)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = group.filter(pc.equal(side, 0)).select([key, "__salt"] + fact_cols)
+        right = group.filter(pc.equal(side, 1)).select([key, "__salt"] + dim_cols)
+        return left.join(right, keys=[key, "__salt"], join_type=how).drop_columns(
+            ["__salt"]
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        kv = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sv = batch["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        # salt perturbs the mix input so a hot key's salts hit distinct
+        # buckets; the canonical bucket_mix keeps cold routing aligned
+        comb = kv.view(np.uint64) + sv.view(np.uint64) * np.uint64(0xD6E8FEB86659FD93)
+        return batch.append_column(
+            "__bucket", pa.array(bucket_mix(comb, num_buckets))
+        )
+
+    lf = ds_fact.map_batches(salt_fact, batch_format="pyarrow")
+    rf = ds_dim.map_batches(explode_dim, batch_format="pyarrow")
+    tagged = tag_union(lf, rf, key).map_batches(add_bucket, batch_format="pyarrow")
+    return hash_map_groups(tagged, "__bucket", per_bucket)
+
+
+def kmv_distinct(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 64,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT value) per group via a KMV (k minimum
+    hash values) sketch — the classic mergeable distinct-count sketch
+    (Bar-Yossef et al. 2002). Deterministic (md5-based ``hash64``), so
+    the estimate is SQL-replayable exactly.
+
+    Map-side combine: each batch keeps the <= k smallest DISTINCT
+    (group, hash) pairs per group it sees, so the shuffle carries
+    <= k * groups-per-batch rows regardless of input size. One bounded-
+    bucket shuffle, then per bucket: a global dedup + k-smallest merge
+    (union of per-batch bottom-k sets contains the true global bottom-k)
+    and the estimator — if the merged sketch holds < k distinct hashes
+    every batch kept ALL its values, so the count is EXACT; otherwise
+    est = floor((k-1) * 2^63 / h_k + 0.5) with h_k the k-th smallest.
+    """
+    from ..functions.hashing import hash64
+
+    m_range = float(1 << 63)
+    sort_keys = [(group_col, "ascending"), ("__hv", "ascending")]
+
+    def dedup_runs(t: pa.Table):
+        """Sorted table -> (taken, g codes, hv, keep-first mask applied)."""
+        taken = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        g = (
+            taken[group_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        hv = taken["__hv"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (hv[1:] != hv[:-1])
+        return taken.filter(pa.array(keep)), g[keep], hv[keep]
+
+    def local(batch: pa.Table) -> pa.Table:
+        # distinct (group, value) first: hash only distinct values
+        tb = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([])
+        hv = np.fromiter(
+            (hash64(str(v)) for v in tb[value_col].to_pylist()),
+            dtype=np.int64,
+            count=tb.num_rows,
+        )
+        t = pa.table({group_col: tb[group_col], "__hv": pa.array(hv)})
+        taken, g, _hv = dedup_runs(t)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(g)) - starts[(np.cumsum(first) - 1)]
+        return taken.filter(pa.array(pos < k))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t[group_col], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        taken, g, hv = dedup_runs(t.drop_columns(["__bucket"]))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(g)))
+        est = counts.astype(np.float64)
+        full = counts >= k
+        kth = hv[starts[full] + (k - 1)].astype(np.float64)
+        est[full] = np.floor((k - 1) * m_range / kth + 0.5)
+        return pa.table(
+            {
+                group_col: pc.take(taken[group_col], pa.array(starts)),
+                "est_distinct": pa.array(est.astype(np.int64)),
+            }
+        )
+
+    return hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
+    )
+
+
+def zip_with_index(
+    ds: rd.Dataset,
+    sort_keys: list[str],
+    *,
+    out_cols: list[str] | None = None,
+    idx_col: str = "row_idx",
+) -> rd.Dataset:
+    """Global row numbering over a totally-ordered dataset (Spark's
+    ``zipWithIndex``; the reference numbers rows only driver-side in
+    ``collect`` order). ONE range-partitioning sort, then a
+    metadata-only distributed prefix-sum: per-block counts come back to
+    the driver (one int + one first-key tuple per block — never rows),
+    offsets are cumulative sums, and one task per block appends
+    ``offset + local_position``. No second shuffle.
+
+    ``sort_keys`` must totally order the rows (ties across block
+    boundaries would make the numbering partition-dependent).
+    """
+    sorted_ds = ds.sort(sort_keys)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(t):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        if t.num_rows == 0:
+            return 0, None
+        return t.num_rows, tuple(t[c][0].as_py() for c in sort_keys)
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    blocks = sorted(
+        (
+            (first, count, ref)
+            for (count, first), ref in zip(metas, refs)
+            if count > 0
+        ),
+        key=lambda b: b[0],  # ranges are disjoint: first key orders blocks
+    )
+    offsets = np.concatenate(([0], np.cumsum([c for _f, c, _r in blocks])))[:-1]
+
+    @ray.remote
+    def assign(t, off: int):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        out = t.select(out_cols) if out_cols else t
+        return out.append_column(
+            idx_col, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+        )
+
+    new_refs = [
+        assign.remote(ref, int(off)) for (_f, _c, ref), off in zip(blocks, offsets)
+    ]
+    return rd.from_arrow_refs(new_refs)
