@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lsh_knn,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        benchmark_shingle_set,
+        contamination_counts,
         exact_dedup_summary,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -645,6 +647,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_decontaminate(sf_dir: str):
+        # benchmark decontamination: per-doc count of distinct 3-gram
+        # shingles shared with a broadcast benchmark set (here: the
+        # shingles of the 20 lowest-doc_id documents, a deterministic
+        # eval-set stand-in) — a pure broadcast-membership map, no
+        # shuffle; the hygiene pass a 100-TB training-data pipeline
+        # runs before training
+        docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+        bench = benchmark_shingle_set(docs, n=3, n_docs=20)
+        return contamination_counts(docs, bench, n=3, min_hits=1)
+
     def q_kmv_distinct(sf_dir: str):
         # approximate COUNT(DISTINCT user_id) per event_type via the
         # KMV sketch (k=64) — deterministic md5 hash64, so the DuckDB
@@ -1017,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
+        "text_decontaminate": q_decontaminate,
         "text_bpe_count": q_bpe_count,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_losers": q_dedup_losers,
@@ -1765,6 +1779,19 @@ def oracle_sql() -> dict[str, str]:
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THR}
     """
 
+    decontaminate = f"""
+    WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+           FROM toksl WHERE len(t) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20))
+    SELECT s.doc_id, count(*) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    GROUP BY s.doc_id
+    """
+
     knn = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
     s AS (SELECT q.query_id, e.vec_id,
@@ -1834,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
+        "text_decontaminate": decontaminate,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_ivf_topk": _ivf_knn_oracle_sql(),

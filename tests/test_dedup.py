@@ -246,3 +246,35 @@ def test_ngram_jaccard_exact_vs_bruteforce():
     assert set(got_map) == set(want)
     for k in want:
         assert got_map[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_contamination_counts_vs_pure_python():
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        benchmark_shingle_set,
+        contamination_counts,
+    )
+
+    tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    bench = benchmark_shingle_set(ds, n=3, n_docs=5)
+    got = contamination_counts(ds, bench, n=3, min_hits=1).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["n_hits"]))
+
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    shingles = {
+        d: {" ".join(tokenize(t)[i : i + 3]) for i in range(len(tokenize(t)) - 2)}
+        for d, t in texts.items()
+    }
+    bench_set = set().union(*(shingles[d] for d in sorted(shingles)[:5]))
+    want = {d: len(s & bench_set) for d, s in shingles.items() if s & bench_set}
+    assert got_map == want
+    # the benchmark docs themselves are fully contaminated by definition
+    for d in sorted(shingles)[:5]:
+        if shingles[d]:
+            assert got_map[d] == len(shingles[d])

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -751,3 +752,100 @@ def ngram_jaccard_pairs(
         )
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (broadcast shingle-set membership)
+# --------------------------------------------------------------------------
+
+
+def doc_shingles(texts_col, doc_parents_offset: int = 0, *, n: int = 3):
+    """Distinct word n-gram shingles per doc for one batch — the shared
+    kernel of ``ngram_jaccard_pairs`` and ``contamination_counts``.
+    Returns (doc_index: np.int64[], shingle: pa.StringArray) with one
+    row per DISTINCT (doc, shingle)."""
+    flat, parents, n_docs = flat_tokens_batch(texts_col)
+    counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    w = len(flat) - n + 1
+    if w <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    joined = flat.slice(0, w)
+    for j in range(1, n):
+        joined = pc.binary_join_element_wise(joined, flat.slice(j, w), " ")
+    pos_in_doc = np.arange(w) - offsets[parents[:w]]
+    valid = pos_in_doc <= counts[parents[:w]] - n
+    sh_arr = joined.filter(pa.array(valid))
+    p_w = parents[:w][valid]
+    if len(sh_arr) == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    d = sh_arr.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = max(len(d.dictionary), 1)
+    uniq = np.unique(p_w * nd + codes)
+    return uniq // nd, d.dictionary.take(pa.array(uniq % nd))
+
+
+def contamination_counts(
+    ds: rd.Dataset,
+    benchmark_shingles: pa.Array,
+    *,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark DECONTAMINATION scan — the training-data hygiene pass
+    that flags corpus documents overlapping an evaluation set (the
+    n-gram-overlap rule used by large-corpus dedup pipelines; see e.g.
+    the C4/GPT-3 appendix decontamination procedures).
+
+    Per doc: the number of DISTINCT word ``n``-gram shingles it shares
+    with the benchmark set. The benchmark shingles are ``ray.put`` ONCE
+    and read zero-copy by every task (the broadcast-small-side rule) —
+    the scan is a pure ``map_batches`` + filter, NO shuffle, so it
+    streams at read bandwidth over any corpus size. Emits (doc_id,
+    n_hits) for docs with ``n_hits >= min_hits``; dropping flagged ids
+    is then an anti-join (``stages.ops.anti_join_keys``) or a broadcast
+    ``is_in`` filter.
+    """
+    bench_ref = ray.put(benchmark_shingles)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        up, sh = doc_shingles(batch[text_col], n=n)
+        if len(sh) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        hit = pc.is_in(sh, value_set=ray.get(bench_ref)).to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        hits_per_doc = np.bincount(up[hit], minlength=n_docs).astype(np.int64)
+        keep = hits_per_doc >= min_hits
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep]),
+                "n_hits": pa.array(hits_per_doc[keep]),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def benchmark_shingle_set(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    n_docs: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Array:
+    """Deterministic benchmark set for tests/oracles: the distinct
+    ``n``-gram shingles of the ``n_docs`` lowest-``id_col`` documents
+    (a stand-in for a real eval set; the sort+limit touches only
+    ``n_docs`` rows past the sort). Returns a distinct string array —
+    small by construction, safe to broadcast."""
+    rows = ds.select_columns([id_col, text_col]).sort(id_col).limit(n_docs)
+    t = pa.Table.from_pylist(rows.take_all())
+    _up, sh = doc_shingles(t[text_col], n=n)
+    return pc.unique(sh)
