@@ -647,6 +647,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_data_prep(sf_dir: str):
+        # the capstone LLM-data chain: quality gate -> exact dedup ->
+        # benchmark decontamination -> per-language corpus summary
+        # (pipelines/data_prep.py); every stage is one of the verified
+        # operators, wired as a single streaming plan
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.data_prep import (
+            training_data_prep,
+        )
+
+        docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+        bench = benchmark_shingle_set(docs, n=3, n_docs=20)
+        return training_data_prep(docs, bench, min_hits=10)
+
     def q_decontaminate(sf_dir: str):
         # benchmark decontamination: per-doc count of distinct 3-gram
         # shingles shared with a broadcast benchmark set (here: the
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_decontaminate": q_decontaminate,
+        "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_losers": q_dedup_losers,
@@ -1779,6 +1793,46 @@ def oracle_sql() -> dict[str, str]:
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THR}
     """
 
+    # the chained prep pipeline: same quality rule as the text_quality
+    # oracle, same lang vote as text_lang_id, keep-first dedup losers,
+    # same shingle/bench CTEs as text_decontaminate at min_hits=10
+    data_prep = f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, toks,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({EN_SQL}, x))) AS en_hits,
+                 len(list_filter(toks, x -> list_contains({DE_SQL}, x))) AS de_hits,
+                 len(list_filter(toks, x -> list_contains({FR_SQL}, x))) AS fr_hits,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_token_len
+          FROM t),
+    q AS (SELECT doc_id, n_tokens,
+                 CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+          FROM m
+          WHERE n_tokens >= 20
+            AND CAST(en_hits AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+            AND mean_token_len <= 12.0),
+    losers AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+               WHERE rn > 1),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)),
+    cont AS (SELECT s.doc_id FROM sh s JOIN bench b USING (shingle)
+             GROUP BY s.doc_id HAVING count(*) >= 10)
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM q
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      AND doc_id NOT IN (SELECT doc_id FROM cont)
+    GROUP BY lang_pred
+    """
+
     decontaminate = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -1862,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
         "text_decontaminate": decontaminate,
+        "pipeline_data_prep": data_prep,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_ivf_topk": _ivf_knn_oracle_sql(),

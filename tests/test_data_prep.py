@@ -1,0 +1,33 @@
+"""The chained training-data-prep pipeline vs an independent DuckDB
+replay at sf0.001 (the per-stage operators have their own tests; this
+asserts the WIRING — gate, drop set, summary — end to end)."""
+
+import duckdb
+import ray.data as rd
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_training_data_prep_matches_duckdb():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.data_prep import (
+        training_data_prep,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        benchmark_shingle_set,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bench = benchmark_shingle_set(docs, n=3, n_docs=5)
+    got = training_data_prep(docs, bench, min_hits=10).to_pandas()
+
+    sql = entrymod.oracle_sql()["pipeline_data_prep"].replace("LIMIT 20", "LIMIT 5")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(sql).df()
+    g = {r.lang_pred: (r.n_docs, r.total_tokens) for r in got.itertuples()}
+    w = {r.lang_pred: (r.n_docs, r.total_tokens) for r in want.itertuples()}
+    assert g == w and len(g) >= 1
