@@ -606,28 +606,39 @@ def audit_doc_ids(paths: IndexPaths) -> dict:
     }
 
 
+def _bin_from_offsets(buf, offsets64: "np.ndarray") -> pa.Array:
+    """ZERO-COPY ``pa.binary()`` column over one concatenated blob
+    buffer: the values buffer is VIEWED (pyarrow holds a reference),
+    only the int64->int32 offset downcast allocates (#terms x 4 bytes).
+    Replaces a per-term Python memoryview list + a full copy of every
+    blob byte into fresh Arrow buffers — the bucket-merge's dominant
+    allocation. Falls back to the slicing path if one bucket's blobs
+    ever exceed int32 offsets (>2 GiB — far past the bucket budget)."""
+    n = offsets64.size - 1
+    if n == 0:
+        return pa.array([], pa.binary())
+    if int(offsets64[-1]) <= np.iinfo(np.int32).max:
+        off32 = offsets64.astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(off32), pa.py_buffer(buf)]
+        )
+    mv = memoryview(buf)
+    return pa.array(
+        [mv[offsets64[i] : offsets64[i + 1]] for i in range(n)], pa.binary()
+    )
+
+
 def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
     """Assemble POSTING_SCHEMA columns from an ``encode_postings_multi``
-    result (per-term blob slicing is O(#terms) memoryview cuts)."""
-    nt = enc["codes_out"].size
-    mv_doc = memoryview(enc["doc_blob_buf"])
-    mv_tf = memoryview(enc["tf_blob_buf"])
-    mv_dl = memoryview(enc["dl_blob_buf"])
-    do, to, dlo = enc["doc_blob_offsets"], enc["tf_blob_offsets"], enc["dl_blob_offsets"]
+    result (blob columns are zero-copy views of the codec buffers)."""
     return pa.table(
         {
             "term": terms,
             "df": pa.array(enc["df"], pa.int64()),
             "cf": pa.array(enc["cf"], pa.int64()),
-            "doc_blob": pa.array(
-                [mv_doc[do[i] : do[i + 1]] for i in range(nt)], pa.binary()
-            ),
-            "tf_blob": pa.array(
-                [mv_tf[to[i] : to[i + 1]] for i in range(nt)], pa.binary()
-            ),
-            "dl_blob": pa.array(
-                [mv_dl[dlo[i] : dlo[i + 1]] for i in range(nt)], pa.binary()
-            ),
+            "doc_blob": _bin_from_offsets(enc["doc_blob_buf"], enc["doc_blob_offsets"]),
+            "tf_blob": _bin_from_offsets(enc["tf_blob_buf"], enc["tf_blob_offsets"]),
+            "dl_blob": _bin_from_offsets(enc["dl_blob_buf"], enc["dl_blob_offsets"]),
             "block_last_id": pa.ListArray.from_arrays(
                 pa.array(enc["block_last_offsets"], pa.int32()),
                 pa.array(enc["block_last_id"], pa.int64()),
