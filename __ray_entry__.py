@@ -52,6 +52,7 @@ NEAR_DUP_EXACT_MAX = 256
 MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
+CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 10
 
@@ -317,6 +318,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jaccard is a SINGLE int/int division — bit-identical in any
         # IEEE engine, no rounding needed (or wanted)
         return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=JACCARD_THR)
+
+    def q_dedup_clusters(sf_dir: str):
+        # connected components of the n-gram-Jaccard pair graph — the
+        # keep-one-per-CLUSTER closure over pairwise dedup output
+        # (min-label propagation, task-per-block; oracle unrolls the
+        # same CLUSTER_ROUNDS rounds in SQL)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            dup_clusters,
+        )
+
+        pairs = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=JACCARD_THR)
+        return dup_clusters(pairs, rounds=CLUSTER_ROUNDS)
 
     def q_dedup_minhash(sf_dir: str):
         return minhash_lsh_pairs(_docs(sf_dir), est_threshold=0.2)
@@ -1049,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_cluster_components": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
@@ -1833,6 +1847,41 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY lang_pred
     """
 
+    # dup clusters: the jaccard pair CTEs, then CLUSTER_ROUNDS unrolled
+    # min-label propagation rounds (identical fixed round count to
+    # stages.dedup.dup_clusters; early fixpoints are round-invariant)
+    _cluster_steps = "".join(
+        f""",
+    l{k + 1} AS MATERIALIZED (
+      SELECT n.doc_id, least(n.lab, coalesce(m.ml, n.lab)) AS lab
+      FROM l{k} n LEFT JOIN (
+        SELECT e.dst AS doc_id, min(l.lab) AS ml
+        FROM e JOIN l{k} l ON e.src = l.doc_id GROUP BY e.dst) m
+      USING (doc_id))"""
+        for k in range(CLUSTER_ROUNDS)
+    )
+    dup_cluster_sql = f"""
+    WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+           FROM toksl WHERE len(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sz sa ON sa.doc_id = doc_a
+              JOIN sz sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THR}),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
+    l0 AS (SELECT doc_id, doc_id AS lab FROM nodes){_cluster_steps}
+    SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}
+    """
+
     decontaminate = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -1915,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
+        "dedup_cluster_components": dup_cluster_sql,
         "text_decontaminate": decontaminate,
         "pipeline_data_prep": data_prep,
         **_sketch_oracle_sqls(),

@@ -278,3 +278,33 @@ def test_contamination_counts_vs_pure_python():
     for d in sorted(shingles)[:5]:
         if shingles[d]:
             assert got_map[d] == len(shingles[d])
+
+
+def test_dup_clusters_transitive_closure():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        dup_clusters,
+    )
+
+    # chain 1-2-3-4 (pairwise only adjacent), separate pair (10, 11),
+    # and a star 20-(21,22) — min-label must close the transitive hull
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10, 20, 20], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+        }
+    )
+    got = dup_clusters(
+        rd.from_arrow(pairs).repartition(3), rounds=10
+    ).to_pandas()
+    labels = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # rounds smaller than the diameter: node 4 has only seen 3 hops of
+    # the chain after 1 round -> label 3, not 1 (documents the K-round
+    # semantics the SQL oracle unrolls)
+    one = dup_clusters(rd.from_arrow(pairs), rounds=1).to_pandas()
+    l1 = dict(zip(one["doc_id"], one["cluster_id"]))
+    assert l1[4] == 3 and l1[2] == 1

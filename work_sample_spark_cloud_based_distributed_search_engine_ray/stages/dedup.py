@@ -849,3 +849,93 @@ def benchmark_shingle_set(
     t = pa.Table.from_pylist(rows.take_all())
     _up, sh = doc_shingles(t[text_col], n=n)
     return pc.unique(sh)
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering (connected components of the near-dup pair graph)
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: rd.Dataset, *, rounds: int = 10) -> pa.Table:
+    """Connected-component clustering of near-dup PAIRS — the step that
+    turns pairwise dedup output into keep-one-per-CLUSTER semantics (a
+    pair list alone over-deletes when A~B and B~C but a pipeline drops
+    both B and C).
+
+    ``rounds`` iterations of min-label propagation over the undirected
+    pair graph: label(v) <- min(label(v), min over neighbors' labels),
+    starting from label(v) = v. At ``rounds`` >= the largest component's
+    diameter this is the exact component minimum (the canonical keeper
+    id); the SQL oracle unrolls the SAME fixed round count, so both
+    engines compute the identical fixed-point-or-K-round labels.
+
+    Physical plan (the ``pagerank`` task-per-block pattern): edge blocks
+    are integer-encoded against the sorted node-id array ONCE and stay
+    in the object store; per round the label vector is broadcast
+    (``ray.put``) and one task per block returns its node-bounded
+    per-endpoint minima, which the driver folds with ``np.minimum.at``.
+    Early-exits on fixpoint (a fixpoint is invariant under further
+    rounds, so early exit cannot diverge from the unrolled oracle).
+    Node/label state is bounded by the number of docs APPEARING IN
+    PAIRS — a small fraction of the corpus by construction.
+
+    Returns (doc_id, cluster_id) for every doc in >= 1 pair.
+    """
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    refs = edges.to_arrow_refs()
+
+    def _tbl_of(b):
+        return pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+
+    @ray.remote
+    def block_nodes(b):
+        t = _tbl_of(b)
+        return np.unique(
+            np.concatenate(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False),
+                    t["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+
+    parts = ray.get([block_nodes.remote(r) for r in refs])
+    if not parts or all(p.size == 0 for p in parts):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    nodes = np.unique(np.concatenate(parts))
+    ids_ref = ray.put(nodes)
+
+    @ray.remote
+    def prep_block(b, ids):
+        t = _tbl_of(b)
+        a = np.searchsorted(ids, t["doc_a"].to_numpy(zero_copy_only=False))
+        bb = np.searchsorted(ids, t["doc_b"].to_numpy(zero_copy_only=False))
+        return a.astype(np.int64), bb.astype(np.int64)
+
+    prep_refs = [prep_block.remote(r, ids_ref) for r in refs]
+
+    @ray.remote
+    def min_prop(prep, lab):
+        a, b = prep
+        m = np.minimum(lab[a], lab[b])
+        idx = np.concatenate([a, b])
+        val = np.concatenate([m, m])
+        order = np.argsort(idx)
+        oi, ov = idx[order], val[order]
+        first = np.ones(oi.size, dtype=bool)
+        first[1:] = oi[1:] != oi[:-1]
+        starts = np.flatnonzero(first)
+        return oi[starts], np.minimum.reduceat(ov, starts)
+
+    labels = nodes.copy()
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+        new = labels.copy()
+        for oi, mn in ray.get([min_prop.remote(p, lab_ref) for p in prep_refs]):
+            np.minimum.at(new, oi, mn)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(labels)})
