@@ -1,0 +1,77 @@
+"""Multi-format ingestion (sources/ingest.py): JSONL/CSV round-trip to
+the canonical pages schema, and pipeline-compatibility of the result."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+    read_pages,
+    write_pages_jsonl,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+    PAGES_SCHEMA,
+    pages_parquet,
+)
+
+
+def _fixture_table(n=200):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(pages_parquet(n))
+
+
+def test_jsonl_roundtrip_matches_parquet(tmp_path):
+    tbl = _fixture_table()
+    p = os.path.join(tmp_path, "pages.jsonl")
+    write_pages_jsonl(tbl, p)
+    got = read_pages(p, format="jsonl").take_all()
+    got_t = pa.Table.from_pylist(got, schema=PAGES_SCHEMA)
+    want = tbl.sort_by("url")
+    got_t = got_t.sort_by("url")
+    assert got_t.schema.equals(PAGES_SCHEMA)
+    assert got_t["url"].to_pylist() == want["url"].to_pylist()
+    assert got_t["warc_ts"].to_pylist() == want["warc_ts"].to_pylist()
+    assert got_t["html"].to_pylist() == want["html"].to_pylist()
+    assert got_t["text"].to_pylist() == want["text"].to_pylist()
+
+
+def test_csv_ingest_normalizes_schema(tmp_path):
+    tbl = _fixture_table(50)
+    as_str = pa.table(
+        {
+            "url": tbl["url"],
+            "warc_ts": pa.array(
+                [t.strftime("%Y-%m-%dT%H:%M:%S") for t in tbl["warc_ts"].to_pylist()]
+            ),
+            "html": pa.array([h.decode() for h in tbl["html"].to_pylist()]),
+            "text": tbl["text"],
+            "lang": tbl["lang"],
+        }
+    )
+    p = os.path.join(tmp_path, "pages.csv")
+    pacsv.write_csv(as_str, p)
+    ds = read_pages(p, format="csv", columns=["url", "html", "lang"])
+    got = pa.Table.from_pylist(ds.take_all())
+    assert set(got.column_names) == {"url", "html", "lang"}
+    assert sorted(got["url"].to_pylist()) == sorted(tbl["url"].to_pylist())
+
+
+def test_jsonl_feeds_the_extraction_stage(tmp_path):
+    import ray.data as rd  # noqa: F401
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.extract import (
+        ExtractDocs,
+    )
+
+    tbl = _fixture_table(50)
+    p = os.path.join(tmp_path, "pages.jsonl")
+    write_pages_jsonl(tbl, p)
+    docs = (
+        read_pages(p, format="jsonl")
+        .map_batches(ExtractDocs, batch_format="pyarrow", concurrency=(1, 2))
+        .take_all()
+    )
+    assert len(docs) == 50
+    assert all(d["doc_len"] > 0 for d in docs)

@@ -1,0 +1,92 @@
+"""Multi-format corpus ingestion — the repo's second source family.
+
+The reference ingests exactly one shape (its KVS ``pt-crawl`` table,
+``crawler/Crawler.java:168-213``); real webtext arrives as Parquet,
+JSONL (one JSON doc per line — the Common-Crawl-derivative convention)
+or CSV. ``read_pages`` normalizes any of the three to the canonical
+pages schema (``sources.pages.PAGES_SCHEMA``) so every downstream
+pipeline — index build, dedup, textstats, data prep — is
+format-agnostic.
+
+Design notes (the 100-TB read path):
+- All three readers are Ray Data NATIVE sources (``read_parquet`` /
+  ``read_json`` / ``read_csv``): file-parallel, streaming, predicate/
+  column pruning where the format supports it. Normalization is one
+  vectorized ``map_batches`` cast — no per-row Python.
+- JSONL/CSV carry no native timestamp/binary types; ``warc_ts`` is
+  parsed from ISO-8601 strings and ``html`` utf-8 encoded, both with
+  Arrow compute kernels.
+- Column pruning: pass ``columns`` to restrict the post-normalization
+  projection (Parquet prunes at the reader; JSONL/CSV must parse the
+  full line regardless — the reason Parquet is the canonical interchange
+  and the other formats are INGEST-ONLY edges).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from .pages import PAGES_SCHEMA
+
+
+def _normalize(batch: pa.Table) -> pa.Table:
+    """Cast a raw JSONL/CSV batch to PAGES_SCHEMA (vectorized)."""
+    cols = {}
+    for field in PAGES_SCHEMA:
+        if field.name not in batch.column_names:
+            cols[field.name] = pa.nulls(batch.num_rows, field.type)
+            continue
+        col = batch[field.name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(field.type) and pa.types.is_string(col.type):
+            # Arrow casts ISO-8601 strings (incl. fractional seconds)
+            col = col.cast(field.type)
+        elif pa.types.is_binary(field.type) and pa.types.is_string(col.type):
+            col = col.cast(pa.binary())
+        elif col.type != field.type:
+            col = col.cast(field.type)
+        cols[field.name] = col
+    return pa.table(cols).cast(PAGES_SCHEMA)
+
+
+def read_pages(
+    path: str,
+    *,
+    format: str = "parquet",
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Read a pages corpus in any supported format, normalized to
+    ``PAGES_SCHEMA``. ``format``: ``parquet`` (canonical; columns pruned
+    at the reader), ``jsonl``, or ``csv``."""
+    if format == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    if format == "jsonl":
+        ds = rd.read_json(path)
+    elif format == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unsupported format: {format!r}")
+    ds = ds.map_batches(_normalize, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_pages_jsonl(table: pa.Table, path: str) -> None:
+    """Test/fixture helper: write a pages table as JSONL (timestamps as
+    ISO-8601 strings, html as utf-8 text) — the inverse of the
+    ``read_pages(format='jsonl')`` normalization."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        for row in table.to_pylist():
+            row = dict(row)
+            ts = row.get("warc_ts")
+            if ts is not None:
+                row["warc_ts"] = ts.isoformat()
+            html = row.get("html")
+            if isinstance(html, (bytes, bytearray)):
+                row["html"] = html.decode("utf-8")
+            f.write(json.dumps(row) + "\n")
