@@ -53,6 +53,7 @@ MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 10
 
@@ -695,6 +696,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=64,
         )
 
+    def q_hash_split(sf_dir: str):
+        # leakage-safe deterministic train/val/test split: same key ->
+        # same split on any partitioning; md5-prefix hash64 against
+        # floor(cum_frac * 2^63) boundaries, replayed exactly in SQL
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            hash_split,
+        )
+
+        ds = hash_split(
+            _tbl(sf_dir, "events", ["event_id"]),
+            "event_id",
+            SPLIT_FRACTIONS,
+        )
+        return ds.map_batches(
+            lambda t: t.select(["event_id", "split"]), batch_format="pyarrow"
+        )
+
     def q_zip_with_index(sf_dir: str):
         # Spark zipWithIndex parity: global row numbers from one sort +
         # a metadata-only prefix-sum over per-block counts
@@ -1084,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skew_join_agg": q_skew_join,
         "rel_approx_distinct_kmv": q_kmv_distinct,
         "rel_zip_with_index": q_zip_with_index,
+        "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
@@ -1693,6 +1712,29 @@ def _frontier_bfs_oracle_sql() -> str:
     """
 
 
+def _hash_split_oracle_sql() -> str:
+    """Oracle for ``rel_hash_split``: the md5-prefix hash64 of the
+    stringified key against the SAME floor(cum_frac * 2^63) integer
+    boundaries ``stages.ops.hash_split`` computes (built here from
+    SPLIT_FRACTIONS so the literals cannot drift)."""
+    import numpy as np
+
+    names = list(SPLIT_FRACTIONS)
+    fr = np.array([SPLIT_FRACTIONS[k] for k in names], dtype=np.float64)
+    bounds = np.floor(np.cumsum(fr) * float(1 << 63)).astype(np.uint64)
+    bounds[-1] = np.uint64(1 << 63)
+    hv = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS UBIGINT)"
+    )
+    cases = " ".join(
+        f"WHEN {hv} < {int(b)} THEN '{n}'" for n, b in zip(names[:-1], bounds[:-1])
+    )
+    return (
+        f"SELECT event_id, CASE {cases} ELSE '{names[-1]}' END AS split FROM events"
+    )
+
+
 def _pagerank_oracle_sql() -> str:
     """Oracle for ``crawl_pagerank``: re-derives the link edges in SQL
     (same CTEs as the hash-matched ``crawl_links`` oracle), restricts
@@ -2063,6 +2105,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS row_idx "
             "FROM events"
         ),
+        # identical integer boundaries computed from SPLIT_FRACTIONS on
+        # the Python side; same md5-prefix hash64 as stages.ops.hash_split
+        "rel_hash_split": _hash_split_oracle_sql(),
         "rel_sessionize": """
             WITH ordered AS (
               SELECT user_id, ts, event_id,

@@ -352,3 +352,35 @@ def test_zip_with_index_is_dense_and_order_correct(con):
     assert len(gm) == len(want)
     for k, idx in zip(want["o_orderkey"], want["row_idx"]):
         assert gm[k] == idx
+
+
+def test_hash_split_deterministic_and_partition_invariant():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        hash_split,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    a = hash_split(ds, "o_orderkey", fr).to_pandas()
+    b = hash_split(ds.repartition(7), "o_orderkey", fr).to_pandas()
+    ma = dict(zip(a["o_orderkey"], a["split"]))
+    mb = dict(zip(b["o_orderkey"], b["split"]))
+    assert ma == mb  # same key -> same split regardless of partitioning
+    n = len(ma)
+    counts = a["split"].value_counts()
+    # fractions hold within sampling noise (4 sigma of binomial)
+    for name, f in fr.items():
+        got = counts.get(name, 0)
+        assert abs(got - f * n) <= 4 * (f * (1 - f) * n) ** 0.5 + 1, (name, got, n)
+
+
+def test_hash_split_rejects_bad_fractions():
+    import pytest as _pytest
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        hash_split,
+    )
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    with _pytest.raises(ValueError):
+        hash_split(ds, "o_orderkey", {"a": 0.5, "b": 0.3})

@@ -787,3 +787,51 @@ def zip_with_index(
         assign.remote(ref, int(off)) for (_f, _c, ref), off in zip(blocks, offsets)
     ]
     return rd.from_arrow_refs(new_refs)
+
+
+def hash_split(
+    ds: rd.Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    *,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic dataset split (train/val/test) by key hash — the
+    standard leakage-safe split of a training corpus: the SAME key
+    always lands in the same split, on any cluster size or partitioning
+    (``hash64`` of the stringified key against cumulative fraction
+    thresholds over [0, 2^63)). A pure ``map_batches`` — no shuffle, no
+    RNG, no driver state; the md5-prefix hash is replayed exactly in
+    SQL (the ``rel_group_sample`` oracle pattern).
+
+    ``fractions`` maps split name -> fraction; must sum to 1. Split
+    boundaries are ``floor(cum_frac * 2^63)`` in ITERATION order.
+    """
+    from ..functions.hashing import hash64
+
+    names = list(fractions)
+    fr = np.array([fractions[k] for k in names], dtype=np.float64)
+    if abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fr.sum()}")
+    bounds = np.floor(np.cumsum(fr) * float(1 << 63)).astype(np.uint64)
+    bounds[-1] = np.uint64(1 << 63)  # guard: top split closed under fp error
+    names_arr = pa.array(names, pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # hash only DISTINCT keys (dictionary encode), then gather
+        d = col.cast(pa.string()).dictionary_encode()
+        hv = np.fromiter(
+            (hash64(v) for v in d.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(d.dictionary),
+        )
+        idx = np.searchsorted(bounds, hv, side="right")
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            out_col, names_arr.take(pa.array(idx[codes].astype(np.int64)))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
