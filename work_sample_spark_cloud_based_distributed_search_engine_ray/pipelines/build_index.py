@@ -110,6 +110,20 @@ POSTING_SCHEMA = pa.schema(
 )
 
 
+# Narrow commit-pass schema for partitions whose pages were ALL gated
+# out (incremental update contentSeen); types mirror ExtractDocs output.
+_EMPTY_COMMIT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("content_sha1", pa.string()),
+        ("doc_len", pa.int64()),
+        ("sampled_terms", pa.list_(pa.string())),
+    ]
+)
+
+
 @dataclass
 class IndexPaths:
     out_dir: str
@@ -174,6 +188,7 @@ def run_phase_a(
     batch_size: int = 64,
     concurrency: int | None = None,
     verify_extraction: bool = False,
+    content_seen_ref=None,
 ) -> dict:
     """Extraction checkpoint: ONE streaming pipeline over all pending
     partitions — fragment-read tasks feed a single shared ExtractDocs
@@ -242,7 +257,10 @@ def run_phase_a(
     ds = ds.map_batches(read_fragment, batch_format="pyarrow", batch_size=1)
     ds = ds.map_batches(
         ExtractDocs,
-        fn_constructor_kwargs={"verify_extraction": verify_extraction},
+        fn_constructor_kwargs={
+            "verify_extraction": verify_extraction,
+            "content_seen_ref": content_seen_ref,
+        },
         batch_format="pyarrow",
         batch_size=None,
         concurrency=pool_size,
@@ -273,7 +291,18 @@ def run_phase_a(
     @ray.remote
     def commit_one(pid: int, frags: list[InputFragment], wall_start: float):
         part_dir = os.path.join(docs_ckpt, f"part={pid}")
-        written = pq.read_table(part_dir, columns=dedup_cols + ["sampled_terms"])
+        has_files = os.path.isdir(part_dir) and any(
+            n.endswith(".parquet") and not n.startswith(("_", "."))
+            for n in os.listdir(part_dir)
+        )
+        if has_files:
+            written = pq.read_table(part_dir, columns=dedup_cols + ["sampled_terms"])
+        else:
+            # every page of the partition was gated out (e.g. the
+            # incremental-update contentSeen filter): commit an empty
+            # checkpoint so resume/metrics semantics hold
+            os.makedirs(part_dir, exist_ok=True)
+            written = _EMPTY_COMMIT_SCHEMA.empty_table()
         ndocs = written.num_rows
         ntok = int(pc.sum(written["doc_len"]).as_py() or 0)
         _write_hot_partial(part_dir, written)
@@ -933,9 +962,13 @@ def build_index(
     batch_size: int = 64,
     concurrency: int | None = None,
     verify_extraction: bool = False,
+    content_seen_ref=None,
 ) -> IndexPaths:
     """Full build. Resumable: phase A skips partitions with manifests;
-    phase B is idempotent (full overwrite of derived dirs)."""
+    phase B is idempotent (full overwrite of derived dirs).
+    ``content_seen_ref`` (object ref to a (doc_id list, content-sha1
+    list) pair) drops already-indexed pages at extraction — the
+    incremental-update contentSeen gate (``pipelines.update_index``)."""
     t0 = time.time()
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -946,6 +979,7 @@ def build_index(
         batch_size=batch_size,
         concurrency=concurrency,
         verify_extraction=verify_extraction,
+        content_seen_ref=content_seen_ref,
     )
     t_a = time.time()
     total_docs = 0
@@ -953,6 +987,31 @@ def build_index(
         m = read_manifest(os.path.join(paths.docs_ckpt, name))
         if m is not None:
             total_docs += m.num_docs
+    if total_docs == 0:
+        # legitimate at the edges (empty corpus; incremental update whose
+        # whole batch was already indexed): emit a complete empty index
+        a_metrics.pop("dedup_narrow", None)
+        for d in (paths.dup_map, paths.docstore, paths.term_stats, paths.shards):
+            _fresh_dir(d)
+        write_json_atomic(
+            paths.meta,
+            {
+                "index_format": 2,
+                "N": 0,
+                "avgdl": 0.0,
+                "total_len": 0,
+                "k1": K1,
+                "b": B,
+                "num_shards": num_shards,
+                "num_salts": num_salts,
+                "hot_df_threshold": hot_df_threshold or 1000,
+                "num_salted_terms": 0,
+                "num_duplicate_docs": 0,
+                "phase_a": a_metrics,
+                "timings_sec": {"total": round(time.time() - t0, 3)},
+            },
+        )
+        return paths
     compute_dup_losers(
         paths,
         total_docs=total_docs,

@@ -63,11 +63,36 @@ class ExtractDocs:
         self,
         verify_extraction: bool = False,
         hot_sample_mod: int = HOT_SAMPLE_MOD,
+        content_seen_ref=None,
     ):
         self.verify = verify_extraction
         self.hot_sample_mod = hot_sample_mod
+        # incremental-update contentSeen (first-indexed wins): pages whose
+        # content sha1 OR url hash is already in the BASE index are dropped
+        # at extraction, before any tokenize cost. The ref holds a
+        # (doc_id list, sha1 list) pair — resolved once per actor from the
+        # object store (broadcast, never re-shipped per batch).
+        if content_seen_ref is not None:
+            import ray
+
+            seen_ids, seen_sha1 = ray.get(content_seen_ref)
+            self.seen_ids = frozenset(seen_ids)
+            self.seen_sha1 = frozenset(seen_sha1)
+        else:
+            self.seen_ids = self.seen_sha1 = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.seen_sha1 is not None and batch.num_rows:
+            keep = pa.array(
+                [
+                    sha1_hex(h) not in self.seen_sha1
+                    and hash64(u) not in self.seen_ids
+                    for h, u in zip(
+                        batch["html"].to_pylist(), batch["url"].to_pylist()
+                    )
+                ]
+            )
+            batch = batch.filter(keep)
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         ref_text = batch["text"].to_pylist() if self.verify and "text" in batch.column_names else None
