@@ -159,6 +159,48 @@ def _search_table(sf_dir: str, scorer: str) -> pa.Table:
     )
 
 
+def _cached_updated_index(sf_dir: str) -> str:
+    """Incremental-update fixture (cached per corpus size): split the
+    synthetic pages corpus by doc_id parity (doc_id = hash64(url), a
+    pure function of the row — SQL-replayable), build the BASE index
+    over the even half, then ``update_index`` the odd half into it.
+    First-indexed-wins across generations maps to the oracle's
+    ``ORDER BY (doc_id % 2), warc_ts, url`` dedup winner rule."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.update_index import (
+        update_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages = pages_for_sf_dir(sf_dir)
+    root = "/tmp/wse_update_" + os.path.basename(pages).replace(".parquet", "")
+    out = os.path.join(root, "updated")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        tbl = pq.read_table(pages)
+        odd = pa.array([bool(hash64(u) & 1) for u in tbl["url"].to_pylist()])
+        even_p = os.path.join(root, "even.parquet")
+        odd_p = os.path.join(root, "odd.parquet")
+        pq.write_table(tbl.filter(pc.invert(odd)), even_p, row_group_size=2048)
+        pq.write_table(tbl.filter(odd), odd_p, row_group_size=2048)
+        build_index(even_p, os.path.join(root, "base"), num_partitions=4)
+        update_index(odd_p, os.path.join(root, "base"), out)
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full Ray Data index build (extract
     actor pool -> checkpointed docs -> dedup -> exact stats -> salted
@@ -222,6 +264,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
+
+    def q_index_update_stats(sf_dir: str) -> pa.Table:
+        """Full-vocabulary (term, df, cf) of an index built incrementally
+        (base over the even half, ``update_index`` with the odd half) —
+        must equal a from-scratch SQL replay over the whole corpus."""
+        import pyarrow.parquet as pq
+
+        out = _cached_updated_index(sf_dir)
+        t = pq.read_table(os.path.join(out, "term_stats"))
+        return t.select(["term", "df", "cf"]).sort_by("term")
 
     def q_doc_term_stats(sf_dir: str):
         return doc_term_stats(_docs(sf_dir))
@@ -1067,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
+        "index_update_stats": q_index_update_stats,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
         "doc_tfidf_topk": q_doc_tfidf,
@@ -1788,6 +1841,37 @@ def _pagerank_oracle_sql() -> str:
     return head + "".join(steps) + tail
 
 
+def _index_update_oracle_sql() -> str:
+    """DuckDB twin of ``index_update_stats``: from-scratch (term, df, cf)
+    over the whole synthetic corpus, with the incremental-update dedup
+    winner rule — base generation (even doc_id parity) wins over delta,
+    then the engine's (warc_ts, url) keep-first within a generation."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pages_path = pages_for_sf_dir(sf_dir)
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    keyed AS (
+      SELECT url, warc_ts, html, text,
+             CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id
+      FROM pages),
+    winners AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY html
+                                  ORDER BY (doc_id % 2), warc_ts, url) AS rn
+        FROM keyed) WHERE rn = 1),
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM winners),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf GROUP BY term ORDER BY term
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)"
 
@@ -1982,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
+        "index_update_stats": _index_update_oracle_sql(),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"
