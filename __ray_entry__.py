@@ -265,6 +265,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_ingest_jsonl(sf_dir: str) -> pa.Table:
+        """JSONL ingestion parity: the corpus round-tripped through the
+        JSONL reader (``sources/ingest.read_pages``) aggregates to the
+        same per-lang byte totals as the canonical parquet (SQL side)."""
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+            read_pages,
+            write_pages_jsonl,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from ray.data.aggregate import Count, Sum
+
+        pages = pages_for_sf_dir(sf_dir)
+        jp = "/tmp/wse_ingest_" + os.path.basename(pages).replace(".parquet", ".jsonl")
+        if not os.path.exists(jp):
+            write_pages_jsonl(pq.read_table(pages), jp + ".tmp")
+            os.replace(jp + ".tmp", jp)
+
+        def lens(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "text_bytes": pc.binary_length(t["text"]).cast(pa.int64()),
+                    "html_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+                }
+            )
+
+        got = (
+            read_pages(jp, format="jsonl")
+            .map_batches(lens, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(), Sum("text_bytes"), Sum("html_bytes"))
+            .take_all()
+        )
+        return pa.table(
+            {
+                "lang": pa.array([r["lang"] for r in got]),
+                "n_pages": pa.array([r["count()"] for r in got], pa.int64()),
+                "sum_text_bytes": pa.array(
+                    [r["sum(text_bytes)"] for r in got], pa.int64()
+                ),
+                "sum_html_bytes": pa.array(
+                    [r["sum(html_bytes)"] for r in got], pa.int64()
+                ),
+            }
+        ).sort_by("lang")
+
     def q_index_update_stats(sf_dir: str) -> pa.Table:
         """Full-vocabulary (term, df, cf) of an index built incrementally
         (base over the even half, ``update_index`` with the odd half) —
@@ -1120,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
         "index_update_stats": q_index_update_stats,
+        "ingest_jsonl_pages": q_ingest_jsonl,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
         "doc_tfidf_topk": q_doc_tfidf,
@@ -1872,6 +1923,24 @@ def _index_update_oracle_sql() -> str:
     """
 
 
+def _ingest_oracle_sql() -> str:
+    """DuckDB twin of ``ingest_jsonl_pages``: per-lang byte totals over
+    the canonical parquet (the JSONL is a lossless round-trip of it)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pages_path = pages_for_sf_dir(sf_dir)
+    return f"""
+    SELECT lang, count(*) AS n_pages,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes,
+           CAST(sum(octet_length(html)) AS BIGINT) AS sum_html_bytes
+    FROM read_parquet('{pages_path}')
+    GROUP BY lang ORDER BY lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)"
 
@@ -2067,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "index_update_stats": _index_update_oracle_sql(),
+        "ingest_jsonl_pages": _ingest_oracle_sql(),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"
