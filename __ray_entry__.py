@@ -1051,6 +1051,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         )
 
+    def q_anchor_terms(sf_dir: str):
+        # inbound anchor-text signal: dominant anchor term per target
+        # page (the ranking signal the reference's link extractor makes
+        # available but never consumes)
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            anchor_top_terms,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        return anchor_top_terms(pages)
+
     def q_crawl_pagerank(sf_dir: str):
         # iterative PageRank over the extracted link graph — the
         # consumer of the reference's vestigial rank hook
@@ -1219,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
         "crawl_links": q_crawl_links,
+        "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
@@ -1759,6 +1776,37 @@ def _crawl_links_oracle_sql() -> str:
     """
 
 
+def _anchor_terms_oracle_sql() -> str:
+    """Oracle for ``crawl_anchor_terms``: same anchor-element scope as
+    the hash-matched ``crawl_links`` replica (the generator emits only
+    absolute double-quoted hrefs with tag-free inner text), plus the
+    canonical tokenizer over the anchor text and a top-1-per-target
+    window with the engine's (n desc, term) tie-break."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    toks_anchor = TOKS.replace("text", "anchor")
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    anchors AS (SELECT
+        unnest(regexp_extract_all(doc, '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+        unnest(regexp_extract_all(doc, '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+      FROM pages),
+    terms AS (SELECT
+        regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url,
+        unnest({toks_anchor}) AS term
+      FROM anchors),
+    agg AS (SELECT dst_url, term, count(*) AS n FROM terms GROUP BY dst_url, term)
+    SELECT dst_url, term AS top_term, n AS top_n FROM (
+      SELECT dst_url, term, n,
+             row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, term) AS rn
+      FROM agg) WHERE rn = 1
+    """
+
+
 def _dedup_losers_oracle_sql() -> str:
     """Oracle for ``dedup_exact_losers`` over the synthetic pages
     corpus: doc_id = md5-prefix hash64(url) (same convention as the
@@ -2169,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
+        "crawl_anchor_terms": _anchor_terms_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,

@@ -145,3 +145,18 @@ def extract_hrefs(html: str) -> list[str]:
         if h:
             out.append(h.group(1))
     return out
+
+
+def extract_anchor_texts(html: str) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs — the same anchor elements
+    ``extract_hrefs`` matches, plus the element's inner content (the
+    bytes between the opening tag and ``</a>``). Anchor text is the
+    classic inbound ranking signal the reference's link extractor makes
+    available but never consumes (``Crawler.java:405-436``)."""
+    out = []
+    for m in _ANCHOR_RE.finditer(html):
+        el = m.group(0)
+        h = _HREF_RE.search(el)
+        if h:
+            out.append((h.group(1), el[el.find(">") + 1 : -4]))
+    return out

@@ -55,6 +55,115 @@ class LinkExtractStage:
         )
 
 
+class AnchorTermsStage:
+    """pages batch -> partially aggregated (dst_url, term, n) inbound
+    anchor-text term counts.
+
+    Every ``<a href>`` element contributes its inner text's canonical
+    tokens to the TARGET page (no per-page dedup — a page linking twice
+    endorses twice). Tokenization is the one batch kernel
+    (``tokenize_count_batch``) and each output batch is pre-combined by
+    (dst, term), so the downstream groupby shuffles counts, not tokens
+    (map-side combine — the 100-TB discipline)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokenize_count_batch
+        from ..functions.urls import extract_anchor_texts
+
+        empty = pa.table(
+            {
+                "dst_url": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        dsts: list[str] = []
+        texts: list[str] = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            doc = h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else h
+            for href, text in extract_anchor_texts(doc):
+                n = normalize_url(u, href)
+                if n is None or not is_crawlable(n):
+                    continue
+                dsts.append(n)
+                texts.append(text)
+        if not texts:
+            return empty
+        terms_list, tfs_list, _lens = tokenize_count_batch(texts)
+        parents = pc.list_parent_indices(terms_list)
+        flat = pa.table(
+            {
+                "dst_url": pc.take(pa.array(dsts, pa.string()), parents),
+                "term": terms_list.flatten(),
+                "n": tfs_list.flatten().cast(pa.int64()),
+            }
+        )
+        if flat.num_rows == 0:
+            return empty
+        agg = flat.group_by(["dst_url", "term"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"dst_url": agg["dst_url"], "term": agg["term"], "n": agg["n_sum"]}
+        )
+
+
+def _top_anchor_of_bucket(t: pa.Table) -> pa.Table:
+    """One dst-url BUCKET of partial (dst, term, n) counts -> top-1 term
+    per dst: one group_by sum + one multi-key sort + run detection —
+    never a per-dst Python call."""
+    import numpy as np
+
+    t = t.drop_columns(["__bucket"])
+    agg = t.group_by(["dst_url", "term"]).aggregate([("n", "sum")])
+    taken = agg.take(
+        pc.sort_indices(
+            agg,
+            sort_keys=[
+                ("dst_url", "ascending"),
+                ("n_sum", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+    )
+    g = (
+        taken["dst_url"]
+        .combine_chunks()
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    first = np.ones(len(g), dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    out = taken.filter(pa.array(first))
+    return pa.table(
+        {
+            "dst_url": out["dst_url"],
+            "top_term": out["term"],
+            "top_n": out["n_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def anchor_top_terms(pages_ds: "rd.Dataset", num_buckets: int = 64) -> "rd.Dataset":
+    """Per target page: the dominant inbound anchor-text term —
+    (dst_url, top_term, top_n), ties broken by lexicographic term.
+
+    Physical plan: actor-pool extraction with map-side (dst, term)
+    combine, then ONE hash shuffle on a BOUNDED dst-url bucket whose
+    per-bucket kernel finishes the sum and the top-1 vectorized. No
+    stage holds more than a bucket of the (dst, term) space, and the
+    shuffle carries pre-combined counts, not tokens."""
+    from .ops import _bucket_of
+    from .shuffle import hash_map_groups
+
+    rows = pages_ds.map_batches(
+        AnchorTermsStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    rows = rows.map_batches(
+        lambda t: t.append_column("__bucket", _bucket_of(t["dst_url"], num_buckets)),
+        batch_format="pyarrow",
+    )
+    return hash_map_groups(rows, "__bucket", _top_anchor_of_bucket)
+
+
 def lang_gate(langs: list[str]):
     """Content gate: keep pages whose ``lang`` is in the allow list
     (replaces the crawler's content-type gate, ``Crawler.java:174``)."""
