@@ -90,7 +90,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 from ..stages.extract import HOT_SAMPLE_MOD, ExtractDocs, explode_postings
-from ..stages.shuffle import hash_map_groups, packed_map_groups
+from ..stages.shuffle import hash_map_groups, packed_task_groups
 
 K1 = 1.2
 B = 0.75
@@ -904,12 +904,12 @@ def build_shards(
     pre = ds.materialize()
     sub["pre_encode"] = round(time.time() - t0, 3)
     t0 = time.time()
-    # packed + balanced: Ray's hash shuffle routes each ROW with a
-    # Python hash() call and assigns keys to aggregators multinomially;
-    # packing each block's runs per bucket into one IPC payload row and
-    # remapping bucket ids through hash-pre-imaged key values removes
-    # both costs (see stages/shuffle.py:packed_map_groups).
-    runs = packed_map_groups(pre, "bucket", _encode_bucket, num_buckets=num_buckets)
+    # packed + task-based: the input is already-materialized compressed
+    # runs, so the exchange runs as plain Ray tasks over range-owned
+    # buckets (no aggregator-actor spin-up, no per-row routing — see
+    # stages/shuffle.py:packed_task_groups; falls back to the streamed
+    # packed_map_groups hash shuffle past a fan-out threshold).
+    runs = packed_task_groups(pre, "bucket", _encode_bucket, num_buckets=num_buckets)
     runs = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
     sub["bucket_merge"] = round(time.time() - t0, 3)
     t0 = time.time()
@@ -927,8 +927,13 @@ def build_shards(
 
     cold = runs.map_batches(cold_rows, batch_format="pyarrow")
     if salt_plan.num_rows:
-        merged_hot = hash_map_groups(
-            runs.map_batches(hot_rows, batch_format="pyarrow"), "__fg", _finalize_shard
+        # the hot slice is tiny and already materialized upstream —
+        # same task-based exchange as the bucket merge (no actor pool)
+        merged_hot = packed_task_groups(
+            runs.map_batches(hot_rows, batch_format="pyarrow").materialize(),
+            "__fg",
+            _finalize_shard,
+            num_buckets=num_shards * sub_b,
         ).map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
         final = cold.union(merged_hot).materialize()
     else:

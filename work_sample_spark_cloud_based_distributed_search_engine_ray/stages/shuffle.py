@@ -159,6 +159,110 @@ def packed_map_groups(
     )
 
 
+def packed_task_groups(
+    ds: rd.Dataset,
+    key: str,
+    fn: Callable,
+    *,
+    num_buckets: int,
+    num_partitions: int | None = None,
+    max_fanout: int = 200_000,
+) -> rd.Dataset:
+    """``packed_map_groups`` semantics executed as PLAIN RAY TASKS over
+    the input's materialized blocks — no aggregator-actor pool to spin
+    up and no per-row routing at all (the Dataset hash shuffle costs a
+    measured ~2-3 s of fixed setup per execution, which dominates any
+    small-to-medium packed-runs exchange).
+
+    Partition p OWNS the contiguous bucket range [p*B/P, (p+1)*B/P): one
+    map task per block packs rows per bucket (one Arrow-IPC payload row)
+    and range-slices the packed rows into P pieces (``num_returns=P``,
+    so each piece is its own object); one reduce task per non-empty
+    partition concats its pieces and applies ``fn`` per bucket in
+    sorted-bucket order. Group integrity is structural: a bucket id maps
+    to exactly one owner partition.
+
+    Trade-off vs the streamed hash shuffle: the #blocks x P piece
+    objects are materialized eagerly, without backpressure — right for
+    inputs that are ALREADY materialized and compact (packed runs, a
+    small multiple of the final index size), wrong for huge streaming
+    inputs. When #blocks x P exceeds ``max_fanout`` (cluster-scale
+    fan-out where tiny-object count would swamp the object store) this
+    falls back to ``packed_map_groups`` automatically.
+    """
+    P = hash_partitions(num_partitions)
+    blocks = ds.to_arrow_refs()
+    if len(blocks) * P > max_fanout:
+        return packed_map_groups(
+            ds, key, fn, num_partitions=num_partitions, num_buckets=num_buckets
+        )
+    bounds = np.array([(p * num_buckets) // P for p in range(P + 1)], np.int64)
+
+    @ray.remote(num_returns=P + 1)
+    def split_block(block: pa.Table):
+        empty = pa.table(
+            {key: pa.array([], pa.int64()), "__payload": pa.array([], pa.large_binary())}
+        )
+        if block.num_rows == 0:
+            return (*([empty] * P), np.zeros(P, np.int64))
+        g = block.take(pc.sort_indices(block[key])).combine_chunks()
+        kv = g[key].to_numpy(zero_copy_only=False)
+        if kv[0] < 0 or kv[-1] >= num_buckets:
+            raise ValueError(f"bucket id outside [0, {num_buckets}): {kv[[0, -1]]}")
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(kv)) + 1))
+        lens = np.diff(np.concatenate((starts, [kv.size])))
+        body = g.drop_columns([key])
+        packed = pa.table(
+            {
+                key: pa.array(kv[starts]),
+                "__payload": pa.array(
+                    [_ipc_bytes(body.slice(int(s), int(l))) for s, l in zip(starts, lens)],
+                    pa.large_binary(),
+                ),
+            }
+        )
+        pk = kv[starts]
+        cuts = np.searchsorted(pk, bounds)
+        pieces = [packed.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p])) for p in range(P)]
+        return (*pieces, (cuts[1:] - cuts[:-1]).astype(np.int64))
+
+    @ray.remote
+    def reduce_part(*pieces: pa.Table) -> pa.Table:
+        t = pa.concat_tables(
+            [p for p in pieces if p.num_rows], promote_options="default"
+        ).combine_chunks()
+        t = t.take(pc.sort_indices(t[key]))
+        kv = t[key].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(kv)) + 1))
+        ends = np.concatenate((starts[1:], [kv.size]))
+        outs = []
+        for s, e in zip(starts, ends):
+            body = pa.concat_tables(
+                [_ipc_table(b) for b in t["__payload"].slice(int(s), int(e - s)).to_pylist()],
+                promote_options="default",
+            )
+            body = body.append_column(
+                key, pa.array(np.full(body.num_rows, kv[s], np.int64))
+            )
+            outs.append(fn(body))
+        return pa.concat_tables(outs, promote_options="default")
+
+    piece_refs: list[list] = [[] for _ in range(P)]
+    count_refs = []
+    for b in blocks:
+        *pieces, counts = split_block.remote(b)
+        for p in range(P):
+            piece_refs[p].append(pieces[p])
+        count_refs.append(counts)
+    counts = np.sum(ray.get(count_refs), axis=0)
+    out_refs = [
+        reduce_part.remote(*piece_refs[p]) for p in range(P) if counts[p] > 0
+    ]
+    if not out_refs:  # no populated bucket anywhere (degenerate input)
+        return rd.from_items([])
+    return rd.from_arrow_refs(out_refs)
+
+
 def hash_map_groups(
     ds: rd.Dataset,
     key: Union[str, list],
