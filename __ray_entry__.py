@@ -265,6 +265,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_search_phrase(sf_dir: str) -> pa.Table:
+        """Exact phrase top-10 per phrase query: conjunctive candidate
+        generation over the inverted index + adjacency verification
+        against the doc store (``SearchIndex.phrase_topk``). Occurrence
+        counts are integers, so ranking is bit-reproducible in SQL."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            phrase_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, occs = [], [], [], []
+        for qid, q in phrase_queries():
+            for r, (d, c) in enumerate(idx.phrase_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                occs.append(c)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_occ": pa.array(occs, pa.int64()),
+            }
+        )
+
+    def q_search_boolean(sf_dir: str) -> pa.Table:
+        """Strict conjunctive (AND) retrieval top-10 per reference
+        query, ranked by summed term frequency
+        (``SearchIndex.boolean_and``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, tfs = [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s) in enumerate(idx.boolean_and(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                tfs.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sum_tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
     def q_ingest_jsonl(sf_dir: str) -> pa.Table:
         """JSONL ingestion parity: the corpus round-tripped through the
         JSONL reader (``sources/ingest.read_pages``) aggregates to the
@@ -1185,6 +1236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
+        "search_phrase": q_search_phrase,
+        "search_boolean_and": q_search_boolean,
         "index_update_stats": q_index_update_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "doc_term_stats": q_doc_term_stats,
@@ -1341,6 +1394,106 @@ def _flagship_oracle_sql(scorer: str) -> str:
 
 def _oracle_sf_dir() -> str:
     return os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _docs_cte() -> str:
+    """Shared SQL prefix of the index-built search oracles: the pages
+    corpus -> exact content dedup winners -> (doc_id, text) docs, the
+    same contract the flagship oracle pins (dedup keep-first by
+    (warc_ts, url) per html; doc_id = first 8 bytes of md5(url) masked
+    to 63 bits)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM winners)"""
+
+
+def _phrase_oracle_sql() -> str:
+    """DuckDB twin of ``search_phrase``: re-derives exact-phrase
+    occurrence counts from token POSITIONS (unnest + generate_subscripts
+    over the canonical tokenization), counting every — including
+    overlapping — start position exactly like
+    ``SearchIndex.phrase_topk``, then top-10 per qid by
+    (n_occ desc, doc_id)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        phrase_queries,
+    )
+
+    q_rows = [
+        f"({qid}, {off}, '{t}')"
+        for qid, q in phrase_queries()
+        for off, t in enumerate(tokenize(q))
+    ]
+    return f"""{_docs_cte()},
+    doc_toks AS (SELECT doc_id, {TOKS} AS l FROM docs),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+             FROM doc_toks),
+    q(qid, off, term) AS (VALUES {', '.join(q_rows)}),
+    qn AS (SELECT qid, count(*) AS L FROM q GROUP BY qid),
+    starts AS (
+      SELECT q.qid, t.doc_id, t.pos - q.off AS s
+      FROM toks t JOIN q ON t.term = q.term JOIN qn ON qn.qid = q.qid
+      GROUP BY q.qid, t.doc_id, t.pos - q.off, qn.L
+      HAVING count(DISTINCT q.off) = qn.L),
+    occ AS (SELECT qid, doc_id, count(*) AS n_occ FROM starts GROUP BY qid, doc_id)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY n_occ DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, n_occ
+    FROM occ
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n_occ DESC, doc_id) <= 10
+    """
+
+
+def _boolean_oracle_sql() -> str:
+    """DuckDB twin of ``search_boolean_and``: docs matching EVERY unique
+    query term (strict AND — a corpus-absent term empties the query),
+    ranked by summed tf desc then doc_id, top-10 per qid."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    q_rows = [
+        f"({qid}, '{t}')"
+        for qid, q in reference_queries()
+        for t in tokenize_query(q)
+    ]
+    return f"""{_docs_cte()},
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qn AS (SELECT qid, count(*) AS L FROM q GROUP BY qid),
+    hits AS (
+      SELECT q.qid, tf.doc_id, sum(tf.tf) AS sum_tf
+      FROM q JOIN tf USING (term) JOIN qn ON qn.qid = q.qid
+      GROUP BY q.qid, tf.doc_id, qn.L
+      HAVING count(DISTINCT q.term) = qn.L)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sum_tf DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, CAST(sum_tf AS BIGINT) AS sum_tf
+    FROM hits
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sum_tf DESC, doc_id) <= 10
+    """
 
 
 def _sketch_oracle_sqls() -> dict[str, str]:
@@ -2183,6 +2336,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
+        "search_phrase": _phrase_oracle_sql(),
+        "search_boolean_and": _boolean_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "doc_term_stats": (

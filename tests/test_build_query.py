@@ -179,3 +179,30 @@ def test_reference_topk_rank_multiplier(built):
     assert boosted[0][0] == last_doc
     want = dict(base)[last_doc] * (1.0 + 100.0)
     assert abs(boosted[0][1] - want) < 1e-12
+
+
+def test_boolean_and_matches_oracle(built):
+    _pages, _paths, idx, oracle = built
+    for _qid, q in reference_queries():
+        assert idx.boolean_and(q, 10) == oracle.boolean_and_topk(q, 10), q
+    # corpus-absent term empties a strict AND even when others match
+    assert idx.boolean_and("the zzqxnothing", 10) == []
+    assert idx.boolean_and("", 10) == []
+
+
+def test_phrase_topk_matches_oracle(built):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        phrase_queries,
+    )
+
+    _pages, _paths, idx, oracle = built
+    any_hits = 0
+    for _qid, q in phrase_queries():
+        got = idx.phrase_topk(q, 10)
+        assert got == oracle.phrase_topk(q, 10), q
+        any_hits += bool(got)
+    assert any_hits >= 3, "phrase set matched almost nothing at fixture scale"
+    # overlap counting: repeated-term phrase
+    assert idx.phrase_topk("the the", 10) == oracle.phrase_topk("the the", 10)
+    assert idx.phrase_topk("", 10) == []
+    assert idx.phrase_topk("zzq nohit", 10) == []

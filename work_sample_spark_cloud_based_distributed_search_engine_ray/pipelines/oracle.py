@@ -53,10 +53,13 @@ class OracleIndex:
 
         self.docs: dict[int, dict] = {}
         self.postings: dict[str, dict[int, int]] = {}
+        self.doc_tokens: dict[int, list[str]] = {}  # ordered, for phrase oracle
         for i in self.canonical_rows:
             title, text = extract_html(htmls[i])
-            counts = Counter(tokenize(text))
+            toks = tokenize(text)
+            counts = Counter(toks)
             did = hash64(urls[i])
+            self.doc_tokens[did] = toks
             self.docs[did] = {
                 "url": urls[i],
                 "title": title,
@@ -108,3 +111,34 @@ class OracleIndex:
                 scores[did] = scores.get(did, 0.0) + idf * (1.0 + math.log10(tf))
         kept = [(d, s) for d, s in scores.items() if s > threshold]
         return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ---- boolean / phrase (quadratic definitions) ----
+
+    def boolean_and_topk(self, query: str, k: int = 10) -> list[tuple[int, int]]:
+        """Docs containing ALL unique query terms, ranked by summed tf
+        desc then doc_id asc. Empty if any term is corpus-absent."""
+        q_terms = tokenize_query(query)
+        if not q_terms or any(t not in self.postings for t in q_terms):
+            return []
+        doc_sets = [set(self.postings[t]) for t in q_terms]
+        cand = set.intersection(*doc_sets)
+        scored = [(d, sum(self.postings[t][d] for t in q_terms)) for d in cand]
+        return sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """Scan EVERY canonical doc's token sequence for the phrase;
+        count all (overlapping) start positions."""
+        terms = tokenize(phrase)
+        if not terms:
+            return []
+        L = len(terms)
+        hits = []
+        for did, toks in self.doc_tokens.items():
+            c = sum(
+                1
+                for s in range(len(toks) - L + 1)
+                if toks[s : s + L] == terms
+            )
+            if c:
+                hits.append((did, c))
+        return sorted(hits, key=lambda kv: (-kv[1], kv[0]))[:k]

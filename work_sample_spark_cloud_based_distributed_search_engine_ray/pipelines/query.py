@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.codec import BLOCK, decode_postings
-from ..functions.tokenize import tokenize_query
+from ..functions.tokenize import tokenize, tokenize_query
 
 INF = np.iinfo(np.int64).max
 
@@ -381,6 +381,88 @@ class SearchIndex:
             )
             acc = acc * (1.0 + rank_weight * boost)
         return _topk(uniq, acc, k)
+
+    # ---------------- boolean / phrase retrieval ----------------
+
+    def _conjunctive_candidates(self, terms: list[str]) -> np.ndarray:
+        """Sorted doc_ids containing ALL the given (unique) terms:
+        rarest-first sorted-array intersection over the postings, so the
+        working set never exceeds the rarest term's df."""
+        by_df = sorted(terms, key=lambda t: self.postings(t).df)
+        cand = self.postings(by_df[0]).ids
+        for t in by_df[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(cand, self.postings(t).ids, assume_unique=True)
+        return cand
+
+    def boolean_and(self, query: str, k: int = 10) -> list[tuple[int, int]]:
+        """Conjunctive boolean retrieval (the missing half of the
+        reference's additive-OR scorer, ``Searcher.java:139-150``): docs
+        containing EVERY unique query term, ranked by total term
+        frequency (sum of tf over the unique query terms) desc, then
+        doc_id asc. Returns [(doc_id, sum_tf)] — integer scores, so the
+        ranking is exactly reproducible by the SQL oracle.
+
+        A query term absent from the whole corpus empties the result
+        (strict AND), mirroring the SQL ``HAVING count(DISTINCT term) =
+        L`` contract."""
+        q_terms = tokenize_query(query)
+        if not q_terms or any(not self.has_term(t) for t in q_terms):
+            return []
+        cand = self._conjunctive_candidates(q_terms)
+        if cand.size == 0:
+            return []
+        total = np.zeros(cand.size, dtype=np.int64)
+        for t in q_terms:
+            p = self.postings(t)
+            total += p.tfs[np.searchsorted(p.ids, cand)]
+        order = np.lexsort((cand, -total))[:k]
+        return [(int(cand[i]), int(total[i])) for i in order]
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """Exact phrase search: docs whose body contains the phrase's
+        tokens CONSECUTIVELY, ranked by occurrence count (all start
+        positions, overlapping included) desc, then doc_id asc. Returns
+        [(doc_id, n_occurrences)].
+
+        Physical plan (the standard two-stage phrase plan for an index
+        without positions): (1) candidate generation = conjunctive
+        intersection of the phrase terms' postings, rarest term first —
+        candidates are bounded by the rarest term's df; (2) exact
+        adjacency verification against the doc store — a by-id,
+        row-group-pruned fetch of ONLY the candidate bodies
+        (``DocStore.lookup``), re-tokenized with the canonical tokenizer
+        (the same function the index build used, so verification sees
+        exactly the indexed token stream). At 100-TB scale stage 2 reads
+        ``O(candidates)`` rows, never a scan; a positional postings
+        stream would remove it entirely and is the documented next step.
+        """
+        terms = tokenize(phrase)  # ordered, duplicates kept
+        if not terms or any(not self.has_term(t) for t in set(terms)):
+            return []
+        cand = self._conjunctive_candidates(list(dict.fromkeys(terms)))
+        if cand.size == 0:
+            return []
+        if self._docstore is None:
+            self._docstore = DocStore(self._docstore_path)
+        rows = self._docstore.lookup([int(d) for d in cand])
+        L = len(terms)
+        hits: list[tuple[int, int]] = []
+        for did in sorted(rows):
+            toks = tokenize(rows[did]["body"])
+            n = len(toks)
+            if n < L:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            m = np.ones(n - L + 1, dtype=bool)
+            for off, w in enumerate(terms):
+                m &= arr[off : off + n - L + 1] == w
+            c = int(m.sum())
+            if c:
+                hits.append((did, c))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
 
     # ---------------- result assembly ----------------
 

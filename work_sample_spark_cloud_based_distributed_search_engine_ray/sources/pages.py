@@ -261,3 +261,36 @@ def reference_queries(seed: int = 42, n_queries: int = 50) -> list[tuple[int, st
             q = f"zzqx{qid}nohit"
         out.append((qid, q))
     return out
+
+
+def phrase_queries(seed: int = 42, n_queries: int = 24) -> list[tuple[int, str]]:
+    """Deterministic phrase query set for exact-phrase search.
+
+    Mix (FIXTURES.md §2 style): hot-head bigrams/trigrams that are
+    guaranteed to occur at any corpus scale (Zipf head terms co-occur
+    adjacently thousands of times per million tokens), mid-frequency
+    bigrams wrapped in punctuation/case junk (normalization path), and
+    tail-term bigrams that usually match nothing (empty-result path).
+    Repeated-term phrases (e.g. "the the") arise naturally when the two
+    head draws collide — the overlap-counting edge case."""
+    rng = np.random.default_rng(seed + 7)
+    vocab = make_vocab("en")
+    out: list[tuple[int, str]] = []
+    for qid in range(n_queries):
+        kind = qid % 4
+        if kind == 0:  # hot bigram
+            a, b = rng.integers(0, 12, size=2)
+            q = f"{vocab[int(a)]} {vocab[int(b)]}"
+        elif kind == 1:  # hot trigram
+            i, j, k = rng.integers(0, 8, size=3)
+            q = f"{vocab[int(i)]} {vocab[int(j)]} {vocab[int(k)]}"
+        elif kind == 2:  # mid-frequency bigram + junk around it
+            a = vocab[int(rng.integers(0, 200))]
+            b = vocab[int(rng.integers(0, 200))]
+            q = f"  {a.upper()}, {b}! "
+        else:  # tail bigram (usually zero hits)
+            a = vocab[int(rng.integers(2000, VOCAB_SIZE))]
+            b = vocab[int(rng.integers(0, 50))]
+            q = f"{a} {b}"
+        out.append((qid, q))
+    return out
