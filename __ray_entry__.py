@@ -127,6 +127,27 @@ def _cached_index(sf_dir: str):
     return SearchIndex.load(out_dir)
 
 
+def _cached_pos_index(sf_dir: str):
+    """Positional (format 3) index over the same corpus, cached
+    separately from the flagship format-2 build — the scale path for
+    exact-phrase evaluation (no doc fetch)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages = pages_for_sf_dir(sf_dir)
+    out_dir = f"/tmp/wse_entry_posindex_{os.path.basename(pages).replace('.parquet', '')}"
+    if not os.path.exists(os.path.join(out_dir, "meta.json")):
+        build_index(pages, out_dir, num_partitions=8, batch_size=128, store_positions=True)
+    return SearchIndex.load(out_dir)
+
+
 def _search_table(sf_dir: str, scorer: str) -> pa.Table:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
         reference_queries,
@@ -278,6 +299,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids, ranks, doc_ids, occs = [], [], [], []
         for qid, q in phrase_queries():
             for r, (d, c) in enumerate(idx.phrase_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                occs.append(c)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_occ": pa.array(occs, pa.int64()),
+            }
+        )
+
+    def q_search_phrase_positional(sf_dir: str) -> pa.Table:
+        """Exact phrase top-10 evaluated ON THE POSITIONAL POSTINGS
+        (format-3 index, ``method='positions'`` — no doc-store fetch);
+        same output contract and SQL twin as ``search_phrase``, so the
+        driver cross-checks the two physical plans against one oracle."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            phrase_queries,
+        )
+
+        idx = _cached_pos_index(sf_dir)
+        qids, ranks, doc_ids, occs = [], [], [], []
+        for qid, q in phrase_queries():
+            for r, (d, c) in enumerate(idx.phrase_topk(q, k=10, method="positions")):
                 qids.append(qid)
                 ranks.append(r)
                 doc_ids.append(d)
@@ -1237,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
         "search_phrase": q_search_phrase,
+        "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
         "index_update_stats": q_index_update_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
@@ -2337,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_phrase": _phrase_oracle_sql(),
+        "search_phrase_positional": _phrase_oracle_sql(),
         "search_boolean_and": _boolean_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),

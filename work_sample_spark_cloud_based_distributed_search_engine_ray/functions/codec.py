@@ -105,7 +105,76 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+def gather_segments(
+    flat: np.ndarray, counts: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder variable-length SEGMENTS of a flat array: segment ``i``
+    has ``counts[i]`` values; the output lays the segments out in
+    ``order``. One vectorized gather — the kernel that carries
+    per-posting position lists through the posting sort/merge."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    new_counts = counts[order]
+    total = int(new_counts.sum())
+    if total == 0:
+        return flat[:0]
+    new_starts = np.concatenate(([0], np.cumsum(new_counts)[:-1]))
+    idx = (
+        np.repeat(starts[order], new_counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(new_starts, new_counts)
+    )
+    return flat[idx]
+
+
+def encode_position_stream(pos_flat: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode per-posting token-position lists (index format 3's
+    ``pos_blob``). ``pos_flat`` holds every posting's positions
+    back-to-back in posting order (ascending within a posting);
+    ``tfs[i]`` is posting ``i``'s position count. Layout: delta-varint
+    with a restart (absolute position) at every POSTING start — any
+    posting's list decodes independently given its flat offset.
+    Returns (buffer, per-value byte lengths)."""
+    pos_flat = np.asarray(pos_flat, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = pos_flat.size
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = pos_flat[0]
+    np.subtract(pos_flat[1:], pos_flat[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas[starts] = pos_flat[starts]
+    if (deltas < 0).any():
+        raise ValueError("positions not ascending within a posting")
+    return varint_encode_with_lengths(deltas)
+
+
+def decode_position_stream(pos_blobs, tfs: np.ndarray) -> np.ndarray:
+    """Decode concatenated ``pos_blob`` streams -> flat absolute
+    positions (posting-by-posting, in input order). ``tfs`` is the
+    per-posting position count across ALL the concatenated blobs.
+    Same segmented-cumsum reconstruction as ``decode_runs_concat``,
+    with segment restarts at posting starts."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    buf = pos_blobs if isinstance(pos_blobs, (bytes, memoryview)) else b"".join(pos_blobs)
+    v = varint_decode(buf, total).astype(np.int64)
+    if total == 0:
+        return v
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(v)
+    base = c[starts] - v[starts]
+    seg_of = np.repeat(np.arange(starts.size), tfs)
+    return c - base[seg_of]
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_flat: np.ndarray | None = None,
+) -> dict:
     """Encode one term's postings (doc_ids MUST be sorted ascending,
     unique). ``dls`` is the per-posting DOCUMENT LENGTH — stored with
     the posting so scoring (BM25 length normalization) needs no
@@ -113,7 +182,12 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> di
     only (1/num_shards of the index). Returns the shard-row payload
     columns, including per-block (last_doc_id, max_tf, min_dl) — min_dl
     gives the block-max WAND bound ``part(max_tf, min_dl)``, tighter
-    than a global min and valid per block."""
+    than a global min and valid per block.
+
+    ``pos_flat`` (index format 3, optional): every posting's token
+    positions back-to-back in posting order; posting ``i`` owns
+    ``tfs[i]`` of them. Adds a ``pos_blob`` delta-varint stream with a
+    restart at each posting start."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
@@ -143,7 +217,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> di
         if n
         else dls
     )
-    return {
+    out = {
         "n": n,
         "doc_blob": varint_encode(deltas),
         "tf_blob": varint_encode(tfs),
@@ -152,6 +226,9 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> di
         "block_max_tf": max_tf,
         "block_min_dl": min_dl,
     }
+    if pos_flat is not None:
+        out["pos_blob"] = encode_position_stream(pos_flat, tfs)[0]
+    return out
 
 
 def decode_postings(
@@ -237,20 +314,33 @@ def decode_runs_concat(
     return ids, tfs, dls
 
 
-def merge_encoded_runs(runs: list[tuple[bytes, bytes, bytes, int]]) -> dict:
+def merge_encoded_runs(
+    runs: list[tuple], pos_blobs: "list[bytes] | None" = None
+) -> dict:
     """Merge several encoded postings runs of ONE term (disjoint doc_id
     sets, e.g. salted sub-groups or per-checkpoint-partition runs) into
     a single encoded posting list. Decode -> merge-sort -> re-encode;
-    associative and order-insensitive (FIXTURES.md §4 'Merge')."""
+    associative and order-insensitive (FIXTURES.md §4 'Merge').
+    ``pos_blobs`` (format 3): the runs' position streams, merged by
+    carrying each posting's position segment through the same sort."""
+    pre_tfs_runs = np.array([r[3] for r in runs], dtype=np.int64)
     ids, tfs, dls = decode_runs_concat(
         [r[0] for r in runs],
         [r[1] for r in runs],
         [r[2] for r in runs],
-        np.array([r[3] for r in runs], dtype=np.int64),
+        pre_tfs_runs,
     )
     order = np.argsort(ids, kind="stable")
+    pos_sorted = None
+    if pos_blobs is not None:
+        pos_abs = decode_position_stream(b"".join(pos_blobs), tfs)
+        pos_sorted = gather_segments(pos_abs, tfs, order)
     ids, tfs, dls = ids[order], tfs[order], dls[order]
     if ids.size > 1 and (np.diff(ids) == 0).any():
+        if pos_blobs is not None:
+            # range-salted runs never share a doc; a duplicate with
+            # positions means corrupted inputs — refuse to guess
+            raise ValueError("duplicate doc_id across positional runs")
         # same doc contributed by two runs — sum tfs (cannot happen for
         # range-salted runs; defensive for resumed partial runs)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -258,11 +348,15 @@ def merge_encoded_runs(runs: list[tuple[bytes, bytes, bytes, int]]) -> dict:
         np.add.at(summed, inv, tfs)
         first_pos = np.searchsorted(ids, uniq)  # dl identical per doc
         ids, tfs, dls = uniq, summed, dls[first_pos]
-    return encode_postings(ids, tfs, dls)
+    return encode_postings(ids, tfs, dls, pos_flat=pos_sorted)
 
 
 def encode_postings_multi(
-    codes: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+    codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_flat: np.ndarray | None = None,
 ) -> dict:
     """Encode MANY terms' postings in one vectorized pass.
 
@@ -283,6 +377,11 @@ def encode_postings_multi(
 
     Per-term output is bit-identical to ``encode_postings`` on that
     term's (sorted) postings — asserted by tests/test_codec.py.
+
+    ``pos_flat`` (index format 3, optional): per-posting position lists
+    back-to-back in INPUT row order (row ``i`` owns ``tfs[i]``); adds
+    ``pos_blob_buf``/``pos_blob_offsets`` to the result, carried through
+    the posting sort by one segment gather.
     """
     codes = np.asarray(codes, dtype=np.int64)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -291,7 +390,7 @@ def encode_postings_multi(
     n = codes.size
     if n == 0:
         e = np.empty(0, dtype=np.int64)
-        return {
+        out = {
             "codes_out": e, "df": e, "cf": e,
             "doc_blob_buf": b"", "doc_blob_offsets": np.zeros(1, np.int64),
             "tf_blob_buf": b"", "tf_blob_offsets": np.zeros(1, np.int64),
@@ -299,11 +398,18 @@ def encode_postings_multi(
             "block_last_id": e, "block_last_offsets": np.zeros(1, np.int64),
             "block_max_tf": e, "block_min_dl": e,
         }
+        if pos_flat is not None:
+            out["pos_blob_buf"] = b""
+            out["pos_blob_offsets"] = np.zeros(1, np.int64)
+        return out
     order = np.lexsort((doc_ids, codes))
     c = codes[order]
     ids = doc_ids[order]
     t = tfs[order]
     d = dls[order]
+    pos_sorted = None
+    if pos_flat is not None:
+        pos_sorted = gather_segments(np.asarray(pos_flat, dtype=np.int64), tfs, order)
 
     term_starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1))
     term_ends = np.append(term_starts[1:], n)
@@ -342,7 +448,20 @@ def encode_postings_multi(
     block_last_offsets = np.concatenate(([0], np.cumsum(blocks_per_term)))
 
     cf = np.add.reduceat(t, term_starts)
+    pos_extra = {}
+    if pos_sorted is not None:
+        pos_buf, pos_len = encode_position_stream(pos_sorted, t)
+        if pos_sorted.size:
+            pos_byte_ends = np.cumsum(pos_len)
+            # last position value of each term = index (cumulative tf at
+            # term end) - 1 into the value-wise byte ends
+            term_pos_ends = np.cumsum(cf)
+            pos_offsets = np.concatenate(([0], pos_byte_ends[term_pos_ends - 1]))
+        else:
+            pos_offsets = np.zeros(term_starts.size + 1, np.int64)
+        pos_extra = {"pos_blob_buf": pos_buf, "pos_blob_offsets": pos_offsets}
     return {
+        **pos_extra,
         "codes_out": c[term_starts],
         "df": counts,
         "cf": cf,

@@ -90,7 +90,7 @@ def flat_tokens_batch(texts: "list[str] | object"):
     return flat, parents, n_docs
 
 
-def tokenize_count_batch(texts: "list[str] | object"):
+def tokenize_count_batch(texts: "list[str] | object", return_positions: bool = False):
     """Vectorized per-doc term counting for a whole batch.
 
     Semantically identical to ``Counter(tokenize(t))`` per text (asserted
@@ -102,6 +102,13 @@ def tokenize_count_batch(texts: "list[str] | object"):
     Returns ``(terms: pa.ListArray[string], tfs: pa.ListArray[int32],
     doc_lens: np.ndarray[int64])``, with each doc's terms in sorted
     term-code order (deterministic; downstream order-insensitive).
+
+    With ``return_positions=True`` (the positional-index build, format
+    3) a fourth value is appended: ``positions: pa.ListArray[int32]``,
+    one list per DOC holding every term occurrence's token position,
+    laid out per-term in the same segment order as (terms, tfs) —
+    ``positions[doc][sum(tfs[:j]) : sum(tfs[:j+1])]`` are term ``j``'s
+    ascending positions.
     """
     import numpy as np
     import pyarrow as pa
@@ -146,7 +153,19 @@ def tokenize_count_batch(texts: "list[str] | object"):
         pa.array(offsets), pa.array(counts.astype(np.int32))
     )
     doc_lens = np.bincount(parents, minlength=n_docs).astype(np.int64)
-    return terms_list, tfs_list, doc_lens
+    if not return_positions:
+        return terms_list, tfs_list, doc_lens
+    # token position within its doc, regrouped (parent, code) with a
+    # STABLE sort so each (doc, term) segment stays position-ascending —
+    # exactly the (terms, tfs) segment layout
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+    pos_in_doc = np.arange(parents.size, dtype=np.int64) - doc_starts[parents]
+    order = np.argsort(key, kind="stable")
+    pos_offsets = np.concatenate(([0], np.cumsum(doc_lens))).astype(np.int32)
+    positions_list = pa.ListArray.from_arrays(
+        pa.array(pos_offsets), pa.array(pos_in_doc[order].astype(np.int32))
+    )
+    return terms_list, tfs_list, doc_lens, positions_list
 
 
 def _unescape(s: str) -> str:

@@ -77,6 +77,7 @@ except ModuleNotFoundError:
 
 from ..functions.codec import (
     binary_values_view,
+    decode_position_stream,
     decode_runs_concat,
     encode_postings_multi,
     merge_encoded_runs,
@@ -89,7 +90,12 @@ from ..state.manifest import (
     read_manifest,
     write_json_atomic,
 )
-from ..stages.extract import HOT_SAMPLE_MOD, ExtractDocs, explode_postings
+from ..stages.extract import (
+    HOT_SAMPLE_MOD,
+    ExtractDocs,
+    explode_postings,
+    explode_postings_with_positions,
+)
 from ..stages.shuffle import hash_map_groups, packed_task_groups
 
 K1 = 1.2
@@ -108,6 +114,12 @@ POSTING_SCHEMA = pa.schema(
         ("block_min_dl", pa.list_(pa.int64())),
     ]
 )
+
+
+def _posting_cols(with_positions: bool) -> list[str]:
+    """Shard-row column set; format 3 appends the per-term position
+    stream ``pos_blob`` (delta-varint, restart at each posting)."""
+    return POSTING_SCHEMA.names + (["pos_blob"] if with_positions else [])
 
 
 # Narrow commit-pass schema for partitions whose pages were ALL gated
@@ -189,6 +201,7 @@ def run_phase_a(
     concurrency: int | None = None,
     verify_extraction: bool = False,
     content_seen_ref=None,
+    store_positions: bool = False,
 ) -> dict:
     """Extraction checkpoint: ONE streaming pipeline over all pending
     partitions — fragment-read tasks feed a single shared ExtractDocs
@@ -260,6 +273,7 @@ def run_phase_a(
         fn_constructor_kwargs={
             "verify_extraction": verify_extraction,
             "content_seen_ref": content_seen_ref,
+            "store_positions": store_positions,
         },
         batch_format="pyarrow",
         batch_size=None,
@@ -535,7 +549,7 @@ def global_stats(paths: IndexPaths, loser_table: pa.Table) -> dict:
     return {"N": n, "total_len": total_len, "avgdl": (total_len / n) if n else 0.0}
 
 
-def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
+def _docs_ds(paths: IndexPaths, loser_ids_ref, with_positions: bool = False) -> rd.Dataset:
     """Canonical docs (losers filtered) from the checkpoint —
     column-pruned read, loser filter via a broadcast id array."""
 
@@ -545,9 +559,10 @@ def _docs_ds(paths: IndexPaths, loser_ids_ref) -> rd.Dataset:
             return batch
         return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=ids)))
 
-    ds = rd.read_parquet(
-        _docs_parquet_files(paths), columns=["doc_id", "doc_len", "terms", "tfs"]
+    cols = ["doc_id", "doc_len", "terms", "tfs"] + (
+        ["positions"] if with_positions else []
     )
+    ds = rd.read_parquet(_docs_parquet_files(paths), columns=cols)
     return ds.map_batches(drop_losers, batch_format="pyarrow", batch_size=None)
 
 
@@ -659,8 +674,9 @@ def _bin_from_offsets(buf, offsets64: "np.ndarray") -> pa.Array:
 
 def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
     """Assemble POSTING_SCHEMA columns from an ``encode_postings_multi``
-    result (blob columns are zero-copy views of the codec buffers)."""
-    return pa.table(
+    result (blob columns are zero-copy views of the codec buffers);
+    a positional encode (format 3) contributes the ``pos_blob`` column."""
+    tbl = pa.table(
         {
             "term": terms,
             "df": pa.array(enc["df"], pa.int64()),
@@ -682,6 +698,11 @@ def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
             ),
         }
     )
+    if "pos_blob_buf" in enc:  # appended LAST: _posting_cols order
+        tbl = tbl.append_column(
+            "pos_blob", _bin_from_offsets(enc["pos_blob_buf"], enc["pos_blob_offsets"])
+        )
+    return tbl
 
 
 def _encode_bucket(group: pa.Table) -> pa.Table:
@@ -702,17 +723,25 @@ def _encode_bucket(group: pa.Table) -> pa.Table:
         binary_values_view(g["dl_blob"]),
         ns,
     )
+    pos_flat = (
+        decode_position_stream(binary_values_view(g["pos_blob"]), tfs)
+        if "pos_blob" in g.column_names
+        else None
+    )
     d = g["term"].combine_chunks().dictionary_encode()
     run_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     codes = np.repeat(run_codes, ns)
-    enc = encode_postings_multi(codes, ids, tfs, dls)
+    enc = encode_postings_multi(codes, ids, tfs, dls, pos_flat=pos_flat)
     return _encoded_table(pc.take(d.dictionary, pa.array(enc["codes_out"])), enc)
 
 
 def _merge_term_runs(group: pa.Table) -> pa.Table:
-    """Final per-term merge of salted runs (1-row groups pass through)."""
+    """Final per-term merge of salted runs (1-row groups pass through).
+    Positional runs (format 3, ``pos_blob`` present) carry each
+    posting's position segment through the merge sort."""
+    with_pos = "pos_blob" in group.column_names
     if group.num_rows == 1:
-        return group.select(POSTING_SCHEMA.names)
+        return group.select(_posting_cols(with_pos))
     runs = [
         (
             group["doc_blob"][i].as_py(),
@@ -722,8 +751,11 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
         )
         for i in range(group.num_rows)
     ]
-    enc = merge_encoded_runs(runs)
-    return pa.table(
+    pos_blobs = (
+        [group["pos_blob"][i].as_py() for i in range(group.num_rows)] if with_pos else None
+    )
+    enc = merge_encoded_runs(runs, pos_blobs=pos_blobs)
+    out = pa.table(
         {
             "term": group.slice(0, 1)["term"],
             "df": pa.array([enc["n"]], pa.int64()),
@@ -736,6 +768,9 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
             "block_min_dl": pa.array([enc["block_min_dl"].tolist()], pa.list_(pa.int64())),
         }
     )
+    if with_pos:
+        out = out.append_column("pos_blob", pa.array([enc["pos_blob"]], pa.binary()))
+    return out
 
 
 def _finalize_shard(group: pa.Table) -> pa.Table:
@@ -752,12 +787,13 @@ def _finalize_shard(group: pa.Table) -> pa.Table:
     parity invariant. Per-group Python work is O(#hot)."""
     idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
     g = group.take(idx).combine_chunks()
+    out_names = _posting_cols("pos_blob" in g.column_names) + ["shard"]
     terms = np.asarray(g["term"].to_pylist(), dtype=object)
     first = np.ones(terms.size, dtype=bool)
     first[1:] = terms[1:] != terms[:-1]
     run_counts = np.diff(np.append(np.flatnonzero(first), terms.size))
     single = np.repeat(run_counts, run_counts) == 1
-    out = [g.filter(pa.array(single)).select(POSTING_SCHEMA.names + ["shard"])]
+    out = [g.filter(pa.array(single)).select(out_names)]
     starts = np.flatnonzero(first)[run_counts > 1]
     counts = run_counts[run_counts > 1]
     for s, c in zip(starts, counts):
@@ -788,6 +824,7 @@ def build_shards(
     num_shards: int = 16,
     num_salts: int = 8,
     num_buckets: int | None = None,
+    store_positions: bool = False,
 ) -> None:
     """B4: THE term shuffle -> compressed, shard-partitioned postings.
 
@@ -840,7 +877,10 @@ def build_shards(
         shuffle then moves varint-packed runs — ~1-2% of the raw
         exploded (term, doc_id, tf) rows' bytes, with no per-posting
         term strings."""
-        exploded = explode_postings(batch)
+        if store_positions:
+            exploded, pos_flat = explode_postings_with_positions(batch)
+        else:
+            exploded, pos_flat = explode_postings(batch), None
         tcol = exploded["term"].combine_chunks()
         d = tcol.dictionary_encode()
         uniq = d.dictionary
@@ -864,6 +904,7 @@ def build_shards(
             ids,
             exploded["tf"].to_numpy(zero_copy_only=False),
             exploded["dl"].to_numpy(zero_copy_only=False),
+            pos_flat=pos_flat,
         )
         t_codes = enc["codes_out"] // num_salts
         s_out = (enc["codes_out"] % num_salts).astype(np.uint64)
@@ -892,7 +933,7 @@ def build_shards(
     # parallelism at sandbox scale.
     sub: dict[str, float] = {}
     t0 = time.time()
-    ds = _docs_ds(paths, loser_ids_ref)
+    ds = _docs_ds(paths, loser_ids_ref, with_positions=store_positions)
     ds = ds.map_batches(encode_block_runs, batch_format="pyarrow", batch_size=4096)
     # Materialize at both shuffle inputs: Ray's sort-based groupby
     # samples its input to pick range boundaries, re-executing the
@@ -916,7 +957,7 @@ def build_shards(
     # a cold term's runs all met in its single bucket, so its one row is
     # FINAL already — only the hot slice (num_salts rows per hot term)
     # re-shuffles for the salted-run merge
-    out_cols = POSTING_SCHEMA.names + ["shard"]
+    out_cols = _posting_cols(store_positions) + ["shard"]
 
     def cold_rows(batch: pa.Table) -> pa.Table:
         keep = pc.invert(pc.is_in(batch["term"], value_set=ray.get(hot_ref)))
@@ -968,12 +1009,19 @@ def build_index(
     concurrency: int | None = None,
     verify_extraction: bool = False,
     content_seen_ref=None,
+    store_positions: bool = False,
 ) -> IndexPaths:
     """Full build. Resumable: phase A skips partitions with manifests;
     phase B is idempotent (full overwrite of derived dirs).
     ``content_seen_ref`` (object ref to a (doc_id list, content-sha1
     list) pair) drops already-indexed pages at extraction — the
-    incremental-update contentSeen gate (``pipelines.update_index``)."""
+    incremental-update contentSeen gate (``pipelines.update_index``).
+    ``store_positions=True`` builds a POSITIONAL index (format 3): the
+    checkpoint carries per-doc token positions and every shard row gains
+    a ``pos_blob`` stream — exact phrase evaluation then needs no doc
+    fetch (``SearchIndex.phrase_topk(method='positions')``). Costs
+    roughly the token stream again in checkpoint/shard bytes; default
+    off, matching the reference's position-less ``index`` table."""
     t0 = time.time()
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -985,6 +1033,7 @@ def build_index(
         concurrency=concurrency,
         verify_extraction=verify_extraction,
         content_seen_ref=content_seen_ref,
+        store_positions=store_positions,
     )
     t_a = time.time()
     total_docs = 0
@@ -1001,7 +1050,8 @@ def build_index(
         write_json_atomic(
             paths.meta,
             {
-                "index_format": 2,
+                "index_format": 3 if store_positions else 2,
+                "positions": store_positions,
                 "N": 0,
                 "avgdl": 0.0,
                 "total_len": 0,
@@ -1061,6 +1111,7 @@ def build_index(
         f4 = ex.submit(
             _timed, "shard_build", build_shards, paths, loser_ids_ref, salt_plan,
             num_shards=num_shards, num_salts=num_salts,
+            store_positions=store_positions,
         )
         f2.result()
         f4.result()
@@ -1068,7 +1119,9 @@ def build_index(
     write_json_atomic(
         paths.meta,
         {
-            "index_format": 2,  # 2 = postings carry dl_blob/block_min_dl
+            # 2 = postings carry dl_blob/block_min_dl; 3 = + pos_blob
+            "index_format": 3 if store_positions else 2,
+            "positions": store_positions,
             "N": g["N"],
             "avgdl": g["avgdl"],
             "total_len": g["total_len"],

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.codec import BLOCK, decode_postings
+from ..functions.codec import BLOCK, decode_position_stream, decode_postings
 from ..functions.tokenize import tokenize, tokenize_query
 
 INF = np.iinfo(np.int64).max
@@ -101,13 +101,26 @@ class DocStore:
 
 
 class _Postings:
-    __slots__ = ("df", "cf", "ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl")
+    __slots__ = (
+        "df", "cf", "ids", "tfs", "dls",
+        "block_last", "block_max_tf", "block_min_dl",
+        "pos_flat", "pos_bounds",
+    )
 
-    def __init__(self, df, cf, ids, tfs, dls, block_last, block_max_tf, block_min_dl):
+    def __init__(
+        self, df, cf, ids, tfs, dls, block_last, block_max_tf, block_min_dl,
+        pos_flat=None, pos_bounds=None,
+    ):
         self.df, self.cf = df, cf
         self.ids, self.tfs, self.dls = ids, tfs, dls
         self.block_last, self.block_max_tf = block_last, block_max_tf
         self.block_min_dl = block_min_dl
+        # format 3: flat token positions + per-posting bounds —
+        # posting i's positions are pos_flat[pos_bounds[i]:pos_bounds[i+1]]
+        self.pos_flat, self.pos_bounds = pos_flat, pos_bounds
+
+    def positions_at(self, i: int) -> np.ndarray:
+        return self.pos_flat[self.pos_bounds[i] : self.pos_bounds[i + 1]]
 
 
 class SearchIndex:
@@ -151,18 +164,22 @@ class SearchIndex:
         with open(os.path.join(out_dir, "meta.json")) as f:
             meta = json.load(f)
         shards_dir = os.path.join(out_dir, "shards")
+        cols = [
+            "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob",
+            "block_last_id", "block_max_tf", "block_min_dl",
+        ]
+        if meta.get("positions"):
+            cols.append("pos_blob")
         shard_table = (
-            pq.read_table(
-                shards_dir,
-                columns=[
-                    "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob",
-                    "block_last_id", "block_max_tf", "block_min_dl",
-                ],
-            ).combine_chunks()
+            pq.read_table(shards_dir, columns=cols).combine_chunks()
             if _parquet_files(shards_dir)
             else None
         )
         return cls(meta, shard_table, os.path.join(out_dir, "docstore"))
+
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.meta.get("positions"))
 
     def has_term(self, term: str) -> bool:
         return term in self._term_row
@@ -184,6 +201,12 @@ class SearchIndex:
                 self._shards["dl_blob"][i].as_py(),
                 df,
             )
+            pos_flat = pos_bounds = None
+            if self.has_positions:
+                pos_flat = decode_position_stream(
+                    self._shards["pos_blob"][i].as_py(), tfs
+                )
+                pos_bounds = np.concatenate(([0], np.cumsum(tfs)))
             p = _Postings(
                 df,
                 self._shards["cf"][i].as_py(),
@@ -193,6 +216,8 @@ class SearchIndex:
                 np.asarray(self._shards["block_last_id"][i].as_py(), dtype=np.int64),
                 np.asarray(self._shards["block_max_tf"][i].as_py(), dtype=np.int64),
                 np.asarray(self._shards["block_min_dl"][i].as_py(), dtype=np.int64),
+                pos_flat=pos_flat,
+                pos_bounds=pos_bounds,
             )
             self._cache[term] = p
         return p
@@ -420,23 +445,33 @@ class SearchIndex:
         order = np.lexsort((cand, -total))[:k]
         return [(int(cand[i]), int(total[i])) for i in order]
 
-    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+    def phrase_topk(
+        self, phrase: str, k: int = 10, method: str = "auto"
+    ) -> list[tuple[int, int]]:
         """Exact phrase search: docs whose body contains the phrase's
         tokens CONSECUTIVELY, ranked by occurrence count (all start
         positions, overlapping included) desc, then doc_id asc. Returns
         [(doc_id, n_occurrences)].
 
-        Physical plan (the standard two-stage phrase plan for an index
-        without positions): (1) candidate generation = conjunctive
-        intersection of the phrase terms' postings, rarest term first —
-        candidates are bounded by the rarest term's df; (2) exact
-        adjacency verification against the doc store — a by-id,
-        row-group-pruned fetch of ONLY the candidate bodies
-        (``DocStore.lookup``), re-tokenized with the canonical tokenizer
-        (the same function the index build used, so verification sees
-        exactly the indexed token stream). At 100-TB scale stage 2 reads
-        ``O(candidates)`` rows, never a scan; a positional postings
-        stream would remove it entirely and is the documented next step.
+        Both physical plans share stage 1 — candidate generation =
+        conjunctive intersection of the phrase terms' postings, rarest
+        term first, so candidates are bounded by the rarest term's df.
+        Stage 2 differs by ``method``:
+
+        - ``'positions'`` (format-3 index): adjacency is evaluated on
+          the positional postings alone — successive shifted
+          intersections of the candidates' per-term position lists. No
+          doc fetch at all; this is the 100-TB serving plan.
+        - ``'verify'``: exact adjacency verification against the doc
+          store — a by-id, row-group-pruned fetch of ONLY the candidate
+          bodies (``DocStore.lookup``), re-tokenized with the canonical
+          tokenizer (the same function the index build used). The
+          standard plan for a position-less index; still O(candidates)
+          row reads, never a scan.
+        - ``'auto'``: positions when the index has them, else verify.
+
+        The two plans are asserted identical on positional builds
+        (tests/test_positions.py).
         """
         terms = tokenize(phrase)  # ordered, duplicates kept
         if not terms or any(not self.has_term(t) for t in set(terms)):
@@ -444,6 +479,28 @@ class SearchIndex:
         cand = self._conjunctive_candidates(list(dict.fromkeys(terms)))
         if cand.size == 0:
             return []
+        if method == "auto":
+            method = "positions" if self.has_positions else "verify"
+        if method == "positions":
+            if not self.has_positions:
+                raise ValueError("index built without positions (format < 3)")
+            plist = [self.postings(t) for t in terms]
+            hits: list[tuple[int, int]] = []
+            for d in cand:
+                # start positions: successively intersect each term's
+                # positions shifted back to the phrase start
+                p0 = plist[0]
+                s = p0.positions_at(int(np.searchsorted(p0.ids, d)))
+                for off in range(1, len(terms)):
+                    if s.size == 0:
+                        break
+                    p = plist[off]
+                    nxt = p.positions_at(int(np.searchsorted(p.ids, d)))
+                    s = s[np.isin(s + off, nxt, assume_unique=True)]
+                if s.size:
+                    hits.append((int(d), int(s.size)))
+            hits.sort(key=lambda t: (-t[1], t[0]))
+            return hits[:k]
         if self._docstore is None:
             self._docstore = DocStore(self._docstore_path)
         rows = self._docstore.lookup([int(d) for d in cand])

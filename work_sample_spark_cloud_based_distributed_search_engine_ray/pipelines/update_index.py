@@ -66,6 +66,7 @@ from .build_index import (
     _docs_parquet_files,
     _encode_bucket,
     _fresh_dir,
+    _posting_cols,
     build_index,
 )
 
@@ -113,12 +114,16 @@ def _link_tree(src_dir: str, dst_dir: str, prefix: str) -> None:
             shutil.copy2(f, dst)
 
 
-def _merge_posting_tables(parts: list[pa.Table]) -> pa.Table:
+def _merge_posting_tables(parts: list[pa.Table], cols: list[str] | None = None) -> pa.Table:
     """Concatenate posting tables; re-encode ONLY terms occurring more
     than once (one vectorized ``_encode_bucket`` call over the overlap),
-    pass the rest through zero-copy."""
+    pass the rest through zero-copy. ``cols`` is the shard-row column
+    set (``_posting_cols`` — includes ``pos_blob`` for a format-3
+    positional index; ``_encode_bucket`` carries positions through the
+    overlap merge automatically)."""
+    cols = cols or POSTING_SCHEMA.names
     both = pa.concat_tables(
-        [t.select(POSTING_SCHEMA.names) for t in parts], promote_options="default"
+        [t.select(cols) for t in parts], promote_options="default"
     ).combine_chunks()
     if len(parts) == 1:
         return both
@@ -129,7 +134,7 @@ def _merge_posting_tables(parts: list[pa.Table]) -> pa.Table:
         return both
     merged = _encode_bucket(both.filter(pa.array(dup)))
     return pa.concat_tables(
-        [both.filter(pa.array(~dup)), merged.select(POSTING_SCHEMA.names)],
+        [both.filter(pa.array(~dup)), merged.select(cols)],
         promote_options="default",
     )
 
@@ -149,6 +154,8 @@ def update_index(
     with open(os.path.join(base_dir, "meta.json")) as f:
         base_meta = json.load(f)
     num_shards = int(base_meta["num_shards"])
+    with_positions = bool(base_meta.get("positions"))
+    posting_cols = _posting_cols(with_positions)
 
     seen = _seen_table(base_dir)
     delta_dir = delta_dir or out_dir + ".delta"
@@ -162,6 +169,7 @@ def update_index(
         content_seen_ref=ray.put(
             (seen["doc_id"].to_pylist(), seen["content_sha1"].to_pylist())
         ),
+        store_positions=with_positions,  # delta matches the base format
     )
     with open(delta_paths.meta) as f:
         delta_meta = json.load(f)
@@ -178,7 +186,7 @@ def update_index(
     @ray.remote
     def merge_shard(s: int) -> int:
         parts = [
-            pq.read_table(d, columns=POSTING_SCHEMA.names)
+            pq.read_table(d, columns=posting_cols)
             for d in (
                 os.path.join(base_shards, f"shard={s}"),
                 os.path.join(delta_shards, f"shard={s}"),
@@ -188,7 +196,7 @@ def update_index(
         parts = [t for t in parts if t.num_rows]
         if not parts:
             return 0
-        merged = _merge_posting_tables(parts)
+        merged = _merge_posting_tables(parts, posting_cols)
         sd = os.path.join(out.shards, f"shard={s}")
         os.makedirs(sd, exist_ok=True)
         pq.write_table(merged, os.path.join(sd, "merged.parquet"))
@@ -217,12 +225,14 @@ def update_index(
                 k: base_meta[k]
                 for k in (
                     "index_format",
+                    "positions",
                     "k1",
                     "b",
                     "num_shards",
                     "num_salts",
                     "hot_df_threshold",
                 )
+                if k in base_meta
             },
             "N": n,
             "avgdl": (total_len / n) if n else 0.0,

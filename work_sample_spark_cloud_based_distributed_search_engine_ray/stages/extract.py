@@ -64,9 +64,13 @@ class ExtractDocs:
         verify_extraction: bool = False,
         hot_sample_mod: int = HOT_SAMPLE_MOD,
         content_seen_ref=None,
+        store_positions: bool = False,
     ):
         self.verify = verify_extraction
         self.hot_sample_mod = hot_sample_mod
+        # index format 3: also emit per-doc token POSITIONS (grouped by
+        # term, the (terms, tfs) segment layout) for the positional index
+        self.store_positions = store_positions
         # incremental-update contentSeen (first-indexed wins): pages whose
         # content sha1 OR url hash is already in the BASE index are dropped
         # at extraction, before any tokenize cost. The ref holds a
@@ -112,7 +116,13 @@ class ExtractDocs:
             sha1s.append(sha1_hex(htmls[i]))
             titles.append(title)
             texts.append(text)
-        terms_list, tfs_list, doc_lens = tokenize_count_batch(texts)
+        if self.store_positions:
+            terms_list, tfs_list, doc_lens, positions_list = tokenize_count_batch(
+                texts, return_positions=True
+            )
+        else:
+            terms_list, tfs_list, doc_lens = tokenize_count_batch(texts)
+            positions_list = None
 
         # ``sampled_terms``: the deterministic 1/HOT_SAMPLE_MOD doc
         # sample's term sets, stored as their own (mostly-empty) list
@@ -145,6 +155,8 @@ class ExtractDocs:
             "tfs": tfs_list,
             "sampled_terms": sampled,
         }
+        if positions_list is not None:
+            out["positions"] = positions_list
         if "part" in batch.column_names:  # checkpoint-partition routing key
             out["part"] = batch["part"]
         return pa.table(out)
@@ -186,6 +198,21 @@ def explode_postings(batch: pa.Table) -> pa.Table:
             "dl": pc.take(batch["doc_len"].combine_chunks(), parents).cast(pa.int64()),
         }
     )
+
+
+def explode_postings_with_positions(batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """``explode_postings`` plus the flat position stream (format 3):
+    the checkpoint's per-doc ``positions`` list column is already laid
+    out in the (terms, tfs) segment order, so flattening it yields every
+    posting's position list back-to-back in exploded-row order — the
+    exact ``pos_flat`` contract of ``codec.encode_postings_multi``."""
+    table = explode_postings(batch)
+    pos_flat = (
+        pc.list_flatten(batch["positions"].combine_chunks())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return table, pos_flat
 
 
 def partial_term_stats(batch: pa.Table) -> pa.Table:
