@@ -97,16 +97,13 @@ def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
 # --------------------------------------------------------------------------
 
 
-def _cached_index(sf_dir: str):
+def _cached_index_dir(sf_dir: str) -> str:
     """Build (once per corpus size) the full inverted index over the
-    synthetic Common-Crawl-style pages corpus matching this sf, then
-    load the shard reader. Cached on disk: the two search queries and
-    entry() share one build."""
+    synthetic Common-Crawl-style pages corpus matching this sf; returns
+    the index dir. Cached on disk: the search queries and entry() share
+    one build."""
     from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
         build_index,
-    )
-    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
-        SearchIndex,
     )
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
         pages_for_sf_dir,
@@ -124,7 +121,20 @@ def _cached_index(sf_dir: str):
                 shutil.rmtree(out_dir, ignore_errors=True)
     if not os.path.exists(meta_path):
         build_index(pages, out_dir, num_partitions=8, batch_size=128)
-    return SearchIndex.load(out_dir)
+    return out_dir
+
+
+def _cached_index(sf_dir: str):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+
+    return SearchIndex.load(_cached_index_dir(sf_dir))
+
+
+# autocomplete prefixes: stopword stems, each language's generated-word
+# initial (en/de/fr vocab words start with 'e'/'d'/'f'), and a zero-hit
+TERM_COMPLETE_PREFIXES = ("th", "e", "eka", "de", "fr", "zzz")
 
 
 def _cached_pos_index(sf_dir: str):
@@ -1135,6 +1145,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_pages"))
         )
 
+    def q_host_stats(sf_dir: str):
+        """Per-HOST crawl summary over the pages corpus (the per-domain
+        rollup every real crawl pipeline maintains): page count + exact
+        html/text byte totals. Map-side combine per batch
+        (``host_stats_partial``), then one host-cardinality groupby."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            host_stats_partial,
+        )
+
+        pages = rd.read_parquet(
+            pages_for_sf_dir(sf_dir), columns=["url", "html", "text"]
+        )
+        agg = (
+            pages.map_batches(host_stats_partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(
+                Sum("n_pages", alias_name="n_pages"),
+                Sum("sum_html_bytes", alias_name="sum_html_bytes"),
+                Sum("sum_text_bytes", alias_name="sum_text_bytes"),
+            )
+        )
+        return agg
+
+    def q_term_complete(sf_dir: str):
+        """Prefix autocomplete over the index vocabulary: top-10 terms
+        by collection frequency (cf desc, term asc) per query prefix —
+        a distributed read of the build's term_stats table, vectorized
+        prefix filter, then the bounded-bucket top-N kernel."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+
+        out_dir = _cached_index_dir(sf_dir)
+        ds = rd.read_parquet(os.path.join(out_dir, "term_stats"))
+
+        def tag(t: pa.Table) -> pa.Table:
+            outs = []
+            for p in TERM_COMPLETE_PREFIXES:
+                sel = t.filter(pc.starts_with(t["term"], pattern=p))
+                outs.append(
+                    pa.table(
+                        {
+                            "prefix": pa.array([p] * sel.num_rows, pa.string()),
+                            "term": sel["term"],
+                            "cf": sel["cf"],
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
+        return topn_per_group(
+            tagged, "prefix", 10, [("cf", "descending"), ("term", "ascending")]
+        )
+
     def q_crawl_links(sf_dir: str):
         # rows-only: link-graph extraction over the synthetic pages
         # corpus (crawler parity, SURVEY §2.2); no SQL view of pages
@@ -1335,6 +1407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
+        "crawl_host_stats": q_host_stats,
+        "search_term_complete": q_term_complete,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
@@ -1541,6 +1615,40 @@ def _boolean_oracle_sql() -> str:
            doc_id, CAST(sum_tf AS BIGINT) AS sum_tf
     FROM hits
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sum_tf DESC, doc_id) <= 10
+    """
+
+
+def _host_stats_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_host_stats``: host = url authority via the
+    same regex; byte totals via strlen/octet_length (bytes, matching the
+    engine's ``binary_length``)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    SELECT regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
+           count(*) AS n_pages,
+           CAST(sum(octet_length(html)) AS BIGINT) AS sum_html_bytes,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes
+    FROM read_parquet('{pages_path}')
+    GROUP BY 1
+    """
+
+
+def _term_complete_oracle_sql() -> str:
+    """DuckDB twin of ``search_term_complete``: vocabulary cf over the
+    dedup winners' tokens, top-10 per prefix by (cf desc, term)."""
+    p_rows = ", ".join(f"('{p}')" for p in TERM_COMPLETE_PREFIXES)
+    return f"""{_docs_cte()},
+    toks AS (SELECT unnest({TOKS}) AS term FROM docs),
+    cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+    p(prefix) AS (VALUES {p_rows}),
+    cand AS (SELECT p.prefix, cf.term, CAST(cf.cf AS BIGINT) AS cf
+             FROM p JOIN cf ON starts_with(cf.term, p.prefix))
+    SELECT prefix, term, cf FROM cand
+    QUALIFY row_number() OVER (PARTITION BY prefix ORDER BY cf DESC, term) <= 10
     """
 
 
@@ -2420,6 +2528,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
+        "crawl_host_stats": _host_stats_oracle_sql(),
+        "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),

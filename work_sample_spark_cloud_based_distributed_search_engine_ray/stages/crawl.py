@@ -364,3 +364,32 @@ def out_degree(links: "pa.Table") -> pa.Table:
     return pa.table(
         {"src_url": agg["src_url"], "out_degree": agg["count_all"].cast(pa.int64())}
     )
+
+
+HOST_RE = r"^[a-z]+://([^/:]+).*$"
+
+
+def host_stats_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial of the per-HOST crawl summary (the map-side
+    combine: the shuffle that follows carries host-cardinality partials,
+    never page rows). Host = url authority, extracted with one RE2
+    kernel over the batch. Byte totals use binary length (exact bytes,
+    not codepoints — matched by ``strlen``/``octet_length`` in the SQL
+    twin)."""
+    import numpy as np
+
+    host = pc.replace_substring_regex(
+        batch["url"], pattern=HOST_RE, replacement=r"\1"
+    )
+    t = pa.table(
+        {
+            "host": host,
+            "n_pages": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sum_html_bytes": pc.binary_length(batch["html"]).cast(pa.int64()),
+            "sum_text_bytes": pc.binary_length(batch["text"]).cast(pa.int64()),
+        }
+    )
+    agg = t.group_by("host").aggregate(
+        [("n_pages", "sum"), ("sum_html_bytes", "sum"), ("sum_text_bytes", "sum")]
+    )
+    return agg.rename_columns(["host", "n_pages", "sum_html_bytes", "sum_text_bytes"])
