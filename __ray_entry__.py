@@ -457,6 +457,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _stats(sf_dir).map_batches(project, batch_format="pyarrow")
 
+    def q_repetition(sf_dir: str):
+        """Gopher-style within-doc repetition signals (top-bigram mass,
+        duplicate-trigram occurrences) — integer counts, one vectorized
+        shuffle-free map_batches stage (`stages/textstats.repetition_stats`)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            repetition_stats,
+        )
+
+        return _docs(sf_dir).map_batches(repetition_stats, batch_format="pyarrow")
+
     def q_lang_id(sf_dir: str):
         return _stats(sf_dir).map_batches(
             lambda t: t.select(["doc_id", "en_hits", "de_hits", "fr_hits", "lang_pred"]),
@@ -1365,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": q_doc_tfidf,
         "text_token_stats": q_token_stats,
         "text_lang_id": q_lang_id,
+        "text_repetition": q_repetition,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_decontaminate": q_decontaminate,
@@ -2471,6 +2482,31 @@ def oracle_sql() -> dict[str, str]:
     FROM hits
     """
 
+    repetition = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t),
+    bi AS (SELECT a.doc_id, a.term AS w1, b.term AS w2, count(*) AS c
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           GROUP BY ALL),
+    bis AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_bigram_count
+            FROM bi GROUP BY doc_id),
+    tri AS (SELECT a.doc_id, a.term AS w1, b.term AS w2, c3.term AS w3, count(*) AS c
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+            GROUP BY ALL),
+    tris AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                    CAST(sum(c) - count(*) AS BIGINT) AS dup_trigram_occurrences
+             FROM tri GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+           COALESCE(bis.n_bigrams, 0) AS n_bigrams,
+           COALESCE(bis.top_bigram_count, 0) AS top_bigram_count,
+           COALESCE(tris.n_trigrams, 0) AS n_trigrams,
+           COALESCE(tris.dup_trigram_occurrences, 0) AS dup_trigram_occurrences
+    FROM t LEFT JOIN bis USING (doc_id) LEFT JOIN tris USING (doc_id)
+    """
+
     quality = f"""
     WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
     m AS (SELECT doc_id,
@@ -2510,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks GROUP BY doc_id"
         ),
         "text_lang_id": lang_id,
+        "text_repetition": repetition,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_bpe_count": _bpe_count_oracle_sql(),

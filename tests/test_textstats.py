@@ -121,3 +121,37 @@ def test_bpe_count_re2_formula_exact():
     )["text"].to_pylist()
     for t in texts:
         assert len(BPEISH_RE.findall(t)) == sql_count(t)
+
+
+def test_repetition_stats_matches_reference():
+    """Vectorized n-gram repetition counts == per-doc Python Counter."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        repetition_stats,
+    )
+
+    texts = [
+        "a b a b a b",
+        "x",
+        "",
+        "one two three one two three one two",
+        "the the the the",
+        "Hello, World; Hello World again",
+        "spam spam spam spam spam eggs spam",
+    ]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    for row, t in zip(repetition_stats(b).to_pylist(), texts):
+        toks = tokenize(t)
+        bis = Counter(zip(toks, toks[1:]))
+        tris = Counter(zip(toks, toks[1:], toks[2:]))
+        assert row["n_tokens"] == len(toks)
+        assert row["n_bigrams"] == sum(bis.values())
+        assert row["top_bigram_count"] == (max(bis.values()) if bis else 0)
+        assert row["n_trigrams"] == sum(tris.values())
+        assert row["dup_trigram_occurrences"] == sum(tris.values()) - len(tris)

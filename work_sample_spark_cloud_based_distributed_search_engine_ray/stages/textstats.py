@@ -173,3 +173,72 @@ class TextStatsStage:
                 "n_bpe_tokens": pa.array(n_bpe),
             }
         )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", App. A quality heuristics), word-level —
+    the corpus text is single-line so line-based variants are vacuous:
+
+    - ``top_bigram_count`` / ``n_bigrams``: occurrences of the MOST
+      frequent adjacent token pair vs total adjacent pairs (high ratio =
+      boilerplate/SEO spinner text).
+    - ``dup_trigram_occurrences`` / ``n_trigrams``: occurrences beyond
+      the first of each distinct trigram (the "duplicate n-gram
+      fraction" numerator).
+
+    All integers (ratios left to the consumer), so the SQL twin
+    hash-matches exactly. Fully vectorized: one batch tokenize, one
+    lexsort per n-gram order, run-length counts, per-doc segment
+    reductions — no per-doc Python. Shuffle-free map_batches stage."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, parents, n_docs = flat_tokens_batch(batch[text_col])
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_lens = np.bincount(parents, minlength=n_docs).astype(np.int64)
+
+    def ngram_group_counts(n: int):
+        """(doc_of_distinct_ngram, count) arrays + per-doc totals for
+        order-n adjacent grams, via one stable multi-key sort."""
+        if codes.size < n:
+            e = np.empty(0, np.int64)
+            return e, e, np.zeros(n_docs, np.int64)
+        same_doc = np.ones(codes.size - n + 1, dtype=bool)
+        for k in range(1, n):
+            same_doc &= parents[k : codes.size - n + 1 + k] == parents[: codes.size - n + 1]
+        keys = [codes[k : codes.size - n + 1 + k][same_doc] for k in range(n)]
+        p = parents[: codes.size - n + 1][same_doc]
+        if p.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e, np.zeros(n_docs, np.int64)
+        order = np.lexsort(tuple(reversed(keys)) + (p,))
+        cols = [p[order]] + [k[order] for k in keys]
+        new = np.zeros(p.size, dtype=bool)
+        new[0] = True
+        for c in cols:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, p.size))
+        totals = np.bincount(p, minlength=n_docs).astype(np.int64)
+        return cols[0][starts], counts, totals
+
+    bi_doc, bi_counts, bi_tot = ngram_group_counts(2)
+    tri_doc, tri_counts, tri_tot = ngram_group_counts(3)
+
+    top_bi = np.zeros(n_docs, np.int64)
+    if bi_doc.size:
+        np.maximum.at(top_bi, bi_doc, bi_counts)
+    dup_tri = tri_tot - np.bincount(tri_doc, minlength=n_docs).astype(np.int64)
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(doc_lens),
+            "n_bigrams": pa.array(bi_tot),
+            "top_bigram_count": pa.array(top_bi),
+            "n_trigrams": pa.array(tri_tot),
+            "dup_trigram_occurrences": pa.array(dup_tri),
+        }
+    )
