@@ -348,6 +348,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_snippet(sf_dir: str) -> pa.Table:
+        """Query-biased snippet windows on the positional index: for
+        each reference query's strict-AND top-1 doc, the 12-token window
+        (starting at a query-term hit) covering the most distinct query
+        terms (``SearchIndex.snippet_window``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_pos_index(sf_dir)
+        qids, doc_ids, starts, nterms = [], [], [], []
+        for qid, q in reference_queries():
+            got = idx.snippet_window(q, width=12)
+            if got is None:
+                continue
+            d, s, n = got
+            qids.append(qid)
+            doc_ids.append(d)
+            starts.append(s)
+            nterms.append(n)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "window_start": pa.array(starts, pa.int64()),
+                "n_terms_in_window": pa.array(nterms, pa.int64()),
+            }
+        )
+
     def q_search_boolean(sf_dir: str) -> pa.Table:
         """Strict conjunctive (AND) retrieval top-10 per reference
         query, ranked by summed term frequency
@@ -466,6 +495,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return _docs(sf_dir).map_batches(repetition_stats, batch_format="pyarrow")
+
+    def q_collocations(sf_dir: str):
+        """Corpus-level collocations: top-100 adjacent token pairs by
+        occurrence count. Map-side pair-count combine per batch
+        (`bigram_counts_partial`), one bounded groupby, then the
+        bounded-bucket top-N kernel with a constant group."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            bigram_counts_partial,
+        )
+
+        agg = (
+            _docs(sf_dir)
+            .map_batches(bigram_counts_partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"])
+            .aggregate(Sum("n_occ", alias_name="n_occ"))
+        )
+        tagged = agg.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        top = topn_per_group(
+            tagged, "g", 100,
+            [("n_occ", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        )
+        return top.map_batches(
+            lambda t: t.select(["w1", "w2", "n_occ"]), batch_format="pyarrow"
+        )
 
     def q_lang_id(sf_dir: str):
         return _stats(sf_dir).map_batches(
@@ -1368,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
+        "search_snippet": q_search_snippet,
         "index_update_stats": q_index_update_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "doc_term_stats": q_doc_term_stats,
@@ -1376,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": q_token_stats,
         "text_lang_id": q_lang_id,
         "text_repetition": q_repetition,
+        "text_collocations": q_collocations,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_decontaminate": q_decontaminate,
@@ -1626,6 +1687,58 @@ def _boolean_oracle_sql() -> str:
            doc_id, CAST(sum_tf AS BIGINT) AS sum_tf
     FROM hits
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sum_tf DESC, doc_id) <= 10
+    """
+
+
+def _snippet_oracle_sql(width: int = 12) -> str:
+    """DuckDB twin of ``search_snippet``: strict-AND top-1 doc per qid,
+    then the best ``width``-token window by distinct-query-term coverage
+    (tie -> leftmost), re-derived from token positions. SQL positions
+    are 1-based (generate_subscripts); the final window_start converts
+    to the engine's 0-based convention."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    q_rows = [
+        f"({qid}, '{t}')"
+        for qid, q in reference_queries()
+        for t in tokenize_query(q)
+    ]
+    return f"""{_docs_cte()},
+    doc_toks AS (SELECT doc_id, {TOKS} AS l FROM docs),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+             FROM doc_toks),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qn AS (SELECT qid, count(*) AS L FROM q GROUP BY qid),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+    hits AS (
+      SELECT q.qid, tf.doc_id, sum(tf.tf) AS sum_tf
+      FROM q JOIN tf USING (term) JOIN qn ON qn.qid = q.qid
+      GROUP BY q.qid, tf.doc_id, qn.L
+      HAVING count(DISTINCT q.term) = qn.L),
+    top1 AS (
+      SELECT qid, doc_id FROM hits
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sum_tf DESC, doc_id) = 1),
+    qpos AS (
+      SELECT q.qid, t.doc_id, q.term, t.pos
+      FROM q JOIN top1 USING (qid)
+      JOIN toks t ON t.doc_id = top1.doc_id AND t.term = q.term),
+    starts AS (SELECT DISTINCT qid, doc_id, pos AS s FROM qpos),
+    win AS (
+      SELECT s.qid, s.doc_id, s.s, count(DISTINCT p.term) AS n_terms
+      FROM starts s JOIN qpos p ON p.qid = s.qid AND p.doc_id = s.doc_id
+                                AND p.pos >= s.s AND p.pos < s.s + {width}
+      GROUP BY s.qid, s.doc_id, s.s)
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+           CAST(s - 1 AS BIGINT) AS window_start,
+           CAST(n_terms AS BIGINT) AS n_terms_in_window
+    FROM win
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n_terms DESC, s) = 1
     """
 
 
@@ -2531,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
         "search_boolean_and": _boolean_oracle_sql(),
+        "search_snippet": _snippet_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "doc_term_stats": (
@@ -2547,6 +2661,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": lang_id,
         "text_repetition": repetition,
+        "text_collocations": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t),
+    bi AS (SELECT a.term AS w1, b.term AS w2, count(*) AS n_occ
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           GROUP BY ALL)
+    SELECT w1, w2, CAST(n_occ AS BIGINT) AS n_occ FROM bi
+    QUALIFY row_number() OVER (ORDER BY n_occ DESC, w1, w2) <= 100
+    """,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_bpe_count": _bpe_count_oracle_sql(),

@@ -239,3 +239,32 @@ def test_update_index_preserves_positions(pos_built, tmp_path):
         j = full_idx._term_row[t]
         assert upd._shards["pos_blob"][i].as_py() == full_idx._shards["pos_blob"][j].as_py(), t
         assert upd._shards["doc_blob"][i].as_py() == full_idx._shards["doc_blob"][j].as_py(), t
+
+
+def test_snippet_window_matches_bruteforce(pos_built):
+    """Positional snippet selection == brute-force window scan over the
+    oracle's token streams (same boolean top-1 doc, same tie rule)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    _pages, idx, oracle = pos_built
+    W = 12
+    n_some = 0
+    for _qid, q in reference_queries():
+        got = idx.snippet_window(q, width=W)
+        top = oracle.boolean_and_topk(q, 1)
+        if not top:
+            assert got is None, q
+            continue
+        n_some += 1
+        doc = top[0][0]
+        toks = oracle.doc_tokens[doc]
+        q_terms = tokenize_query(q)
+        starts = sorted({i for i, w in enumerate(toks) if w in q_terms})
+        best = max(
+            ((s, len({w for w in toks[s : s + W] if w in q_terms})) for s in starts),
+            key=lambda t: (t[1], -t[0]),
+        )
+        assert got == (doc, best[0], best[1]), q
+    assert n_some >= 10

@@ -521,6 +521,41 @@ class SearchIndex:
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]
 
+    def snippet_window(
+        self, query: str, width: int = 12
+    ) -> tuple[int, int, int] | None:
+        """Query-biased snippet selection on the POSITIONAL index
+        (format 3): for the strict-AND top-1 document, the
+        ``width``-token window starting at a query-term occurrence that
+        covers the most DISTINCT query terms (tie -> leftmost start).
+        Returns (doc_id, window_start, n_distinct_terms_in_window) or
+        None when the conjunction matches nothing.
+
+        This is passage selection done entirely on postings — the doc
+        text is only needed later to render the chosen window, one
+        ``DocStore`` row per result. Candidate starts are query-term
+        positions only (a window not starting on a hit is dominated by
+        one that does)."""
+        if not self.has_positions:
+            raise ValueError("index built without positions (format < 3)")
+        top = self.boolean_and(query, k=1)
+        if not top:
+            return None
+        doc = top[0][0]
+        q_terms = tokenize_query(query)
+        pos_lists = []
+        for t in q_terms:
+            p = self.postings(t)
+            pos_lists.append(p.positions_at(int(np.searchsorted(p.ids, doc))))
+        starts = np.unique(np.concatenate(pos_lists))
+        counts = np.zeros(starts.size, dtype=np.int64)
+        for pl in pos_lists:
+            lo = np.searchsorted(pl, starts)
+            hi = np.searchsorted(pl, starts + width)
+            counts += (hi > lo).astype(np.int64)
+        best = int(np.lexsort((starts, -counts))[0])
+        return doc, int(starts[best]), int(counts[best])
+
     # ---------------- result assembly ----------------
 
     def search(self, query: str, k: int = 10) -> list[dict]:

@@ -242,3 +242,40 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
             "dup_trigram_occurrences": pa.array(dup_tri),
         }
     )
+
+
+def bigram_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial counts of adjacent token PAIRS across the
+    batch's docs (never across doc boundaries) — the map-side combine of
+    the corpus collocation query: the shuffle that follows carries one
+    row per distinct pair per batch, not per occurrence. Also the
+    building block of a bigram ("next-word") auxiliary index, the
+    classic phrase-query accelerator."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, parents, _n = flat_tokens_batch(batch[text_col])
+    d = flat.dictionary_encode()
+    vocab = d.dictionary
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if codes.size < 2:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+    same = parents[1:] == parents[:-1]
+    a = codes[:-1][same]
+    b = codes[1:][same]
+    key = a * len(vocab) + b
+    uniq, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "w1": vocab.take(pa.array(uniq // len(vocab))),
+            "w2": vocab.take(pa.array(uniq % len(vocab))),
+            "n_occ": pa.array(counts.astype(np.int64)),
+        }
+    )
