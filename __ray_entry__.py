@@ -348,6 +348,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_proximity(sf_dir: str) -> pa.Table:
+        """Proximity (min-cover) top-10 per reference query on the
+        positional index (``SearchIndex.proximity_topk``): minimal
+        window containing all distinct query terms, span asc."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_pos_index(sf_dir)
+        qids, ranks, doc_ids, spans = [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s) in enumerate(idx.proximity_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                spans.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "min_span": pa.array(spans, pa.int64()),
+            }
+        )
+
     def q_search_snippet(sf_dir: str) -> pa.Table:
         """Query-biased snippet windows on the positional index: for
         each reference query's strict-AND top-1 doc, the 12-token window
@@ -1428,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
         "search_snippet": q_search_snippet,
+        "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "doc_term_stats": q_doc_term_stats,
@@ -1739,6 +1765,64 @@ def _snippet_oracle_sql(width: int = 12) -> str:
            CAST(n_terms AS BIGINT) AS n_terms_in_window
     FROM win
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n_terms DESC, s) = 1
+    """
+
+
+def _proximity_oracle_sql() -> str:
+    """DuckDB twin of ``search_proximity``: for every strict-AND
+    candidate doc, the minimal window containing all distinct query
+    terms — for each query-term position ``s``, the earliest completion
+    is ``max over terms of min(pos >= s)``; require every term to
+    complete; doc span = min over ``s``. Top-10 per qid by
+    (min_span asc, doc_id)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    q_rows = [
+        f"({qid}, '{t}')"
+        for qid, q in reference_queries()
+        for t in tokenize_query(q)
+    ]
+    return f"""{_docs_cte()},
+    doc_toks AS (SELECT doc_id, {TOKS} AS l FROM docs),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+             FROM doc_toks),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qn AS (SELECT qid, count(*) AS L FROM q GROUP BY qid),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+    hits AS (
+      SELECT q.qid, tf.doc_id
+      FROM q JOIN tf USING (term) JOIN qn ON qn.qid = q.qid
+      GROUP BY q.qid, tf.doc_id, qn.L
+      HAVING count(DISTINCT q.term) = qn.L),
+    qpos AS (
+      SELECT q.qid, t.doc_id, q.term, t.pos
+      FROM q JOIN hits h ON h.qid = q.qid
+      JOIN toks t ON t.doc_id = h.doc_id AND t.term = q.term),
+    starts AS (SELECT DISTINCT qid, doc_id, pos AS s FROM qpos),
+    comp AS (
+      SELECT s.qid, s.doc_id, s.s, p.term, min(p.pos) AS first_ge
+      FROM starts s JOIN qpos p ON p.qid = s.qid AND p.doc_id = s.doc_id
+                                AND p.pos >= s.s
+      GROUP BY ALL),
+    spans AS (
+      SELECT c.qid, c.doc_id, c.s, max(c.first_ge) - c.s + 1 AS span
+      FROM comp c JOIN qn ON qn.qid = c.qid
+      GROUP BY c.qid, c.doc_id, c.s, qn.L
+      HAVING count(*) = qn.L),
+    minspan AS (SELECT qid, doc_id, CAST(min(span) AS BIGINT) AS min_span
+                FROM spans GROUP BY qid, doc_id)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY min_span, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, min_span
+    FROM minspan
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY min_span, doc_id) <= 10
     """
 
 
@@ -2645,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_positional": _phrase_oracle_sql(),
         "search_boolean_and": _boolean_oracle_sql(),
         "search_snippet": _snippet_oracle_sql(),
+        "search_proximity": _proximity_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "doc_term_stats": (

@@ -268,3 +268,38 @@ def test_snippet_window_matches_bruteforce(pos_built):
         )
         assert got == (doc, best[0], best[1]), q
     assert n_some >= 10
+
+
+def test_proximity_topk_matches_bruteforce(pos_built):
+    """Positional min-cover spans == brute-force window scan."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    _pages, idx, oracle = pos_built
+    n_some = 0
+    for _qid, q in reference_queries():
+        got = idx.proximity_topk(q, 10)
+        q_terms = tokenize_query(q)
+        want = []
+        for d, _tf in oracle.boolean_and_topk(q, 10**9):
+            toks = oracle.doc_tokens[d]
+            best = None
+            need = set(q_terms)
+            for i, w in enumerate(toks):
+                if w not in need:
+                    continue
+                seen = set()
+                for j in range(i, len(toks)):
+                    if toks[j] in need:
+                        seen.add(toks[j])
+                        if seen == need:
+                            span = j - i + 1
+                            best = span if best is None else min(best, span)
+                            break
+            if best is not None:
+                want.append((d, best))
+        want.sort(key=lambda t: (t[1], t[0]))
+        assert got == want[:10], q
+        n_some += bool(got)
+    assert n_some >= 10

@@ -102,3 +102,44 @@ def test_http_endpoint(served):
                 assert e.code == code
     finally:
         srv.shutdown()
+
+
+def test_http_snippet_param(served):
+    """&snippet=1 appends a query-biased snippet per result (opt-in —
+    the bare contract is unchanged); the window is <= 12 tokens and
+    contains a query term whenever the body does."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+        render_snippet,
+    )
+
+    ds, idx = served
+    srv = SearchHTTPServer(ds, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        checked = 0
+        for _qid, q in reference_queries()[:8]:
+            with urllib.request.urlopen(
+                f"{base}/search?query={quote(q)}&snippet=1"
+            ) as r:
+                got = json.loads(r.read())
+            q_terms = set(tokenize_query(q))
+            for g in got:
+                assert set(g) == {"url", "rank_score", "title", "body", "snippet"}
+                assert g["snippet"] == render_snippet(g["body"], q)
+                toks = tokenize(g["snippet"])
+                assert len(toks) <= 12
+                if q_terms & set(tokenize(g["body"])):
+                    assert q_terms & set(toks), (q, g["snippet"])
+                checked += 1
+        assert checked >= 10
+    finally:
+        srv.shutdown()

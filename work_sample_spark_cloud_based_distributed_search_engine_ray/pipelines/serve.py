@@ -33,7 +33,7 @@ import numpy as np
 import ray
 
 from ..functions.hashing import hash64
-from ..functions.tokenize import tokenize_query
+from ..functions.tokenize import tokenize, tokenize_query
 
 
 @ray.remote
@@ -151,6 +151,28 @@ class DistributedSearch:
         self.actors = []
 
 
+def render_snippet(body: str, query: str, width: int = 12) -> str:
+    """Query-biased snippet text for one RESULT row: the ``width``-token
+    window of the body covering the most DISTINCT query terms (tie ->
+    leftmost, windows start at a query-term hit — the same rule as
+    ``SearchIndex.snippet_window``); falls back to the leading window
+    when no query term occurs. O(doc_len) on the already-fetched body —
+    no extra index or store access."""
+    toks = tokenize(body)
+    if not toks:
+        return ""
+    q_terms = set(tokenize_query(query))
+    starts = [i for i, w in enumerate(toks) if w in q_terms]
+    if not starts:
+        return " ".join(toks[:width])
+    best_s, best_n = starts[0], -1
+    for s in starts:
+        n = len({w for w in toks[s : s + width] if w in q_terms})
+        if n > best_n:
+            best_s, best_n = s, n
+    return " ".join(toks[best_s : best_s + width])
+
+
 class SearchHTTPServer:
     """The reference's user-facing API: ``GET /search?query=...`` ->
     JSON ``[{url, rank_score, title, body}]`` with a CORS header
@@ -202,14 +224,18 @@ class SearchHTTPServer:
                     self._reply(400, {"error": "bad k"})
                     return
                 rows = backend.search(query, k)
-                # exact reference JSON shape (Searcher.java:186-195)
-                self._reply(
-                    200,
-                    [
-                        {f: r[f] for f in ("url", "rank_score", "title", "body")}
-                        for r in rows
-                    ],
-                )
+                # exact reference JSON shape (Searcher.java:186-195);
+                # &snippet=1 appends a query-biased snippet field (an
+                # opt-in extension — the bare contract is unchanged)
+                want_snippet = (q.get("snippet") or ["0"])[0] == "1"
+                out = [
+                    {f: r[f] for f in ("url", "rank_score", "title", "body")}
+                    for r in rows
+                ]
+                if want_snippet:
+                    for o in out:
+                        o["snippet"] = render_snippet(o["body"], query)
+                self._reply(200, out)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port
