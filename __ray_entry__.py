@@ -573,6 +573,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "fp_md5", "fp_rolling"]), batch_format="pyarrow"
         )
 
+    def q_pii_scrub(sf_dir: str):
+        """PII detect + redact (emails / phones / IPv4): deterministic
+        doc_id-derived PII injection (the word-salad corpus has none),
+        then vectorized RE2 count + redact kernels
+        (`stages/textstats.pii_scrub`). Shuffle-free; the oracle replays
+        injection with CASE/lpad and redaction with nested
+        regexp_replace(..., 'g') on the identical patterns."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            inject_pii,
+            pii_scrub,
+        )
+
+        return (
+            _docs(sf_dir)
+            .map_batches(lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+            .map_batches(inject_pii, batch_format="pyarrow")
+            .map_batches(pii_scrub, batch_format="pyarrow")
+        )
+
     def q_bpe_count(sf_dir: str):
         # full SQL oracle: the lookahead in BPEISH_RE is equivalent, for
         # RE2-compatible whitespace, to the lookahead-free pattern plus
@@ -1465,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": q_collocations,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
+        "text_pii_scrub": q_pii_scrub,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
@@ -1933,6 +1953,46 @@ def _sketch_oracle_sqls() -> dict[str, str]:
     WHERE bit_count(xor(a.h, b.h)) <= 3
     """
     return {"dedup_minhash_lsh": minhash_sql, "dedup_simhash": simhash_sql}
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """text_pii_scrub twin: replay the doc_id-derived PII injection
+    (CASE/lpad string builds), then count each pattern on the augmented
+    text (``regexp_extract_all`` = non-overlapping left-to-right RE2
+    matches, same rule as pyarrow ``count_substring_regex``) and md5 the
+    email->phone->IPv4 redaction chain. Patterns are the module
+    constants from ``stages/textstats`` so both engines compile the
+    identical RE2."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    def lit(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    e, p, i = lit(PII_EMAIL_RE), lit(PII_PHONE_RE), lit(PII_IP_RE)
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(t, {e})) AS n_emails,
+      len(regexp_extract_all(t, {p})) AS n_phones,
+      len(regexp_extract_all(t, {i})) AS n_ips,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+          {e}, '<EMAIL>', 'g'), {p}, '<PHONE>', 'g'), {i}, '<IP>', 'g')) AS clean_md5
+    FROM aug
+    """
 
 
 def _fingerprint_oracle_sql() -> str:
@@ -2757,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
+        "text_pii_scrub": _pii_scrub_oracle_sql(),
         "text_bpe_count": _bpe_count_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),

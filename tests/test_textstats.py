@@ -155,3 +155,40 @@ def test_repetition_stats_matches_reference():
         assert row["top_bigram_count"] == (max(bis.values()) if bis else 0)
         assert row["n_trigrams"] == sum(tris.values())
         assert row["dup_trigram_occurrences"] == sum(tris.values()) - len(tris)
+
+
+def test_pii_scrub_matches_python_reference():
+    """Vectorized RE2 count/redact kernels vs a per-doc `re` reference on
+    real corpus docs with deterministic injected PII (plus clean docs)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        inject_pii,
+        pii_scrub,
+    )
+
+    docs = pq.read_table(DOCS, columns=["doc_id", "text"]).slice(0, 64)
+    aug = inject_pii(docs)
+    out = pii_scrub(aug).sort_by("doc_id").to_pylist()
+    texts = {r["doc_id"]: r["text"] for r in aug.to_pylist()}
+
+    assert any(r["n_emails"] for r in out)
+    assert any(r["n_phones"] for r in out)
+    assert any(r["n_ips"] for r in out)
+    assert any(r["n_emails"] == r["n_phones"] == r["n_ips"] == 0 for r in out)
+    for r in out:
+        s = texts[r["doc_id"]]
+        assert r["n_emails"] == len(re.findall(PII_EMAIL_RE, s))
+        assert r["n_phones"] == len(re.findall(PII_PHONE_RE, s))
+        assert r["n_ips"] == len(re.findall(PII_IP_RE, s))
+        clean = re.sub(PII_EMAIL_RE, "<EMAIL>", s)
+        clean = re.sub(PII_PHONE_RE, "<PHONE>", clean)
+        clean = re.sub(PII_IP_RE, "<IP>", clean)
+        assert "@" not in clean
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()

@@ -279,3 +279,91 @@ def bigram_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n_occ": pa.array(counts.astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the standard pre-training scrub pass
+# (emails, phone numbers, IPv4 addresses), RE2-only patterns so the
+# pyarrow kernels and the DuckDB oracle compile the IDENTICAL regex.
+# The reference has no PII handling (its corpus is course test hosts);
+# this is one of the training-data extensions the brief asks for.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def inject_pii(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Deterministically append synthetic PII to a corpus slice (the
+    synthetic word-salad corpus contains none) so the scrub stage has
+    ground truth: email on doc_id % 2 == 0, phone on % 3 == 0, IPv4 on
+    % 5 == 0 — all derived from doc_id alone, replayed verbatim by the
+    SQL oracle's CASE/lpad expressions. Fully vectorized (casts, lpad,
+    element-wise joins, if_else)."""
+    import pyarrow.compute as pc
+
+    ids = batch[id_col]
+    s = pc.cast(ids, pa.string())
+
+    def mod_str(m: int) -> pa.Array:
+        return pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, m), m)), pa.string()
+        )
+
+    empty = pa.array([""] * len(batch), pa.string())
+    email = pc.binary_join_element_wise(
+        " contact user", s, "@mail", mod_str(7), ".example.com", ""
+    )
+    phone = pc.binary_join_element_wise(
+        " call 555-",
+        pc.utf8_lpad(mod_str(1000), 3, "0"),
+        "-",
+        pc.utf8_lpad(mod_str(10000), 4, "0"),
+        "",
+    )
+    ip = pc.binary_join_element_wise(
+        " host 10.", mod_str(256), ".0.", mod_str(100), ""
+    )
+
+    def gate(m: int, suffix) -> pa.Array:
+        want = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, m), m)), 0)
+        return pc.if_else(want, suffix, empty)
+
+    aug = pc.binary_join_element_wise(
+        batch[text_col], gate(2, email), gate(3, phone), gate(5, ip), ""
+    )
+    return batch.set_column(batch.schema.get_field_index(text_col), text_col, aug)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc PII counts + redacted-text digest. Counts run each
+    pattern over the ORIGINAL text (independent, non-overlapping RE2
+    matches, same rule as DuckDB ``regexp_extract_all``); redaction
+    applies email -> phone -> IPv4 in that fixed order (nested
+    ``regexp_replace(..., 'g')`` in the oracle). Shuffle-free
+    map_batches stage; the only per-doc Python is the C-speed md5 of
+    the redacted text (the fp_md5 discipline)."""
+    import pyarrow.compute as pc
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    def count(pat: str) -> pa.Array:
+        return pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+
+    clean = pc.replace_substring_regex(text, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_PHONE_RE, replacement="<PHONE>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_IP_RE, replacement="<IP>")
+    clean_md5 = [hashlib.md5(s.encode()).hexdigest() for s in clean.to_pylist()]
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_emails": count(PII_EMAIL_RE),
+            "n_phones": count(PII_PHONE_RE),
+            "n_ips": count(PII_IP_RE),
+            "clean_md5": pa.array(clean_md5, pa.string()),
+        }
+    )
