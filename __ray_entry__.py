@@ -573,6 +573,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "fp_md5", "fp_rolling"]), batch_format="pyarrow"
         )
 
+    def q_unigram_loglik(sf_dir: str):
+        """Corpus-trained unigram LM surprisal per doc (the CCNet-style
+        quality filter's shuffle-light analog): map-side unigram combine
+        -> vocab-bounded groupby sum -> broadcast weight table ->
+        shuffle-free scoring pass. Per-token weights are integer-
+        quantized micros, so the per-doc sums are exact int64."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            unigram_loglik,
+        )
+
+        return unigram_loglik(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            )
+        )
+
     def q_pii_scrub(sf_dir: str):
         """PII detect + redact (emails / phones / IPv4): deterministic
         doc_id-derived PII injection (the word-salad corpus has none),
@@ -1485,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_pii_scrub": q_pii_scrub,
+        "text_unigram_loglik": q_unigram_loglik,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
@@ -2818,6 +2835,20 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        # unigram LM surprisal: per-term weight quantized to integer
+        # micros BEFORE the per-doc sum (float-order-proof); round()
+        # half-away vs np.rint half-even only differ at an exact .5
+        # boundary, which log10 of a rational hits with probability ~0
+        "text_unigram_loglik": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    w AS (SELECT term, CAST(round(log10(CAST(c AS DOUBLE)
+              / CAST((SELECT sum(c) FROM cf) AS DOUBLE)) * 1000000) AS BIGINT) AS w6
+          FROM cf)
+    SELECT doc_id, count(*) AS n_tokens, CAST(sum(w6) AS BIGINT) AS sum_logprob_e6
+    FROM toks JOIN w USING (term) GROUP BY doc_id
+    """,
         "text_bpe_count": _bpe_count_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),

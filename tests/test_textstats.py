@@ -192,3 +192,34 @@ def test_pii_scrub_matches_python_reference():
         clean = re.sub(PII_IP_RE, "<IP>", clean)
         assert "@" not in clean
         assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_unigram_loglik_matches_python_reference():
+    """Distributed LM pass (partial counts -> groupby -> broadcast ->
+    reduceat scoring) vs a single-process dict-based reference."""
+    import math
+    from collections import Counter
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        unigram_loglik,
+    )
+
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    out = unigram_loglik(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas()
+    toks = {r.doc_id: tokenize(r.text) for r in docs.itertuples()}
+    cf = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cf.values())
+    w6 = {t: round(math.log10(c / total) * 1e6) for t, c in cf.items()}
+
+    expect = {
+        d: (len(ts), sum(w6[t] for t in ts)) for d, ts in toks.items() if ts
+    }
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        n, s = expect[r.doc_id]
+        assert (r.n_tokens, r.sum_logprob_e6) == (n, s), r.doc_id

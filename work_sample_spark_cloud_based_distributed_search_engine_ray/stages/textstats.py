@@ -281,6 +281,98 @@ def bigram_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def token_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial UNIGRAM counts — the map-side combine of the
+    corpus language-model pass: the shuffle that follows carries one row
+    per distinct term per batch, not per occurrence (the same combine
+    discipline as ``bigram_counts_partial``)."""
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, _parents, _n = flat_tokens_batch(batch[text_col])
+    d = flat.dictionary_encode()
+    counts = np.bincount(
+        d.indices.to_numpy(zero_copy_only=False), minlength=len(d.dictionary)
+    )
+    return pa.table(
+        {
+            "term": d.dictionary,
+            "n_occ": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def unigram_loglik(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style unigram LM document scoring (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — their quality filter is a KenLM perplexity; the unigram LM
+    is the shuffle-light corpus-side analog): train token->log10 prob on
+    the corpus itself, then score every doc's total surprisal.
+
+    Output: doc_id, n_tokens, sum_logprob_e6 (sum over the doc's tokens
+    of round(log10(cf_t / total_tokens) * 1e6) — the per-TOKEN weight is
+    integer-quantized BEFORE the per-doc sum, so the sum is exact int64
+    arithmetic and the DuckDB twin hash-matches regardless of float
+    summation order). Zero-token docs are dropped (no LM score exists).
+
+    Physical plan: map-side unigram combine -> vocab-bounded
+    ``groupby(term).sum`` -> the (term, weight) table broadcast ONCE via
+    ``ray.put`` -> shuffle-free scoring pass (``index_in`` against the
+    broadcast vocab + one ``add.reduceat`` per batch). At 100-TB scale
+    the vocab table gets a min-count floor / top-K cap with an OOV
+    fallback weight (the standard LM smoothing move); here the corpus
+    vocab is Zipf-bounded and ships whole.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(
+            lambda t: token_counts_partial(t, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+    vocab_tbl = pa.concat_tables(ray.get(counts.to_arrow_refs())).combine_chunks()
+    c = vocab_tbl["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(c.sum())
+    # per-term weight quantized to integer micros: round-half-even vs
+    # SQL round-half-away only differ AT an exact .5 boundary, which a
+    # log10 of a rational hits with probability ~0 (see oracle note)
+    w6 = np.rint(np.log10(c.astype(np.float64) / float(total)) * 1e6).astype(np.int64)
+    vocab_ref = ray.put((vocab_tbl["term"].combine_chunks(), w6))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens_batch
+
+        vocab, weights = ray.get(vocab_ref)
+        flat, parents, n_docs = flat_tokens_batch(batch[text_col])
+        doc_lens = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        idx = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # corpus-trained vocab covers every corpus token; guard anyway
+        # (OOV scores as the rarest class: count 1)
+        oov = np.int64(np.rint(np.log10(1.0 / float(total)) * 1e6))
+        w_tok = np.where(idx < 0, oov, weights[np.clip(idx, 0, None)])
+        sums = np.zeros(n_docs, np.int64)
+        if parents.size:
+            starts = np.flatnonzero(np.diff(parents, prepend=-1))
+            present = parents[starts]
+            sums[present] = np.add.reduceat(w_tok, starts)
+        keep = doc_lens > 0
+        return pa.table(
+            {
+                id_col: pc.array_filter(batch[id_col], pa.array(keep)),
+                "n_tokens": pa.array(doc_lens[keep]),
+                "sum_logprob_e6": pa.array(sums[keep]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction — the standard pre-training scrub pass
 # (emails, phone numbers, IPv4 addresses), RE2-only patterns so the
