@@ -573,6 +573,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "fp_md5", "fp_rolling"]), batch_format="pyarrow"
         )
 
+    def q_dedup_chunks(sf_dir: str):
+        """Chunk-level duplicate accounting (the paragraph/line-dedup
+        analog over this single-line corpus): per-doc count of full
+        8-token windows and of windows whose content recurs corpus-wide.
+        Two narrow int64 shuffles (chunk-hash count + bucketed join);
+        text never enters an exchange."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            chunk_dedup_stats,
+        )
+
+        return chunk_dedup_stats(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            )
+        )
+
     def q_unigram_loglik(sf_dir: str):
         """Corpus-trained unigram LM surprisal per doc (the CCNet-style
         quality filter's shuffle-light analog): map-side unigram combine
@@ -1501,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_pii_scrub": q_pii_scrub,
+        "dedup_chunks": q_dedup_chunks,
         "text_unigram_loglik": q_unigram_loglik,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
@@ -2835,6 +2852,22 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        # chunk-level dup accounting: full 8-token windows, HAVING
+        # count(*)=8 drops the trailing partial window (same rule as the
+        # Ray side's sizes == chunk_tokens filter)
+        "dedup_chunks": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t),
+    ch AS (
+      SELECT doc_id, md5(string_agg(term, ' ' ORDER BY pos)) AS h
+      FROM toks GROUP BY doc_id, (pos - 1) // 8
+      HAVING count(*) = 8
+    ),
+    cnt AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY h)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+    FROM ch JOIN cnt USING (h) GROUP BY doc_id
+    """,
         # unigram LM surprisal: per-term weight quantized to integer
         # micros BEFORE the per-doc sum (float-order-proof); round()
         # half-away vs np.rint half-even only differ at an exact .5

@@ -308,3 +308,35 @@ def test_dup_clusters_transitive_closure():
     one = dup_clusters(rd.from_arrow(pairs), rounds=1).to_pandas()
     l1 = dict(zip(one["doc_id"], one["cluster_id"]))
     assert l1[4] == 3 and l1[2] == 1
+
+
+def test_chunk_dedup_stats_matches_python_reference():
+    """Distributed chunk-dup accounting (vectorized polynomial chunk
+    hashes + count shuffle + bucketed join) vs a Counter reference."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        chunk_dedup_stats,
+    )
+
+    w = 8
+    docs = pq.read_table(DOCS, columns=["doc_id", "text"])
+    chunks = {}  # doc_id -> list of chunk strings
+    c = Counter()
+    for r in docs.to_pylist():
+        toks = tokenize(r["text"])
+        ch = [" ".join(toks[i : i + w]) for i in range(0, len(toks) // w * w, w)]
+        if ch:
+            chunks[r["doc_id"]] = ch
+            c.update(ch)
+
+    ds = rd.from_arrow(docs)
+    out = chunk_dedup_stats(ds, chunk_tokens=w).to_pandas()
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks) for r in out.itertuples()}
+    expect = {
+        d: (len(ch), sum(1 for s in ch if c[s] > 1)) for d, ch in chunks.items()
+    }
+    assert got == expect
+    assert sum(v[1] for v in expect.values()) > 0  # corpus has real dups

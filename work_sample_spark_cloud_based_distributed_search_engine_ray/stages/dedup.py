@@ -939,3 +939,105 @@ def dup_clusters(pairs: rd.Dataset, *, rounds: int = 10) -> pa.Table:
             break
         labels = new
     return pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(labels)})
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level duplicate detection — the paragraph/line-dedup analog
+# (CCNet dedupes at the paragraph level, RefinedWeb/FineWeb at the
+# line/span level; this corpus is single-line, so the unit is a fixed
+# window of CHUNK_TOKENS canonical tokens).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 8
+
+
+def chunk_hashes_partial(
+    batch: pa.Table,
+    *,
+    chunk_tokens: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """(doc_id, chunk_h) rows: one 64-bit hash per FULL chunk_tokens-token
+    window of each doc (the trailing partial window is dropped, same rule
+    as the oracle's HAVING count(*) = w). Fully vectorized: one batch
+    tokenize, vocab-bounded blake2b token hashing (dictionary-encode,
+    hash the DICTIONARY, gather), then one (n_chunks x w) uint64
+    polynomial combine — no per-chunk Python. 64-bit chunk hashes are
+    collision-safe at test scale; a 1e12-chunk corpus upgrades to the
+    128-bit digest per chunk (same plan, costlier map side)."""
+    from ..functions.sketches import hash_tokens_u64
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, parents, _n = flat_tokens_batch(batch[text_col])
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "chunk_h": pa.array([], pa.int64())}
+    )
+    if len(flat) == 0:
+        return empty
+    d = flat.dictionary_encode()
+    dict_h = hash_tokens_u64(d.dictionary.to_pylist())
+    tok_h = dict_h[d.indices.to_numpy(zero_copy_only=False)]
+
+    counts = np.bincount(parents)
+    doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(parents.size) - np.repeat(doc_start, counts)
+    chunk = pos // chunk_tokens
+    combo = parents.astype(np.int64) * (1 << 40) + chunk
+    starts = np.flatnonzero(np.diff(combo, prepend=-1))
+    sizes = np.diff(np.append(starts, parents.size))
+    full = starts[sizes == chunk_tokens]
+    if full.size == 0:
+        return empty
+
+    idx = full[:, None] + np.arange(chunk_tokens)
+    mult = np.uint64(1099511628211) ** np.arange(
+        chunk_tokens - 1, -1, -1, dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        chunk_h = (tok_h[idx] * mult).sum(axis=1, dtype=np.uint64)
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[parents[full]]
+    return pa.table(
+        {
+            id_col: pa.array(doc_ids.astype(np.int64)),
+            "chunk_h": pa.array(chunk_h.view(np.int64)),
+        }
+    )
+
+
+def chunk_dedup_stats(
+    docs, *, chunk_tokens: int = CHUNK_TOKENS, id_col: str = "doc_id"
+):
+    """Per-doc duplicated-chunk statistics: (doc_id, n_chunks,
+    n_dup_chunks) where a chunk occurrence is duplicated iff its content
+    occurs >= 2 times corpus-wide (all occurrences of a duplicated chunk
+    count, the CCNet accounting). Docs with no full chunk drop out.
+
+    Physical plan: map-side chunk hashing (above) -> ONE
+    ``groupby(chunk_h).count()`` (Ray-native vectorized aggregate — no
+    per-key Python) -> bucketed Arrow-C++ ``shuffle_join`` of the
+    occurrence rows with the counts -> per-doc Count/Sum aggregate.
+    Both shuffles move only (int64 hash, int64 id) pairs — text never
+    enters an exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops import shuffle_join
+
+    occ = docs.map_batches(
+        lambda t: chunk_hashes_partial(t, chunk_tokens=chunk_tokens, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    cnt = occ.groupby("chunk_h").aggregate(Count(alias_name="n_occ"))
+    joined = shuffle_join(
+        occ, cnt, "chunk_h", left_cols=[id_col], right_cols=["n_occ"]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater(t["n_occ"], 1), pa.int64())
+        return pa.table({id_col: t[id_col], "is_dup": dup})
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Count(alias_name="n_chunks"), Sum("is_dup", alias_name="n_dup_chunks"))
+    )
