@@ -573,6 +573,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "fp_md5", "fp_rolling"]), batch_format="pyarrow"
         )
 
+    def q_domain_mix(sf_dir: str):
+        """Domain-mixing budget sample: per source, keep the
+        deterministic hash-priority prefix of docs whose running n_chars
+        stays <= 4000 (`stages/ops.budget_sample_per_group`). One hash
+        shuffle on the bounded source key."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            budget_sample_per_group,
+        )
+
+        docs = _tbl(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+        return budget_sample_per_group(docs, "source", "n_chars", "doc_id", 4000)
+
     def q_dedup_chunks(sf_dir: str):
         """Chunk-level duplicate accounting (the paragraph/line-dedup
         analog over this single-line corpus): per-doc count of full
@@ -1518,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_fingerprint,
         "text_pii_scrub": q_pii_scrub,
         "dedup_chunks": q_dedup_chunks,
+        "text_domain_mix": q_domain_mix,
         "text_unigram_loglik": q_unigram_loglik,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
@@ -2852,6 +2865,19 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        # same md5-prefix hash64 priority as rel_group_sample, budget
+        # rule inclusive: running sum including the current doc <= 4000
+        "text_domain_mix": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                sum(n_chars) OVER (
+                  PARTITION BY source
+                  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                                & 9223372036854775807::UBIGINT AS BIGINT),
+                           doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents) WHERE cum <= 4000
+        """,
         # chunk-level dup accounting: full 8-token windows, HAVING
         # count(*)=8 drops the trailing partial window (same rule as the
         # Ray side's sizes == chunk_tokens filter)

@@ -384,3 +384,38 @@ def test_hash_split_rejects_bad_fractions():
     ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
     with _pytest.raises(ValueError):
         hash_split(ds, "o_orderkey", {"a": 0.5, "b": 0.3})
+
+
+def test_budget_sample_per_group_matches_reference():
+    """Deterministic per-group budget prefix (domain mixing) vs a
+    single-process reference; partitioning-invariant by construction."""
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        budget_sample_per_group,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    budget = 3000
+    out = (
+        budget_sample_per_group(rd.from_arrow(docs), "source", "n_chars", "doc_id", budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    expect = set()
+    df = docs.to_pandas()
+    for src, g in df.groupby("source"):
+        g = g.assign(h=[hash64(str(i)) for i in g.doc_id])
+        g = g.sort_values(["h", "doc_id"])
+        cum = np.cumsum(g.n_chars.to_numpy())
+        expect |= set(g.doc_id.to_numpy()[cum <= budget])
+
+    assert set(out.doc_id) == expect
+    got_sums = out.groupby("source").n_chars.sum()
+    assert (got_sums <= budget).all()
+    assert len(out) > 0

@@ -835,3 +835,52 @@ def hash_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def budget_sample_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    budget: int,
+    *,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Token/char-budget sampling per group — the domain-MIXING step of
+    training-data prep (pick documents per source until each source hits
+    its budget, deterministically): order each group by (hash64(id), id)
+    and keep the prefix whose running weight sum stays <= budget
+    (inclusive rule, same as the SQL twin's windowed ``sum ... ROWS
+    UNBOUNDED PRECEDING <= budget``).
+
+    Deterministic and partitioning-invariant: the priority is the
+    md5-prefix hash64 of the id (replayable in SQL — the
+    ``rel_group_sample`` discipline), not arrival order. One hash
+    shuffle on the group key; the per-group callback is one lexsort +
+    cumsum (group cardinality = #domains, bounded by construction in a
+    mixing config — this is NOT a data-cardinality key)."""
+    from ..functions.hashing import hash64_array
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_array(str(v) for v in ids.to_pylist())
+        return t.append_column("_h", pa.array(h))
+
+    def pick(g: pa.Table) -> pa.Table:
+        h = g["_h"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        w = g[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        keep = order[np.cumsum(w[order]) <= budget]
+        return g.take(pa.array(np.sort(keep))).drop_columns(["_h"])
+
+    from .shuffle import hash_map_groups
+
+    return hash_map_groups(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_col,
+        pick,
+        num_partitions=num_partitions,
+    )
