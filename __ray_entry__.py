@@ -56,6 +56,7 @@ CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 10
+HITS_ITERS = 5
 
 
 def _canon80(u: str) -> str:
@@ -1428,6 +1429,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         e9 = np.round(t["rank"].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
         return pa.table({"url": t["url"], "rank_e9": pa.array(e9)})
 
+    def q_crawl_hits(sf_dir: str):
+        # HITS hubs/authorities over the same link graph — the pagerank
+        # physical plan (block-prepped tasks, broadcast score vector),
+        # L1-normalized per half-iteration, e9-quantized after the last
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            hits,
+        )
+
+        pages_path = pages_for_sf_dir(sf_dir)
+        edges = (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(_canon80_src, batch_format="pyarrow")
+        )
+        urls = [
+            _canon80(u)
+            for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        ]
+        t = hits(edges, urls, iters=HITS_ITERS)
+        out = {"url": t["url"]}
+        for c in ("auth", "hub"):
+            out[c + "_e9"] = pa.array(
+                np.round(t[c].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
+            )
+        return pa.table(out)
+
     def q_frontier_bfs(sf_dir: str):
         # frontier-wave BFS over the extracted link graph (the
         # reference crawler's urlQueue loop, Crawler.java:47-213):
@@ -1577,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -2564,6 +2601,55 @@ def _pagerank_oracle_sql() -> str:
     return head + "".join(steps) + tail
 
 
+def _hits_oracle_sql() -> str:
+    """Oracle for ``crawl_hits``: same edge/node CTEs as the pagerank
+    oracle, then HITS_ITERS unrolled (authority, hub) half-iterations,
+    each L1-normalized — identical semantics to ``stages.crawl.hits``;
+    scores quantized to *_e9 after the final iteration."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    head = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    nodes AS (SELECT DISTINCT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS url
+              FROM pages),
+    e AS MATERIALIZED (SELECT src_url, dst_url FROM edges0
+          JOIN nodes n1 ON edges0.dst_url = n1.url
+          JOIN nodes n2 ON edges0.src_url = n2.url),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS s FROM nodes)"""
+    steps = []
+    for k in range(HITS_ITERS):
+        steps.append(f""",
+    ar{k} AS MATERIALIZED (SELECT nodes.url, coalesce(c.c, 0.0) AS s FROM nodes LEFT JOIN (
+        SELECT e.dst_url AS url, sum(h.s) AS c FROM e JOIN h{k} h ON e.src_url = h.url
+        GROUP BY e.dst_url) c ON nodes.url = c.url),
+    a{k + 1} AS MATERIALIZED (SELECT url,
+        coalesce(s / nullif((SELECT sum(s) FROM ar{k}), 0), 0.0) AS s FROM ar{k}),
+    hr{k} AS MATERIALIZED (SELECT nodes.url, coalesce(c.c, 0.0) AS s FROM nodes LEFT JOIN (
+        SELECT e.src_url AS url, sum(a.s) AS c FROM e JOIN a{k + 1} a ON e.dst_url = a.url
+        GROUP BY e.src_url) c ON nodes.url = c.url),
+    h{k + 1} AS MATERIALIZED (SELECT url,
+        coalesce(s / nullif((SELECT sum(s) FROM hr{k}), 0), 0.0) AS s FROM hr{k})""")
+    tail = f"""
+    SELECT a.url,
+           CAST(round(a.s * 1000000000) AS BIGINT) AS auth_e9,
+           CAST(round(h.s * 1000000000) AS BIGINT) AS hub_e9
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (url) ORDER BY a.url
+    """
+    return head + "".join(steps) + tail
+
+
 def _index_update_oracle_sql() -> str:
     """DuckDB twin of ``index_update_stats``: from-scratch (term, df, cf)
     over the whole synthetic corpus, with the incremental-update dedup
@@ -2929,6 +3015,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),
+        "crawl_hits": _hits_oracle_sql(),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),

@@ -106,3 +106,53 @@ def test_pagerank_on_extracted_links(ray_session):
     assert worst < 1e-12
     # real links -> non-uniform ranks
     assert max(ranks.values()) > 1.5 * min(ranks.values())
+
+
+def _numpy_hits(urls, edges, iters=5):
+    """Dense HITS reference: L1-normalized half-iterations, the exact
+    semantics hits() documents."""
+    n = len(urls)
+    idx = {u: i for i, u in enumerate(urls)}
+    es = [(idx[s], idx[t]) for s, t in edges if s in idx and t in idx]
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, t in es:
+            a[t] += h[s]
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = np.zeros(n)
+        for s, t in es:
+            h[s] += a[t]
+        if h.sum() > 0:
+            h = h / h.sum()
+    return {u: (a[idx[u]], h[idx[u]]) for u in urls}
+
+
+def test_hits_matches_numpy_golden(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        hits,
+    )
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([s for s, _ in FIXTURE_EDGES]),
+                "dst_url": pa.array([t for _, t in FIXTURE_EDGES]),
+            }
+        )
+    )
+    out = hits(edges_ds, FIXTURE_URLS, iters=5)
+    got = {
+        r["url"]: (r["auth"], r["hub"]) for r in out.to_pylist()
+    }
+    ref = _numpy_hits(sorted(FIXTURE_URLS), FIXTURE_EDGES, iters=5)
+    assert set(got) == set(ref)
+    for u in ref:
+        assert got[u][0] == pytest.approx(ref[u][0], abs=1e-12), u
+        assert got[u][1] == pytest.approx(ref[u][1], abs=1e-12), u
+    # c has two in-links from the strongly linked pair: top authority
+    assert max(got, key=lambda u: got[u][0]) == "http://c:80/"
+    # a links to the two strongest authorities: top hub
+    assert max(got, key=lambda u: got[u][1]) == "http://a:80/"
