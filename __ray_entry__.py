@@ -618,6 +618,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_spell_correct(sf_dir: str):
+        """Did-you-mean over the corpus vocabulary: deterministic
+        misspellings of the top-cf terms, corrected by minimum edit
+        distance against the full vocab (`stages/textstats.spell_correct`
+        — all-terms lockstep DP; SQL twin uses levenshtein + window
+        rank with the identical (dist, term) tie-break)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            spell_correct,
+        )
+
+        return spell_correct(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            )
+        )
+
     def q_pii_scrub(sf_dir: str):
         """PII detect + redact (emails / phones / IPv4): deterministic
         doc_id-derived PII injection (the word-salad corpus has none),
@@ -1565,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_pii_scrub": q_pii_scrub,
+        "text_spell_correct": q_spell_correct,
         "dedup_chunks": q_dedup_chunks,
         "text_domain_mix": q_domain_mix,
         "text_unigram_loglik": q_unigram_loglik,
@@ -2951,6 +2968,22 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        # misspelling derivation (drop 2nd char of top-5 cf terms of
+        # length >= 4) and the (dist, term) tie-break replayed exactly
+        "text_spell_correct": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT unnest(l) AS term FROM t),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    qs AS (SELECT substr(term, 1, 1) || substr(term, 3) AS q FROM (
+             SELECT term FROM cf WHERE length(term) >= 4
+             ORDER BY c DESC, term LIMIT 5)),
+    best AS (SELECT q, term AS corrected,
+                    CAST(levenshtein(q, term) AS BIGINT) AS dist,
+                    row_number() OVER (PARTITION BY q
+                      ORDER BY levenshtein(q, term), term) AS rn
+             FROM qs CROSS JOIN cf)
+    SELECT q, corrected, dist FROM best WHERE rn = 1
+    """,
         # same md5-prefix hash64 priority as rel_group_sample, budget
         # rule inclusive: running sum including the current doc <= 4000
         "text_domain_mix": """

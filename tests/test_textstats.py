@@ -223,3 +223,40 @@ def test_unigram_loglik_matches_python_reference():
     for r in out.itertuples():
         n, s = expect[r.doc_id]
         assert (r.n_tokens, r.sum_logprob_e6) == (n, s), r.doc_id
+
+
+def test_spell_correct_lockstep_dp_matches_scalar():
+    """The all-terms lockstep Levenshtein DP vs a scalar reference DP,
+    plus end-to-end correction sanity on the corpus vocabulary."""
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        _levenshtein_to_all,
+        spell_correct,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    terms = ["join", "hash", "scan", "a", "windowing", "batch", "", "joins"]
+    lens = np.array([len(t) for t in terms])
+    L = lens.max()
+    mat = np.zeros((len(terms), L), np.uint32)
+    for i, t in enumerate(terms):
+        mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    for q in ["jin", "hsh", "windowing", "z", "scans", ""]:
+        got = _levenshtein_to_all(q, mat, lens)
+        assert got.tolist() == [lev(q, t) for t in terms], q
+
+    out = spell_correct(rd.read_parquet(DOCS, columns=["doc_id", "text"])).to_pylist()
+    assert len(out) == 5
+    for r in out:
+        # dropping one char is always recoverable at distance <= 1
+        assert r["dist"] <= 1
+        assert len(r["corrected"]) >= 4

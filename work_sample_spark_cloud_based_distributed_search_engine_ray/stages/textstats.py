@@ -459,3 +459,91 @@ def pii_scrub(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -
             "clean_md5": pa.array(clean_md5, pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Spell correction against the corpus vocabulary — the classic
+# did-you-mean query assist (the reference has no query rewriting; a
+# misspelled term simply contributes nothing, Searcher.java:77-79).
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein_to_all(q: str, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Unit-cost edit distance from ``q`` to EVERY padded row of the
+    (n_terms, max_len) codepoint matrix at once — the DP advances all
+    vocabulary terms in lockstep (numpy rows), O(max_len * len(q))
+    vectorized steps instead of one Python DP per term."""
+    n, L = mat.shape
+    qa = np.frombuffer(q.encode("utf-32-le"), np.uint32)
+    m = qa.size
+    prev = np.tile(np.arange(m + 1, dtype=np.int32), (n, 1))
+    result = np.full(n, m, dtype=np.int32)  # rows with len 0
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ci = mat[:, i - 1]
+        for j in range(1, m + 1):
+            sub = prev[:, j - 1] + (ci != qa[j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        done = lens == i
+        if done.any():
+            result[done] = cur[done, m]
+        prev = cur
+    return result
+
+
+def spell_correct(docs, *, n_queries: int = 5, text_col: str = "text"):
+    """Did-you-mean over the corpus vocabulary: derive ``n_queries``
+    deterministic misspellings (drop the 2nd character of the top-cf
+    terms of length >= 4, ties by term), then correct each against the
+    FULL vocabulary by minimum edit distance (ties by term) — the exact
+    rule the DuckDB twin replays with ``levenshtein`` + window rank.
+
+    Physical plan: the vocabulary is the distributed part (map-side
+    unigram combine -> groupby sum — vocab-bounded, same as the LM
+    pass); the DP is one vectorized all-terms pass per query over the
+    materialized vocab. At web scale the candidate set is pruned by
+    length band and first character before the DP (standard trick);
+    the corpus vocab here ships whole.
+
+    Returns (q, corrected, dist) — one row per misspelling.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(
+            lambda t: token_counts_partial(t, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+    vocab_tbl = pa.concat_tables(ray.get(counts.to_arrow_refs())).combine_chunks()
+    terms = np.array(vocab_tbl["term"].to_pylist(), dtype=object)
+    cf = vocab_tbl["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    lens = np.array([len(t) for t in terms], dtype=np.int64)
+    elig = lens >= 4
+    order = np.lexsort((terms[elig], -cf[elig]))[:n_queries]
+    queries = [t[0] + t[2:] for t in terms[elig][order]]
+
+    L = int(lens.max()) if lens.size else 0
+    mat = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+
+    out_q, out_c, out_d = [], [], []
+    for q in queries:
+        dist = _levenshtein_to_all(q, mat, lens)
+        best = np.lexsort((terms, dist))[0]
+        out_q.append(q)
+        out_c.append(terms[best])
+        out_d.append(int(dist[best]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.string()),
+            "corrected": pa.array(out_c, pa.string()),
+            "dist": pa.array(out_d, pa.int64()),
+        }
+    )
