@@ -618,6 +618,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_keywords(sf_dir: str):
+        """Top-3 tf-idf keywords per doc (document tagging; idf
+        log10(N/df) pinned to Searcher.java:113). Integer-exact: idf is
+        e6-quantized per TERM before the tf multiply, so scores are
+        int64 arithmetic end to end. Map-side df combine + broadcast
+        idf table + shuffle-free per-doc top-k."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            keyword_extract,
+        )
+
+        return keyword_extract(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            )
+        )
+
     def q_spell_correct(sf_dir: str):
         """Did-you-mean over the corpus vocabulary: deterministic
         misspellings of the top-cf terms, corrected by minimum edit
@@ -1582,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_fingerprint,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
+        "text_keywords": q_keywords,
         "dedup_chunks": q_dedup_chunks,
         "text_domain_mix": q_domain_mix,
         "text_unigram_loglik": q_unigram_loglik,
@@ -2970,6 +2987,18 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         # misspelling derivation (drop 2nd char of top-5 cf terms of
         # length >= 4) and the (dist, term) tie-break replayed exactly
+        "text_keywords": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+    idf AS (SELECT term, CAST(round(log10((SELECT n FROM nn) / df) * 1000000) AS BIGINT) AS idf_e6 FROM df),
+    s AS (SELECT doc_id, tf.term AS term, tf * idf_e6 AS tfidf_e6,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_e6 DESC, tf.term) AS rn
+          FROM tf JOIN idf ON tf.term = idf.term)
+    SELECT doc_id, term, CAST(rn AS BIGINT) AS rank, tfidf_e6 FROM s WHERE rn <= 3
+    """,
         "text_spell_correct": f"""
     WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
     toks AS (SELECT unnest(l) AS term FROM t),

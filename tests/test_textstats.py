@@ -260,3 +260,39 @@ def test_spell_correct_lockstep_dp_matches_scalar():
         # dropping one char is always recoverable at distance <= 1
         assert r["dist"] <= 1
         assert len(r["corrected"]) >= 4
+
+
+def test_keyword_extract_matches_reference():
+    """Distributed tf-idf keyword extraction vs a Counter reference with
+    the same integer-quantized idf and (score desc, term asc) tie-break."""
+    import math
+    from collections import Counter
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        keyword_extract,
+    )
+
+    docs = rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas()
+    toks = {r.doc_id: tokenize(r.text) for r in docs.itertuples()}
+    tf = {d: Counter(ts) for d, ts in toks.items() if ts}
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(tf)
+    idf6 = {t: round(math.log10(n / d) * 1e6) for t, d in df.items()}
+
+    expect = {}
+    for d, c in tf.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1] * idf6[kv[0]], kv[0]))[:3]
+        expect[d] = [(i + 1, t, cnt * idf6[t]) for i, (t, cnt) in enumerate(ranked)]
+
+    out = (
+        keyword_extract(rd.read_parquet(DOCS, columns=["doc_id", "text"]))
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+    )
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf_e6))
+    assert got == expect

@@ -547,3 +547,115 @@ def spell_correct(docs, *, n_queries: int = 5, text_col: str = "text"):
             "dist": pa.array(out_d, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction — top-k tf-idf terms per document (document tagging;
+# idf formula log10(N/df) pinned to the reference scorer,
+# search/Searcher.java:113).
+# ---------------------------------------------------------------------------
+
+
+def doc_df_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial document frequencies: (term, df) counting each
+    doc at most once — docs never split across batches, so summing the
+    partials downstream is exact. Map-side combine of the idf pass."""
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, parents, _n = flat_tokens_batch(batch[text_col])
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    d = flat.dictionary_encode()
+    nd = max(len(d.dictionary), 1)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pairs = np.unique(parents * nd + codes)
+    df = np.bincount(pairs % nd, minlength=nd).astype(np.int64)
+    n_docs_with_tokens = np.int64(np.unique(parents).size)
+    # n_docs rides the first row (summed downstream like df)
+    marker = np.zeros(nd, np.int64)
+    marker[0] = n_docs_with_tokens
+    return pa.table(
+        {"term": d.dictionary, "df": pa.array(df), "n_docs": pa.array(marker)}
+    )
+
+
+def keyword_extract(docs, *, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k tf-idf keywords per document: score(term, doc) =
+    tf * idf_e6 where idf_e6 = round(log10(N / df) * 1e6) is quantized
+    PER TERM before the multiply — every per-doc score is exact int64,
+    so the DuckDB twin hash-matches with no float-order caveat at all.
+    Ties break (score desc, term asc); N = docs with >= 1 token.
+
+    Physical plan: map-side df combine -> vocab-bounded groupby sum ->
+    (term, idf_e6) broadcast via ``ray.put`` -> shuffle-free per-doc
+    scoring pass (one unique over (doc, code) pairs + one lexsort per
+    batch — no per-doc Python). Output (doc_id, term, rank, tfidf_e6).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(
+            lambda t: doc_df_partial(t, text_col=text_col), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+    )
+    vocab_tbl = pa.concat_tables(ray.get(agg.to_arrow_refs())).combine_chunks()
+    df = vocab_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_total = int(vocab_tbl["n_docs"].to_numpy(zero_copy_only=False).sum())
+    idf_e6 = np.rint(
+        np.log10(float(n_total) / df.astype(np.float64)) * 1e6
+    ).astype(np.int64)
+    weights_ref = ray.put((vocab_tbl["term"].combine_chunks(), idf_e6))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens_batch
+
+        vocab, idf6 = ray.get(weights_ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "tfidf_e6": pa.array([], pa.int64()),
+            }
+        )
+        flat, parents, _n = flat_tokens_batch(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        codes = pc.fill_null(pc.index_in(flat, value_set=vocab), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nd = max(len(vocab), 1)
+        pairs, tf = np.unique(parents * nd + codes, return_counts=True)
+        p_doc = pairs // nd
+        p_code = pairs % nd
+        sc = tf.astype(np.int64) * idf6[p_code]
+        # lexicographic term tie-break via the SORTED vocab's rank
+        term_rank = np.empty(nd, np.int64)
+        vs = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False)
+        term_rank[vs] = np.arange(nd)
+        order = np.lexsort((term_rank[p_code], -sc, p_doc))
+        pos = np.arange(order.size) - np.searchsorted(
+            p_doc[order], p_doc[order], side="left"
+        )
+        keep = order[pos < k]
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids[p_doc[keep]].astype(np.int64)),
+                "term": vocab.take(pa.array(p_code[keep])),
+                "rank": pa.array(pos[pos < k] + 1),
+                "tfidf_e6": pa.array(sc[keep]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
