@@ -403,6 +403,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_title(sf_dir: str) -> pa.Table:
+        """BM25F-lite title boost: body BM25 e6 score plus a flat
+        500000-micro boost per distinct body-present query term in the
+        doc's title (`SearchIndex.bm25_title_boost` — boost-bound-pruned
+        doc-store title fetches). All-integer ranking."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        cols = {k: [] for k in ("qid", "rank", "doc_id", "total_e6", "base_e6", "n_title_hits")}
+        for qid, q in reference_queries():
+            for r, (d, tot, base, h) in enumerate(idx.bm25_title_boost(q, k=10)):
+                cols["qid"].append(qid)
+                cols["rank"].append(r)
+                cols["doc_id"].append(d)
+                cols["total_e6"].append(tot)
+                cols["base_e6"].append(base)
+                cols["n_title_hits"].append(h)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
     def q_search_boolean(sf_dir: str) -> pa.Table:
         """Strict conjunctive (AND) retrieval top-10 per reference
         query, ranked by summed term frequency
@@ -1583,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
+        "search_bm25_title": q_search_title,
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
@@ -1657,6 +1679,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+
+def _title_boost_oracle_sql() -> str:
+    """DuckDB twin of ``search_bm25_title``: the flagship BM25 replay
+    plus the title field — title extracted from the html with the same
+    ``<title[^>]*>(.*?)</title>`` rule as ``functions/tokenize.
+    extract_html``, tokenized with the canonical expression, and a flat
+    500000-micro boost per DISTINCT body-present query term found in the
+    title (the engine drops query terms absent from the body index —
+    ``has_term`` — so the boost join is restricted to body vocabulary
+    the same way). All-integer scores; (total_e6 desc, doc_id) order."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    ttl_toks = TOKS.replace("(text,", "(title,")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text, html FROM (
+        SELECT url, text, html,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text,
+             regexp_extract(decode(html), '<title[^>]*>(.*?)</title>', 1) AS title
+      FROM winners),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    ttoks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({ttl_toks}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    scores AS (
+      SELECT qb.qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score
+      FROM qb JOIN df USING (term) JOIN tf ON tf.term = qb.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY qb.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS base_e6
+           FROM scores),
+    boost AS (SELECT qb.qid, tt.doc_id,
+                     CAST(500000 * count(*) AS BIGINT) AS b
+              FROM qb JOIN ttoks tt USING (term)
+              GROUP BY qb.qid, tt.doc_id),
+    tot AS (SELECT e6.qid, e6.doc_id,
+                   e6.base_e6 + coalesce(b.b, 0) AS total_e6,
+                   e6.base_e6,
+                   coalesce(b.b, 0) // 500000 AS n_title_hits
+            FROM e6 LEFT JOIN boost b
+              ON e6.qid = b.qid AND e6.doc_id = b.doc_id)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, total_e6, base_e6, CAST(n_title_hits AS BIGINT) AS n_title_hits
+    FROM tot
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
+    """
 
 
 def _flagship_oracle_sql(scorer: str) -> str:
@@ -3078,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),
         "crawl_hits": _hits_oracle_sql(),
+        "search_bm25_title": _title_boost_oracle_sql(),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),

@@ -206,3 +206,42 @@ def test_phrase_topk_matches_oracle(built):
     assert idx.phrase_topk("the the", 10) == oracle.phrase_topk("the the", 10)
     assert idx.phrase_topk("", 10) == []
     assert idx.phrase_topk("zzq nohit", 10) == []
+
+
+def test_title_boost_matches_bruteforce(built):
+    """bm25_title_boost vs a brute-force recomputation from the pages
+    table: full-corpus base scores + title-token boost, verifying both
+    the ranking and that the boost-bound candidate pruning is lossless."""
+    from collections import defaultdict
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        extract_html,
+        tokenize,
+        tokenize_query,
+    )
+
+    pages, _paths, idx, oracle = built
+    tbl = pq.read_table(pages)
+    # map doc_id = hash64(url) -> title via the same extraction
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+
+    title_by_doc = {}
+    for r in tbl.to_pylist():
+        t, _body = extract_html(r["html"])
+        title_by_doc[hash64(r["url"])] = t
+
+    checked_hits = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25_title_boost(q, k=10)
+        q_terms = [t for t in tokenize_query(q) if idx.has_term(t)]
+        base = {d: int(round(s * 1e6)) for d, s in oracle.bm25_topk(q, k=10**9)}
+        expect = []
+        for d, b in base.items():
+            hits = len(set(q_terms) & set(tokenize(title_by_doc[d])))
+            expect.append((d, b + 500_000 * hits, b, hits))
+        expect.sort(key=lambda t: (-t[1], t[0]))
+        assert got == expect[:10], q
+        checked_hits += sum(h for _d, _t, _b, h in got)
+    assert checked_hits > 0, "no title hits anywhere — boost never exercised"

@@ -445,6 +445,73 @@ class SearchIndex:
         order = np.lexsort((cand, -total))[:k]
         return [(int(cand[i]), int(total[i])) for i in order]
 
+    TITLE_BOOST_E6 = 500_000
+
+    def bm25_title_boost(
+        self, query: str, k: int = 10, boost_e6: int = TITLE_BOOST_E6
+    ) -> list[tuple[int, int, int, int]]:
+        """BM25F-lite two-field ranking: body BM25 (e6-quantized) plus a
+        flat ``boost_e6`` per DISTINCT query term present in the doc's
+        TITLE tokens — the standard title-field boost the reference's
+        single-field scorer lacks (``Searcher.java:139-150`` scores body
+        text only; the title it stores is display-only,
+        ``Searcher.java:54,189``).
+
+        Candidate set = docs matching >= 1 query term in the BODY (a
+        title-only match never enters — documented contract). Title
+        fetches are pruned by the boost bound: only docs with
+        base_e6 >= (k-th best base_e6) - max_total_boost can reach the
+        top k, so the doc-store reads stay O(k + boosted band) per query
+        regardless of how many docs matched. At corpus scale the same
+        semantics come from a dedicated title-field index (title
+        postings alongside format 2/3) instead of doc-store fetches;
+        this method is the serving-tier form.
+
+        Returns [(doc_id, total_e6, base_e6, n_title_hits)] ordered by
+        (total_e6 desc, doc_id asc) — all-integer, SQL-reproducible.
+        """
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
+        if not q_terms:
+            return []
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_scores))
+        base_e6 = np.rint(acc * 1e6).astype(np.int64)
+
+        max_boost = boost_e6 * len(q_terms)
+        kth = np.partition(base_e6, -min(k, base_e6.size))[-min(k, base_e6.size)]
+        band = base_e6 >= kth - max_boost
+        cand_ids = uniq[band]
+        cand_base = base_e6[band]
+
+        if self._docstore is None:
+            self._docstore = DocStore(self._docstore_path)
+        rows = self._docstore.lookup([int(d) for d in cand_ids])
+        qset = set(q_terms)
+        hits = np.fromiter(
+            (
+                len(qset.intersection(tokenize(rows[d]["title"])) ) if d in rows else 0
+                for d in cand_ids
+            ),
+            dtype=np.int64,
+            count=cand_ids.size,
+        )
+        total = cand_base + boost_e6 * hits
+        order = np.lexsort((cand_ids, -total))[:k]
+        return [
+            (int(cand_ids[i]), int(total[i]), int(cand_base[i]), int(hits[i]))
+            for i in order
+        ]
+
     def phrase_topk(
         self, phrase: str, k: int = 10, method: str = "auto"
     ) -> list[tuple[int, int]]:
