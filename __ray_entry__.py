@@ -1598,6 +1598,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(round_luma, batch_format="pyarrow")
         )
 
+    def q_bloom_join(sf_dir: str):
+        # Bloom-pruned inner join: the dim side's keys fold into ONE
+        # broadcast bitset; fact rows that cannot match never enter the
+        # all-to-all exchange (stages/ops.py:bloom_join). Result rows
+        # identical to the plain shuffle join by construction.
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            bloom_join,
+        )
+
+        li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        od = _tbl(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+        ).filter(expr="o_orderstatus == 'F'")
+        od = od.map_batches(
+            lambda t: pa.table(
+                {"l_orderkey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+            ),
+            batch_format="pyarrow",
+        )
+        j = bloom_join(
+            li,
+            od,
+            "l_orderkey",
+            fact_cols=["l_quantity"],
+            dim_cols=["o_orderpriority"],
+            nbits=1 << 20,
+        )
+        agg = j.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_items"), Sum("l_quantity", alias_name="qty_raw")
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n_items": t["n_items"],
+                    "qty_e2": pa.array(
+                        np.rint(
+                            t["qty_raw"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_weighted_sample(sf_dir: str):
+        # sequential Poisson (order) sampling, Ohlsson 1998: priority =
+        # hash64(doc_id) // n_chars, EXACT integer arithmetic — the 50
+        # winners replay bit-for-bit in SQL. Longer docs win more often.
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            weighted_sample,
+        )
+
+        return weighted_sample(
+            _tbl(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+            id_col="doc_id",
+            weight_col="n_chars",
+            n=50,
+        )
+
+    def q_heavy_hitters(sf_dir: str):
+        # exact frequent terms in two passes (Misra-Gries candidates +
+        # exact recount) — never shuffles the full vocabulary
+        # (stages/ops.py:heavy_hitters)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            flat_tokens_batch,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            heavy_hitters,
+        )
+
+        def partials(t: pa.Table) -> pa.Table:
+            flat, _parents, _n = flat_tokens_batch(t["text"])
+            tt = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+            return pa.table(
+                {"term": tt["term"], "c": tt["count_all"].cast(pa.int64())}
+            )
+
+        def mk():
+            return _tbl(sf_dir, "documents", ["text"]).map_batches(
+                partials, batch_format="pyarrow"
+            )
+
+        return heavy_hitters(mk, "term", "c", threshold_fraction=0.005)
+
+    def q_dedup_substring(sf_dir: str):
+        # char-32-gram cross-doc duplicated-substring accounting — the
+        # n-gram approximation of suffix-array substring dedup (Lee et
+        # al. 2022); int64-hash exchanges only
+        # (stages/dedup.py:substring_dedup_stats)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            substring_dedup_stats,
+        )
+
+        return substring_dedup_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
     return {
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
@@ -1650,6 +1746,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_skew_join_agg": q_skew_join,
+        "rel_bloom_join_agg": q_bloom_join,
+        "rel_weighted_sample": q_weighted_sample,
+        "text_heavy_hitters": q_heavy_hitters,
+        "dedup_substring": q_dedup_substring,
         "rel_approx_distinct_kmv": q_kmv_distinct,
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
@@ -3064,6 +3164,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_bm25_topk": bm25,
         "doc_tfidf_topk": tfidf,
+        # exact heavy hitters: the MG pass is candidate generation only
+        # (guaranteed superset); the recount is exact, so the oracle is
+        # the plain GROUP BY ... HAVING
+        "text_heavy_hitters": (
+            f"{toks_cte} SELECT term, count(*) AS cf FROM toks GROUP BY term "
+            "HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM toks))"
+        ),
         "text_token_stats": (
             f"{toks_cte} SELECT doc_id, count(*) AS n_tokens, "
             "count(DISTINCT term) AS n_unique_tokens, "
@@ -3158,6 +3265,22 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_count": _bpe_count_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),
+        # char-32-gram substring dedup: the SQL twin enumerates every
+        # window via unnest(range(...)) + substring (codepoint-indexed,
+        # same as the UTF-32 window kernel); a doc's distinct gram is
+        # "duplicated" iff it occurs in >= 2 distinct docs
+        "dedup_substring": """
+            WITH pos AS (SELECT doc_id, text,
+                                unnest(range(1, greatest(len(text) - 31, 0) + 1)) AS i
+                         FROM documents),
+            g AS (SELECT doc_id, substring(text, CAST(i AS INT), 32) AS gram FROM pos),
+            gd AS (SELECT doc_id, gram, count(*) AS n_occ FROM g GROUP BY doc_id, gram),
+            nd AS (SELECT gram, count(*) AS n_docs FROM gd GROUP BY gram)
+            SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+            FROM gd JOIN nd USING (gram) GROUP BY doc_id
+        """,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
@@ -3237,6 +3360,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # Bloom pruning is physical (false positives drop in the join);
+        # the oracle is the plain inner join + aggregate
+        "rel_bloom_join_agg": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_e2 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+        ),
+        # sequential Poisson sample: same md5-prefix hash64, same exact
+        # integer-division priority, same (priority, doc_id) tie-break
+        "rel_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          & 9223372036854775807::UBIGINT AS BIGINT) // n_chars,
+                     doc_id
+            LIMIT 50
+        """,
         # the salted join must produce exactly the plain join's rows —
         # salting is physical routing, invisible in the result
         "rel_skew_join_agg": (

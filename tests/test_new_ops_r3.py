@@ -1,0 +1,176 @@
+"""Bloom-pruned join, weighted (sequential Poisson) sampling, exact
+two-pass heavy hitters, and char n-gram substring dedup vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+    flat_tokens_batch,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+    char_gram_partial,
+    substring_dedup_stats,
+)
+from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+    _bloom_positions,
+    bloom_join,
+    heavy_hitters,
+    weighted_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(obj, by):
+    df = obj.to_pandas() if hasattr(obj, "to_pandas") else obj
+    return df.sort_values(by).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "lineitem", "documents"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_bloom_positions_deterministic_and_distinct():
+    v = np.arange(1000, dtype=np.int64)
+    p1 = _bloom_positions(v, 1 << 16, 4)
+    p2 = _bloom_positions(v, 1 << 16, 4)
+    assert (p1 == p2).all()
+    assert (p1 < (1 << 16)).all()
+    # odd step => the k probes of one key are pairwise distinct
+    assert all(len(set(row)) == 4 for row in p1[:50])
+
+
+def test_bloom_join_equals_plain_join(con):
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    od = (
+        rd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        )
+        .filter(expr="o_orderstatus == 'F'")
+        .map_batches(
+            lambda t: pa.table(
+                {"l_orderkey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # tiny bitset => high false-positive rate; result must be identical
+    got = _sorted(
+        bloom_join(
+            li,
+            od,
+            "l_orderkey",
+            fact_cols=["l_quantity"],
+            dim_cols=["o_orderpriority"],
+            nbits=1 << 10,
+        ),
+        ["l_orderkey", "l_quantity", "o_orderpriority"],
+    )
+    exp = _sorted(
+        con.sql(
+            "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"
+        ).df(),
+        ["l_orderkey", "l_quantity", "o_orderpriority"],
+    )
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+
+
+def test_bloom_join_rejects_outer():
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    with pytest.raises(ValueError):
+        bloom_join(
+            li, li, "l_orderkey", fact_cols=["l_quantity"], dim_cols=[], how="left"
+        )
+
+
+def test_weighted_sample_matches_sql_and_prefers_heavy(con):
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    got = _sorted(
+        weighted_sample(docs, id_col="doc_id", weight_col="n_chars", n=25), ["doc_id"]
+    )
+    exp = _sorted(
+        con.sql(
+            "SELECT doc_id, source, n_chars FROM documents ORDER BY "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            "& 9223372036854775807::UBIGINT AS BIGINT) // n_chars, doc_id LIMIT 25"
+        ).df(),
+        ["doc_id"],
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # weight bias: sampled docs skew longer than the corpus mean
+    corpus_mean = con.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
+
+
+def test_heavy_hitters_exact(con):
+    def partials(t: pa.Table) -> pa.Table:
+        flat, _p, _n = flat_tokens_batch(t["text"])
+        tt = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": tt["term"], "c": tt["count_all"].cast(pa.int64())})
+
+    def mk():
+        return rd.read_parquet(f"{SF}/documents.parquet", columns=["text"]).map_batches(
+            partials, batch_format="pyarrow"
+        )
+
+    got = _sorted(heavy_hitters(mk, "term", "c", threshold_fraction=0.01), ["term"])
+    from __ray_entry__ import TOKS
+
+    exp = _sorted(
+        con.sql(
+            f"WITH t AS (SELECT {TOKS} AS l FROM documents), "
+            "toks AS (SELECT unnest(l) AS term FROM t) "
+            "SELECT term, count(*) AS cf FROM toks GROUP BY term "
+            "HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM toks))"
+        ).df(),
+        ["term"],
+    )
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["cf"].tolist() == exp["cf"].astype(int).tolist()
+
+
+def test_char_gram_partial_windows():
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["abcd" * 10, "xy", "abcd" * 10]})
+    out = char_gram_partial(t, gram_len=32)
+    # doc 2 is shorter than one gram; docs 1 and 3 share all grams
+    assert set(out["doc_id"].to_pylist()) == {1, 3}
+    d1 = out.filter(pa.compute.equal(out["doc_id"], 1))
+    d3 = out.filter(pa.compute.equal(out["doc_id"], 3))
+    assert sorted(d1["gram_h"].to_pylist()) == sorted(d3["gram_h"].to_pylist())
+    # 40 chars -> 9 windows, 4 distinct (rotations of abcd), 9 occurrences
+    assert sum(d1["n_occ"].to_pylist()) == 9
+    assert d1.num_rows == 4
+
+
+def test_substring_dedup_stats_vs_sql(con):
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = _sorted(substring_dedup_stats(docs), ["doc_id"])
+    exp = _sorted(
+        con.sql(
+            """
+        WITH pos AS (SELECT doc_id, text,
+                            unnest(range(1, greatest(len(text) - 31, 0) + 1)) AS i
+                     FROM documents),
+        g AS (SELECT doc_id, substring(text, CAST(i AS INT), 32) AS gram FROM pos),
+        gd AS (SELECT doc_id, gram, count(*) AS n_occ FROM g GROUP BY doc_id, gram),
+        nd AS (SELECT gram, count(*) AS n_docs FROM gd GROUP BY gram)
+        SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+        FROM gd JOIN nd USING (gram) GROUP BY doc_id
+        """
+        ).df(),
+        ["doc_id"],
+    )
+    for col in ("doc_id", "n_grams", "n_distinct_grams", "n_dup_grams"):
+        assert got[col].tolist() == exp[col].tolist(), col

@@ -1041,3 +1041,130 @@ def chunk_dedup_stats(
         .groupby(id_col)
         .aggregate(Count(alias_name="n_chunks"), Sum("is_dup", alias_name="n_dup_chunks"))
     )
+
+
+# --------------------------------------------------------------------------
+# character n-gram substring dedup (the suffix-array approximation)
+# --------------------------------------------------------------------------
+
+GRAM_CHARS = 32
+_GRAM_B = np.uint64(0x100000001B3)  # FNV-prime odd multiplier (mod 2^64)
+
+
+def char_gram_partial(
+    batch: pa.Table,
+    *,
+    gram_len: int = GRAM_CHARS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-doc DISTINCT character n-grams with occurrence counts —
+    one row ``(gram_h, doc_id, n_occ)`` per distinct ``gram_len``-char
+    window of each doc, fully vectorized: all texts decode to ONE flat
+    UTF-32 codepoint array, every window hashes in ``gram_len``
+    vectorized fused multiply-adds (mod-2^64 polynomial), and the
+    per-doc distinct collapses through one lexsort run-detection.
+    Codepoint windows == DuckDB ``substring`` character windows, so the
+    SQL twin replays the same gram set. Docs shorter than ``gram_len``
+    emit nothing."""
+    texts = batch[text_col].combine_chunks().to_pylist()
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    bufs = [t.encode("utf-32-le") for t in texts]
+    lens = np.array([len(b) >> 2 for b in bufs], np.int64)
+    flat = (
+        np.frombuffer(b"".join(bufs), "<u4").astype(np.uint64)
+        if bufs
+        else np.zeros(0, np.uint64)
+    )
+    npos = np.maximum(lens - gram_len + 1, 0)
+    total = int(npos.sum())
+    empty = pa.table(
+        {
+            "gram_h": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+        }
+    )
+    if total == 0:
+        return empty
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    doc_pos = np.repeat(np.arange(len(lens)), npos)
+    first = np.repeat(np.cumsum(npos) - npos, npos)
+    w0 = np.repeat(starts, npos) + (np.arange(total) - first)
+    h = np.zeros(total, np.uint64)
+    for j in range(gram_len):
+        h = h * _GRAM_B + flat[w0 + j]
+    hs = h.view(np.int64)
+    order = np.lexsort((hs, doc_pos))
+    ds_, hs_ = doc_pos[order], hs[order]
+    newrun = np.empty(total, bool)
+    newrun[0] = True
+    newrun[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    run_id = np.cumsum(newrun) - 1
+    n_occ = np.bincount(run_id)
+    return pa.table(
+        {
+            "gram_h": pa.array(hs_[newrun]),
+            id_col: pa.array(ids[ds_[newrun]]),
+            "n_occ": pa.array(n_occ.astype(np.int64)),
+        }
+    )
+
+
+def substring_dedup_stats(
+    docs, *, gram_len: int = GRAM_CHARS, id_col: str = "doc_id"
+) -> "rd.Dataset":
+    """Per-doc duplicated-substring statistics: ``(doc_id, n_grams,
+    n_distinct_grams, n_dup_grams)`` where a doc's distinct gram is
+    duplicated iff it occurs in >= 2 DISTINCT docs (cross-doc overlap;
+    within-doc repetition is ``textstats.repetition_stats``' job).
+
+    This is the n-gram approximation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): two substrings sharing any ``gram_len``-char span
+    collide on that window's gram. Physical plan: map-side windowed
+    hashing + per-doc distinct (the combiner — shuffle volume is
+    distinct (hash, doc) pairs, never positions), then ONE bounded-
+    bucket exchange that both counts docs-per-gram and flags each
+    occurrence row vectorized (a gram's rows all land in its hash
+    bucket, so the count is complete there — no second join exchange),
+    then one per-doc aggregate. Text never enters an exchange; 64-bit
+    gram identity (documented collision bound ~n_grams^2 / 2^65).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .ops import _bucket_of
+    from .shuffle import hash_map_groups
+
+    occ = docs.map_batches(
+        lambda t: char_gram_partial(t, gram_len=gram_len, id_col=id_col),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t["gram_h"], 64))
+
+    def flag_bucket(t: pa.Table) -> pa.Table:
+        # all rows of a gram are in this bucket: count distinct docs per
+        # gram locally, flag each row — one vectorized pass
+        cnt = t.select(["gram_h"]).group_by("gram_h").aggregate([([], "count_all")])
+        ndocs = pc.take(
+            cnt["count_all"].combine_chunks(),
+            pc.index_in(t["gram_h"], value_set=cnt["gram_h"].combine_chunks()),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_occ": t["n_occ"],
+                "is_dup": pc.cast(pc.greater(ndocs, 1), pa.int64()),
+            }
+        )
+
+    flagged = hash_map_groups(
+        occ.map_batches(add_bucket, batch_format="pyarrow"), "__bucket", flag_bucket
+    )
+    return flagged.groupby(id_col).aggregate(
+        Sum("n_occ", alias_name="n_grams"),
+        Count(alias_name="n_distinct_grams"),
+        Sum("is_dup", alias_name="n_dup_grams"),
+    )

@@ -884,3 +884,241 @@ def budget_sample_per_group(
         pick,
         num_partitions=num_partitions,
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-pruned join
+# --------------------------------------------------------------------------
+
+_BLOOM_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_BLOOM_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _bloom_positions(v: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions for int64 keys — double hashing over two
+    independent 64-bit mixes (Kirsch-Mitzenmacher), all vectorized."""
+    u = v.astype(np.int64).view(np.uint64)
+    h1 = u * _BLOOM_M1
+    h1 ^= h1 >> np.uint64(33)
+    h2 = u * _BLOOM_M2
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)  # odd => all k probes distinct mod a power of two
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(nbits)
+
+
+def bloom_filter_build(ds: rd.Dataset, key: str, *, nbits: int, k: int):
+    """Distributed Bloom-filter build over an int64 key column.
+
+    Each input block folds its keys into ONE fixed-size bitset row
+    (nbits/8 bytes); the driver ORs the per-block bitsets — driver
+    memory is O(nbits x blocks) worst case but each row is tiny and
+    independent of row count. Returns the ``ray.put`` ref of the
+    packed uint64 bitset."""
+    nwords = (nbits + 63) // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(v, nbits, k).ravel()
+        bits = np.zeros(nwords, np.uint64)
+        np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(nwords, np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(row["bits"], np.uint64)
+    return ray.put(merged)
+
+
+def bloom_join(
+    ds_fact: rd.Dataset,
+    ds_dim: rd.Dataset,
+    key: str,
+    *,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    nbits: int = 1 << 22,
+    k: int = 4,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """``shuffle_join`` with BLOOM-FILTER semi-join pruning — the
+    classic exchange-volume reducer the reference lacks entirely (its
+    join ships every fact row through the KVS shuffle regardless of
+    whether the key exists on the build side,
+    ``flame/FlameWorker.java:491-544``).
+
+    Plan: (1) fold the dim side's keys into one nbits-wide Bloom
+    bitset (one tiny row per block, OR-merged on the driver — O(nbits),
+    never O(rows)); (2) broadcast it via ``ray.put`` ONCE; (3) each
+    fact batch tests its keys vectorized against the bitset and drops
+    definite non-matches BEFORE the all-to-all exchange; (4) the
+    surviving rows run the ordinary bucketed Arrow join. False
+    positives only ship extra rows into the join, which drops them —
+    the result is row-identical to ``shuffle_join`` for any nbits/k.
+    Inner/semi pruning only (an outer fact side must keep every row).
+    """
+    if how not in ("inner",):
+        raise ValueError("bloom pruning is sound for inner joins only")
+    bloom_ref = bloom_filter_build(ds_dim, key, nbits=nbits, k=k)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        v = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(v, nbits, k)
+        hit = (bits[(pos >> np.uint64(6))] >> (pos & np.uint64(63))) & np.uint64(1)
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+    pruned = ds_fact.map_batches(prune, batch_format="pyarrow")
+    return shuffle_join(
+        pruned,
+        ds_dim,
+        key,
+        left_cols=fact_cols,
+        right_cols=dim_cols,
+        num_buckets=num_buckets,
+        how=how,
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling + heavy hitters
+# --------------------------------------------------------------------------
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Deterministic weighted sample of ``n`` rows WITHOUT replacement
+    — sequential Poisson / order sampling (Ohlsson 1998): each row gets
+    priority ``hash64(id) // weight`` (uniform 63-bit hash divided by
+    its positive integer weight, EXACT integer arithmetic so the draw
+    replays bit-for-bit in SQL) and the global ``n`` smallest
+    priorities win; heavier rows draw systematically smaller priorities
+    (inclusion probability ~ proportional to weight).
+
+    Distributed as a top-n combiner: each block keeps its local ``n``
+    best rows (vectorized argpartition-equivalent via one sort+slice),
+    survivors collapse to one partition for the exact final cut — the
+    exchange carries at most ``n x blocks`` rows, never the input.
+
+    The reference's only sampler is the crawler's uniform URL sample;
+    weighted selection (quality- or length-weighted corpus subsetting)
+    is a training-data-prep staple the reference has no analog for.
+    """
+    from ..functions.hashing import hash64_array
+
+    keep = cols if cols is not None else [c for c in ds.schema().names]
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        h = hash64_array(str(v) for v in ids.to_pylist())
+        w = batch[weight_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if (w <= 0).any():
+            raise ValueError("weights must be positive integers")
+        prio = h // w
+        t = batch.select(keep).append_column("__prio", pa.array(prio))
+        idv = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, prio))[:n]
+        return t.take(pa.array(np.sort(order)))
+
+    def final_topn(batch: pa.Table) -> pa.Table:
+        prio = batch["__prio"].combine_chunks().to_numpy(zero_copy_only=False)
+        idv = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, prio))[:n]
+        return batch.take(pa.array(np.sort(order))).drop_columns(["__prio"])
+
+    local = ds.map_batches(local_topn, batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        final_topn, batch_format="pyarrow", batch_size=None
+    )
+
+
+_HH_TOTAL_KEY = "\x00__total__"
+
+
+def heavy_hitters(
+    make_partials: Callable[[], rd.Dataset],
+    key: str,
+    count: str,
+    *,
+    threshold_fraction: float,
+    capacity: int | None = None,
+) -> rd.Dataset:
+    """EXACT frequent-item detection in two passes — Misra-Gries
+    candidate generation then an exact recount — without ever shuffling
+    the full key space (the reference computes term frequencies only
+    via its full index shuffle; there is no cheap frequent-term path).
+
+    ``make_partials`` builds a Dataset of per-batch pre-aggregated
+    ``(key, count)`` rows (called twice — once per pass; cache upstream
+    if the flattening is expensive). Returns rows ``(key, cf)`` for
+    every key with total count >= ceil(threshold_fraction * N).
+
+    Pass 1 trims each batch's counts to ``capacity`` counters by the
+    Misra-Gries decrement (subtract the (c+1)-th largest count, drop
+    non-positive — vectorized via one np.partition): per-batch error
+    <= n_b/(c+1), summed error < N/(c+1) <= threshold once
+    ``capacity >= 1/threshold_fraction``, so NO true heavy hitter can
+    be trimmed to zero everywhere — the surviving key set is a
+    guaranteed superset. A sentinel row per batch carries the batch
+    total so N needs no extra pass. Pass 2 broadcasts the candidate
+    set and recounts it exactly (vocabulary bounded by the candidates,
+    not the data).
+    """
+    from ray.data.aggregate import Sum
+
+    if not (0 < threshold_fraction < 1):
+        raise ValueError("threshold_fraction must be in (0, 1)")
+    c = capacity or 2 * math.ceil(1.0 / threshold_fraction)
+
+    def mg_trim(batch: pa.Table) -> pa.Table:
+        v = batch[count].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        total = int(v.sum())
+        kcol = batch[key].combine_chunks()
+        if len(v) > c:
+            kth = np.partition(v, len(v) - (c + 1))[len(v) - (c + 1)]
+            keepmask = v > kth
+            v = v[keepmask] - kth
+            kcol = kcol.filter(pa.array(keepmask))
+        return pa.table(
+            {
+                key: pa.concat_arrays([kcol, pa.array([_HH_TOTAL_KEY], kcol.type)]),
+                "__c": pa.array(np.concatenate([v, [total]])),
+            }
+        )
+
+    summed = (
+        make_partials()
+        .map_batches(mg_trim, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("__c", alias_name="mg"))
+        .take_all()
+    )
+    n_total = 0
+    cand: list = []
+    for row in summed:
+        if row[key] == _HH_TOTAL_KEY:
+            n_total = int(row["mg"])
+        else:
+            cand.append(row[key])
+    threshold = math.ceil(threshold_fraction * n_total)
+    cand_ref = ray.put(pa.array(cand))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key], value_set=ray.get(cand_ref))
+        t = batch.filter(mask)
+        return pa.table({key: t[key], "__c": t[count].cast(pa.int64())})
+
+    return (
+        make_partials()
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("__c", alias_name="cf"))
+        .filter(expr=f"cf >= {int(threshold)}")
+    )
