@@ -1683,6 +1683,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(mk, "term", "c", threshold_fraction=0.005)
 
+    def q_search_prf(sf_dir: str) -> pa.Table:
+        # pseudo-relevance-feedback (Rocchio-style) query expansion:
+        # round-1 BM25 top-10 -> expansion terms from the feedback
+        # docs' bodies by the INTEGER offer rule (r_t desc, total tf
+        # desc, term asc; never floats) -> round-2 BM25 with expansion
+        # terms damped 0.5 (pipelines/query.py:bm25_weighted_topk).
+        # The reference's searcher is single-round additive-OR
+        # (Searcher.java:139-150); PRF is the classic IR extension.
+        from collections import Counter
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize,
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+            DocStore,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        store = DocStore(idx._docstore_path)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            r1 = idx.bm25_topk(q, k=50)
+            e61 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in r1),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            fb = [d for _, d in e61]
+            orig = tokenize_query(q)
+            oset = set(orig)
+            r_t: Counter = Counter()
+            ttf: Counter = Counter()
+            if fb:
+                rows = store.lookup(fb)
+                for d in fb:
+                    for t, n in Counter(tokenize(rows[d]["body"])).items():
+                        if t in oset:
+                            continue
+                        r_t[t] += 1
+                        ttf[t] += n
+            exp = sorted(r_t, key=lambda t: (-r_t[t], -ttf[t], t))[:3]
+            weighted = [(t, 1.0) for t in orig] + [(t, 0.5) for t in exp]
+            r2 = idx.bm25_weighted_topk(weighted, k=50)
+            e62 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in r2),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e62):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_kmeans(sf_dir: str):
+        # exact-integer Lloyd k-means (micro-quantized coords, int64
+        # distances, floor-div centroid updates) — every iteration
+        # replays bit-for-bit in the unrolled-CTE SQL twin
+        # (stages/ann.py:kmeans_assign)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            kmeans_assign,
+        )
+
+        return kmeans_assign(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, iters=3
+        )
+
     def q_dedup_substring(sf_dir: str):
         # char-32-gram cross-doc duplicated-substring accounting — the
         # n-gram approximation of suffix-array substring dedup (Lee et
@@ -1701,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
+        "search_prf_expand": q_search_prf,
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
@@ -1730,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
+        "knn_kmeans_assign": q_kmeans,
         "knn_lsh_topk": q_knn_lsh,
         "knn_ivf_topk": q_knn_ivf,
         "embedding_near_dups": q_near_dups,
@@ -2584,6 +2663,147 @@ def _lang_gate_oracle_sql() -> str:
     )
 
 
+def _prf_oracle_sql() -> str:
+    """DuckDB twin of ``search_prf_expand``: the flagship BM25 replay
+    (dedup -> doc_id -> tokenize -> stats -> scoring, same e6-quantized
+    (score_e6 desc, doc_id) rank rule), then round-1 top-10 feedback
+    docs, expansion-term selection by the INTEGER offer rule
+    (r_t = feedback docs containing t, desc; total feedback tf desc;
+    term asc; original query terms excluded), and a round-2 weighted
+    BM25 (originals 1.0, expansion 0.5 — 0.5 is exact in binary)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    bm25 = (
+        "ln(1 + (stats.n - {df}.df + 0.5) / ({df}.df + 0.5))"
+        " * (tf.tf * (1.2 + 1))"
+        " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+    )
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM winners),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    s1 AS (SELECT q.qid, tf.doc_id, sum({bm25.format(df='df')}) AS score
+           FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term
+           JOIN dl ON tf.doc_id = dl.doc_id, stats
+           GROUP BY q.qid, tf.doc_id),
+    r1 AS (SELECT qid, doc_id FROM (
+             SELECT qid, doc_id,
+                    CAST(round(score * 1000000) AS BIGINT) AS score_e6
+             FROM s1)
+           QUALIFY row_number() OVER (PARTITION BY qid
+                                      ORDER BY score_e6 DESC, doc_id) <= 10),
+    cand AS MATERIALIZED (SELECT r1.qid, tf.term, count(*) AS r_t, sum(tf.tf) AS ttf
+             FROM r1 JOIN tf USING (doc_id)
+             WHERE NOT EXISTS (SELECT 1 FROM q
+                               WHERE q.qid = r1.qid AND q.term = tf.term)
+             GROUP BY r1.qid, tf.term),
+    exp AS (SELECT qid, term FROM cand
+            QUALIFY row_number() OVER (PARTITION BY qid
+                                       ORDER BY r_t DESC, ttf DESC, term) <= 3),
+    allq AS (SELECT qid, term, 1.0 AS w FROM q
+             UNION ALL SELECT qid, term, 0.5 AS w FROM exp),
+    df2 AS (SELECT term, count(*) AS df FROM tf
+            WHERE term IN (SELECT DISTINCT term FROM allq) GROUP BY term),
+    s2 AS (SELECT allq.qid, tf.doc_id,
+                  sum(allq.w * {bm25.format(df='df2')}) AS score
+           FROM allq JOIN df2 USING (term) JOIN tf ON tf.term = allq.term
+           JOIN dl ON tf.doc_id = dl.doc_id, stats
+           GROUP BY allq.qid, tf.doc_id),
+    e62 AS (SELECT qid, doc_id,
+                   CAST(round(score * 1000000) AS BIGINT) AS score_e6
+            FROM s2)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e62
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Full SQL replay of ``stages/ann.py:kmeans_assign`` — the
+    pagerank-style unrolled-CTE iteration: micro-quantize (the
+    floor(x*1e6+0.5) rule), seed with the k smallest
+    (md5-prefix hash64, vec_id), then ``iters`` exact-integer Lloyd
+    steps (int64 squared distances, (dist, c) argmin tie-break, FLOOR
+    integer-division centroid update via (sx - ((sx%n)+n)%n) // n,
+    empty clusters keep their centroid)."""
+    hexpr = (
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+
+    def dist(cent: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip(v.e, {cent}),"
+            " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e"
+        " FROM embeddings),\n"
+        f"c0 AS (SELECT row_number() OVER (ORDER BY {hexpr}, vec_id) - 1 AS c, e"
+        f" FROM v QUALIFY row_number() OVER (ORDER BY {hexpr}, vec_id) <= {k})"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, e, c FROM (\n"
+            f"  SELECT v.vec_id, v.e, c{i}.c,\n"
+            f"         row_number() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {dist(f'c{i}.e')}, c{i}.c) AS rn\n"
+            f"  FROM v CROSS JOIN c{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT c, d, sum(x) AS sx, count(*) AS n FROM"
+            f" (SELECT c, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM a{i})"
+            " GROUP BY c, d)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cc.c, COALESCE(nl.e, cc.e) AS e FROM c{i} cc"
+            " LEFT JOIN (SELECT c,"
+            " list(CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) ORDER BY d) AS e"
+            f" FROM s{i} GROUP BY c) nl ON cc.c = nl.c)"
+        )
+    final = (
+        "SELECT vec_id, c AS cluster, dist FROM (\n"
+        f"  SELECT v.vec_id, c{iters}.c,"
+        f" CAST({dist(f'c{iters}.e')} AS BIGINT) AS dist,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {dist(f'c{iters}.e')}, c{iters}.c) AS rn\n"
+        f"  FROM v CROSS JOIN c{iters}) t WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 def _ivf_knn_oracle_sql() -> str:
     """Oracle for the IVF KNN query: the codebook is deterministic
     (seeded k-means on the vec_id %% 7 sample), so the NORMALIZED
@@ -3293,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
+        "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
@@ -3301,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank": _pagerank_oracle_sql(),
         "crawl_hits": _hits_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
+        "search_prf_expand": _prf_oracle_sql(),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),

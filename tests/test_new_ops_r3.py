@@ -174,3 +174,76 @@ def test_substring_dedup_stats_vs_sql(con):
     )
     for col in ("doc_id", "n_grams", "n_distinct_grams", "n_dup_grams"):
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_kmeans_exact_and_partitioning_invariant():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        kmeans_assign,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = _sorted(kmeans_assign(ds, k=4, iters=2), ["vec_id"])
+    got8 = _sorted(
+        kmeans_assign(ds.repartition(8), k=4, iters=2), ["vec_id"]
+    )
+    assert got["cluster"].tolist() == got8["cluster"].tolist()
+    assert got["dist"].tolist() == got8["dist"].tolist()
+
+    # pure-numpy reference Lloyd with the same integer rules
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    x = np.floor(
+        np.asarray(t["embedding"].to_pylist(), np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    h = np.array([hash64(str(v)) for v in ids])
+    seed = np.lexsort((ids, h))[:4]
+    cents = x[seed]
+    for _ in range(2):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = cents.copy()
+        for c in range(4):
+            m = a == c
+            if m.any():
+                new[c] = np.floor_divide(x[m].sum(axis=0), m.sum())
+        cents = new
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+    assert got.set_index("doc_id" if "doc_id" in got else "vec_id")["cluster"].to_dict() == ref
+    # clusters are non-trivial: more than one cluster in use
+    assert got["cluster"].nunique() > 1
+
+
+def test_bm25_weighted_topk_reduces_to_exhaustive(tmp_path):
+    # weight 1.0 on every query term == the plain exhaustive scorer
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+        reference_queries,
+    )
+
+    pp = pages_parquet(300)
+    out = str(tmp_path / "idx")
+    build_index(pp, out, num_partitions=2)
+    idx = SearchIndex.load(out)
+    for _, q in list(reference_queries())[:8]:
+        terms = [(t, 1.0) for t in tokenize_query(q)]
+        assert idx.bm25_weighted_topk(terms, k=10) == idx.bm25_topk_exhaustive(q, k=10)
+        # halving one term's weight can only lower that term's share
+        if terms and idx.has_term(terms[0][0]):
+            damped = [(terms[0][0], 0.5)] + terms[1:]
+            got = idx.bm25_weighted_topk(damped, k=10)
+            assert all(s > 0 for _, s in got)

@@ -249,6 +249,33 @@ class SearchIndex:
         np.add.at(acc, inv, scores)
         return _topk(uniq, acc, k)
 
+    def bm25_weighted_topk(
+        self, weighted_terms: list[tuple[str, float]], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Exhaustive BM25 with a per-term weight multiplier — the
+        round-2 scorer of pseudo-relevance-feedback expansion (original
+        terms weight 1.0, expansion terms a damping like 0.5). Same
+        vectorized kernel as ``bm25_topk_exhaustive``; a term absent
+        from the index contributes nothing."""
+        pairs = [(t, w) for t, w in weighted_terms if self.has_term(t)]
+        if not pairs:
+            return []
+        all_ids, all_scores = [], []
+        for t, w in pairs:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                w
+                * self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        return _topk(uniq, acc, k)
+
     # Below this many total candidate postings, the vectorized
     # exhaustive scorer beats document-at-a-time WAND in-process (numpy
     # streams ~10^8 postings/s; the WAND loop steps docs in Python).

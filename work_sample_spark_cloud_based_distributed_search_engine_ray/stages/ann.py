@@ -579,3 +579,133 @@ def lsh_knn(
         merge_topk,
         num_partitions=_merge_partitions(qn.shape[0]),
     )
+
+
+# --------------------------------------------------------------------------
+# k-means clustering (exact-integer Lloyd iterations)
+# --------------------------------------------------------------------------
+
+
+def _micros(batch_col) -> np.ndarray:
+    """(n, d) int64 micro-quantized matrix: floor(x * 1e6 + 0.5) per
+    coordinate — the KMV oracle's floor(x + 0.5) rule, replayable
+    bit-for-bit in SQL (numpy rint would round half-to-even; DuckDB
+    round() rounds half away from zero — floor(+0.5) sidesteps both)."""
+    return np.floor(_mat(batch_col) * 1e6 + 0.5).astype(np.int64)
+
+
+def _assign_exact(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-int64 squared distances + first-min argmin (ties go to the
+    lowest cluster id, the SQL twin's (dist, c) order). Chunked so the
+    (n, k, d) intermediate stays bounded."""
+    n = x.shape[0]
+    out_c = np.empty(n, np.int64)
+    out_d = np.empty(n, np.int64)
+    step = max(1, (1 << 22) // max(1, cents.shape[0] * cents.shape[1]))
+    for i in range(0, n, step):
+        diff = x[i : i + step, None, :] - cents[None, :, :]
+        d = (diff * diff).sum(axis=2)
+        out_c[i : i + step] = d.argmin(axis=1)
+        out_d[i : i + step] = d.min(axis=1)
+    return out_c, out_d
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over an embedding column with EXACT
+    integer arithmetic end-to-end, so every iteration replays
+    bit-for-bit in SQL (the pagerank-style unrolled-CTE oracle):
+    coordinates quantize to int64 micros once, squared distances and
+    partial sums are int64 (exact for |x| <= ~1e3 and <= ~1e12 rows per
+    cluster), and the centroid update is FLOOR integer division.
+
+    Physical plan per iteration (classic map-side-combine k-means):
+    centroids broadcast via ``ray.put``; each batch computes one
+    vectorized exact assignment and emits k partial rows
+    ``(cluster, n, coordinate-sum list)``; the driver folds the
+    k x blocks partials (bounded by k, never by rows) and re-derives
+    centroids. Empty clusters keep their previous centroid.
+    Initialization: the k vectors with the smallest
+    ``(hash64(vec_id), vec_id)`` — deterministic across any
+    partitioning, replayable in SQL via the md5-prefix expression.
+    Returns ``(id_col, cluster, dist)`` with dist the exact int64
+    squared micro-distance.
+
+    The reference has no clustering; this extends the ANN family
+    (IVF's codebook trainer is the approximate cousin — this one is
+    the exact, oracle-checkable clustering operator).
+    """
+    from ..functions.hashing import hash64_array
+
+    def local_init(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        h = hash64_array(str(v) for v in ids.to_pylist())
+        idv = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, h))[:k]
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "__h": pa.array(h),
+            }
+        )
+        return t.take(pa.array(np.sort(order)))
+
+    seed_rows = ds.map_batches(local_init, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: (r["__h"], r[id_col]))
+    seed_rows = seed_rows[:k]
+    cents = np.floor(
+        np.asarray([r[vec_col] for r in seed_rows], np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+
+    d = cents.shape[1]
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = _micros(batch[vec_col])
+            assign, _dist = _assign_exact(x, c)
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        sums = np.zeros((k, d), np.int64)
+        counts = np.zeros(k, np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            sums[row["c"]] += np.asarray(row["s"], np.int64)
+            counts[row["c"]] += row["n"]
+        nz = counts > 0
+        cents = cents.copy()
+        # floor division, exact in int64 (matches the SQL twin's
+        # (sx - ((sx % n) + n) % n) // n)
+        cents[nz] = np.floor_divide(sums[nz], counts[nz, None])
+
+    final_ref = ray.put(cents)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        x = _micros(batch[vec_col])
+        assign, dist = _assign_exact(x, c)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(assign),
+                "dist": pa.array(dist),
+            }
+        )
+
+    return ds.map_batches(assign_out, batch_format="pyarrow")
