@@ -1683,6 +1683,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(mk, "term", "c", threshold_fraction=0.005)
 
+    def q_search_parallel(sf_dir: str):
+        # serving-tier query parallelism as a Ray Data stage: the query
+        # set is a Dataset; an ACTOR POOL evaluates it, each actor
+        # loading the index ONCE in __init__ (mmap'd shards) — the
+        # replicated-index / query-partitioned layout, which is the
+        # reference's own serving shape (one full Searcher per worker,
+        # Searcher.java:29-57). At 100 TB the index outgrows one node
+        # and the layout becomes doc-range shards with scatter-gather
+        # top-k merge (each shard scores its own docs fully; partial
+        # top-k merges exactly because scores are doc-complete per
+        # shard) — the merge here is the same e6 cut either way.
+        # Results identical to search_bm25_wand; same flagship oracle.
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        out_dir = _cached_index_dir(sf_dir)
+
+        class QueryScorer:
+            def __init__(self, idx_dir: str):
+                from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+                    SearchIndex,
+                )
+
+                self.idx = SearchIndex.load(idx_dir)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                qids, ranks, doc_ids, scores = [], [], [], []
+                for qid, q in zip(
+                    batch["qid"].to_pylist(), batch["query"].to_pylist()
+                ):
+                    ranked = self.idx.bm25_topk(q, k=50)
+                    e6 = sorted(
+                        ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                        key=lambda t: (-t[0], t[1]),
+                    )[:10]
+                    for r, (s6, d) in enumerate(e6):
+                        qids.append(qid)
+                        ranks.append(r)
+                        doc_ids.append(d)
+                        scores.append(s6)
+                return pa.table(
+                    {
+                        "qid": pa.array(qids, pa.int64()),
+                        "rank": pa.array(ranks, pa.int64()),
+                        "doc_id": pa.array(doc_ids, pa.int64()),
+                        "score_e6": pa.array(scores, pa.int64()),
+                    }
+                )
+
+        qs = rd.from_items(
+            [{"qid": qid, "query": q} for qid, q in reference_queries()]
+        )
+        return qs.map_batches(
+            QueryScorer,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"idx_dir": out_dir},
+        )
+
     def q_search_prf(sf_dir: str) -> pa.Table:
         # pseudo-relevance-feedback (Rocchio-style) query expansion:
         # round-1 BM25 top-10 -> expansion terms from the feedback
@@ -1779,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
         "search_prf_expand": q_search_prf,
+        "search_bm25_parallel": q_search_parallel,
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
@@ -1992,7 +2056,7 @@ def _flagship_oracle_sql(scorer: str) -> str:
 
     return f"""
     WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
-    winners AS (
+    winners AS MATERIALIZED (
       SELECT url, text FROM (
         SELECT url, text,
                row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
@@ -2002,9 +2066,9 @@ def _flagship_oracle_sql(scorer: str) -> str:
                   & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
              text
       FROM winners),
-    toks AS (SELECT doc_id, unnest({toks_pages}) AS term FROM docs),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({toks_pages}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT (SELECT count(*) FROM docs) AS n,
                      CAST((SELECT count(*) FROM toks) AS DOUBLE)
                        / (SELECT count(*) FROM docs) AS avgdl),
@@ -3523,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_hits": _hits_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_prf_expand": _prf_oracle_sql(),
+        "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),
