@@ -1810,6 +1810,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_bigram_loglik(sf_dir: str):
+        # bigram-LM transition surprisal (the KenLM-flavored upgrade of
+        # text_unigram_loglik): weights e6-quantized per distinct
+        # bigram BEFORE the per-doc sum, so sums are exact int64
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            bigram_loglik,
+        )
+
+        return bigram_loglik(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_kmeans(sf_dir: str):
         # exact-integer Lloyd k-means (micro-quantized coords, int64
         # distances, floor-div centroid updates) — every iteration
@@ -1862,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunks": q_dedup_chunks,
         "text_domain_mix": q_domain_mix,
         "text_unigram_loglik": q_unigram_loglik,
+        "text_bigram_loglik": q_bigram_loglik,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
@@ -3477,6 +3488,22 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         # misspelling derivation (drop 2nd char of top-5 cf terms of
         # length >= 4) and the (dist, term) tie-break replayed exactly
+        "text_bigram_loglik": f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {TOKS} AS l FROM documents),
+    pos AS MATERIALIZED (SELECT doc_id, unnest(l) AS term,
+                                generate_subscripts(l, 1) AS pos FROM t),
+    bi AS MATERIALIZED (SELECT a.doc_id, a.term AS w1, b.term AS w2
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    lc AS (SELECT w1, sum(c) AS n FROM bc GROUP BY w1),
+    w AS (SELECT w1, w2,
+                 CAST(round(log10(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS w6
+          FROM bc JOIN lc USING (w1))
+    SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(w6) AS BIGINT) AS sum_logprob_e6
+    FROM bi JOIN w ON bi.w1 = w.w1 AND bi.w2 = w.w2
+    GROUP BY bi.doc_id
+    """,
         "text_keywords": f"""
     WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
     toks AS (SELECT doc_id, unnest(l) AS term FROM t),

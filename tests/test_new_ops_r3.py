@@ -247,3 +247,24 @@ def test_bm25_weighted_topk_reduces_to_exhaustive(tmp_path):
             damped = [(terms[0][0], 0.5)] + terms[1:]
             got = idx.bm25_weighted_topk(damped, k=10)
             assert all(s > 0 for _, s in got)
+
+
+def test_bigram_loglik_hand_check_and_invariance():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        bigram_loglik,
+    )
+
+    # corpus: "a b" x2 and "a b a c" -> c(a,b)=3, c(b,a)=1, c(a,c)=1,
+    # left(a)=4, left(b)=1 -> weights log10(3/4), log10(1/1), log10(1/4)
+    docs = pa.table({"doc_id": [1, 2, 3], "text": ["a b", "a b", "a b a c"]})
+    got = _sorted(bigram_loglik(rd.from_arrow(docs)), ["doc_id"])
+    w_ab = int(np.rint(np.log10(3 / 4) * 1e6))
+    w_ba = int(np.rint(np.log10(1 / 1) * 1e6))
+    w_ac = int(np.rint(np.log10(1 / 4) * 1e6))
+    assert got["n_bigrams"].tolist() == [1, 1, 3]
+    assert got["sum_logprob_e6"].tolist() == [w_ab, w_ab, w_ab + w_ba + w_ac]
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = _sorted(bigram_loglik(ds), ["doc_id"])
+    b = _sorted(bigram_loglik(ds.repartition(7)), ["doc_id"])
+    assert a["sum_logprob_e6"].tolist() == b["sum_logprob_e6"].tolist()

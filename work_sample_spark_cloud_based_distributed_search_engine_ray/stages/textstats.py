@@ -373,6 +373,133 @@ def unigram_loglik(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+
+def bigram_counts_partial(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch within-doc adjacent-bigram counts (map-side combine of
+    ``bigram_loglik``): one flat tokenize, one boundary mask, one Arrow
+    two-column group_by — no Python loop."""
+    from ..functions.tokenize import flat_tokens_batch
+
+    flat, parents, _n = flat_tokens_batch(batch[text_col])
+    if len(flat) < 2:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+    same = parents[1:] == parents[:-1]
+    m = pa.array(same)
+    pairs = pa.table(
+        {
+            "w1": flat.slice(0, len(flat) - 1).filter(m),
+            "w2": flat.slice(1).filter(m),
+        }
+    )
+    agg = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "w1": agg["w1"],
+            "w2": agg["w2"],
+            "n_occ": agg["count_all"].cast(pa.int64()),
+        }
+    )
+
+
+def bigram_loglik(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram-LM document scoring — the KenLM-flavored upgrade of
+    ``unigram_loglik`` (same CCNet framing, one order higher): train
+    p(w2|w1) = c(w1,w2) / c_left(w1) on the corpus's within-doc
+    adjacent pairs, then score every doc's transition surprisal.
+
+    Output: doc_id, n_bigrams, sum_logprob_e6 (sum over the doc's
+    transitions of round(log10(c(w1,w2)/c_left(w1)) * 1e6)); per-
+    transition weights are integer-quantized BEFORE the per-doc sum so
+    the sum is exact int64 and the DuckDB twin hash-matches regardless
+    of summation order. Docs with < 2 tokens drop (no transition).
+
+    Physical plan mirrors the unigram stage: map-side bigram combine ->
+    bigram-vocab-bounded ``groupby(w1,w2).sum`` (left totals derive
+    from the same table — no second aggregation) -> ONE broadcast of
+    (term vocab, int64 bigram key id1*V+id2, weight) -> shuffle-free
+    scoring pass (two ``index_in`` + one add.reduceat per batch). At
+    100-TB scale the bigram table needs a count floor / top-K cap with
+    a backoff weight (standard LM pruning); here it is corpus-bounded.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(
+            lambda t: bigram_counts_partial(t, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+    bi = pa.concat_tables(ray.get(counts.to_arrow_refs())).combine_chunks()
+    c = bi["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # term vocabulary = every word participating in any bigram
+    vocab = pc.unique(
+        pa.chunked_array([bi["w1"].combine_chunks(), bi["w2"].combine_chunks()])
+    )
+    V = np.int64(len(vocab))
+    i1 = pc.index_in(bi["w1"], value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    i2 = pc.index_in(bi["w2"], value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    left = np.zeros(int(V), np.int64)
+    np.add.at(left, i1, c)
+    w6 = np.rint(
+        np.log10(c.astype(np.float64) / left[i1].astype(np.float64)) * 1e6
+    ).astype(np.int64)
+    keys = i1 * V + i2
+    order = np.argsort(keys, kind="stable")
+    model_ref = ray.put((vocab, keys[order], w6[order], int(V)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens_batch
+
+        vocab, keys, w6, V = ray.get(model_ref)
+        flat, parents, n_docs = flat_tokens_batch(batch[text_col])
+        out_n = np.zeros(n_docs, np.int64)
+        out_s = np.zeros(n_docs, np.int64)
+        if len(flat) >= 2:
+            idx = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            same = parents[1:] == parents[:-1]
+            a, b = idx[:-1][same], idx[1:][same]
+            par = parents[:-1][same]
+            k = a * np.int64(V) + b
+            pos = np.searchsorted(keys, k)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            hit = (keys[pos] == k) & (a >= 0) & (b >= 0)
+            # trained on this corpus: every transition is in the model;
+            # an OOV transition (foreign scoring input) scores as the
+            # rarest class c=1 against its left count, approximated by
+            # log10(1/total transitions)
+            oov = np.int64(np.rint(np.log10(1.0 / float(max(1, c.sum()))) * 1e6))
+            w_tr = np.where(hit, w6[pos], oov)
+            out_n = np.bincount(par, minlength=n_docs).astype(np.int64)
+            if par.size:
+                starts = np.flatnonzero(np.diff(par, prepend=-1))
+                present = par[starts]
+                out_s[present] = np.add.reduceat(w_tr, starts)
+        keep = out_n > 0
+        return pa.table(
+            {
+                id_col: pc.array_filter(batch[id_col], pa.array(keep)),
+                "n_bigrams": pa.array(out_n[keep]),
+                "sum_logprob_e6": pa.array(out_s[keep]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction — the standard pre-training scrub pass
 # (emails, phone numbers, IPv4 addresses), RE2-only patterns so the
