@@ -159,6 +159,84 @@ def _cached_pos_index(sf_dir: str):
     return SearchIndex.load(out_dir)
 
 
+def _cached_scatter_dirs(sf_dir: str, n_ranges: int = 2) -> list[str]:
+    """Doc-range-sharded index fixture (cached per corpus size): ONE
+    global exact-dedup pass over the pages corpus (the flagship winner
+    rule — keep first (warc_ts, url) per identical html, the
+    reference's contentSeen SHA-1 semantics), split the winners by
+    doc_id range, and build one full index per range. Pre-deduping
+    globally is what makes per-range builds sum to the monolithic
+    index (each range build's internal dedup is then a no-op), so
+    scatter-gather scoring with global stats is bit-identical."""
+    import shutil
+
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64_array,
+        sha1_hex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        bucket_mix,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+        hash_map_groups,
+    )
+
+    pages = pages_for_sf_dir(sf_dir)
+    root = "/tmp/wse_scatter_" + os.path.basename(pages).replace(".parquet", "")
+    dirs = [os.path.join(root, f"idx_r{r}") for r in range(n_ranges)]
+    if all(os.path.exists(os.path.join(d, "meta.json")) for d in dirs):
+        return dirs
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    range_width = ((1 << 63) + n_ranges - 1) // n_ranges
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        sha = pa.array([sha1_hex(h) for h in t["html"].to_pylist()], pa.string())
+        sha_h = hash64_array(s for s in sha.to_pylist())
+        doc = hash64_array(u for u in t["url"].to_pylist())
+        return (
+            t.append_column("__sha", sha)
+            .append_column("__bucket", pa.array(bucket_mix(sha_h, 64)))
+            .append_column("__range", pa.array((doc // range_width).astype(np.int64)))
+        )
+
+    def winners(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("__sha", "ascending"),
+                ("warc_ts", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        s = g.take(idx)
+        codes = (
+            s["__sha"].combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        first = np.ones(len(codes), bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return s.filter(pa.array(first)).drop_columns(["__sha", "__bucket"])
+
+    ds = rd.read_parquet(pages)
+    win = hash_map_groups(
+        ds.map_batches(add_keys, batch_format="pyarrow"), "__bucket", winners
+    )
+    win_dir = os.path.join(root, "winners")
+    win.write_parquet(win_dir, partition_cols=["__range"])
+    for r, d in enumerate(dirs):
+        build_index(os.path.join(win_dir, f"__range={r}"), d, num_partitions=4)
+    return dirs
+
+
 def _search_table(sf_dir: str, scorer: str) -> pa.Table:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
         reference_queries,
@@ -1683,6 +1761,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(mk, "term", "c", threshold_fraction=0.005)
 
+    def q_search_scatter(sf_dir: str) -> pa.Table:
+        # DOC-RANGE-sharded serving (the 100-TB layout): global exact
+        # dedup -> split winners by doc_id range -> one full index per
+        # range -> per-query global stats (sum N/total_len/df) pushed
+        # to every shard -> each shard scores its own docs completely
+        # -> exact cross-shard top-k merge. Bit-identical to the
+        # monolithic index (same flagship oracle).
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+            SearchIndex,
+            scatter_gather_topk,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        shard_dirs = _cached_scatter_dirs(sf_dir, n_ranges=2)
+        shards = [SearchIndex.load(d) for d in shard_dirs]
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            ranked = scatter_gather_topk(shards, q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_parallel(sf_dir: str):
         # serving-tier query parallelism as a Ray Data stage: the query
         # set is a Dataset; an ACTOR POOL evaluates it, each actor
@@ -1853,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_title": q_search_title,
         "search_prf_expand": q_search_prf,
         "search_bm25_parallel": q_search_parallel,
+        "search_bm25_scatter": q_search_scatter,
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
@@ -3615,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
+        "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
         "embedding_near_dups": _near_dups_oracle_sql(),

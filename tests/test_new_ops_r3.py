@@ -268,3 +268,61 @@ def test_bigram_loglik_hand_check_and_invariance():
     a = _sorted(bigram_loglik(ds), ["doc_id"])
     b = _sorted(bigram_loglik(ds.repartition(7)), ["doc_id"])
     assert a["sum_logprob_e6"].tolist() == b["sum_logprob_e6"].tolist()
+
+
+def test_scatter_gather_bit_identical_to_monolithic(tmp_path):
+    import os
+    import pyarrow.parquet as pq_
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+        sha1_hex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+        scatter_gather_topk,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+        reference_queries,
+    )
+
+    pp = pages_parquet(400)
+    tbl = pq_.read_table(pp)
+    # global dedup winners (keep first (warc_ts, url) per html)
+    seen, keep = {}, []
+    rows = sorted(
+        range(tbl.num_rows),
+        key=lambda i: (tbl["warc_ts"][i].as_py(), tbl["url"][i].as_py()),
+    )
+    for i in rows:
+        h = sha1_hex(tbl["html"][i].as_py())
+        if h not in seen:
+            seen[h] = i
+            keep.append(i)
+    win = tbl.take(pa.array(sorted(keep)))
+    # monolithic index over the winners
+    mono_dir = str(tmp_path / "mono")
+    wp = str(tmp_path / "win.parquet")
+    pq_.write_table(win, wp)
+    build_index(wp, mono_dir, num_partitions=2)
+    mono = SearchIndex.load(mono_dir)
+    # 3-way doc-range split of the same winners
+    n_ranges = 3
+    width = ((1 << 63) + n_ranges - 1) // n_ranges
+    shards = []
+    for r in range(n_ranges):
+        mask = pa.array(
+            [hash64(u) // width == r for u in win["url"].to_pylist()]
+        )
+        part = win.filter(mask)
+        p = str(tmp_path / f"part{r}.parquet")
+        pq_.write_table(part, p)
+        d = str(tmp_path / f"idx{r}")
+        build_index(p, d, num_partitions=2)
+        shards.append(SearchIndex.load(d))
+    assert sum(s.N for s in shards) == mono.N
+    for _, q in list(reference_queries())[:12]:
+        assert scatter_gather_topk(shards, q, k=10) == mono.bm25_topk_exhaustive(q, k=10)

@@ -249,6 +249,44 @@ class SearchIndex:
         np.add.at(acc, inv, scores)
         return _topk(uniq, acc, k)
 
+    def bm25_topk_global(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        n_global: int,
+        avgdl_global: float,
+        df_global: dict[str, int],
+    ) -> list[tuple[int, float]]:
+        """Exhaustive BM25 over THIS shard's postings with GLOBAL
+        corpus statistics — the doc-range-sharded serving building
+        block (each shard holds a disjoint doc range, so every doc's
+        score is complete on its own shard and a cross-shard top-k
+        merge is exact). Bit-identical to the single-index scorer:
+        same term iteration order (locally absent terms skip without
+        disturbing a doc's summation order), same float kernels.
+        """
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
+        if not q_terms:
+            return []
+        k1, b = self.k1, self.b
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            df = df_global.get(t, p.df)
+            idf = math.log(1.0 + (n_global - df + 0.5) / (df + 0.5))
+            tfs = p.tfs.astype(np.float64)
+            dls = p.dls.astype(np.float64)
+            part = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl_global))
+            all_ids.append(p.ids)
+            all_scores.append(idf * part)
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        return _topk(uniq, acc, k)
+
     def bm25_weighted_topk(
         self, weighted_terms: list[tuple[str, float]], k: int = 10
     ) -> list[tuple[int, float]]:
@@ -779,3 +817,36 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]
         return []
     order = np.lexsort((ids, -scores))[:k]
     return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def scatter_gather_topk(
+    shards: list[SearchIndex], query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Doc-range-sharded BM25 top-k — the 100-TB serving layout: each
+    shard holds a DISJOINT doc range (vs the term-sharded storage
+    layout of the build), global (N, total_len, per-term df) statistics
+    are summed once per query and pushed to every shard, each shard
+    scores its own docs completely, and the k best merge exactly
+    because no doc's score is split across shards. Results are
+    bit-identical to one monolithic index over the union (tests assert
+    it). The reference never distributes its searcher (one Searcher
+    per node over the full KVS, ``Searcher.java:29-57``); this is the
+    layout it would need at web scale."""
+    n_global = sum(s.N for s in shards)
+    total_len = sum(int(s.meta["total_len"]) for s in shards)
+    avgdl = (total_len / n_global) if n_global else 1.0
+    terms = set(tokenize_query(query))
+    df: dict[str, int] = {}
+    for t in terms:
+        d = sum(s.postings(t).df for s in shards if s.has_term(t))
+        if d:
+            df[t] = d
+    cands: list[tuple[int, float]] = []
+    for s in shards:
+        cands.extend(
+            s.bm25_topk_global(
+                query, k, n_global=n_global, avgdl_global=avgdl, df_global=df
+            )
+        )
+    cands.sort(key=lambda p: (-p[1], p[0]))
+    return cands[:k]
