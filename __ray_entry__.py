@@ -1936,6 +1936,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_loglik(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_phash_dups(sf_dir: str):
+        # image near-dup pairs by perceptual hash: pHash actor pool +
+        # the generic pigeonhole banding (stages/multimodal.py:
+        # phash_near_dups); deterministic synthetic corpus with planted
+        # +-2-noise near-duplicate variants
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            phash_near_dups,
+            synth_images_neardup,
+        )
+
+        import ray.data as rd
+
+        media = rd.from_arrow(
+            synth_images_neardup(200).select(["media_id", "payload"])
+        )
+        pairs = phash_near_dups(media, max_hamming=3)
+        return pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "media_a": t["doc_a"],
+                    "media_b": t["doc_b"],
+                    "hamming": t["hamming"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_kmeans(sf_dir: str):
         # exact-integer Lloyd k-means (micro-quantized coords, int64
         # distances, floor-div centroid updates) — every iteration
@@ -2044,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_phash_dups": q_phash_dups,
     }
 
 
@@ -2940,6 +2968,34 @@ def _prf_oracle_sql() -> str:
     """
 
 
+def _phash_dups_oracle_sql() -> str:
+    """Sketch-oracle for ``media_phash_dups`` (the MinHash/SimHash
+    containment-oracle pattern): per-image pHashes computed by the pure
+    function are embedded as VALUES and SQL re-derives every pair with
+    popcount(xor) <= 3 — banding completeness is implied by pigeonhole
+    (max_hamming 3 < 4 chunks), so the band plumbing needs no replay."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_bmp,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        phash64,
+        synth_images_neardup,
+    )
+
+    t = synth_images_neardup(200)
+    rows = ", ".join(
+        f"({i}, {phash64(decode_bmp(p))})"
+        for i, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist())
+    )
+    return f"""
+    WITH ph(media_id, phash) AS (VALUES {rows})
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """Full SQL replay of ``stages/ann.py:kmeans_assign`` — the
     pagerank-style unrolled-CTE iteration: micro-quantize (the
@@ -3722,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
+        "media_phash_dups": _phash_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),

@@ -326,3 +326,34 @@ def test_scatter_gather_bit_identical_to_monolithic(tmp_path):
     assert sum(s.N for s in shards) == mono.N
     for _, q in list(reference_queries())[:12]:
         assert scatter_gather_topk(shards, q, k=10) == mono.bm25_topk_exhaustive(q, k=10)
+
+
+def test_phash_near_dups_captures_planted_variants():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_bmp,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        phash64,
+        phash_near_dups,
+        synth_images_neardup,
+    )
+
+    t = synth_images_neardup(120)
+    base = t["base_id"].to_numpy(zero_copy_only=False)
+    truth = {(int(min(b, i)), int(max(b, i))) for i, b in enumerate(base) if b >= 0}
+    assert truth, "corpus must contain planted near-dups"
+    got = phash_near_dups(
+        rd.from_arrow(t.select(["media_id", "payload"])), max_hamming=3
+    ).to_pandas()
+    gset = {(int(r.doc_a), int(r.doc_b)) for r in got.itertuples()}
+    # every planted +-2-noise variant lands within 3 bits of its base
+    assert truth <= gset
+    # brute-force popcount parity
+    ph = np.array(
+        [phash64(decode_bmp(p)) for p in t["payload"].to_pylist()], np.int64
+    ).view(np.uint64)
+    x = ph[:, None] ^ ph[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(ph), len(ph), 8), axis=2).sum(axis=2)
+    iu, ju = np.triu_indices(len(ph), 1)
+    exp = {(int(a), int(b)) for a, b in zip(iu, ju) if ham[a, b] <= 3}
+    assert gset == exp

@@ -495,13 +495,38 @@ def simhash_pairs(
     Requires max_hamming < num_chunks for completeness (asserted).
     Output: doc_a, doc_b, hamming.
     """
-    assert max_hamming < num_chunks, "pigeonhole completeness needs max_hamming < num_chunks"
     hashes = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=concurrency or 4,
     )
+    return hamming_band_pairs(
+        hashes,
+        hash_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        num_chunks=num_chunks,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_band_pairs(
+    hashes: rd.Dataset,
+    *,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    max_bucket: int = 256,
+) -> rd.Dataset:
+    """Generic 64-bit-sketch near-dup pair generation by pigeonhole
+    banding (the SimHash candidate machinery, factored out so OTHER
+    64-bit perceptual sketches — e.g. image pHash — reuse it): with
+    ``num_chunks`` chunks any pair within hamming < num_chunks shares a
+    chunk; bucket by (chunk_idx, chunk_value), popcount-verify exact
+    hamming inside bounded buckets. Output: doc_a, doc_b, hamming."""
+    assert max_hamming < num_chunks, "pigeonhole completeness needs max_hamming < num_chunks"
 
     width = 64 // num_chunks
     cmask = np.uint64((1 << width) - 1)
@@ -510,7 +535,7 @@ def simhash_pairs(
     def explode_chunks(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
         sims = (
-            batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         )
         keys = np.empty((nb, num_chunks), dtype=np.int64)
         for c in range(num_chunks):
@@ -523,8 +548,8 @@ def simhash_pairs(
             {
                 "bucket": pa.array(bucket.astype(np.int64)),
                 "band_key": pa.array(keys.ravel()),
-                "doc_id": batch["doc_id"].take(rep),
-                "simhash": batch["simhash"].take(rep),
+                "doc_id": batch[id_col].take(rep),
+                "sketch": batch[hash_col].take(rep),
             }
         )
 
@@ -546,7 +571,7 @@ def simhash_pairs(
         if starts.size == 0:
             return empty_ham
         sims = (
-            group["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            group["sketch"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         )[order]
         out_a, out_b, out_h = [], [], []
         for run_len in np.unique(capped):

@@ -287,3 +287,128 @@ def synth_media_frame_truth(n: int, seed: int = 42) -> pa.Table:
             "frame_sha1": pa.array([r["frame_sha1"] for r in truth], pa.string()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image near-dup (pHash: 32x32 grayscale -> DCT-II ->
+# low-frequency 8x8 block -> median threshold -> 64-bit sketch)
+# --------------------------------------------------------------------------
+
+
+def synth_images_neardup(n: int, seed: int = 43) -> pa.Table:
+    """Deterministic image corpus with NEAR-duplicate variants: ~15% of
+    rows re-encode an earlier base image with +-2 pixel noise and a
+    small brightness shift — byte-different payloads (exact dedup
+    misses them) whose low-frequency spectra, and therefore pHashes,
+    stay within a few bits of the base. ``base_id`` carries the ground
+    truth (-1 for originals). Pure function of (n, seed)."""
+    from ..functions.media_codecs import encode_bmp
+
+    rng = np.random.default_rng(seed)
+    payloads: list[bytes] = []
+    base_ids = np.full(n, -1, np.int64)
+    pixels: list[np.ndarray] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.15:
+            j = int(rng.integers(0, i))
+            base = pixels[j].astype(np.int64)
+            noise = rng.integers(-2, 3, size=base.shape)
+            shift = int(rng.integers(-3, 4))
+            img = np.clip(base + noise + shift, 0, 255).astype(np.uint8)
+            base_ids[i] = j
+        else:
+            w = int(rng.integers(48, 96))
+            h = int(rng.integers(48, 96))
+            img = _synth_image(rng, w, h)
+        pixels.append(img)
+        payloads.append(encode_bmp(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "base_id": pa.array(base_ids),
+        }
+    )
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type II, norm='ortho') as a dense
+    float64 matrix — applied as two matmuls per image."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def phash64(rgb: np.ndarray, *, grid: int = 32, block: int = 8) -> int:
+    """Classic pHash of an RGB uint8 array: grayscale (integer channel
+    mean), block-mean resize to grid x grid, 2-D DCT-II, keep the
+    low-frequency block x block corner, threshold every coefficient
+    except DC against the MEDIAN of the rest. Returns a 64-bit sketch
+    as signed int64 (bit i = coefficient i in row-major order; DC bit
+    0). Small pixel noise moves high frequencies, not the low block —
+    near-identical images land within a few bits."""
+    g = rgb.astype(np.int64).sum(axis=2) // 3
+    h, w = g.shape
+    # block-mean resize: pixel (r, c) -> cell (r*grid//h, c*grid//w)
+    ri = (np.arange(h, dtype=np.int64) * grid) // h
+    ci = (np.arange(w, dtype=np.int64) * grid) // w
+    cell = ri[:, None] * grid + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=g.ravel(), minlength=grid * grid)
+    cnts = np.bincount(cell.ravel(), minlength=grid * grid)
+    small = (sums / np.maximum(cnts, 1)).reshape(grid, grid)
+    d = _dct_matrix(grid)
+    freq = d @ small @ d.T
+    low = freq[:block, :block].ravel()
+    med = np.median(low[1:])
+    bits = np.zeros(block * block, np.uint64)
+    bits[1:] = (low[1:] > med).astype(np.uint64)
+    v = np.uint64(0)
+    for i in range(block * block):
+        v |= bits[i] << np.uint64(i)
+    return int(v.view(np.int64) if hasattr(v, "view") else v)
+
+
+class PHashStage:
+    """Actor-pool stage: BMP payload -> (media_id, phash). The DCT
+    basis matrix is built ONCE per actor in ``__init__``; per batch the
+    decode + hash loop is per-IMAGE C-speed numpy (images are the batch
+    unit, like model inference)."""
+
+    def __init__(self, *, grid: int = 32, block: int = 8):
+        self.grid = grid
+        self.block = block
+        self._dct = _dct_matrix(grid)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media_codecs import decode_bmp
+
+        out = np.empty(batch.num_rows, np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            out[i] = phash64(decode_bmp(p), grid=self.grid, block=self.block)
+        return pa.table({"media_id": batch["media_id"], "phash": pa.array(out)})
+
+
+def phash_near_dups(
+    media, *, max_hamming: int = 3, num_chunks: int = 4, concurrency: int | None = None
+):
+    """Image near-dup pairs by perceptual hash: PHashStage actor pool
+    -> the generic 64-bit pigeonhole banding + popcount verify
+    (``stages/dedup.hamming_band_pairs`` — the SimHash machinery reused
+    on a visual sketch). Output: doc_a, doc_b, hamming."""
+    from .dedup import hamming_band_pairs
+
+    hashes = media.map_batches(
+        PHashStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency or 4,
+    )
+    return hamming_band_pairs(
+        hashes,
+        hash_col="phash",
+        id_col="media_id",
+        max_hamming=max_hamming,
+        num_chunks=num_chunks,
+    )
