@@ -1963,6 +1963,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_winsorized(sf_dir: str):
+        # per-type winsorized (p5/p95-clipped) value aggregate — exact
+        # int64 end-to-end (stages/ops.py:winsorized_sum)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            winsorized_sum,
+        )
+
+        return winsorized_sum(
+            lambda: _tbl(sf_dir, "events", ["event_type", "value"]),
+            "event_type",
+            "value",
+        )
+
     def q_kmeans(sf_dir: str):
         # exact-integer Lloyd k-means (micro-quantized coords, int64
         # distances, floor-div centroid updates) — every iteration
@@ -2059,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_moving_avg": q_moving_avg,
         "rel_rollup": q_rollup,
         "rel_quantiles": q_quantiles,
+        "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
@@ -3969,6 +3983,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
             FROM events GROUP BY event_type
+        """,
+        # winsorized aggregate: same quantize + quantile_disc rules as
+        # rel_quantiles, clip with least/greatest, exact int64 sum
+        "rel_winsorized_agg": """
+            WITH b AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(v, 0.05) AS lo,
+                         quantile_disc(v, 0.95) AS hi
+                  FROM b GROUP BY event_type)
+            SELECT event_type, CAST(lo AS BIGINT) AS p5_e2,
+                   CAST(hi AS BIGINT) AS p95_e2,
+                   count(*) AS n_rows,
+                   CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS sum_clipped_e2
+            FROM b JOIN q USING (event_type) GROUP BY event_type, lo, hi
         """,
         # as-of tie rule stated on both sides: a view at the identical
         # timestamp matches iff its event_id is smaller (event_id is

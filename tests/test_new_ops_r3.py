@@ -357,3 +357,36 @@ def test_phash_near_dups_captures_planted_variants():
     iu, ju = np.triu_indices(len(ph), 1)
     exp = {(int(a), int(b)) for a, b in zip(iu, ju) if ham[a, b] <= 3}
     assert gset == exp
+
+
+def test_winsorized_sum_vs_duckdb(con):
+    import duckdb as _dd
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        winsorized_sum,
+    )
+
+    c = _dd.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    got = _sorted(
+        winsorized_sum(
+            lambda: rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"]),
+            "event_type",
+            "value",
+        ),
+        ["event_type"],
+    )
+    exp = _sorted(
+        c.sql(
+            """
+        WITH b AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        q AS (SELECT event_type, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+              FROM b GROUP BY event_type)
+        SELECT event_type, CAST(lo AS BIGINT) AS p5_e2, CAST(hi AS BIGINT) AS p95_e2,
+               count(*) AS n_rows, CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS sum_clipped_e2
+        FROM b JOIN q USING (event_type) GROUP BY event_type, lo, hi
+        """
+        ).df(),
+        ["event_type"],
+    )
+    for col in ("event_type", "p5_e2", "p95_e2", "n_rows", "sum_clipped_e2"):
+        assert got[col].tolist() == exp[col].astype(got[col].dtype if col != "event_type" else object).tolist(), col

@@ -1122,3 +1122,80 @@ def heavy_hitters(
         .aggregate(Sum("__c", alias_name="cf"))
         .filter(expr=f"cf >= {int(threshold)}")
     )
+
+
+def winsorized_sum(
+    ds_factory: Callable[[], rd.Dataset],
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    scale: int = 100,
+) -> rd.Dataset:
+    """Per-group WINSORIZED aggregate — the robust-statistics clip that
+    keeps a corrupted tail (scraper glitches, bot bursts) from owning a
+    mean: exact per-group [lo, hi] discrete quantiles via the
+    distributed-histogram kernel (``grouped_quantiles`` — histogram
+    rows shuffle, never data rows), the tiny per-group clip bounds
+    broadcast ONCE via ``ray.put``, then one streaming clip + partial
+    sum pass. All arithmetic on quantized int64 (sum_clipped is exact;
+    divide client-side for the mean). Output: group, p-lo, p-hi,
+    n_rows, sum_clipped_e<k>.
+
+    ``ds_factory`` builds the input Dataset (called twice: once for the
+    quantile pass, once for the clip pass — the standard two-pass
+    robust aggregate; cache upstream if the scan is expensive)."""
+    exp = len(str(scale)) - 1
+    pnames = [f"p{q * 100:g}_e{exp}".replace(".", "_") for q in (lo, hi)]
+    bounds = grouped_quantiles(
+        ds_factory(), group_col, value_col, qs=(lo, hi), scale=scale
+    ).take_all()
+    btab = pa.table(
+        {
+            group_col: pa.array([r[group_col] for r in bounds]),
+            "__lo": pa.array([r[pnames[0]] for r in bounds], pa.int64()),
+            "__hi": pa.array([r[pnames[1]] for r in bounds], pa.int64()),
+        }
+    )
+    bref = ray.put(btab)
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t[group_col], value_set=b[group_col].combine_chunks())
+        iv = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_v = b["__lo"].to_numpy(zero_copy_only=False)[iv]
+        hi_v = b["__hi"].to_numpy(zero_copy_only=False)[iv]
+        clipped = np.clip(v, lo_v, hi_v)
+        pt = pa.table(
+            {
+                group_col: t[group_col],
+                "__c": pa.array(clipped),
+                "__lo": pa.array(lo_v),
+                "__hi": pa.array(hi_v),
+            }
+        )
+        return (
+            pt.group_by([group_col, "__lo", "__hi"])
+            .aggregate([("__c", "sum"), ([], "count_all")])
+            .rename_columns([group_col, "__lo", "__hi", "__s", "__n"])
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds_factory()
+        .map_batches(clip_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Max("__lo", alias_name=pnames[0]),
+            Max("__hi", alias_name=pnames[1]),
+            Sum("__n", alias_name="n_rows"),
+            Sum("__s", alias_name=f"sum_clipped_e{exp}"),
+        )
+    )
+    return agg
