@@ -2000,6 +2000,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return substring_dedup_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_pack_sequences(sf_dir: str):
+        """Sequence packing (GPT/Megatron-style sample index): canonical
+        tokens + 1 EOS per doc, concatenated in doc_id order, split into
+        fixed 256-token training chunks; one row per (doc, chunk) span.
+        Narrow (id, n) metadata-only prefix-sum — the text never moves
+        (stages/ops.py:pack_sequence_spans)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            pack_sequence_spans,
+        )
+
+        return pack_sequence_spans(
+            _tbl(sf_dir, "documents", ["doc_id", "text"]), seq_len=256
+        )
+
     return {
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
+        "text_pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3761,6 +3776,24 @@ def oracle_sql() -> dict[str, str]:
     FROM toks JOIN w USING (term) GROUP BY doc_id
     """,
         "text_bpe_count": _bpe_count_oracle_sql(),
+        # sequence packing: per-doc token count (+1 EOS), running-sum
+        # global offset in doc_id order, each doc expanded to the chunks
+        # [s/L .. (s+n-1)/L] it intersects via unnest(generate_series)
+        "text_pack_sequences": f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS}) + 1 AS BIGINT) AS n FROM documents),
+    ord AS (SELECT doc_id, n,
+            CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+            FROM t),
+    sp AS (SELECT doc_id, s, n, s // 256 AS c0, (s + n - 1) // 256 AS c1 FROM ord),
+    g AS (SELECT doc_id, s, n,
+                 c0 + unnest(generate_series(0, c1 - c0)) AS chunk_id
+          FROM sp)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(greatest(chunk_id * 256, s) - chunk_id * 256 AS BIGINT) AS chunk_pos,
+           CAST(least((chunk_id + 1) * 256, s + n) - greatest(chunk_id * 256, s) AS BIGINT) AS n_tok
+    FROM g
+    """,
         "media_features": _media_features_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),
         # char-32-gram substring dedup: the SQL twin enumerates every

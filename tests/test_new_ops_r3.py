@@ -390,3 +390,50 @@ def test_winsorized_sum_vs_duckdb(con):
     )
     for col in ("event_type", "p5_e2", "p95_e2", "n_rows", "sum_clipped_e2"):
         assert got[col].tolist() == exp[col].astype(got[col].dtype if col != "event_type" else object).tolist(), col
+
+
+def test_pack_sequence_spans_properties_and_invariance():
+    """Sequence packing: per-doc span totals equal n_tokens + EOS, every
+    chunk except the last is exactly full, spans tile each chunk without
+    gaps, and the map is partitioning-invariant."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        pack_sequence_spans,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = [
+        {"doc_id": int(i), "text": " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(0, 40))))}
+        for i in range(60)
+    ]
+    L = 16
+    out = _sorted(
+        pack_sequence_spans(rd.from_items(docs, override_num_blocks=5), seq_len=L),
+        ["doc_id", "chunk_id"],
+    )
+
+    per_doc = out.groupby("doc_id")["n_tok"].sum()
+    for d in docs:
+        assert per_doc[d["doc_id"]] == len(tokenize(d["text"])) + 1
+
+    per_chunk = out.groupby("chunk_id")["n_tok"].sum()
+    total = int(per_doc.sum())
+    assert sorted(per_chunk.index) == list(range((total + L - 1) // L))
+    assert (per_chunk.iloc[:-1] == L).all()
+    assert per_chunk.iloc[-1] == total - L * (len(per_chunk) - 1)
+
+    # spans tile each chunk contiguously in doc_id order
+    by_chunk = out.sort_values(["chunk_id", "chunk_pos"])
+    for cid, g in by_chunk.groupby("chunk_id"):
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["chunk_pos"] == pos
+            pos += r["n_tok"]
+
+    out2 = _sorted(
+        pack_sequence_spans(rd.from_items(docs, override_num_blocks=13), seq_len=L),
+        ["doc_id", "chunk_id"],
+    )
+    assert out.equals(out2)

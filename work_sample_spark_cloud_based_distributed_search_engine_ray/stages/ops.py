@@ -1199,3 +1199,101 @@ def winsorized_sum(
         )
     )
     return agg
+
+
+def pack_sequence_spans(
+    ds: rd.Dataset,
+    *,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_tokens: int = 1,
+) -> rd.Dataset:
+    """Sequence packing for LLM training-data prep: tokenize every
+    document with the canonical tokenizer, append ``eos_tokens``
+    separator tokens per document, concatenate the streams in ascending
+    ``id_col`` order, and split the concatenation into fixed
+    ``seq_len``-token training chunks. Returns the doc->chunk span map,
+    one row per (document, chunk) intersection:
+
+      ``doc_id``    document key
+      ``chunk_id``  global 0-based chunk index
+      ``chunk_pos`` this span's start offset INSIDE the chunk
+      ``n_tok``     tokens of this doc (incl. its EOS) in this chunk
+
+    A writer holding the span map can assemble every training chunk
+    with one doc-store range fetch per span — the map itself is the
+    shuffle-free scale artifact (what Megatron/GPT-style loaders call
+    the sample index).
+
+    Scale shape: the tokenize-count stage is the vectorized
+    ``tokenize_count_batch`` kernel over ``map_batches`` emitting a
+    narrow (id, n) table (~16 B/doc); the global token offset is the
+    ``zip_with_index`` metadata-only prefix-sum (ONE range sort of the
+    narrow table, per-block token SUMS to the driver — one int64 per
+    block, never rows); span expansion is one vectorized task per
+    block. Nothing materializes the corpus, and the text column never
+    moves through the sort.
+    """
+    from ..functions.tokenize import tokenize_count_batch
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        _terms, _tfs, doc_lens = tokenize_count_batch(t[text_col])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "__n": pa.array(doc_lens + eos_tokens, pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(count_batch, batch_format="pyarrow")
+    sorted_ds = narrow.sort(id_col)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(t):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        if t.num_rows == 0:
+            return 0, None
+        return int(pc.sum(t["__n"]).as_py()), t[id_col][0].as_py()
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    blocks = sorted(
+        ((first, tok, ref) for (tok, first), ref in zip(metas, refs) if tok > 0),
+        key=lambda b: b[0],  # sort ranges are disjoint: first key orders blocks
+    )
+    tok_offsets = np.concatenate(([0], np.cumsum([c for _f, c, _r in blocks])))[:-1]
+
+    @ray.remote
+    def expand(t, off: int):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        n = t["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = off + np.concatenate(([0], np.cumsum(n)))[:-1]
+        e = s + n
+        c0 = s // seq_len
+        spans = (e - 1) // seq_len - c0 + 1
+        rep = np.repeat(np.arange(len(n)), spans)
+        span_starts = np.concatenate(([0], np.cumsum(spans)))[:-1]
+        seq = np.arange(int(spans.sum())) - np.repeat(span_starts, spans)
+        cid = c0[rep] + seq
+        lo = np.maximum(cid * seq_len, s[rep])
+        hi = np.minimum((cid + 1) * seq_len, e[rep])
+        return pa.table(
+            {
+                id_col: pa.array(ids[rep]),
+                "chunk_id": pa.array(cid),
+                "chunk_pos": pa.array(lo - cid * seq_len),
+                "n_tok": pa.array(hi - lo),
+            }
+        )
+
+    new_refs = [
+        expand.remote(ref, int(off)) for (_f, _c, ref), off in zip(blocks, tok_offsets)
+    ]
+    return rd.from_arrow_refs(new_refs)
