@@ -375,6 +375,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_search_collapsed(sf_dir: str) -> pa.Table:
+        """Host-collapsed (site-collapse) BM25 top-10 per reference
+        query: at most ONE result per URL host within the e6 top-50
+        candidate prefix — result diversification the reference's raw
+        ranked list lacks (pipelines/query.py:bm25_topk_collapsed)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores, hosts = [], [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s6, h) in enumerate(idx.bm25_topk_collapsed(q, k=10, per_host=1)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+                hosts.append(h)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
     def q_search_phrase(sf_dir: str) -> pa.Table:
         """Exact phrase top-10 per phrase query: conjunctive candidate
         generation over the inverted index + adjacency verification
@@ -2021,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
+        "search_bm25_collapsed": q_search_collapsed,
         "search_prf_expand": q_search_prf,
         "search_bm25_parallel": q_search_parallel,
         "search_bm25_scatter": q_search_scatter,
@@ -2186,7 +2215,7 @@ def _title_boost_oracle_sql() -> str:
     """
 
 
-def _flagship_oracle_sql(scorer: str) -> str:
+def _flagship_oracle_sql(scorer: str, host_collapse: int | None = None) -> str:
     """DuckDB twin of the FLAGSHIP index-built search queries.
 
     Recomputes the whole engine contract in SQL over the same synthetic
@@ -2239,6 +2268,36 @@ def _flagship_oracle_sql(scorer: str) -> str:
         joins = "FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term, stats"
         having = f"HAVING {score_expr} > 0.3"
 
+    if host_collapse is None:
+        collapse_ctes = ""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
+    else:
+        # site collapse: e6 top-50 candidate prefix -> at most
+        # `host_collapse` rows per URL host in prefix order -> top-10.
+        # The host regex is functions/urls.py:HOST_RE, literally.
+        collapse_ctes = f""",
+    pref AS (SELECT qid, doc_id, score_e6,
+                    row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    hosted AS (SELECT pref.qid, pref.doc_id, pref.score_e6, pref.rn,
+                      lower(regexp_extract(docs.url,
+                            '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host
+               FROM pref JOIN docs USING (doc_id)),
+    coll AS (SELECT qid, doc_id, score_e6, host, rn
+             FROM hosted
+             QUALIFY row_number() OVER (PARTITION BY qid, host ORDER BY rn) <= {host_collapse})"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY rn) - 1 AS BIGINT) AS "rank",
+           doc_id, score_e6, host
+    FROM coll
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rn) <= 10"""
+
     return f"""
     WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
     winners AS MATERIALIZED (
@@ -2249,7 +2308,7 @@ def _flagship_oracle_sql(scorer: str) -> str:
     docs AS (
       SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
                   & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
-             text
+             url, text
       FROM winners),
     toks AS MATERIALIZED (SELECT doc_id, unnest({toks_pages}) AS term FROM docs),
     tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -2267,13 +2326,8 @@ def _flagship_oracle_sql(scorer: str) -> str:
       {having}),
     e6 AS (SELECT qid, doc_id,
                   CAST(round(score * 1000000) AS BIGINT) AS score_e6
-           FROM scores)
-    SELECT qid,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
-                AS BIGINT) AS "rank",
-           doc_id, score_e6
-    FROM e6
-    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+           FROM scores){collapse_ctes}
+    {final_select}
     """
 
 
@@ -3648,6 +3702,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
+        "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
         "search_boolean_and": _boolean_oracle_sql(),

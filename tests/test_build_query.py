@@ -245,3 +245,50 @@ def test_title_boost_matches_bruteforce(built):
         assert got == expect[:10], q
         checked_hits += sum(h for _d, _t, _b, h in got)
     assert checked_hits > 0, "no title hits anywhere — boost never exercised"
+
+
+def test_host_collapsed_topk(built):
+    """Site collapse: at most per_host results per URL host, results and
+    order consistent with the uncollapsed e6 ranking, collapse is a
+    pure filter (every winner appears in the wide ranking at an equal
+    or better uncollapsed rank)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        host_of,
+    )
+
+    _pages, _paths, idx, oracle = built
+    hit = 0
+    for _qid, q in reference_queries():
+        out = idx.bm25_topk_collapsed(q, k=10, per_host=1)
+        if not out:
+            continue
+        hit += 1
+        hosts = [h for _d, _s, h in out]
+        assert len(hosts) == len(set(hosts)), "per_host=1 violated"
+        # scores non-increasing, (score desc, doc_id) order
+        key = [(-s, d) for d, s, _h in out]
+        assert key == sorted(key)
+        # pure filter of the e6 candidate prefix
+        wide = idx.bm25_topk(q, k=80)
+        e6 = sorted(
+            ((int(round(s * 1_000_000)), d) for d, s in wide),
+            key=lambda t: (-t[0], t[1]),
+        )[:50]
+        prefix = [d for _s, d in e6]
+        seen = set()
+        want = []
+        for s6, d in e6:
+            h = host_of(oracle.docs[d]["url"])
+            if h not in seen:
+                seen.add(h)
+                want.append((d, s6, h))
+            if len(want) == 10:
+                break
+        assert out == want
+        assert all(d in prefix for d, _s, _h in out)
+        # per_host=2 is a superset-or-equal head of the per-host quota
+        out2 = idx.bm25_topk_collapsed(q, k=10, per_host=2)
+        from collections import Counter
+
+        assert all(c <= 2 for c in Counter(h for _d, _s, h in out2).values())
+    assert hit >= 10

@@ -160,3 +160,15 @@ def extract_anchor_texts(html: str) -> list[tuple[str, str]]:
         if h:
             out.append((h.group(1), el[el.find(">") + 1 : -4]))
     return out
+
+
+# Site-collapse key. The pattern is replayed LITERALLY in the DuckDB
+# oracle (__ray_entry__: regexp_extract(url, ..., 1)) — keep in sync.
+HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)")
+
+
+def host_of(url: str) -> str:
+    """URL host, lowercased ('' if unparseable) — the result-
+    diversification partition key for host-collapsed top-k."""
+    m = HOST_RE.match(url)
+    return m.group(1).lower() if m else ""

@@ -729,6 +729,44 @@ class SearchIndex:
 
     # ---------------- result assembly ----------------
 
+    def bm25_topk_collapsed(
+        self, query: str, k: int = 10, per_host: int = 1, candidates: int = 50
+    ) -> list[tuple[int, int, str]]:
+        """Host-collapsed (site-collapse) BM25 top-k — result
+        diversification the reference's raw ranked list lacks
+        (``Searcher.java:186-195`` serves every result regardless of
+        host). Deterministic contract, replayed exactly in SQL: the
+        candidate set is the e6-quantized top-``candidates`` prefix
+        ordered by (score_e6 desc, doc_id); winners are the first
+        ``per_host`` rows per URL host in that order, cut to ``k``.
+        Returns [(doc_id, score_e6, host)] in final rank order.
+
+        Candidates are fetched 30-over-wide on float scores so the e6
+        prefix boundary is stable across engines (the `_search_table`
+        convention). Host lookup is ``candidates`` doc-store point
+        reads per query — bounded, not corpus-dependent."""
+        from ..functions.urls import host_of
+
+        ranked = self.bm25_topk(query, k=candidates + 30)
+        e6 = sorted(
+            ((int(round(s * 1_000_000)), d) for d, s in ranked),
+            key=lambda t: (-t[0], t[1]),
+        )[:candidates]
+        if self._docstore is None:
+            self._docstore = DocStore(self._docstore_path)
+        rows = self._docstore.lookup([d for _s, d in e6])
+        out: list[tuple[int, int, str]] = []
+        seen: dict[str, int] = {}
+        for s6, d in e6:
+            h = host_of(rows[d]["url"])
+            c = seen.get(h, 0)
+            if c < per_host:
+                seen[h] = c + 1
+                out.append((d, s6, h))
+                if len(out) >= k:
+                    break
+        return out
+
     def search(self, query: str, k: int = 10) -> list[dict]:
         """Top-k with url/title/body assembled from the doc store
         (output shape mirrors the reference's JSON:
