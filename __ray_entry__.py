@@ -2028,6 +2028,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return substring_dedup_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_more_like_this(sf_dir: str):
+        """'More like this' related-document retrieval: top-5 tf-idf
+        cosine neighbours for each of the 8 lowest-doc_id documents.
+        Exact-int64 weights (tf * per-term idf_e3) make the scores
+        hash-reproducible (stages/textstats.py:more_like_this)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            more_like_this,
+        )
+
+        return more_like_this(
+            _tbl(sf_dir, "documents", ["doc_id", "text"]), n_seeds=8, k=5
+        )
+
     def q_pack_sequences(sf_dir: str):
         """Sequence packing (GPT/Megatron-style sample index): canonical
         tokens + 1 EOS per doc, concatenated in doc_id order, split into
@@ -2077,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_data_prep": q_data_prep,
         "text_bpe_count": q_bpe_count,
         "text_pack_sequences": q_pack_sequences,
+        "text_more_like_this": q_more_like_this,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3831,6 +3845,35 @@ def oracle_sql() -> dict[str, str]:
     FROM toks JOIN w USING (term) GROUP BY doc_id
     """,
         "text_bpe_count": _bpe_count_oracle_sql(),
+        # more-like-this: exact-int64 tf*idf_e3 weights; dot products and
+        # squared norms are integer sums, cosine_e6 is one double op on
+        # exact ints (sqrt of the int product) — same op order both sides
+        "text_more_like_this": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS MATERIALIZED (
+      SELECT doc_id, term,
+             tf * CAST(round(log10(CAST((SELECT n FROM nd) AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+      FROM tf JOIN dfx USING (term)),
+    norm AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+    seeds AS (SELECT doc_id AS seed_id FROM norm ORDER BY doc_id LIMIT 8),
+    sw AS (SELECT seeds.seed_id, w.term, w.w AS ws FROM w JOIN seeds ON w.doc_id = seeds.seed_id),
+    dot AS (SELECT sw.seed_id, w.doc_id, CAST(sum(w.w * sw.ws) AS BIGINT) AS dot
+            FROM w JOIN sw USING (term)
+            WHERE w.doc_id <> sw.seed_id
+            GROUP BY sw.seed_id, w.doc_id
+            HAVING sum(w.w * sw.ws) <> 0),
+    cos AS (SELECT seed_id, dot.doc_id,
+            CAST(round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cosine_e6
+            FROM dot JOIN norm na ON na.doc_id = dot.seed_id
+                     JOIN norm nb ON nb.doc_id = dot.doc_id)
+    SELECT seed_id, doc_id, cosine_e6 FROM cos
+    QUALIFY row_number() OVER (PARTITION BY seed_id ORDER BY cosine_e6 DESC, doc_id) <= 5
+    """,
         # sequence packing: per-doc token count (+1 EOS), running-sum
         # global offset in doc_id order, each doc expanded to the chunks
         # [s/L .. (s+n-1)/L] it intersects via unnest(generate_series)

@@ -296,3 +296,54 @@ def test_keyword_extract_matches_reference():
     for r in out.itertuples():
         got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf_e6))
     assert got == expect
+
+
+def test_more_like_this_matches_duckdb_and_invariant():
+    """Related-doc retrieval: exact-int64 tf*idf_e3 cosine vs the DuckDB
+    twin, and partitioning invariance of the full result."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        more_like_this,
+    )
+
+    sql = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM read_parquet('{DOCS}')),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT doc_id, term,
+             tf * CAST(round(log10(CAST((SELECT n FROM nd) AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+          FROM tf JOIN dfx USING (term)),
+    norm AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+    seeds AS (SELECT doc_id AS seed_id FROM norm ORDER BY doc_id LIMIT 4),
+    sw AS (SELECT seeds.seed_id, w.term, w.w AS ws FROM w JOIN seeds ON w.doc_id = seeds.seed_id),
+    dot AS (SELECT sw.seed_id, w.doc_id, CAST(sum(w.w * sw.ws) AS BIGINT) AS dot
+            FROM w JOIN sw USING (term)
+            WHERE w.doc_id <> sw.seed_id
+            GROUP BY sw.seed_id, w.doc_id HAVING sum(w.w * sw.ws) <> 0),
+    cos AS (SELECT seed_id, dot.doc_id,
+            CAST(round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cosine_e6
+            FROM dot JOIN norm na ON na.doc_id = dot.seed_id
+                     JOIN norm nb ON nb.doc_id = dot.doc_id)
+    SELECT seed_id, doc_id, cosine_e6 FROM cos
+    QUALIFY row_number() OVER (PARTITION BY seed_id ORDER BY cosine_e6 DESC, doc_id) <= 3
+    ORDER BY seed_id, cosine_e6 DESC, doc_id
+    """
+    want = duckdb.sql(sql).df()
+
+    def run(blocks):
+        ds = rd.read_parquet(DOCS, columns=["doc_id", "text"], override_num_blocks=blocks)
+        return (
+            more_like_this(ds, n_seeds=4, k=3)
+            .to_pandas()
+            .sort_values(["seed_id", "cosine_e6", "doc_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+
+    got = run(3)
+    assert len(got) == len(want) > 0
+    assert (got["seed_id"].to_numpy() == want["seed_id"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["cosine_e6"].to_numpy() == want["cosine_e6"].to_numpy()).all()
+    assert got.equals(run(7))

@@ -786,3 +786,157 @@ def keyword_extract(docs, *, k: int = 3, text_col: str = "text", id_col: str = "
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def more_like_this(
+    docs,
+    *,
+    n_seeds: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Related-document retrieval ("more like this"): for each of the
+    ``n_seeds`` lowest-``id_col`` documents, the top-``k`` most similar
+    other documents by tf-idf cosine. The classic search-engine
+    "similar pages" feature the reference's raw ranked serving lacks.
+
+    Arithmetic contract (what makes the DuckDB twin hash-match): term
+    weight w = tf * idf_e3 with idf_e3 = round(log10(N/df) * 1e3)
+    quantized PER TERM — every dot product and squared norm is an exact
+    int64 sum (overflow envelope: |w| <= tf_max * 12e3, safe while
+    sum(tf^2) * 1.5e8 < 2^63, i.e. any realistic document), and
+    cosine_e6 = round(dot / sqrt(n2_seed * n2_doc) * 1e6) is one
+    deterministic double op on exact ints. Ties (cosine_e6 desc,
+    doc_id asc).
+
+    Physical plan: map-side df combine -> vocab-bounded groupby (the
+    idf table) -> ONE bounded filtered pass collecting the seed rows ->
+    seed vectors broadcast via ``ray.put`` -> shuffle-free scoring pass
+    (each doc's dot against every seed in one np.add.at, its norm in
+    the same kernel — docs never split across batches so per-batch
+    results are exact and final) -> bounded ``topn_per_group`` merge.
+    Nothing shuffles rows proportional to corpus * vocab; the only
+    all-to-all is the (seed, candidate) top-k at <= n_seeds * k rows
+    per block.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenize import flat_tokens_batch
+    from .ops import topn_per_group
+
+    # idf over the whole corpus (same pass keyword_extract uses)
+    agg = (
+        docs.map_batches(
+            lambda t: doc_df_partial(t, text_col=text_col), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+    )
+    vocab_tbl = pa.concat_tables(ray.get(agg.to_arrow_refs())).combine_chunks()
+    df = vocab_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_total = int(vocab_tbl["n_docs"].to_numpy(zero_copy_only=False).sum())
+    idf_e3 = np.rint(
+        np.log10(float(n_total) / df.astype(np.float64)) * 1e3
+    ).astype(np.int64)
+    vocab = vocab_tbl["term"].combine_chunks()
+
+    # seed selection: n_seeds lowest doc_ids WITH at least one token
+    seed_rows = (
+        docs.map_batches(
+            lambda t: _nonempty_prefix(t, text_col, id_col, n_seeds),
+            batch_format="pyarrow",
+        )
+        .sort(id_col)
+        .limit(n_seeds)
+        .take_all()
+    )
+    seed_ids = np.array([r[id_col] for r in seed_rows], np.int64)
+    n_s = len(seed_ids)
+
+    # seed vectors over the seed-term sub-vocabulary
+    sflat, sparents, _ = flat_tokens_batch(pa.array([r[text_col] for r in seed_rows]))
+    scodes = pc.index_in(sflat, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    sub_codes = np.unique(scodes)
+    code_to_sub = {int(c): i for i, c in enumerate(sub_codes)}
+    seed_w = np.zeros((n_s, len(sub_codes)), np.int64)
+    pairs, tfs = np.unique(sparents * len(vocab) + scodes, return_counts=True)
+    seed_w[pairs // len(vocab), [code_to_sub[int(c)] for c in pairs % len(vocab)]] = (
+        tfs.astype(np.int64) * idf_e3[pairs % len(vocab)]
+    )
+    seed_n2 = (seed_w.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53 envelope
+
+    bcast = ray.put((vocab, idf_e3, seed_ids, sub_codes, seed_w))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_b, idf3, sids, subc, sw = ray.get(bcast)
+        empty = pa.table(
+            {
+                "seed_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine_e6": pa.array([], pa.int64()),
+            }
+        )
+        flat, parents, n_rows = flat_tokens_batch(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pc.fill_null(pc.index_in(flat, value_set=vocab_b), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nd = max(len(vocab_b), 1)
+        pairs_b, tf = np.unique(parents * nd + codes, return_counts=True)
+        p_doc = (pairs_b // nd).astype(np.int64)
+        p_code = (pairs_b % nd).astype(np.int64)
+        w = tf.astype(np.int64) * idf3[p_code]
+        n2 = np.zeros(n_rows, np.int64)
+        np.add.at(n2, p_doc, w * w)
+        sub_pos = np.searchsorted(subc, p_code)
+        sub_pos = np.clip(sub_pos, 0, len(subc) - 1)
+        in_sub = subc[sub_pos] == p_code
+        dots = np.zeros((n_rows, sw.shape[0]), np.int64)
+        np.add.at(dots, p_doc[in_sub], w[in_sub, None] * sw[:, sub_pos[in_sub]].T)
+        # candidates: every (doc, seed) with a nonzero dot, minus self
+        di, si = np.nonzero(dots)
+        if di.size == 0:
+            return empty
+        keep = ids[di] != sids[si]
+        di, si = di[keep], si[keep]
+        cos = np.rint(
+            dots[di, si].astype(np.float64)
+            / np.sqrt(n2[di].astype(np.float64) * seed_n2[si])
+            * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "seed_id": pa.array(sids[si]),
+                id_col: pa.array(ids[di]),
+                "cosine_e6": pa.array(cos),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return topn_per_group(
+        scored,
+        "seed_id",
+        k,
+        [("cosine_e6", "descending"), (id_col, "ascending")],
+        num_buckets=max(1, min(16, n_seeds)),
+    )
+
+
+def _nonempty_prefix(t: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
+    """Map-side combine of the seed scan: each block contributes only
+    its n lowest-id rows that tokenize to >= 1 token."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import flat_tokens_batch
+
+    _flat, parents, _n = flat_tokens_batch(t[text_col])
+    nonempty = np.zeros(t.num_rows, bool)
+    nonempty[np.unique(parents)] = True
+    sub = t.select([id_col, text_col]).filter(pa.array(nonempty))
+    idx = pc.sort_indices(sub, sort_keys=[(id_col, "ascending")])[:n]
+    return sub.take(idx)
