@@ -403,6 +403,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_facets(sf_dir: str) -> pa.Table:
+        """Facet counts (URL host + doc language) over the e6 top-50
+        candidate prefix per reference query — the result-refinement
+        sidebar the reference's raw ranked list lacks
+        (``SearchIndex.bm25_facets``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, facets, values, counts = [], [], [], []
+        for qid, q in reference_queries():
+            for facet, value, n in idx.bm25_facets(q, candidates=50):
+                qids.append(qid)
+                facets.append(facet)
+                values.append(value)
+                counts.append(n)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "facet": pa.array(facets, pa.string()),
+                "facet_value": pa.array(values, pa.string()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def q_search_recency(sf_dir: str) -> pa.Table:
+        """Recency-boosted top-10 per reference query: the e6 top-50
+        prefix re-ranked by ``score_e6 + 1000 * epoch_day(warc_ts)`` —
+        integer arithmetic end-to-end
+        (``SearchIndex.bm25_topk_recency``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, boosted = [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, b) in enumerate(idx.bm25_topk_recency(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                boosted.append(b)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "boosted_e6": pa.array(boosted, pa.int64()),
+            }
+        )
+
     def q_search_phrase(sf_dir: str) -> pa.Table:
         """Exact phrase top-10 per phrase query: conjunctive candidate
         generation over the inverted index + adjacency verification
@@ -1070,6 +1122,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         np.rint(t["sum_value_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
                     ),
                 }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_grouped_distinct(sf_dir: str):
+        """Exact count(DISTINCT user_id) per event_type —
+        ``stages/ops.grouped_count_distinct`` (bounded-bucket pair
+        dedup + associative partial-count Sum; no per-key Python)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_count_distinct,
+        )
+
+        return grouped_count_distinct(
+            _tbl(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        ).map_batches(
+            lambda t: pa.table(
+                {"event_type": t["event_type"], "n_users": t["n_distinct"]}
             ),
             batch_format="pyarrow",
         )
@@ -2063,6 +2134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
         "search_bm25_collapsed": q_search_collapsed,
+        "search_facets": q_search_facets,
+        "search_recency_boost": q_search_recency,
         "search_prf_expand": q_search_prf,
         "search_bm25_parallel": q_search_parallel,
         "search_bm25_scatter": q_search_scatter,
@@ -2108,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_intersection": q_intersection,
         "rel_cogroup_counts": q_cogroup,
         "rel_window_hour": q_window_hour,
+        "rel_grouped_distinct": q_grouped_distinct,
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
         "rel_sample": q_sample,
@@ -2229,7 +2303,9 @@ def _title_boost_oracle_sql() -> str:
     """
 
 
-def _flagship_oracle_sql(scorer: str, host_collapse: int | None = None) -> str:
+def _flagship_oracle_sql(
+    scorer: str, host_collapse: int | None = None, variant: str | None = None
+) -> str:
     """DuckDB twin of the FLAGSHIP index-built search queries.
 
     Recomputes the whole engine contract in SQL over the same synthetic
@@ -2282,7 +2358,40 @@ def _flagship_oracle_sql(scorer: str, host_collapse: int | None = None) -> str:
         joins = "FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term, stats"
         having = f"HAVING {score_expr} > 0.3"
 
-    if host_collapse is None:
+    if variant == "facets":
+        # facet counts (URL host + doc language) over the e6 top-50
+        # candidate prefix — SearchIndex.bm25_facets, literally
+        collapse_ctes = """,
+    pref AS (SELECT qid, doc_id FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    joined AS (SELECT pref.qid,
+                      lower(regexp_extract(docs.url,
+                            '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host,
+                      docs.lang
+               FROM pref JOIN docs USING (doc_id))"""
+        final_select = """SELECT qid, 'host' AS facet, host AS facet_value,
+           count(*) AS n_docs FROM joined GROUP BY qid, host
+    UNION ALL
+    SELECT qid, 'lang' AS facet, lang AS facet_value,
+           count(*) AS n_docs FROM joined GROUP BY qid, lang"""
+    elif variant == "recency":
+        # recency re-rank of the e6 top-50 prefix: boosted_e6 =
+        # score_e6 + 1000 * epoch_day(warc_ts) — bm25_topk_recency
+        collapse_ctes = """,
+    pref AS (SELECT qid, doc_id, score_e6 FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    boosted AS (SELECT pref.qid, pref.doc_id,
+                       pref.score_e6
+                       + 1000 * CAST(floor(epoch(docs.warc_ts) / 86400) AS BIGINT)
+                         AS boosted_e6
+                FROM pref JOIN docs USING (doc_id))"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY boosted_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, boosted_e6
+    FROM boosted
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY boosted_e6 DESC, doc_id) <= 10"""
+    elif host_collapse is None:
         collapse_ctes = ""
         final_select = """SELECT qid,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
@@ -2315,14 +2424,14 @@ def _flagship_oracle_sql(scorer: str, host_collapse: int | None = None) -> str:
     return f"""
     WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
     winners AS MATERIALIZED (
-      SELECT url, text FROM (
-        SELECT url, text,
+      SELECT url, text, lang, warc_ts FROM (
+        SELECT url, text, lang, warc_ts,
                row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
         FROM pages) WHERE rn = 1),
     docs AS (
       SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
                   & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
-             url, text
+             url, text, lang, warc_ts
       FROM winners),
     toks AS MATERIALIZED (SELECT doc_id, unnest({toks_pages}) AS term FROM docs),
     tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -3717,6 +3826,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
+        "search_facets": _flagship_oracle_sql("bm25", variant="facets"),
+        "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
         "search_boolean_and": _boolean_oracle_sql(),
@@ -3968,6 +4079,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
             "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "rel_grouped_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "rel_topk_events": (
             "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"

@@ -247,6 +247,57 @@ def test_title_boost_matches_bruteforce(built):
     assert checked_hits > 0, "no title hits anywhere — boost never exercised"
 
 
+def test_facets_and_recency(built):
+    """bm25_facets counts exactly the e6 top-50 prefix's (host, lang)
+    values; bm25_topk_recency is the prefix re-ranked by score_e6 +
+    1000 * epoch_day(warc_ts) — both pure functions of the prefix."""
+    import calendar
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        host_of,
+    )
+
+    pages, _paths, idx, oracle = built
+    pt = pq.read_table(pages, columns=["url", "lang", "warc_ts"])
+    by_url = {
+        u: (l, ts)
+        for u, l, ts in zip(
+            pt["url"].to_pylist(), pt["lang"].to_pylist(), pt["warc_ts"].to_pylist()
+        )
+    }
+    hit = 0
+    for _qid, q in reference_queries():
+        wide = idx.bm25_topk(q, k=80)
+        e6 = sorted(
+            ((int(round(s * 1_000_000)), d) for d, s in wide),
+            key=lambda t: (-t[0], t[1]),
+        )[:50]
+        if not e6:
+            continue
+        hit += 1
+        host_c, lang_c = Counter(), Counter()
+        boosted = []
+        for s6, d in e6:
+            url = oracle.docs[d]["url"]
+            lang, ts = by_url[url]
+            host_c[host_of(url)] += 1
+            lang_c[lang] += 1
+            boosted.append((s6 + 1000 * (calendar.timegm(ts.timetuple()) // 86400), d))
+        want_facets = sorted(
+            [("host", v, n) for v, n in host_c.items()]
+            + [("lang", v, n) for v, n in lang_c.items()]
+        )
+        assert idx.bm25_facets(q, candidates=50) == want_facets
+        assert sum(n for f, _v, n in want_facets if f == "host") == len(e6)
+        boosted.sort(key=lambda t: (-t[0], t[1]))
+        want_rec = [(d, b) for b, d in boosted[:10]]
+        assert idx.bm25_topk_recency(q, k=10) == want_rec
+    assert hit >= 10
+
+
 def test_host_collapsed_topk(built):
     """Site collapse: at most per_host results per URL host, results and
     order consistent with the uncollapsed e6 ranking, collapse is a

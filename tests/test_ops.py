@@ -60,6 +60,33 @@ def test_distinct_on_single_and_multi(con):
     assert got_pairs == want_pairs
 
 
+def test_grouped_count_distinct(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_count_distinct,
+    )
+
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_suppkey"])
+    got = _sorted_pandas(
+        grouped_count_distinct(ds, "l_returnflag", "l_suppkey"), ["l_returnflag"]
+    )
+    want = _sorted_pandas(
+        con.sql(
+            "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).df(),
+        ["l_returnflag"],
+    )
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
+    # partitioning invariance: a different bucket count is a pure
+    # physical knob — identical result
+    got2 = _sorted_pandas(
+        grouped_count_distinct(ds, "l_returnflag", "l_suppkey", num_buckets=7),
+        ["l_returnflag"],
+    )
+    assert got2["n_distinct"].tolist() == want["n_distinct"].tolist()
+
+
 def test_intersection(con):
     early = rd.read_parquet(f"{SF}/orders.parquet").filter(
         lambda r: r["o_orderpriority"] == "1-URGENT"

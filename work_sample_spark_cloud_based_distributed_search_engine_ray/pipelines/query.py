@@ -729,6 +729,80 @@ class SearchIndex:
 
     # ---------------- result assembly ----------------
 
+    def _e6_prefix(self, query: str, candidates: int) -> list[tuple[int, int]]:
+        """The e6-quantized top-``candidates`` candidate prefix
+        [(score_e6, doc_id)] ordered by (score_e6 desc, doc_id) — the
+        shared deterministic contract of the re-ranking family
+        (collapse / facets / recency). Candidates are fetched 30-over-
+        wide on float scores so the e6 prefix boundary is stable across
+        engines (the ``_search_table`` convention)."""
+        ranked = self.bm25_topk(query, k=candidates + 30)
+        return sorted(
+            ((int(round(s * 1_000_000)), d) for d, s in ranked),
+            key=lambda t: (-t[0], t[1]),
+        )[:candidates]
+
+    def _store(self) -> DocStore:
+        if self._docstore is None:
+            self._docstore = DocStore(self._docstore_path)
+        return self._docstore
+
+    def bm25_facets(
+        self, query: str, candidates: int = 50
+    ) -> list[tuple[str, str, int]]:
+        """Facet counts over the e6 top-``candidates`` prefix: for each
+        facet dimension (URL host, doc language) the number of prefix
+        docs carrying each value — the result-page refinement sidebar
+        the reference's raw ranked list (``Searcher.java:186-195``)
+        lacks. Facet lookups are ``candidates`` doc-store point reads
+        per query — bounded, not corpus-dependent. Returns sorted
+        [(facet, facet_value, n_docs)]."""
+        from collections import Counter
+
+        from ..functions.urls import host_of
+
+        e6 = self._e6_prefix(query, candidates)
+        rows = self._store().lookup([d for _s, d in e6])
+        host_c: Counter = Counter()
+        lang_c: Counter = Counter()
+        for _s, d in e6:
+            host_c[host_of(rows[d]["url"])] += 1
+            lang_c[rows[d]["lang"]] += 1
+        out = [("host", v, n) for v, n in host_c.items()]
+        out += [("lang", v, n) for v, n in lang_c.items()]
+        return sorted(out)
+
+    def bm25_topk_recency(
+        self,
+        query: str,
+        k: int = 10,
+        candidates: int = 50,
+        day_boost_e6: int = 1000,
+    ) -> list[tuple[int, int]]:
+        """Recency-boosted top-k: within the e6 top-``candidates``
+        prefix, re-rank by ``score_e6 + day_boost_e6 *
+        epoch_day(warc_ts)`` (newer pages win ties and near-ties; one
+        relevance e6-millionth per ``1/day_boost_e6`` days of age).
+        Integer arithmetic end-to-end, so the contract replays exactly
+        in SQL. ``warc_ts`` is naive-UTC by the pages schema; the epoch
+        day is computed with ``calendar.timegm`` to match DuckDB's
+        ``epoch(timestamp)``. Returns [(doc_id, boosted_e6)]."""
+        import calendar
+
+        e6 = self._e6_prefix(query, candidates)
+        rows = self._store().lookup([d for _s, d in e6])
+        boosted = [
+            (
+                s6
+                + day_boost_e6
+                * (calendar.timegm(rows[d]["warc_ts"].timetuple()) // 86400),
+                d,
+            )
+            for s6, d in e6
+        ]
+        boosted.sort(key=lambda t: (-t[0], t[1]))
+        return [(d, b) for b, d in boosted[:k]]
+
     def bm25_topk_collapsed(
         self, query: str, k: int = 10, per_host: int = 1, candidates: int = 50
     ) -> list[tuple[int, int, str]]:
@@ -747,14 +821,8 @@ class SearchIndex:
         reads per query — bounded, not corpus-dependent."""
         from ..functions.urls import host_of
 
-        ranked = self.bm25_topk(query, k=candidates + 30)
-        e6 = sorted(
-            ((int(round(s * 1_000_000)), d) for d, s in ranked),
-            key=lambda t: (-t[0], t[1]),
-        )[:candidates]
-        if self._docstore is None:
-            self._docstore = DocStore(self._docstore_path)
-        rows = self._docstore.lookup([d for _s, d in e6])
+        e6 = self._e6_prefix(query, candidates)
+        rows = self._store().lookup([d for _s, d in e6])
         out: list[tuple[int, int, str]] = []
         seen: dict[str, int] = {}
         for s6, d in e6:

@@ -235,6 +235,61 @@ def distinct_on(ds: rd.Dataset, cols: list[str], *, num_buckets: int = 64) -> rd
     )
 
 
+def grouped_count_distinct(
+    ds: rd.Dataset, group: str, value: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """Exact ``count(DISTINCT value)`` per group — the COUNT DISTINCT
+    aggregate the reference's string-concat ``foldByKey``
+    (``FlameWorker.java:223-270``) cannot express without materializing
+    every group's value list.
+
+    Physical plan: per-batch local (group, value) dedup (combiner —
+    shrinks the exchange to unique pairs per block), ONE hash shuffle
+    on a BOUNDED bucket of the composite key with a vectorized dedup +
+    per-group partial count per bucket, then an associative ``Sum``
+    groupby over the <= num_buckets x groups partial rows. A (group,
+    value) pair lands in exactly one bucket, so bucket partials are
+    disjoint and the final Sum is exact. No stage groups per
+    data-cardinality key. Output: (group, n_distinct)."""
+    from ray.data.aggregate import Sum
+
+    cols = [group, value]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _bucket_of(_key_expr(batch, cols), num_buckets)
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__bucket"]).group_by(cols).aggregate([])
+        c = t.group_by([group]).aggregate([(value, "count")])
+        return pa.table(
+            {group: c[group], "n_partial": c[f"{value}_count"].cast(pa.int64())}
+        )
+
+    partials = hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {group: batch[group], "n_distinct": batch["n_distinct"].cast(pa.int64())}
+        )
+
+    return (
+        partials.groupby(group)
+        .aggregate(Sum("n_partial", alias_name="n_distinct"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def intersection(
     ds_left: rd.Dataset, ds_right: rd.Dataset, col: str, *, num_buckets: int = 64
 ) -> rd.Dataset:
