@@ -1126,6 +1126,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_quality_percentile(sf_dir: str):
+        """Per-language quality-score decile per document —
+        ``stages/textstats.quality_percentile`` (exact rank()-1 based
+        deciles via a bounded per-(lang, score_e6) histogram)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            quality_percentile,
+        )
+
+        return quality_percentile(
+            _tbl(sf_dir, "documents", ["doc_id", "text", "lang"])
+        )
+
+    def q_grouped_mode(sf_dir: str):
+        """Most frequent event_type per user (MODE aggregate,
+        ties -> smaller value) — ``stages/ops.grouped_mode``."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_mode,
+        )
+
+        return grouped_mode(
+            _tbl(sf_dir, "events", ["user_id", "event_type"]),
+            "user_id",
+            "event_type",
+        )
+
     def q_grouped_distinct(sf_dir: str):
         """Exact count(DISTINCT user_id) per event_type —
         ``stages/ops.grouped_count_distinct`` (bounded-bucket pair
@@ -2182,6 +2207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cogroup_counts": q_cogroup,
         "rel_window_hour": q_window_hour,
         "rel_grouped_distinct": q_grouped_distinct,
+        "rel_grouped_mode": q_grouped_mode,
+        "text_quality_percentile": q_quality_percentile,
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
         "rel_sample": q_sample,
@@ -4084,6 +4111,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
         ),
+        "rel_grouped_mode": (
+            "SELECT user_id, event_type, n_occ FROM ("
+            "  SELECT user_id, event_type, count(*) AS n_occ,"
+            "         row_number() OVER (PARTITION BY user_id"
+            "                            ORDER BY count(*) DESC, event_type) AS rn"
+            "  FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "text_quality_percentile": f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({EN_SQL}, x))) AS en_hits
+          FROM t),
+    s AS (SELECT doc_id, lang,
+                 (1000000 * en_hits) // n_tokens AS score_e6
+          FROM m WHERE n_tokens > 0)
+    SELECT doc_id, lang, score_e6,
+           (10 * (rank() OVER (PARTITION BY lang ORDER BY score_e6) - 1))
+             // count(*) OVER (PARTITION BY lang) AS decile
+    FROM s
+    """,
         "rel_topk_events": (
             "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
         ),

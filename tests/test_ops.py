@@ -87,6 +87,30 @@ def test_grouped_count_distinct(con):
     assert got2["n_distinct"].tolist() == want["n_distinct"].tolist()
 
 
+def test_grouped_mode(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_mode,
+    )
+
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_returnflag"])
+    got = _sorted_pandas(
+        grouped_mode(ds, "l_suppkey", "l_returnflag", num_buckets=9), ["l_suppkey"]
+    )
+    want = _sorted_pandas(
+        con.sql(
+            "SELECT l_suppkey, l_returnflag, n_occ FROM ("
+            "  SELECT l_suppkey, l_returnflag, count(*) AS n_occ,"
+            "         row_number() OVER (PARTITION BY l_suppkey"
+            "                            ORDER BY count(*) DESC, l_returnflag) AS rn"
+            "  FROM lineitem GROUP BY l_suppkey, l_returnflag) WHERE rn = 1"
+        ).df(),
+        ["l_suppkey"],
+    )
+    assert got["l_suppkey"].tolist() == want["l_suppkey"].tolist()
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["n_occ"].tolist() == want["n_occ"].tolist()
+
+
 def test_intersection(con):
     early = rd.read_parquet(f"{SF}/orders.parquet").filter(
         lambda r: r["o_orderpriority"] == "1-URGENT"

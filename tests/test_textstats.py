@@ -347,3 +347,48 @@ def test_more_like_this_matches_duckdb_and_invariant():
     assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
     assert (got["cosine_e6"].to_numpy() == want["cosine_e6"].to_numpy()).all()
     assert got.equals(run(7))
+
+
+def test_quality_percentile_matches_duckdb_and_invariant():
+    """Decile contract: score_e6 = (1e6 * en_hits) // n_tokens, decile =
+    (10 * (rank-1)) // n_lang per language — vs DuckDB window
+    functions; repartitioning must not change any row."""
+    from __ray_entry__ import EN_SQL as en_sql
+    from __ray_entry__ import TOKS as toks
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        quality_percentile,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    want = con.sql(
+        f"""
+        WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+        m AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                     len(list_filter(toks, x -> list_contains({en_sql}, x))) AS en_hits
+              FROM t),
+        s AS (SELECT doc_id, lang, (1000000 * en_hits) // n_tokens AS score_e6
+              FROM m WHERE n_tokens > 0)
+        SELECT doc_id, lang, score_e6,
+               (10 * (rank() OVER (PARTITION BY lang ORDER BY score_e6) - 1))
+                 // count(*) OVER (PARTITION BY lang) AS decile
+        FROM s ORDER BY doc_id
+        """
+    ).df()
+
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang"])
+    got = quality_percentile(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score_e6"].tolist() == want["score_e6"].tolist()
+    assert got["decile"].tolist() == want["decile"].tolist()
+    assert got["decile"].between(0, 9).all()
+
+    got2 = (
+        quality_percentile(ds.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["decile"].tolist() == got["decile"].tolist()
+    assert got2["score_e6"].tolist() == got["score_e6"].tolist()

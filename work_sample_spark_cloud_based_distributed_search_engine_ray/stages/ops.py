@@ -290,6 +290,64 @@ def grouped_count_distinct(
     )
 
 
+def grouped_value_counts(
+    ds: rd.Dataset, group: str, value: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """Exact occurrence count per (group, value) pair: per-batch Arrow
+    ``group_by().count`` partials (map-side combine), ONE bounded-bucket
+    hash shuffle summing them — a pair lands in exactly one bucket, so
+    bucket sums are final. Output: (group, value, n_occ)."""
+    cols = [group, value]
+
+    def local(batch: pa.Table) -> pa.Table:
+        c = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                group: c[group],
+                value: c[value],
+                "n_occ": c["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _bucket_of(_key_expr(batch, cols), num_buckets)
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        a = g.drop_columns(["__bucket"]).group_by(cols).aggregate([("n_occ", "sum")])
+        return pa.table(
+            {group: a[group], value: a[value], "n_occ": a["n_occ_sum"].cast(pa.int64())}
+        )
+
+    return hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow").map_batches(
+            add_bucket, batch_format="pyarrow"
+        ),
+        "__bucket",
+        per_bucket,
+    )
+
+
+def grouped_mode(
+    ds: rd.Dataset, group: str, value: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """Most frequent value per group (the MODE aggregate), deterministic
+    tie-break: higher count wins, then the smaller value. Composition
+    of two bounded-bucket primitives — exact (group, value) occurrence
+    counts (``grouped_value_counts``) then ``topn_per_group(n=1)`` over
+    the counts by (n_occ desc, value asc); no stage groups per
+    data-cardinality key. Output: (group, value, n_occ)."""
+    counts = grouped_value_counts(ds, group, value, num_buckets=num_buckets)
+    return topn_per_group(
+        counts,
+        group,
+        1,
+        [("n_occ", "descending"), (value, "ascending")],
+        num_buckets=num_buckets,
+    )
+
+
 def intersection(
     ds_left: rd.Dataset, ds_right: rd.Dataset, col: str, *, num_buckets: int = 64
 ) -> rd.Dataset:

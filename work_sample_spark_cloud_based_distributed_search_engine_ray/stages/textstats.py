@@ -940,3 +940,123 @@ def _nonempty_prefix(t: pa.Table, text_col: str, id_col: str, n: int) -> pa.Tabl
     sub = t.select([id_col, text_col]).filter(pa.array(nonempty))
     idx = pc.sort_indices(sub, sort_keys=[(id_col, "ascending")])[:n]
     return sub.take(idx)
+
+
+class _QualityScoreStage(TextStatsStage):
+    """TextStatsStage narrowed to the per-language quality-score
+    projection: (doc_id, lang, score_e6) with score_e6 =
+    (1_000_000 * en_stopword_hits) // n_tokens — exact integer, so the
+    downstream decile assignment replays bit-for-bit in SQL. Rows with
+    zero tokens are dropped (no defined score). ``lang`` is the
+    ground-truth column of the input table, passed through aligned
+    (the stats stage emits one row per input row in order)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 lang_col: str = "lang"):
+        super().__init__(text_col=text_col, id_col=id_col)
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats = super().__call__(batch)
+        n_tok = stats["n_tokens"].to_numpy(zero_copy_only=False)
+        en = stats["en_hits"].to_numpy(zero_copy_only=False)
+        score = (1_000_000 * en.astype(np.int64)) // np.maximum(n_tok, 1)
+        t = pa.table(
+            {
+                self.id_col: stats[self.id_col],
+                self.lang_col: batch[self.lang_col],
+                "score_e6": pa.array(score),
+            }
+        )
+        return t.filter(pa.array(n_tok > 0))
+
+
+def quality_percentile(
+    docs, *, concurrency: int = 4, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-language quality-score DECILE assignment — the "filter the
+    bottom X% within each language" primitive of training-data
+    curation (per-language quality buckets, CCNet-style).
+
+    Contract (exact integers end-to-end): score_e6 =
+    (1_000_000 * en_stopword_hits) // n_tokens per doc with >= 1
+    token; within each language, n_smaller = #same-language docs with
+    STRICTLY smaller score (= SQL ``rank() - 1``) and decile =
+    (10 * n_smaller) // n_lang in 0..9.
+
+    Physical plan: the stats actor pool emits a NARROW (doc_id, lang,
+    score_e6) projection, materialized once (~24 B/doc) so the
+    histogram and scoring passes don't recompute the stats stage; the
+    per-(lang, score) histogram combines map-side per batch, one
+    associative groupby sums the partials, and only the CUMULATIVE
+    per-language histogram lives on the driver — bounded by the e6
+    score domain (<= 1e6 + 1 distinct scores per language), NOT by
+    corpus size — broadcast via ``ray.put`` into a final shuffle-free
+    decile pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    narrow = docs.map_batches(
+        _QualityScoreStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    ).materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c = t.group_by(["lang", "score_e6"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": c["lang"],
+                "score_e6": c["score_e6"],
+                "n": c["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist_rows = (
+        narrow.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "score_e6"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cum: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        by_lang.setdefault(r["lang"], []).append((r["score_e6"], r["n"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        scores = np.array([p[0] for p in pairs], dtype=np.int64)
+        counts = np.array([p[1] for p in pairs], dtype=np.int64)
+        # n_smaller of a doc with score s = total count of scores < s
+        smaller = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        cum[lang] = (scores, smaller, int(counts.sum()))
+    cum_ref = ray.put(cum)
+
+    def assign(t: pa.Table) -> pa.Table:
+        table = ray.get(cum_ref)
+        langs = t["lang"].to_pylist()
+        scores = t["score_e6"].to_numpy(zero_copy_only=False)
+        n_smaller = np.empty(t.num_rows, dtype=np.int64)
+        n_lang = np.empty(t.num_rows, dtype=np.int64)
+        idx = np.arange(t.num_rows)
+        import itertools
+
+        for lang, grp in itertools.groupby(
+            sorted(idx, key=lambda i: langs[i]), key=lambda i: langs[i]
+        ):
+            rows = np.fromiter(grp, dtype=np.int64)
+            sc, smaller, total = table[lang]
+            pos = np.searchsorted(sc, scores[rows])
+            n_smaller[rows] = smaller[pos]
+            n_lang[rows] = total
+        decile = (10 * n_smaller) // np.maximum(n_lang, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "lang": t["lang"],
+                "score_e6": t["score_e6"],
+                "decile": pa.array(decile),
+            }
+        )
+
+    return narrow.map_batches(assign, batch_format="pyarrow")
