@@ -1151,6 +1151,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type",
         )
 
+    def q_funnel(sf_dir: str):
+        """Ordered funnel view -> click -> purchase: users reaching
+        each step in order — ``stages/ops.funnel_counts`` (one bounded
+        user-bucket shuffle, vectorized greedy chain per bucket)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            funnel_counts,
+        )
+
+        return funnel_counts(
+            _tbl(sf_dir, "events", ["user_id", "event_type", "ts"]),
+            ["view", "click", "purchase"],
+        )
+
     def q_grouped_distinct(sf_dir: str):
         """Exact count(DISTINCT user_id) per event_type —
         ``stages/ops.grouped_count_distinct`` (bounded-bucket pair
@@ -2208,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_window_hour": q_window_hour,
         "rel_grouped_distinct": q_grouped_distinct,
         "rel_grouped_mode": q_grouped_mode,
+        "rel_funnel": q_funnel,
         "text_quality_percentile": q_quality_percentile,
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
@@ -4111,6 +4125,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
         ),
+        "rel_funnel": """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           CAST(n_users AS BIGINT) AS n_users
+    FROM (VALUES (0, 'view', (SELECT count(*) FROM s0)),
+                 (1, 'click', (SELECT count(*) FROM s1)),
+                 (2, 'purchase', (SELECT count(*) FROM s2))) AS v(step_idx, step, n_users)
+    """,
         "rel_grouped_mode": (
             "SELECT user_id, event_type, n_occ FROM ("
             "  SELECT user_id, event_type, count(*) AS n_occ,"

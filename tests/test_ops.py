@@ -87,6 +87,48 @@ def test_grouped_count_distinct(con):
     assert got2["n_distinct"].tolist() == want["n_distinct"].tolist()
 
 
+def test_funnel_counts():
+    """Greedy ordered-funnel semantics pinned on a hand-built case
+    (out-of-order steps don't count; equal timestamps don't count —
+    strictly after), plus partitioning invariance."""
+    import datetime as dt
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        funnel_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, sec):
+        return {"user_id": u, "event_type": typ, "ts": t0 + dt.timedelta(seconds=sec)}
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, "a", 0), ev(1, "b", 1), ev(1, "c", 2),
+        # u2: b before a -> reaches only step a (the later b is gone)
+        ev(2, "b", 0), ev(2, "a", 1),
+        # u3: a and b simultaneous -> b not strictly after a
+        ev(3, "a", 5), ev(3, "b", 5),
+        # u4: a, b in order; c before b -> stops at b
+        ev(4, "c", 0), ev(4, "a", 1), ev(4, "b", 2),
+        # u5: noise only
+        ev(5, "x", 0),
+        # u6: greedy chain must use the SECOND b (first b precedes a)
+        ev(6, "b", 0), ev(6, "a", 1), ev(6, "b", 2), ev(6, "c", 3),
+    ]
+    for parts in (1, 4):
+        ds = rd.from_items(rows).repartition(parts)
+        got = (
+            funnel_counts(ds, ["a", "b", "c"], num_buckets=5)
+            .to_pandas()
+            .sort_values("step_idx")
+            .reset_index(drop=True)
+        )
+        assert got["step"].tolist() == ["a", "b", "c"]
+        # a: u1,u2,u3,u4,u6; b: u1,u4,u6; c: u1,u6
+        assert got["n_users"].tolist() == [5, 3, 2]
+
+
 def test_grouped_mode(con):
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
         grouped_mode,

@@ -290,6 +290,92 @@ def grouped_count_distinct(
     )
 
 
+def funnel_counts(
+    ds: rd.Dataset,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered-funnel reach counts: for each prefix of ``steps``, how
+    many users performed those event types IN ORDER, each step strictly
+    after the previous step's earliest qualifying time (the greedy
+    minimal chain — the standard funnel decision procedure: a valid
+    chain exists iff the greedy one does).
+
+    Physical plan: project to (user, type, ts) filtered to the step
+    types (map-side — the exchange carries only funnel-relevant
+    events), ONE hash shuffle on a bounded user bucket (a user's events
+    land in exactly one bucket), then per bucket one vectorized
+    segmented-min pass per step (``np.minimum.at`` over
+    dictionary-encoded user indices — never a per-user Python loop);
+    per-bucket partial reach counts sum associatively. Output:
+    (step_idx, step, n_users), non-increasing in step_idx."""
+    from ray.data.aggregate import Sum
+
+    step_set = pa.array(list(steps), pa.string())
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.select([user_col, type_col, ts_col])
+        t = t.filter(pc.is_in(t[type_col], value_set=step_set))
+        return t.append_column("__bucket", _bucket_of(t[user_col], num_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uidx = (
+            g[user_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_users = int(uidx.max()) + 1 if len(uidx) else 0
+        ts = (
+            g[ts_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        typ = g[type_col].to_numpy(zero_copy_only=False)
+        lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        t_prev = np.full(n_users, lo, dtype=np.int64)
+        reach = np.zeros(len(steps), dtype=np.int64)
+        for k, s in enumerate(steps):
+            cur = np.full(n_users, hi, dtype=np.int64)
+            sel = (typ == s) & (ts > t_prev[uidx])
+            np.minimum.at(cur, uidx[sel], ts[sel])
+            t_prev = cur
+            reach[k] = int(np.count_nonzero(cur != hi))
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+                "step": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(reach),
+            }
+        )
+
+    partials = hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__bucket", per_bucket
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "step_idx": batch["step_idx"],
+                "step": batch["step"],
+                "n_users": batch["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        partials.groupby(["step_idx", "step"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def grouped_value_counts(
     ds: rd.Dataset, group: str, value: str, *, num_buckets: int = 64
 ) -> rd.Dataset:
