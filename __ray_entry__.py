@@ -1164,6 +1164,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["view", "click", "purchase"],
         )
 
+    def q_retention(sf_dir: str):
+        """Cohort retention (first-active epoch-day cohorts, day-k
+        return counts) — ``stages/ops.retention_cohorts``."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            retention_cohorts,
+        )
+
+        return retention_cohorts(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
     def q_grouped_distinct(sf_dir: str):
         """Exact count(DISTINCT user_id) per event_type —
         ``stages/ops.grouped_count_distinct`` (bounded-bucket pair
@@ -2222,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_grouped_distinct": q_grouped_distinct,
         "rel_grouped_mode": q_grouped_mode,
         "rel_funnel": q_funnel,
+        "rel_retention": q_retention,
         "text_quality_percentile": q_quality_percentile,
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
@@ -4137,6 +4147,18 @@ def oracle_sql() -> dict[str, str]:
     FROM (VALUES (0, 'view', (SELECT count(*) FROM s0)),
                  (1, 'click', (SELECT count(*) FROM s1)),
                  (2, 'purchase', (SELECT count(*) FROM s2))) AS v(step_idx, step, n_users)
+    """,
+        "rel_retention": """
+    WITH act AS (SELECT DISTINCT user_id,
+                        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+                 FROM events),
+    f AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id)
+    SELECT CAST(f.d0 AS BIGINT) AS cohort_day,
+           CAST(act.d - f.d0 AS BIGINT) AS k,
+           count(*) AS n_users
+    FROM act JOIN f USING (user_id)
+    WHERE act.d - f.d0 >= 1
+    GROUP BY f.d0, act.d - f.d0
     """,
         "rel_grouped_mode": (
             "SELECT user_id, event_type, n_occ FROM ("

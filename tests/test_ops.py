@@ -129,6 +129,39 @@ def test_funnel_counts():
         assert got["n_users"].tolist() == [5, 3, 2]
 
 
+def test_retention_cohorts():
+    """Retention semantics pinned by hand: cohort = first active day,
+    duplicate same-day activity counts once, k=0 excluded; plus
+    partitioning invariance."""
+    import datetime as dt
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        retention_cohorts,
+    )
+
+    def ev(u, day, sec=0):
+        return {
+            "user_id": u,
+            "ts": dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=sec),
+        }
+
+    rows = [
+        # u1: first day 0, returns day 1 (twice -> counts once) and day 3
+        ev(1, 0), ev(1, 1), ev(1, 1, 5), ev(1, 3),
+        # u2: first day 1, returns day 2
+        ev(2, 1), ev(2, 2),
+        # u3: single day only -> no retention rows
+        ev(3, 0), ev(3, 0, 7),
+    ]
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    want = sorted([(d0, 1, 1), (d0, 3, 1), (d0 + 1, 1, 1)])
+    for parts in (1, 3):
+        ds = rd.from_items(rows).repartition(parts)
+        got = retention_cohorts(ds, num_buckets=4).to_pandas()
+        got_rows = sorted(map(tuple, got[["cohort_day", "k", "n_users"]].values))
+        assert got_rows == want
+
+
 def test_grouped_mode(con):
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
         grouped_mode,

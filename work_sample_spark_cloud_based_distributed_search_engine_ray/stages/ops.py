@@ -376,6 +376,94 @@ def funnel_counts(
     )
 
 
+def retention_cohorts(
+    ds: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_k: int | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cohort retention: users are cohorted by their FIRST active epoch
+    day; for each (cohort_day, k >= 1) the count of cohort users active
+    again exactly k days after their first day. Days are UTC epoch days
+    (``CAST(ts AS DATE)`` on naive-UTC timestamps), emitted as int64 so
+    the SQL twin compares exactly.
+
+    Physical plan: per-batch distinct (user, day) projection (map-side
+    combine — the exchange carries at most one row per user-day per
+    block), ONE bounded user-bucket hash shuffle (a user's rows land in
+    one bucket), per bucket a vectorized first-day ``np.minimum.at`` +
+    unique-pair pass, then associative Sum of the per-bucket
+    (cohort_day, k) partial counts. Output: (cohort_day, k, n_users)."""
+    from ray.data.aggregate import Sum
+
+    us_per_day = 86_400_000_000
+
+    def local(batch: pa.Table) -> pa.Table:
+        # normalize any timestamp precision to us, then int64 // int64
+        # (truncating == floor for the positive post-1970 timestamps of
+        # the events schema)
+        micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.divide(micros, us_per_day)
+        t = pa.table({user_col: batch[user_col], "__day": day})
+        t = t.group_by([user_col, "__day"]).aggregate([])
+        return t.append_column("__bucket", _bucket_of(t[user_col], num_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # the local combine dedups per BATCH only — the same (user, day)
+        # pair can arrive from many blocks, so dedup again per bucket
+        g = g.select([user_col, "__day"]).group_by([user_col, "__day"]).aggregate([])
+        uidx = (
+            g[user_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        day = g["__day"].to_numpy(zero_copy_only=False)
+        n_users = int(uidx.max()) + 1 if len(uidx) else 0
+        d0 = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(d0, uidx, day)
+        k = day - d0[uidx]
+        keep = k >= 1
+        if max_k is not None:
+            keep &= k <= max_k
+        t = pa.table(
+            {
+                "cohort_day": pa.array(d0[uidx][keep]),
+                "k": pa.array(k[keep]),
+            }
+        )
+        c = t.group_by(["cohort_day", "k"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cohort_day": c["cohort_day"],
+                "k": c["k"],
+                "n_users": c["count_all"].cast(pa.int64()),
+            }
+        )
+
+    partials = hash_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__bucket", per_bucket
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": batch["cohort_day"],
+                "k": batch["k"],
+                "n_users": batch["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        partials.groupby(["cohort_day", "k"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def grouped_value_counts(
     ds: rd.Dataset, group: str, value: str, *, num_buckets: int = 64
 ) -> rd.Dataset:
