@@ -143,3 +143,46 @@ def test_http_snippet_param(served):
         assert checked >= 10
     finally:
         srv.shutdown()
+
+
+def test_http_facets_endpoint(served):
+    """GET /facets?query= returns the SearchIndex.bm25_facets rows as
+    JSON; a backend without a facet method answers 501."""
+    import json
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        checked = 0
+        for _qid, q in reference_queries()[:6]:
+            with urllib.request.urlopen(f"{base}/facets?query={quote(q)}") as r:
+                got = json.loads(r.read())
+            want = [
+                {"facet": f, "value": v, "n_docs": n} for f, v, n in idx.bm25_facets(q)
+            ]
+            assert got == want
+            checked += len(got)
+        assert checked > 0
+    finally:
+        srv.shutdown()
+
+    # DistributedSearch has no facet method -> 501
+    srv2 = SearchHTTPServer(ds, port=0).start()
+    try:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv2.port}/facets?query=the"
+            )
+            raise AssertionError("expected HTTP 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        srv2.shutdown()

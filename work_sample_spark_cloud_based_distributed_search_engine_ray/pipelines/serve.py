@@ -209,7 +209,7 @@ class SearchHTTPServer:
 
             def do_GET(self) -> None:
                 u = urlsplit(self.path)
-                if u.path != "/search":
+                if u.path not in ("/search", "/facets"):
                     self._reply(404, {"error": "not found"})
                     return
                 q = parse_qs(u.query)
@@ -217,6 +217,21 @@ class SearchHTTPServer:
                 if not query:
                     # Searcher.java:38 null-query guard
                     self._reply(400, {"error": "missing query"})
+                    return
+                if u.path == "/facets":
+                    # result-refinement sidebar counts over the top-50
+                    # candidate prefix (SearchIndex.bm25_facets); 501
+                    # for backends without a facet method
+                    if not hasattr(backend, "bm25_facets"):
+                        self._reply(501, {"error": "backend has no facets"})
+                        return
+                    self._reply(
+                        200,
+                        [
+                            {"facet": f, "value": v, "n_docs": n}
+                            for f, v, n in backend.bm25_facets(query)
+                        ],
+                    )
                     return
                 try:
                     k = int((q.get("k") or ["10"])[0])
