@@ -311,6 +311,45 @@ def _cached_updated_index(sf_dir: str) -> str:
     return out
 
 
+def _cached_deleted_index(sf_dir: str) -> str:
+    """Deletion fixture (cached per corpus size): build the base index
+    over the whole pages corpus, then ``delete_from_index`` every doc
+    whose doc_id satisfies ``doc_id % 8 == 3`` (doc_id = hash64(url), a
+    pure row function — the oracle drops the same winners in SQL)."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.delete_index import (
+        delete_from_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages = pages_for_sf_dir(sf_dir)
+    root = "/tmp/wse_delete_" + os.path.basename(pages).replace(".parquet", "")
+    out = os.path.join(root, "deleted")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        base = os.path.join(root, "base")
+        build_index(pages, base, num_partitions=4)
+        store = pq.read_table(
+            os.path.join(base, "docstore"), columns=["doc_id", "url"]
+        )
+        del_urls = [
+            u
+            for d, u in zip(store["doc_id"].to_pylist(), store["url"].to_pylist())
+            if d % 8 == 3
+        ]
+        delete_from_index(base, del_urls, out)
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full Ray Data index build (extract
     actor pool -> checkpointed docs -> dedup -> exact stats -> salted
@@ -664,6 +703,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         out = _cached_updated_index(sf_dir)
+        t = pq.read_table(os.path.join(out, "term_stats"))
+        return t.select(["term", "df", "cf"]).sort_by("term")
+
+    def q_index_delete_stats(sf_dir: str) -> pa.Table:
+        """Full-vocabulary (term, df, cf) of an index after deleting
+        every doc with doc_id % 8 == 3 (``delete_from_index`` — the
+        tombstone path) — must equal a from-scratch SQL replay over the
+        surviving winners."""
+        import pyarrow.parquet as pq
+
+        out = _cached_deleted_index(sf_dir)
         t = pq.read_table(os.path.join(out, "term_stats"))
         return t.select(["term", "df", "cf"]).sort_by("term")
 
@@ -2189,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
+        "index_delete_stats": q_index_delete_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
@@ -3639,6 +3690,37 @@ def _index_update_oracle_sql() -> str:
     """
 
 
+def _index_delete_oracle_sql() -> str:
+    """DuckDB twin of ``index_delete_stats``: from-scratch (term, df,
+    cf) over the dedup winners of the whole corpus MINUS the deleted
+    docs (doc_id % 8 == 3). Deletion does not re-run dedup (a loser is
+    never promoted when its winner is deleted — the tombstone
+    contract), so winners are computed over the FULL corpus first."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pages_path = pages_for_sf_dir(sf_dir)
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id, text
+      FROM winners),
+    kept AS (SELECT * FROM docs WHERE doc_id % 8 <> 3),
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM kept),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf GROUP BY term ORDER BY term
+    """
+
+
 def _ingest_oracle_sql() -> str:
     """DuckDB twin of ``ingest_jsonl_pages``: per-lang byte totals over
     the canonical parquet (the JSONL is a lossless round-trip of it)."""
@@ -3885,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippet": _snippet_oracle_sql(),
         "search_proximity": _proximity_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
+        "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
