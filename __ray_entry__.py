@@ -1026,6 +1026,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def q_knn_recall(sf_dir: str) -> pa.Table:
+        """ANN quality evaluation: per query, recall@k of the
+        hyperplane-LSH path against exact brute force (|approx top-k ∩
+        exact top-k|). Both inputs are the distributed ops; the overlap
+        count runs on their bounded (queries x k)-row outputs."""
+        qids, qm = _query_matrix(sf_dir)
+        exact = knn_brute_force(_tbl(sf_dir, "embeddings"), qm, k=KNN_K).take_all()
+        approx = lsh_knn(
+            _tbl(sf_dir, "embeddings"), qm, k=KNN_K, num_planes=6
+        ).take_all()
+        ex: dict[int, set[int]] = {}
+        ap: dict[int, set[int]] = {}
+        for r in exact:
+            ex.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        for r in approx:
+            ap.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        out_q, out_h = [], []
+        for qi in sorted(ex):
+            out_q.append(int(qids[qi]))
+            out_h.append(len(ex[qi] & ap.get(qi, set())))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "n_hits": pa.array(out_h, pa.int64()),
+                "k": pa.array([KNN_K] * len(out_q), pa.int64()),
+            }
+        )
+
     # ---------------- relational (Flame operator inventory) ----------------
 
     def q_groupby_agg(sf_dir: str):
@@ -2271,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": q_knn,
         "knn_kmeans_assign": q_kmeans,
         "knn_lsh_topk": q_knn_lsh,
+        "knn_lsh_recall": q_knn_recall,
         "knn_ivf_topk": q_knn_ivf,
         "embedding_near_dups": q_near_dups,
         "rel_groupby_agg": q_groupby_agg,
@@ -4166,6 +4195,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_data_prep": data_prep,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
+        "knn_lsh_recall": f"""
+    WITH e AS ({knn}),
+    a AS ({_lsh_knn_oracle_sql()})
+    SELECT e.query_id, count(a.vec_id) AS n_hits,
+           CAST({KNN_K} AS BIGINT) AS k
+    FROM e LEFT JOIN a USING (query_id, vec_id)
+    GROUP BY e.query_id
+    """,
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
