@@ -1242,6 +1242,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["view", "click", "purchase"],
         )
 
+    def q_stream_window(sf_dir: str):
+        """Streaming watermark replay: per tumbling hour, on-time vs
+        late event counts. ARRIVAL time simulates network delay
+        deterministically — event time + hash64(event_id) % 4h of
+        jitter (the generator's event_id order is perfectly
+        ts-monotone, which would make the late path vacuous); an event
+        is late iff it arrives > 1 h behind the running event-time
+        high-water mark (``stages/ops.watermark_window_counts``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64_array,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            watermark_window_counts,
+        )
+
+        jitter_mod = 14_400_000_000  # 4 h in us
+
+        def add_arrival(t: pa.Table) -> pa.Table:
+            micros = (
+                t["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            jit = (
+                hash64_array(str(i) for i in t["event_id"].to_pylist()) % jitter_mod
+            )
+            return t.append_column("__arrival", pa.array(micros + jit))
+
+        ds = _tbl(sf_dir, "events", ["event_id", "ts"]).map_batches(
+            add_arrival, batch_format="pyarrow"
+        )
+        return watermark_window_counts(
+            ds,
+            order_col=["__arrival", "event_id"],
+            window_s=3600,
+            delay_s=3600,
+        )
+
     def q_retention(sf_dir: str):
         """Cohort retention (first-active epoch-day cohorts, day-k
         return counts) — ``stages/ops.retention_cohorts``."""
@@ -2312,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_grouped_mode": q_grouped_mode,
         "rel_funnel": q_funnel,
         "rel_retention": q_retention,
+        "rel_stream_window": q_stream_window,
         "text_quality_percentile": q_quality_percentile,
         "rel_topk_events": q_topk_events,
         "rel_fold": q_fold,
@@ -4267,6 +4308,23 @@ def oracle_sql() -> dict[str, str]:
     FROM (VALUES (0, 'view', (SELECT count(*) FROM s0)),
                  (1, 'click', (SELECT count(*) FROM s1)),
                  (2, 'purchase', (SELECT count(*) FROM s2))) AS v(step_idx, step, n_users)
+    """,
+        "rel_stream_window": """
+    WITH w AS (SELECT ts, epoch_us(ts) AS us,
+                      max(epoch_us(ts)) OVER (
+                        ORDER BY epoch_us(ts)
+                          + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+                                  & 9223372036854775807 AS BIGINT) % 14400000000::BIGINT),
+                          event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+               FROM events),
+    f AS (SELECT (us // 3600000000::BIGINT) * 3600 AS window_start_s,
+                 (hwm - us) > 3600000000::BIGINT AS late
+          FROM w)
+    SELECT window_start_s,
+           CAST(count(*) FILTER (WHERE NOT late) AS BIGINT) AS n_on_time,
+           CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late
+    FROM f GROUP BY window_start_s
     """,
         "rel_retention": """
     WITH act AS (SELECT DISTINCT user_id,

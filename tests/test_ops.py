@@ -129,6 +129,46 @@ def test_funnel_counts():
         assert got["n_users"].tolist() == [5, 3, 2]
 
 
+def test_watermark_window_counts():
+    """Watermark semantics pinned by hand: an event arriving more than
+    delay_s behind the running event-time high-water mark is late;
+    the running max carries ACROSS blocks (partitioning invariance)."""
+    import datetime as dt
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        watermark_window_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(arr, ts_min):
+        return {"event_id": arr, "ts": t0 + dt.timedelta(minutes=ts_min)}
+
+    rows = [
+        ev(1, 0),     # hwm 0
+        ev(2, 120),   # hwm 120 (window 2, on time)
+        ev(3, 100),   # 20 min behind hwm -> late at delay 10 min
+        ev(4, 125),   # 0-behind? hwm 125 now, on time
+        ev(5, 118),   # 7 min behind -> on time at delay 10
+        ev(6, 30),    # 95 behind -> late
+    ]
+    # windows (1h): w0: ev1(on), ev6(late); w1: ev3(late), ev5(on); w2: ev2, ev4 (on)
+    base_s = int((t0 - dt.datetime(1970, 1, 1)).total_seconds())
+    expect = {
+        base_s: (1, 1),
+        base_s + 3600: (1, 1),
+        base_s + 7200: (2, 0),
+    }
+    for parts in (1, 3):
+        ds = rd.from_items(rows).repartition(parts)
+        got = watermark_window_counts(ds, delay_s=600).to_pandas()
+        m = {
+            int(r.window_start_s): (int(r.n_on_time), int(r.n_late))
+            for r in got.itertuples()
+        }
+        assert m == expect, (parts, m)
+
+
 def test_retention_cohorts():
     """Retention semantics pinned by hand: cohort = first active day,
     duplicate same-day activity counts once, k=0 excluded; plus

@@ -1076,6 +1076,128 @@ def zip_with_index(
     return rd.from_arrow_refs(new_refs)
 
 
+def watermark_window_counts(
+    ds: rd.Dataset,
+    *,
+    order_col: str | list[str] = "event_id",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    delay_s: int = 600,
+) -> rd.Dataset:
+    """STREAMING WATERMARK semantics replayed over a batch table — the
+    late-data rule of an event-time stream processor, deterministic and
+    SQL-replayable: events arrive in ``order_col`` order; the watermark
+    after each arrival is the running max event time minus nothing (the
+    raw high-water mark); an event is LATE — excluded from its window's
+    on-time count — iff it arrives more than ``delay_s`` behind the
+    high-water mark (``running_max(ts) - ts > delay_s``). Tumbling
+    ``window_s`` windows report (window_start_s, n_on_time, n_late).
+
+    The running max over arrival order is inherently sequential, but
+    distributes exactly like ``zip_with_index``'s prefix sum: ONE
+    range-partitioning sort on the arrival column, per-block max event
+    times back to the driver (one int per block — never rows), an
+    exclusive prefix-max as each block's carry-in, then one task per
+    block computes its local cummax + flags + per-window partial
+    counts; partials sum associatively."""
+    from ray.data.aggregate import Sum
+
+    us = 1_000_000
+    win_us = int(window_s) * us
+    delay_us = int(delay_s) * us
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    sorted_ds = ds.select_columns(order_cols + [ts_col]).sort(order_cols)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(t):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        if t.num_rows == 0:
+            return 0, None, None
+        micros = (
+            t[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        first = tuple(t[c][0].as_py() for c in order_cols)
+        return t.num_rows, first, int(micros.max())
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    blocks = sorted(
+        (
+            (first, mx, ref)
+            for (count, first, mx), ref in zip(metas, refs)
+            if count > 0
+        ),
+        key=lambda b: b[0],  # sort ranges are disjoint on order_col
+    )
+    # exclusive prefix max: carry-in watermark basis for each block
+    carries = []
+    cur = np.iinfo(np.int64).min
+    for _f, mx, _r in blocks:
+        carries.append(cur)
+        cur = max(cur, mx)
+
+    @ray.remote
+    def count_block(t, carry: int) -> pa.Table:
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        micros = (
+            t[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        run_max = np.maximum(np.maximum.accumulate(micros), carry)
+        late = (run_max - micros) > delay_us
+        win = (micros // win_us) * int(window_s)
+        part = pa.table(
+            {
+                "window_start_s": pa.array(win),
+                "n_on_time": pa.array((~late).astype(np.int64)),
+                "n_late": pa.array(late.astype(np.int64)),
+            }
+        )
+        agg = part.group_by(["window_start_s"]).aggregate(
+            [("n_on_time", "sum"), ("n_late", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start_s": agg["window_start_s"],
+                "n_on_time": agg["n_on_time_sum"].cast(pa.int64()),
+                "n_late": agg["n_late_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        count_block.remote(ref, int(c)) for (_f, _m, ref), c in zip(blocks, carries)
+    ]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_s": batch["window_start_s"],
+                "n_on_time": batch["n_on_time"].cast(pa.int64()),
+                "n_late": batch["n_late"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        rd.from_arrow_refs(parts)
+        .groupby("window_start_s")
+        .aggregate(
+            Sum("n_on_time", alias_name="n_on_time"),
+            Sum("n_late", alias_name="n_late"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def hash_split(
     ds: rd.Dataset,
     key_col: str,
