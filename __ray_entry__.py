@@ -1125,6 +1125,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_pivot(sf_dir: str):
+        # PIVOT events on event_type: two-pass plan — pass 1 discovers
+        # the (bounded) distinct pivot values with a tiny distributed
+        # groupby; pass 2 is ONE conditional aggregation: map_batches
+        # adds an int64 indicator column per type (vectorized compare,
+        # no Python row loop), then a single groupby(user_id) sums
+        # them. Output rows = |users| x fixed columns — never wider
+        # than the discovered type set, never a second scan per type.
+        ds = _tbl(sf_dir, "events", ["user_id", "event_type", "value"])
+        types = sorted(
+            r["event_type"]
+            for r in ds.groupby("event_type").aggregate(Count(alias_name="n")).take_all()
+        )
+
+        def add_indicators(t: pa.Table) -> pa.Table:
+            et = t["event_type"]
+            cols = {"user_id": t["user_id"]}
+            for ty in types:
+                cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+            cols["value_e2_raw"] = pa.array(
+                np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        wide = ds.map_batches(add_indicators, batch_format="pyarrow")
+        agg = wide.groupby("user_id").aggregate(
+            *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types],
+            Sum("value_e2_raw", alias_name="value_sum_e2"),
+        )
+        return agg
+
+    def q_cube(sf_dir: str):
+        # GROUP BY CUBE(flag, status): like q_rollup, ONE distributed
+        # aggregation at the finest level; all four grouping sets are
+        # re-aggregated locally from that group-count-bounded result.
+        ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
+        )
+
+        import pandas as pd
+
+        df = finest.to_pandas()
+        lvl_f = (
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            .sum()
+            .assign(l_linestatus=None)
+        )
+        lvl_s = (
+            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_raw"]]
+            .sum()
+            .assign(l_returnflag=None)
+        )
+        lvl0 = pd.DataFrame(
+            {
+                "l_returnflag": [None],
+                "l_linestatus": [None],
+                "n_rows": [df["n_rows"].sum()],
+                "sum_qty_raw": [df["sum_qty_raw"].sum()],
+            }
+        )
+        allv = pd.concat([df, lvl_f, lvl_s, lvl0], ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
+                "n_rows": pa.array(allv["n_rows"].astype("int64")),
+                "sum_qty_e2": pa.array(
+                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
     def q_broadcast_join(sf_dir: str):
         import pyarrow.parquet as pq
 
@@ -2375,6 +2450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_group_sample": q_group_sample,
         "rel_moving_avg": q_moving_avg,
         "rel_rollup": q_rollup,
+        "rel_pivot": q_pivot,
+        "rel_cube": q_cube,
         "rel_quantiles": q_quantiles,
         "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
@@ -4486,6 +4563,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # conditional-aggregation pivot; the engine discovers the type
+        # set distributively — the literal list here is the same
+        # (deterministic) set, per-type rounding matches the engine's
+        # per-ROW value quantization (round first, sum int64 after)
+        "rel_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   sum(CAST(round(value * 100) AS BIGINT))   AS value_sum_e2
+            FROM events GROUP BY user_id
+        """,
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "rel_moving_avg": """
             SELECT event_id, user_id,

@@ -437,3 +437,40 @@ def test_pack_sequence_spans_properties_and_invariance():
         ["doc_id", "chunk_id"],
     )
     assert out.equals(out2)
+
+
+def test_pivot_conditional_agg_vs_duckdb(con):
+    """rel_pivot: the two-pass conditional-aggregation pivot equals
+    DuckDB's FILTER pivot on the same events table."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location("_entry_piv", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = _sorted(m.queries()["rel_pivot"](SF), ["user_id"])
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = _sorted(c.sql(m.oracle_sql()["rel_pivot"]).df(), ["user_id"])
+    assert list(got.columns).sort() == list(want.columns).sort()
+    for col in want.columns:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_cube_grouping_sets_vs_duckdb(con):
+    """rel_cube: finest-level distributed agg + local re-agg equals
+    GROUP BY CUBE."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_entry_cube", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = m.queries()["rel_cube"](SF).to_pandas()
+    want = con.sql(m.oracle_sql()["rel_cube"]).df()
+    key = ["l_returnflag", "l_linestatus"]
+    got = got.fillna({"l_returnflag": "~", "l_linestatus": "~"})
+    want = want.fillna({"l_returnflag": "~", "l_linestatus": "~"})
+    got, want = _sorted(got, key), _sorted(want, key)
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
