@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         distinct_on,
         intersection,
         kmv_distinct,
+        running_totals,
         sample_with_replacement,
         shuffle_join,
         skew_join,
@@ -1560,6 +1561,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_cols=["event_id"],
         )
 
+    def q_outer_join(sf_dir: str):
+        # distributed FULL OUTER join (typed null padding — the join
+        # variant the reference's co-partitioned inner join cannot
+        # express, flame/FlameWorker.java:491-544): both sides filtered
+        # so left-only AND right-only rows are non-vacuous; same ONE
+        # bounded-bucket shuffle + Arrow C++ join per bucket as
+        # shuffle_join(how="inner") — a key lives in exactly one
+        # bucket, so per-bucket full outer == global full outer
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+            filter=pads.field("c_acctbal") >= 5000.0,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "acctbal_e2": pa.array(
+                        np.rint(
+                            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        urgent = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderkey"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        ).rename_columns({"o_custkey": "c_custkey"})
+        return shuffle_join(
+            cust,
+            urgent,
+            "c_custkey",
+            left_cols=["acctbal_e2"],
+            right_cols=["o_orderkey"],
+            how="full outer",
+        )
+
+    def q_running_total(sf_dir: str):
+        # per-user running totals + LAG delta (SQL window functions
+        # over an entity's ordered history) — exact int64 via per-row
+        # e2 quantization before the cumulative sum
+        return running_totals(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id",
+            ["ts", "event_id"],
+            "value",
+            id_cols=["event_id", "user_id"],
+        )
+
+    def q_epoch_shuffle(sf_dir: str):
+        # deterministic seeded global shuffle (training-epoch document
+        # order): a seeded md5 hash64 priority per doc, ONE
+        # range-partitioning sort, metadata-only prefix-sum positions —
+        # the epoch permutation is reproducible across runs, cluster
+        # sizes and partitionings (vs ds.random_shuffle, which is not)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+
+        def add_prio(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            prio = np.fromiter(
+                (hash64(f"epoch7:{i}") for i in ids), dtype=np.int64, count=ids.size
+            )
+            return t.append_column("prio", pa.array(prio))
+
+        docs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+            add_prio, batch_format="pyarrow"
+        )
+        return zip_with_index(docs, ["prio", "doc_id"], out_cols=["doc_id"], idx_col="pos")
+
     def q_sample_replace(sf_dir: str):
         # with-replacement sample (Flame invokeSampling parity) —
         # deterministic Poisson multiplicity per key, fraction 1.5 so
@@ -2435,6 +2512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_replace": q_sample_replace,
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
+        "rel_outer_join": q_outer_join,
+        "rel_running_total": q_running_total,
+        "rel_epoch_shuffle": q_epoch_shuffle,
         "rel_skew_join_agg": q_skew_join,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
@@ -4460,6 +4540,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # FULL OUTER JOIN with coalesced key and typed nulls on both
+        # sides (Arrow coalesce_keys matches SQL COALESCE)
+        "rel_outer_join": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.acctbal_e2, o.o_orderkey
+            FROM (SELECT c_custkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+                  FROM customer WHERE c_acctbal >= 5000) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+        """,
+        # running SUM + LAG delta per user: values e2-quantized per ROW
+        # before the window sum, so both sides accumulate exact int64
+        "rel_running_total": """
+            WITH q AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS val_e2
+                       FROM events)
+            SELECT event_id, user_id, val_e2,
+                   SUM(val_e2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_e2,
+                   val_e2 - LAG(val_e2) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS delta_e2
+            FROM q
+        """,
+        # same seeded md5-prefix hash64 priority, same (prio, doc_id)
+        # total order — the permutation is replayed, not approximated
+        "rel_epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY CAST(('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                              & 9223372036854775807::UBIGINT AS BIGINT),
+                              doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
         # Bloom pruning is physical (false positives drop in the join);
         # the oracle is the plain inner join + aggregate
         "rel_bloom_join_agg": (

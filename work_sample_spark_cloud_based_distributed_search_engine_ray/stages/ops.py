@@ -1706,3 +1706,60 @@ def pack_sequence_spans(
         expand.remote(ref, int(off)) for (_f, _c, ref), off in zip(blocks, tok_offsets)
     ]
     return rd.from_arrow_refs(new_refs)
+
+
+def running_totals(
+    ds: rd.Dataset,
+    key: str,
+    order_keys: list[str],
+    value_col: str,
+    *,
+    id_cols: list[str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key running window functions — SQL's ``SUM() OVER
+    (PARTITION BY key ORDER BY ...)`` + ``LAG()`` delta, the per-entity
+    cumulative-state operator the reference cannot express (Flame has
+    no ordered window surface at all; the closest it gets is the
+    driver-side sort in ``search/Searcher.java:164-166``).
+
+    Exact-integer contract: ``value_col`` (double) is e2-quantized per
+    ROW first, so running sums are int64 and hash-reproducible in SQL
+    regardless of accumulation order. Physical plan: one bounded
+    key-bucket hash shuffle (never per-key groups), then ONE vectorized
+    multi-key sort per bucket with segmented cumsum / shifted diff
+    across ALL keys of the bucket. A key's rows never span buckets, so
+    per-bucket results are final — no second pass.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(key, "ascending")] + [(c, "ascending") for c in order_keys],
+        )
+        t = g.take(idx)
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = np.rint(t[value_col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        new_seg = np.ones(v.size, dtype=bool)
+        new_seg[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, v.size))
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - np.repeat(base, counts)
+        prev = np.empty_like(v)
+        prev[1:] = v[:-1]
+        delta = v - prev
+        cols = {c: t[c] for c in id_cols}
+        cols["val_e2"] = pa.array(v)
+        cols["run_e2"] = pa.array(run)
+        cols["delta_e2"] = pa.array(np.where(new_seg, 0, delta), mask=new_seg)
+        return pa.table(cols)
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys(id_cols + [key] + order_keys + [value_col]))
+    ).map_batches(add_bucket, batch_format="pyarrow")
+    return hash_map_groups(narrow, "__bucket", per_bucket)
