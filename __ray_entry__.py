@@ -2379,6 +2379,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_audio_dups(sf_dir: str):
+        # audio near-dup pairs by band-energy fingerprint: AudioFPStage
+        # actor pool + the generic pigeonhole banding (the third
+        # hamming_band_pairs consumer after SimHash text and pHash
+        # images); deterministic synthetic clips with planted
+        # gain/noise near-duplicate variants
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            audio_near_dups,
+            synth_audio_neardup,
+        )
+
+        import ray.data as rd
+
+        media = rd.from_arrow(
+            synth_audio_neardup(200).select(["media_id", "payload"])
+        )
+        pairs = audio_near_dups(media, max_hamming=3)
+        return pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "media_a": t["doc_a"],
+                    "media_b": t["doc_b"],
+                    "hamming": t["hamming"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_winsorized(sf_dir: str):
         # per-type winsorized (p5/p95-clipped) value aggregate — exact
         # int64 end-to-end (stages/ops.py:winsorized_sum)
@@ -2547,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
+        "media_audio_dups": q_audio_dups,
     }
 
 
@@ -3531,6 +3560,34 @@ def _phash_dups_oracle_sql() -> str:
     """
 
 
+def _afp_dups_oracle_sql() -> str:
+    """Sketch-oracle for ``media_audio_dups`` (the ``media_phash_dups``
+    pattern on the audio fingerprint): per-clip afp64 values computed
+    by the pure function are embedded as VALUES and SQL re-derives
+    every pair with popcount(xor) <= 3 — banding completeness is
+    implied by pigeonhole (max_hamming 3 < 4 chunks)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_wav,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        afp64,
+        synth_audio_neardup,
+    )
+
+    t = synth_audio_neardup(200)
+    rows = ", ".join(
+        f"({i}, {afp64(decode_wav(p)[0])})"
+        for i, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist())
+    )
+    return f"""
+    WITH fp(media_id, afp) AS (VALUES {rows})
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """Full SQL replay of ``stages/ann.py:kmeans_assign`` — the
     pagerank-style unrolled-CTE iteration: micro-quantize (the
@@ -4404,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
+        "media_audio_dups": _afp_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),

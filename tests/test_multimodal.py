@@ -137,3 +137,56 @@ def test_frame_sample_really_decodes(ray_session):
         rgb = decode_wsmv_frame(payload, picks[0])
         assert frames.iloc[0]["frame_sha1"] == hashlib.sha1(rgb.tobytes()).hexdigest()
         assert abs(frames.iloc[0]["mean_luma"] - float(rgb.astype(np.float32).mean())) < 1e-6
+
+
+def test_audio_fingerprint_near_dups(ray_session):
+    # planted gain/noise near-dups are recovered; the sketch pairs are
+    # exactly the popcount-<=3 pairs of the pure-function fingerprints
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_wav,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        afp64,
+        audio_near_dups,
+        synth_audio_neardup,
+    )
+
+    tbl = synth_audio_neardup(120)
+    got = (
+        audio_near_dups(
+            rd.from_arrow(tbl.select(["media_id", "payload"])), max_hamming=3
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    fps = [afp64(decode_wav(p)[0]) for p in tbl["payload"].to_pylist()]
+    want = sorted(
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy())) == want
+    # every planted (dup, base) pair is among the sketch pairs
+    planted = {
+        tuple(sorted((i, b)))
+        for i, b in enumerate(tbl["base_id"].to_pylist())
+        if b >= 0
+    }
+    assert planted <= {(a, b) for a, b, _h in want}
+    assert len(planted) > 0
+
+
+def test_afp64_gain_invariant():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        afp64,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(4000) / 8000.0
+    w = 3000 * np.exp(-0.5 * ((t - 0.2) / 0.1) ** 2) * np.sin(2 * np.pi * (300 * t + 2000 * t * t))
+    a = afp64(np.clip(w, -32768, 32767).astype(np.int16))
+    b = afp64(np.clip(w * 0.5, -32768, 32767).astype(np.int16))
+    # pure gain change: band medians scale with the energies
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 2

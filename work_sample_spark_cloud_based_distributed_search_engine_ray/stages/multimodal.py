@@ -412,3 +412,129 @@ def phash_near_dups(
         max_hamming=max_hamming,
         num_chunks=num_chunks,
     )
+
+
+def synth_audio_neardup(n: int, seed: int = 44, *, rate: int = 8000) -> pa.Table:
+    """Deterministic audio corpus with planted near-duplicates: each
+    clip is a sum of 3 random sinusoids + noise, PCM16-encoded; ~15% of
+    rows re-encode an earlier base clip through a small gain change and
+    fresh low-amplitude noise — byte-different payloads whose band-
+    energy spectra, and therefore fingerprints, stay within a few bits
+    of the base. ``base_id`` carries the ground truth (-1 for
+    originals). Pure function of (n, seed)."""
+    from ..functions.media_codecs import encode_wav
+
+    rng = np.random.default_rng(seed)
+    n_samp = rate // 2  # 0.5 s clips
+    t = np.arange(n_samp, dtype=np.float64) / rate
+    payloads: list[bytes] = []
+    base_ids = np.full(n, -1, np.int64)
+    waves: list[np.ndarray] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.15:
+            j = int(rng.integers(0, i))
+            gain = 1.0 + float(rng.uniform(-0.01, 0.01))
+            noise = rng.normal(0.0, 10.0, n_samp)
+            w = waves[j] * gain + noise
+            base_ids[i] = j
+        else:
+            # non-stationary on purpose: linear chirps under random
+            # Gaussian envelopes, so the 16 analysis frames carry
+            # DIFFERENT spectra and the fingerprint uses all 64 bits
+            # (a stationary tone repeats one frame's bits 16x)
+            w = rng.normal(0.0, 40.0, n_samp)
+            dur = t[-1]
+            for _ in range(3):
+                f0 = float(rng.uniform(100.0, rate / 2 - 500.0))
+                f1 = float(rng.uniform(100.0, rate / 2 - 500.0))
+                a = float(rng.uniform(1500.0, 4000.0))
+                ph = float(rng.uniform(0.0, 2.0 * np.pi))
+                c0 = float(rng.uniform(0.0, dur))
+                sg = float(rng.uniform(0.05, 0.3))
+                env = np.exp(-0.5 * ((t - c0) / sg) ** 2)
+                inst = 2.0 * np.pi * (f0 * t + 0.5 * (f1 - f0) / dur * t * t)
+                w = w + a * env * np.sin(inst + ph)
+        waves.append(w)
+        payloads.append(encode_wav(np.clip(w, -32768, 32767).astype(np.int16), rate))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "base_id": pa.array(base_ids),
+        }
+    )
+
+
+def afp64(samples: np.ndarray, *, frames: int = 16, bands: int = 4) -> int:
+    """64-bit audio fingerprint (chromaprint-flavored, pure numpy):
+    split the clip into ``frames`` equal frames, rfft each, sum |X|^2
+    over ``bands`` log-spaced frequency bands (DC excluded), threshold
+    each (frame, band) energy against its BAND's median across frames
+    (the ``phash64`` median-sketch rule, applied per band: a global
+    median would leave every quiet frame all-zero and collapse sketch
+    entropy). Gain changes scale a band's energies uniformly (median
+    invariant); low-amplitude noise moves energies a little —
+    near-identical clips land within a few bits."""
+    x = samples.astype(np.float64)
+    flen = x.size // frames
+    fr = x[: flen * frames].reshape(frames, flen)
+    spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+    nf = spec.shape[1] - 1  # usable bins, DC excluded
+    # log-spaced band edges over bins [1, nf]
+    edges = np.unique(
+        np.rint(np.logspace(0, np.log10(nf), bands + 1)).astype(np.int64)
+    )
+    while edges.size < bands + 1:  # tiny clips: pad linearly
+        edges = np.append(edges, edges[-1] + 1)
+    e = np.zeros((frames, bands))
+    for b in range(bands):
+        e[:, b] = spec[:, edges[b] : edges[b + 1]].sum(axis=1)
+    bits = (e > np.median(e, axis=0, keepdims=True)).ravel().astype(np.uint64)
+    v = np.uint64(0)
+    for i in range(frames * bands):
+        v |= bits[i] << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+class AudioFPStage:
+    """Actor-pool stage: WAV payload -> (media_id, afp). Per batch the
+    decode + fingerprint loop is per-CLIP C-speed numpy (clips are the
+    batch unit, like model inference)."""
+
+    def __init__(self, *, frames: int = 16, bands: int = 4):
+        self.frames = frames
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media_codecs import decode_wav
+
+        out = np.empty(batch.num_rows, np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            samples, _rate = decode_wav(p)
+            out[i] = afp64(samples, frames=self.frames, bands=self.bands)
+        return pa.table({"media_id": batch["media_id"], "afp": pa.array(out)})
+
+
+def audio_near_dups(
+    media, *, max_hamming: int = 3, num_chunks: int = 4, concurrency: int | None = None
+):
+    """Audio near-dup pairs by band-energy fingerprint: AudioFPStage
+    actor pool -> the generic 64-bit pigeonhole banding + popcount
+    verify (``stages/dedup.hamming_band_pairs`` — the third consumer of
+    the SimHash machinery, after text and images). Output: doc_a,
+    doc_b, hamming."""
+    from .dedup import hamming_band_pairs
+
+    hashes = media.map_batches(
+        AudioFPStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency or 4,
+    )
+    return hamming_band_pairs(
+        hashes,
+        hash_col="afp",
+        id_col="media_id",
+        max_hamming=max_hamming,
+        num_chunks=num_chunks,
+    )
