@@ -415,6 +415,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_didyoumean(sf_dir: str) -> pa.Table:
+        """End-to-end did-you-mean retrieval: deterministic
+        misspellings (drop the 2nd char of the top-5 cf terms of
+        length >= 5 in the INDEX vocabulary), correct each against the
+        full vocabulary by minimum edit distance (ties by term), then
+        BM25 top-10 on the corrected query — text_spell_correct's
+        correction rule composed with the flagship scorer, the "did
+        you mean / search instead for" flow the reference's Searcher
+        lacks. The vocabulary is the distributed part (the build's
+        term_stats table, read pruned); the DP is one vectorized
+        all-terms pass per query over the bounded vocab."""
+        import ray
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            _levenshtein_to_all,
+        )
+
+        out_dir = _cached_index_dir(sf_dir)
+        idx = _cached_index(sf_dir)
+        vt = pa.concat_tables(
+            ray.get(
+                rd.read_parquet(
+                    os.path.join(out_dir, "term_stats"), columns=["term", "cf"]
+                ).to_arrow_refs()
+            )
+        ).combine_chunks()
+        terms = np.array(vt["term"].to_pylist(), dtype=object)
+        cf = vt["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(t) for t in terms], dtype=np.int64)
+        elig = lens >= 5
+        order = np.lexsort((terms[elig], -cf[elig]))[:5]
+        misspelled = [t[0] + t[2:] for t in terms[elig][order]]
+
+        L = int(lens.max()) if lens.size else 0
+        mat = np.zeros((len(terms), L), dtype=np.uint32)
+        for i, t in enumerate(terms):
+            mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+
+        qids, qs, cors, ranks, doc_ids, scores = [], [], [], [], [], []
+        for qid, q in enumerate(misspelled):
+            dist = _levenshtein_to_all(q, mat, lens)
+            corrected = terms[np.lexsort((terms, dist))[0]]
+            # k=50 then slice: e6 quantization can reorder float-score
+            # ties at the cut — same guard as the PRF query
+            top = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in idx.bm25_topk(corrected, k=50)),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(top):
+                qids.append(qid)
+                qs.append(q)
+                cors.append(corrected)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "q": pa.array(qs, pa.string()),
+                "corrected": pa.array(cors, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_collapsed(sf_dir: str) -> pa.Table:
         """Host-collapsed (site-collapse) BM25 top-10 per reference
         query: at most ONE result per URL host within the e6 top-50
@@ -2567,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lang_gate": q_lang_gate,
         "crawl_host_stats": q_host_stats,
         "search_term_complete": q_term_complete,
+        "search_didyoumean": q_didyoumean,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
@@ -3560,6 +3628,53 @@ def _phash_dups_oracle_sql() -> str:
     """
 
 
+def _didyoumean_oracle_sql() -> str:
+    """DuckDB twin of ``search_didyoumean``: re-derives the SAME
+    deterministic misspellings from the corpus vocabulary (top-5 cf
+    terms of length >= 5, drop the 2nd char), corrects by
+    ``levenshtein`` + (dist, term) rank over the full vocabulary, then
+    scores the corrected single-term query with the flagship BM25
+    expression (k1=1.2, b=0.75, exact N/df/dl/avgdl over dedup
+    winners) — top-10 per qid by (score_e6 desc, doc_id)."""
+    return f"""{_docs_cte()},
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    qs AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS BIGINT) AS qid,
+                  substr(term, 1, 1) || substr(term, 3) AS q
+           FROM (SELECT term, c FROM cf WHERE length(term) >= 5
+                 ORDER BY c DESC, term LIMIT 5)),
+    corr AS (SELECT qid, q, term AS corrected FROM (
+               SELECT qs.qid, qs.q, cf.term,
+                      row_number() OVER (PARTITION BY qs.qid
+                        ORDER BY levenshtein(qs.q, cf.term), cf.term) AS rn
+               FROM qs CROSS JOIN cf) WHERE rn = 1),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT corrected FROM corr) GROUP BY term),
+    scores AS (
+      SELECT corr.qid, corr.q, corr.corrected, tf.doc_id,
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS score
+      FROM corr JOIN df ON df.term = corr.corrected
+           JOIN tf ON tf.term = corr.corrected
+           JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    e6 AS (SELECT qid, q, corrected, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM scores)
+    SELECT qid, q, corrected,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
 def _afp_dups_oracle_sql() -> str:
     """Sketch-oracle for ``media_audio_dups`` (the ``media_phash_dups``
     pattern on the audio fingerprint): per-clip afp64 values computed
@@ -4472,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
+        "search_didyoumean": _didyoumean_oracle_sql(),
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,

@@ -343,3 +343,44 @@ def test_host_collapsed_topk(built):
 
         assert all(c <= 2 for c in Counter(h for _d, _s, h in out2).values())
     assert hit >= 10
+
+
+def test_didyoumean_correction_recovers_vocab_term(built):
+    # the spell-correction rule behind search_didyoumean: dropping the
+    # 2nd char of a frequent length>=5 vocab term must correct back to
+    # a real vocabulary term at distance <= 1 (usually the original)
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        _levenshtein_to_all,
+    )
+
+    _pages, paths, idx, _oracle = built
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    import pyarrow as pa_mod
+
+    ts = pa_mod.concat_tables(
+        pq_mod.read_table(f, columns=["term", "cf"])
+        for f in glob.glob(paths.term_stats + "/*.parquet")
+    )
+    terms = np.array(ts["term"].to_pylist(), dtype=object)
+    cf = ts["cf"].to_numpy(zero_copy_only=False)
+    lens = np.array([len(t) for t in terms], dtype=np.int64)
+    elig = lens >= 5
+    order = np.lexsort((terms[elig], -cf[elig]))[:5]
+    vocab = set(terms)
+    L = int(lens.max())
+    mat = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    for orig in terms[elig][order]:
+        q = orig[0] + orig[2:]
+        dist = _levenshtein_to_all(q, mat, lens)
+        best = int(np.lexsort((terms, dist))[0])
+        assert terms[best] in vocab
+        assert dist[best] <= 1
+        # the corrected query retrieves something
+        assert len(idx.bm25_topk(terms[best], k=5)) > 0
