@@ -415,6 +415,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_index_export(sf_dir: str) -> pa.Table:
+        """Export the built index to the reference's KVS ``index``
+        acc-string format (term -> "doc:tf,doc:tf,..." —
+        ``search/Searcher.java:78-101`` consumption contract): the
+        interop path for feeding a reference Searcher from a Ray-built
+        index, and a full codec round-trip vs the SQL re-derivation."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.export_index import (
+            export_reference_index,
+        )
+
+        return export_reference_index(_cached_index_dir(sf_dir))
+
     def q_didyoumean(sf_dir: str) -> pa.Table:
         """End-to-end did-you-mean retrieval: deterministic
         misspellings (drop the 2nd char of the top-5 cf terms of
@@ -2635,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": q_host_stats,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
+        "index_export_acc": q_index_export,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
@@ -4588,6 +4601,16 @@ def oracle_sql() -> dict[str, str]:
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),
+        # the reference index-table acc format re-derived from the
+        # canonical tokenization: same doc_id-ascending posting order
+        "index_export_acc": f"""{_docs_cte()},
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY doc_id) AS acc
+    FROM tf GROUP BY term
+    """,
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,

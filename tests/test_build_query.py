@@ -384,3 +384,21 @@ def test_didyoumean_correction_recovers_vocab_term(built):
         assert dist[best] <= 1
         # the corrected query retrieves something
         assert len(idx.bm25_topk(terms[best], k=5)) > 0
+
+
+def test_index_export_reference_acc_format(built):
+    # the exported acc strings reproduce the reference index-table
+    # contract exactly: split on ',', entries 'doc:tf', df = entry
+    # count (Searcher.java:78-113), postings doc_id-ascending
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.export_index import (
+        export_reference_index,
+    )
+
+    _pages, paths, idx, oracle = built
+    out = export_reference_index(paths.out_dir).to_pandas()
+    acc = dict(zip(out["term"], out["acc"]))
+    assert set(acc) == set(oracle.postings)
+    for t in list(oracle.postings)[:200]:
+        entries = [e.split(":") for e in acc[t].split(",")]
+        got_pairs = [(int(d), int(f)) for d, f in entries]
+        assert got_pairs == sorted(oracle.postings[t].items())
