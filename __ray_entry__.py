@@ -427,6 +427,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return export_reference_index(_cached_index_dir(sf_dir))
 
+    def q_index_import(sf_dir: str) -> pa.Table:
+        """Round-trip interop: export the built index to the reference
+        acc-string format, then parse it BACK with the vectorized
+        import kernel (split/flatten/segment-sum — the migration path
+        for an existing KVS index dump). The oracle re-derives
+        df/cf/max_tf from the canonical tokenization, so the round
+        trip is checked end to end through both string codecs."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.export_index import (
+            export_reference_index,
+            import_reference_index,
+        )
+
+        return import_reference_index(
+            export_reference_index(_cached_index_dir(sf_dir))
+        )
+
     def q_didyoumean(sf_dir: str) -> pa.Table:
         """End-to-end did-you-mean retrieval: deterministic
         misspellings (drop the 2nd char of the top-5 cf terms of
@@ -1694,6 +1710,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_cols=["event_id", "user_id"],
         )
 
+    def q_hopping_window(sf_dir: str):
+        # hopping (sliding) 2h windows with a 1h hop over events —
+        # vectorized map-side fan-out to k=2 windows, then the
+        # partial+final combine groupby (stages/ops.py:
+        # hopping_window_counts)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            hopping_window_counts,
+        )
+
+        return hopping_window_counts(
+            _tbl(sf_dir, "events", ["ts", "value"]),
+            window_s=7200,
+            hop_s=3600,
+        )
+
     def q_epoch_shuffle(sf_dir: str):
         # deterministic seeded global shuffle (training-epoch document
         # order): a seeded md5 hash64 priority per doc, ONE
@@ -2622,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_outer_join": q_outer_join,
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
+        "rel_hopping_window": q_hopping_window,
         "rel_skew_join_agg": q_skew_join,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
@@ -2648,6 +2680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "index_export_acc": q_index_export,
+        "index_import_stats": q_index_import,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
@@ -4611,6 +4644,15 @@ def oracle_sql() -> dict[str, str]:
                       ',' ORDER BY doc_id) AS acc
     FROM tf GROUP BY term
     """,
+        # export -> import round trip: per-term stats must equal the
+        # tokenization-derived truth
+        "index_import_stats": f"""{_docs_cte()},
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(max(tf) AS BIGINT) AS max_tf
+    FROM tf GROUP BY term
+    """,
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
@@ -4772,6 +4814,18 @@ def oracle_sql() -> dict[str, str]:
                               & 9223372036854775807::UBIGINT AS BIGINT),
                               doc_id) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # each event fans out to its k=2 overlapping windows; values
+        # e2-quantized per row before the integer sum
+        "rel_hopping_window": """
+            WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            w AS (SELECT (hr - k) * 3600 AS window_start_s, v
+                  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+            SELECT window_start_s, count(*) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_val_e2
+            FROM w GROUP BY window_start_s
         """,
         # Bloom pruning is physical (false positives drop in the join);
         # the oracle is the plain inner join + aggregate

@@ -165,3 +165,61 @@ def test_epoch_shuffle_is_permutation_and_deterministic():
     assert a.equals(b)  # partitioning-invariant permutation
     # seeded: the permutation is not the identity order
     assert (a["pos"].to_numpy() != np.arange(n)).any()
+
+
+def test_hopping_window_vs_sql(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        hopping_window_counts,
+    )
+
+    got = _sorted(
+        hopping_window_counts(
+            rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"]),
+            window_s=7200,
+            hop_s=3600,
+        ).to_pandas(),
+        ["window_start_s"],
+    )
+    want = _sorted(
+        con.sql(
+            """
+            WITH e AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr,
+                              CAST(round(value*100) AS BIGINT) AS v FROM events),
+            w AS (SELECT (hr - k) * 3600 AS window_start_s, v
+                  FROM e CROSS JOIN (SELECT unnest([0,1]) AS k))
+            SELECT window_start_s, count(*) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_val_e2
+            FROM w GROUP BY window_start_s
+            """
+        ).df(),
+        ["window_start_s"],
+    )
+    assert len(got) == len(want)
+    for c in ("window_start_s", "n_events", "sum_val_e2"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # every tumbling bucket count is <= its covering hopping count
+    assert int(got["n_events"].sum()) == 2 * con.sql("SELECT count(*) FROM events").fetchone()[0]
+
+
+def test_import_reference_acc_parse_fallback():
+    # malformed freq -> the reference's freq=1 fallback
+    # (Searcher.java:96-100); multi-':' entries take the LAST part
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.export_index import (
+        import_reference_index,
+    )
+
+    t = pa.table(
+        {
+            "term": ["a", "b", "c"],
+            "acc": ["1:2,5:1,9:3", "7:xx,8:4", "k:1:5"],
+        }
+    )
+    out = (
+        import_reference_index(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert out["df"].tolist() == [3, 2, 1]
+    assert out["cf"].tolist() == [6, 5, 5]
+    assert out["max_tf"].tolist() == [3, 4, 5]

@@ -59,3 +59,53 @@ def export_reference_index(out_dir: str) -> rd.Dataset:
         columns=["term", "df", "doc_blob", "tf_blob", "dl_blob"],
     )
     return shards.map_batches(to_acc, batch_format="pyarrow")
+
+
+def import_reference_index(acc: rd.Dataset) -> rd.Dataset:
+    """The inverse interop: a Dataset of reference ``index``-table rows
+    (term, acc) -> parsed per-term stats (term, df, cf, max_tf) — what
+    a user migrating FROM the reference runs to admit an existing KVS
+    index dump into this engine's world (the acc string is the
+    reference's only index artifact; ``Searcher.java:80-113`` defines
+    the split-on-','/split-on-':' parse and df = entry count).
+
+    Parsing is fully vectorized per batch: one ``split_pattern`` on
+    ',', flatten, one ``split_pattern`` on ':', two list_element casts,
+    then segment sums over the original list offsets. Malformed
+    entries follow the reference's fallback freq=1 rule
+    (``Searcher.java:96-100``)."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        entries = pc.split_pattern(t["acc"].combine_chunks(), ",")
+        ns = pc.list_value_length(entries).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(entries)
+        parts = pc.split_pattern(flat, ":")
+        # the reference takes the LAST part as freq and falls back to 1
+        # on parse failure (Searcher.java:96-100)
+        plens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        last_idx = np.cumsum(plens) - 1  # last ':'-part of each entry
+        last = pc.list_flatten(parts).take(pa.array(last_idx))
+        ok = pc.match_substring_regex(last, r"^[0-9]+$")
+        tfs = (
+            pc.cast(pc.if_else(ok, last, "1"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tfs = np.maximum(tfs, 1)
+        offs = np.concatenate(([0], np.cumsum(ns)))
+        cf = np.add.reduceat(tfs, offs[:-1]) if tfs.size else np.zeros(0, np.int64)
+        cf = np.where(ns > 0, cf, 0)
+        max_tf = (
+            np.maximum.reduceat(tfs, offs[:-1]) if tfs.size else np.zeros(0, np.int64)
+        )
+        max_tf = np.where(ns > 0, max_tf, 0)
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": pa.array(ns),
+                "cf": pa.array(cf),
+                "max_tf": pa.array(max_tf),
+            }
+        )
+
+    return acc.map_batches(parse, batch_format="pyarrow")

@@ -1763,3 +1763,50 @@ def running_totals(
         list(dict.fromkeys(id_cols + [key] + order_keys + [value_col]))
     ).map_batches(add_bucket, batch_format="pyarrow")
     return hash_map_groups(narrow, "__bucket", per_bucket)
+
+
+def hopping_window_counts(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 7200,
+    hop_s: int = 3600,
+) -> rd.Dataset:
+    """HOPPING (sliding) event-time windows — the overlapping-window
+    aggregate the reference has no streaming surface for at all
+    (SURVEY §2.6: no windows/watermarks). Each event lands in
+    ``window_s / hop_s`` overlapping windows; per window report
+    (n_events, exact e2-quantized value sum).
+
+    Physical plan: one vectorized per-batch expansion (np.repeat — a
+    row fans out to its k windows BEFORE the exchange, so the shuffle
+    key is the bounded window start, never the event), then Ray's
+    partial+final combine ``groupby().aggregate`` — the map-side
+    expansion is the only extra cost over a tumbling window and the
+    exchange carries one partial per (block, window)."""
+    from ray.data.aggregate import Count, Sum
+
+    assert window_s % hop_s == 0, "window must be a multiple of the hop"
+    k = window_s // hop_s
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.rint(t[value_col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        hop = (ts // 1_000_000) // hop_s  # event's hop slot
+        rep_hop = np.repeat(hop, k)
+        off = np.tile(np.arange(k, dtype=np.int64), ts.size)
+        return pa.table(
+            {
+                "window_start_s": pa.array((rep_hop - off) * hop_s),
+                "val_e2": pa.array(np.repeat(v, k)),
+            }
+        )
+
+    agg = (
+        ds.select_columns([ts_col, value_col])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start_s")
+        .aggregate(Count(alias_name="n_events"), Sum("val_e2", alias_name="sum_val_e2"))
+    )
+    return agg
