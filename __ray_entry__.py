@@ -1710,6 +1710,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_cols=["event_id", "user_id"],
         )
 
+    def q_profile(sf_dir: str):
+        # table profiling (ANALYZE): exact per-column n/nulls/ndv/
+        # min/max over orders — streaming partial+combine for the
+        # bounds, one bounded-bucket distinct per column for NDV
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            profile_columns,
+        )
+
+        return profile_columns(
+            lambda: _tbl(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+            ),
+            ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        )
+
     def q_hopping_window(sf_dir: str):
         # hopping (sliding) 2h windows with a 1h hop over events —
         # vectorized map-side fan-out to k=2 windows, then the
@@ -2654,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
         "rel_hopping_window": q_hopping_window,
+        "rel_profile": q_profile,
         "rel_skew_join_agg": q_skew_join,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
@@ -4814,6 +4830,32 @@ def oracle_sql() -> dict[str, str]:
                               & 9223372036854775807::UBIGINT AS BIGINT),
                               doc_id) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # exact ANALYZE statistics; doubles e2-quantized before
+        # min/max/ndv on BOTH sides
+        "rel_profile": """
+            SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS ndv,
+                   min(o_orderkey) AS min_int, max(o_orderkey) AS max_int,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey), min(o_custkey), max(o_custkey),
+                   NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                   count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)),
+                   min(CAST(round(o_totalprice * 100) AS BIGINT)),
+                   max(CAST(round(o_totalprice * 100) AS BIGINT)), NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), NULL, NULL,
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         # each event fans out to its k=2 overlapping windows; values
         # e2-quantized per row before the integer sum

@@ -223,3 +223,27 @@ def test_import_reference_acc_parse_fallback():
     assert out["df"].tolist() == [3, 2, 1]
     assert out["cf"].tolist() == [6, 5, 5]
     assert out["max_tf"].tolist() == [3, 4, 5]
+
+
+def test_profile_columns_exact_with_nulls():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        profile_columns,
+    )
+
+    t = pa.table(
+        {
+            "i": pa.array([3, None, 1, 3, 7], pa.int64()),
+            "f": pa.array([1.234, 2.5, None, 2.5, -0.004], pa.float64()),
+            "s": pa.array(["b", "a", None, "a", "c"], pa.string()),
+        }
+    )
+    out = profile_columns(lambda: rd.from_arrow(t), ["i", "f", "s"]).to_pandas()
+    out = out.set_index("col")
+    assert out.loc["i", "n_rows"] == 5 and out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "ndv"] == 3
+    assert out.loc["i", "min_int"] == 1 and out.loc["i", "max_int"] == 7
+    # doubles e2-quantized: 1.234 -> 123, -0.004 -> 0 (round-half-even)
+    assert out.loc["f", "ndv"] == 3
+    assert out.loc["f", "min_int"] == 0 and out.loc["f", "max_int"] == 250
+    assert out.loc["s", "ndv"] == 3
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "c"

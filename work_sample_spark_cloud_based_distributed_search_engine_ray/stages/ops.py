@@ -1810,3 +1810,140 @@ def hopping_window_counts(
         .aggregate(Count(alias_name="n_events"), Sum("val_e2", alias_name="sum_val_e2"))
     )
     return agg
+
+
+def profile_columns(
+    ds_factory: Callable[[], rd.Dataset], cols: list[str], *, num_buckets: int = 64
+) -> pa.Table:
+    """Data profiling (the ANALYZE primitive): per column, exact
+    (n_rows, n_nulls, ndv, min, max) — table statistics a planner or a
+    data-quality gate reads; nothing in the reference surfaces any
+    table metadata beyond ``count`` (``KVSClient.java:292-308``).
+
+    ONE streaming pass computes per-batch (col, n, nulls, min, max)
+    partial rows for ALL columns at once, combined by an associative
+    groupby(col) (the exchange carries len(cols) rows per block, never
+    data); exact NDV runs one ``distinct_on`` bounded-bucket dedup +
+    count action per column (unique values only cross the wire, after
+    a per-batch combiner). Doubles are e2-quantized before min/max/ndv
+    so every statistic is integer-exact and SQL-replayable. The result
+    is one row per column — driver-side assembly of len(cols) rows,
+    not data."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def canon(arr: pa.ChunkedArray):
+        """column -> (int64-or-string array, is_str)."""
+        if pa.types.is_floating(arr.type):
+            v = pa.array(
+                np.rint(arr.to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+                mask=np.asarray(
+                    pc.is_null(arr).combine_chunks().to_numpy(zero_copy_only=False)
+                ),
+            )
+            return v, False
+        if pa.types.is_integer(arr.type):
+            return arr.cast(pa.int64()).combine_chunks(), False
+        return arr.cast(pa.string()).combine_chunks(), True
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out = {
+            "col": [], "n": [], "nulls": [],
+            "min_int": [], "max_int": [], "min_str": [], "max_str": [],
+        }
+        for c in cols:
+            v, is_str = canon(batch[c])
+            mm = pc.min_max(v)
+            out["col"].append(c)
+            out["n"].append(batch.num_rows)
+            out["nulls"].append(batch[c].null_count)
+            out["min_int"].append(None if is_str else mm["min"].as_py())
+            out["max_int"].append(None if is_str else mm["max"].as_py())
+            out["min_str"].append(mm["min"].as_py() if is_str else None)
+            out["max_str"].append(mm["max"].as_py() if is_str else None)
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "nulls": pa.array(out["nulls"], pa.int64()),
+                "min_int": pa.array(out["min_int"], pa.int64()),
+                "max_int": pa.array(out["max_int"], pa.int64()),
+                "min_str": pa.array(out["min_str"], pa.string()),
+                "max_str": pa.array(out["max_str"], pa.string()),
+            }
+        )
+
+    agg_rows = {
+        r["col"]: r
+        for r in (
+            ds_factory()
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(
+                Sum("n", alias_name="n_rows"),
+                Sum("nulls", alias_name="n_nulls"),
+                Min("min_int", alias_name="min_int"),
+                Max("max_int", alias_name="max_int"),
+                Min("min_str", alias_name="min_str"),
+                Max("max_str", alias_name="max_str"),
+            )
+            .take_all()
+        )
+    }
+
+    # ONE exchange for every column's exact NDV: per-batch local dedup
+    # of (col, canonical-value-string) pairs, then the bounded-bucket
+    # count-distinct kernel (string casts touch block-unique values
+    # only, after the combiner)
+    def tag_values(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            v, is_str = canon(t[c])
+            vs = v if is_str else pc.cast(v, pa.string())
+            one = pa.table(
+                {"col": pa.array([c] * len(vs), pa.string()), "v": vs}
+            )
+            one = one.filter(pc.is_valid(one["v"]))
+            outs.append(one.group_by(["col", "v"]).aggregate([]))
+        return pa.concat_tables(outs)
+
+    ndv_rows = {
+        r["col"]: int(r["n_distinct"])
+        for r in grouped_count_distinct(
+            ds_factory().map_batches(tag_values, batch_format="pyarrow"),
+            "col",
+            "v",
+            num_buckets=num_buckets,
+        ).take_all()
+    }
+
+    rows = []
+    for c in cols:
+        ndv = ndv_rows.get(c, 0)
+        s = agg_rows[c]
+        rows.append(
+            {
+                "col": c,
+                "n_rows": int(s["n_rows"]),
+                "n_nulls": int(s["n_nulls"]),
+                "ndv": int(ndv),
+                "min_int": s["min_int"],
+                "max_int": s["max_int"],
+                "min_str": s["min_str"],
+                "max_str": s["max_str"],
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("col", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_nulls", pa.int64()),
+                ("ndv", pa.int64()),
+                ("min_int", pa.int64()),
+                ("max_int", pa.int64()),
+                ("min_str", pa.string()),
+                ("max_str", pa.string()),
+            ]
+        ),
+    )
