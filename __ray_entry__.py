@@ -443,6 +443,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             export_reference_index(_cached_index_dir(sf_dir))
         )
 
+    def q_index_compact(sf_dir: str):
+        """Compact the built index (one term-sorted file per shard,
+        blobs byte-identical) and read the full per-term df/cf back
+        from the COMPACTED shards — the segment-merge maintenance step
+        the reference's never-merging KVS index lacks."""
+        import shutil as _sh
+        import tempfile
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.compact_index import (
+            compact_index,
+        )
+
+        import ray.data as rd
+
+        base = _cached_index_dir(sf_dir)
+        out = os.path.join(tempfile.gettempdir(), "wse_compacted_" + str(abs(hash(base)) % 10**8))
+        _sh.rmtree(out, ignore_errors=True)
+        compact_index(base, out)
+        return rd.read_parquet(
+            os.path.join(out, "shards"), columns=["term", "df", "cf"]
+        )
+
     def q_didyoumean(sf_dir: str) -> pa.Table:
         """End-to-end did-you-mean retrieval: deterministic
         misspellings (drop the 2nd char of the top-5 cf terms of
@@ -2697,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_didyoumean": q_didyoumean,
         "index_export_acc": q_index_export,
         "index_import_stats": q_index_import,
+        "index_compact_stats": q_index_compact,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_pagerank": q_crawl_pagerank,
@@ -4667,6 +4690,14 @@ def oracle_sql() -> dict[str, str]:
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
     SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
            CAST(max(tf) AS BIGINT) AS max_tf
+    FROM tf GROUP BY term
+    """,
+        # compaction is physical: the compacted shards' stats must
+        # equal the tokenization-derived truth
+        "index_compact_stats": f"""{_docs_cte()},
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
     FROM tf GROUP BY term
     """,
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),

@@ -402,3 +402,23 @@ def test_index_export_reference_acc_format(built):
         entries = [e.split(":") for e in acc[t].split(",")]
         got_pairs = [(int(d), int(f)) for d, f in entries]
         assert got_pairs == sorted(oracle.postings[t].items())
+
+
+def test_compact_index_single_file_and_score_identical(built, tmp_path):
+    import glob
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.compact_index import (
+        compact_index,
+    )
+
+    _pages, paths, idx, _oracle = built
+    out = str(tmp_path / "compacted")
+    compact_index(paths.out_dir, out)
+    # one file per shard directory
+    for d in glob.glob(out + "/shards/shard=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    idx2 = SearchIndex.load(out)
+    assert idx2.N == idx.N and idx2.avgdl == idx.avgdl
+    for _qid, q in reference_queries():
+        assert idx2.bm25_topk(q, 10) == idx.bm25_topk(q, 10)
+        assert idx2.reference_topk(q) == idx.reference_topk(q)
