@@ -2073,6 +2073,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         )
 
+    def q_robots_gate(sf_dir: str):
+        # robots-gate decisions over the pages corpus: per-actor host
+        # rules cache (the reference's per-JVM cache, Crawler.java:27)
+        # + the exact-then-star two-pass decision, aggregated per host;
+        # robots bodies are a pure function of the host so the SQL twin
+        # replays every decision from embedded rule literals
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            robots_gate_counts,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url"])
+        return robots_gate_counts(pages)
+
     def q_anchor_terms(sf_dir: str):
         # inbound anchor-text signal: dominant anchor term per target
         # page (the ranking signal the reference's link extractor makes
@@ -2722,6 +2740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_compact_stats": q_index_compact,
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
+        "crawl_robots_gate": q_robots_gate,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
@@ -3713,6 +3732,56 @@ def _phash_dups_oracle_sql() -> str:
     """
 
 
+def _robots_gate_oracle_sql() -> str:
+    """SQL twin of ``crawl_robots_gate``: per-host rule literals from
+    the SAME pure ``synth_robots``/``parse_robots`` chain are embedded
+    as VALUES; the decision — first path-prefix match by rule order,
+    exact-agent section before ``*``, default allow
+    (``Crawler.java:250-307``) — is replayed per url with window
+    ranks, then aggregated per host."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        host_of,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        robots_rule_rows,
+    )
+
+    import pyarrow.parquet as _pq
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    hosts = sorted(
+        {host_of(u) for u in _pq.read_table(pages_path, columns=["url"])["url"].to_pylist()}
+    )
+    rows = ", ".join(
+        f"('{h}', '{sec}', {o}, '{fl}', '{pre}')"
+        for h, sec, o, fl, pre in robots_rule_rows(hosts)
+    )
+    return f"""
+    WITH rules(host, section, ord, flag, prefix) AS (VALUES {rows}),
+    p AS (SELECT url,
+                 lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host,
+                 regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*', '') AS path
+          FROM read_parquet('{pages_path}')),
+    m AS (SELECT p.url, r.section, r.flag,
+                 row_number() OVER (PARTITION BY p.url, r.section ORDER BY r.ord) AS rn
+          FROM p JOIN rules r ON r.host = p.host AND starts_with(p.path, r.prefix)),
+    first_m AS (SELECT url, section, flag FROM m WHERE rn = 1),
+    dec AS (SELECT p.url, p.host,
+                   COALESCE(MAX(CASE WHEN f.section = 'agent' THEN f.flag END),
+                            MAX(CASE WHEN f.section = '*' THEN f.flag END),
+                            'allow') AS verdict
+            FROM p LEFT JOIN first_m f ON f.url = p.url
+            GROUP BY p.url, p.host)
+    SELECT host,
+           CAST(sum(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(sum(CASE WHEN verdict = 'allow' THEN 0 ELSE 1 END) AS BIGINT) AS n_denied
+    FROM dec GROUP BY host
+    """
+
+
 def _didyoumean_oracle_sql() -> str:
     """DuckDB twin of ``search_didyoumean``: re-derives the SAME
     deterministic misspellings from the corpus vocabulary (top-5 cf
@@ -4673,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),
+        "crawl_robots_gate": _robots_gate_oracle_sql(),
         # the reference index-table acc format re-derived from the
         # canonical tokenization: same doc_id-ascending posting order
         "index_export_acc": f"""{_docs_cte()},

@@ -64,3 +64,51 @@ def test_decider_is_case_insensitive_on_agent():
     m = parse_robots("USER-AGENT: MyBot\nDISALLOW: /x\n")
     assert not is_ok_to_crawl(m, "MyBot", "http://h:80/x/y")
     assert is_ok_to_crawl(m, "MyBot", "http://h:80/y")
+
+
+def test_robots_gate_stage_matches_pure_decision():
+    # the actor-pool stage's per-host cached decisions == the one-shot
+    # pure parse+decide for every url
+    import numpy as np
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.robots import (
+        robots_allows,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        ROBOTS_AGENT,
+        RobotsGateStage,
+        synth_robots,
+    )
+
+    urls = [
+        f"http://site{s}.example/p/{n:08d}"
+        for s in range(12)
+        for n in (5, 72, 272, 901, 1234, 4321, 7777)
+    ]
+    batch = pa.table({"url": pa.array(urls, pa.string())})
+    out = RobotsGateStage()(batch)
+    got = out["n_allowed"].to_numpy(zero_copy_only=False).astype(bool)
+    want = np.array(
+        [
+            robots_allows(
+                synth_robots(f"site{s}.example"), ROBOTS_AGENT, u
+            )
+            for s, u in zip([s for s in range(12) for _ in range(7)], urls)
+        ]
+    )
+    assert (got == want).all()
+    assert got.any() and (~got).any()  # both outcomes occur
+
+
+def test_synth_robots_exercises_sections_and_order():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        synth_robots,
+    )
+
+    bodies = [synth_robots(f"site{s}.example") for s in range(30)]
+    # a third of hosts get an exact-agent override section
+    assert any("cis5550-crawler" in b for b in bodies)
+    assert any("cis5550-crawler" not in b for b in bodies)
+    # two rule depths -> first-match-wins ordering is load-bearing
+    assert all(b.count(": /p/0000") == 2 for b in bodies)

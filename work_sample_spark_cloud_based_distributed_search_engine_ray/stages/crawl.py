@@ -516,3 +516,103 @@ def host_stats_partial(batch: pa.Table) -> pa.Table:
         [("n_pages", "sum"), ("sum_html_bytes", "sum"), ("sum_text_bytes", "sum")]
     )
     return agg.rename_columns(["host", "n_pages", "sum_html_bytes", "sum_text_bytes"])
+
+
+# ---------------------------------------------------------------------------
+# Robots gate — the reference's per-JVM robots cache + decision loop
+# (``Crawler.java:27,229-308``) as an actor-pool stage over pre-crawled
+# pages. No fetching (Parquet tier): each host's robots.txt body is a
+# deterministic pure function of the host, so the SQL twin can re-derive
+# every decision from embedded rule literals.
+
+ROBOTS_AGENT = "cis5550-crawler"
+
+
+def synth_robots(host: str) -> str:
+    """Deterministic synthetic robots.txt for a host (pure function of
+    the host string): three first-digit path rules in the ``*`` section
+    and, for a third of hosts, an exact-agent section that overrides —
+    exercising the reference's exact-then-star two-pass scan."""
+    from ..functions.hashing import hash64
+
+    h = hash64("robots:" + host)
+    lines = ["User-agent: *"]
+    # two prefix depths over the zero-padded /p/NNNNNNNN paths: a
+    # hundreds-digit rule first, then a thousands-digit rule — the
+    # shallower rule can shadow the deeper one, so first-match-wins
+    # ordering is actually load-bearing
+    for j, pad in enumerate(("00000", "0000")):
+        d = (h >> (4 * j)) % 10
+        flag = "Allow" if (h >> (12 + j)) & 1 else "Disallow"
+        lines.append(f"{flag}: /p/{pad}{d}")
+    if h % 3 == 0:
+        lines.append(f"User-agent: {ROBOTS_AGENT}")
+        lines.append(("Disallow" if h & 1 else "Allow") + ": /p/")
+    return "\n".join(lines)
+
+
+def robots_rule_rows(hosts: "list[str]") -> "list[tuple]":
+    """(host, section, ord, flag, prefix) literals for the SQL twin —
+    section already classified ('agent' = the exact-agent section)."""
+    from ..functions.robots import parse_robots
+
+    rows = []
+    for host in hosts:
+        parsed = parse_robots(synth_robots(host))
+        for section_key, name in ((ROBOTS_AGENT, "agent"), ("*", "*")):
+            for i, (flag, prefix) in enumerate(parsed.get(section_key, [])):
+                rows.append((host, name, i, flag, prefix))
+    return rows
+
+
+class RobotsGateStage:
+    """Actor-pool stage: url -> (host, allowed). The per-HOST parsed
+    rule cache lives in the actor (``__init__`` state — the reference
+    keeps the same cache per worker JVM, ``Crawler.java:27``); the
+    decision itself is the pure ``is_ok_to_crawl`` scan. Inherently a
+    per-url scalar decision (like media decode) — the host parse
+    happens once per host per actor, not per row."""
+
+    def __init__(self, *, user_agent: str = ROBOTS_AGENT):
+        self.user_agent = user_agent
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.robots import is_ok_to_crawl, parse_robots
+        from ..functions.urls import host_of
+
+        urls = batch["url"].to_pylist()
+        hosts = []
+        allowed = np.zeros(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            host = host_of(u)
+            rules = self._cache.get(host)
+            if rules is None:
+                rules = parse_robots(synth_robots(host))
+                self._cache[host] = rules
+            hosts.append(host)
+            allowed[i] = is_ok_to_crawl(rules, self.user_agent, u)
+        al = allowed.astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_allowed": pa.array(al),
+                "n_denied": pa.array(1 - al),
+            }
+        )
+
+
+def robots_gate_counts(pages: "rd.Dataset", *, concurrency: int = 4) -> "rd.Dataset":
+    """Per-host allow/deny counts of the robots gate over a pages
+    Dataset — map-side actor pool then one host-cardinality groupby
+    (hosts are bounded: sites, not pages)."""
+    from ray.data.aggregate import Sum
+
+    per_url = pages.map_batches(
+        RobotsGateStage, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+    )
+    return per_url.groupby("host").aggregate(
+        Sum("n_allowed", alias_name="n_allowed"), Sum("n_denied", alias_name="n_denied")
+    )
