@@ -2091,6 +2091,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url"])
         return robots_gate_counts(pages)
 
+    def q_politeness(sf_dir: str):
+        # the politeness throttle (Crawler.java:84-91,452-477) as a
+        # deterministic batch schedule: url #k of a host fetches at
+        # slot k (1 req/s/host) — the earliest-feasible plan the live
+        # retry loop converges to
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            politeness_schedule,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url"])
+        return politeness_schedule(pages)
+
     def q_anchor_terms(sf_dir: str):
         # inbound anchor-text signal: dominant anchor term per target
         # page (the ranking signal the reference's link extractor makes
@@ -2741,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_links": q_crawl_links,
         "crawl_anchor_terms": q_anchor_terms,
         "crawl_robots_gate": q_robots_gate,
+        "crawl_politeness_slots": q_politeness,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
@@ -3782,6 +3800,14 @@ def _robots_gate_oracle_sql() -> str:
     """
 
 
+def _pages_path_for_oracle() -> str:
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    return pages_for_sf_dir(_oracle_sf_dir())
+
+
 def _didyoumean_oracle_sql() -> str:
     """DuckDB twin of ``search_didyoumean``: re-derives the SAME
     deterministic misspellings from the corpus vocabulary (top-5 cf
@@ -4743,6 +4769,18 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),
         "crawl_robots_gate": _robots_gate_oracle_sql(),
+        # earliest-feasible politeness plan: rank within host by url
+        "crawl_politeness_slots": f"""
+            SELECT url,
+                   lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host,
+                   CAST(row_number() OVER (
+                     PARTITION BY lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
+                     ORDER BY url) - 1 AS BIGINT) AS slot,
+                   CAST(row_number() OVER (
+                     PARTITION BY lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
+                     ORDER BY url) - 1 AS BIGINT) AS fetch_at_s
+            FROM read_parquet('{_pages_path_for_oracle()}')
+        """,
         # the reference index-table acc format re-derived from the
         # canonical tokenization: same doc_id-ascending posting order
         "index_export_acc": f"""{_docs_cte()},

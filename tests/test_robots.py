@@ -112,3 +112,35 @@ def test_synth_robots_exercises_sections_and_order():
     assert any("cis5550-crawler" not in b for b in bodies)
     # two rule depths -> first-match-wins ordering is load-bearing
     assert all(b.count(": /p/0000") == 2 for b in bodies)
+
+
+def test_politeness_schedule_partitioning_invariant(ray_session):
+    # one fetch per host per second; ranks dense per host; invariant
+    # under input partitioning (host buckets keyed by stable hash64)
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        politeness_schedule,
+    )
+
+    pp = pages_parquet(300)
+    a = (
+        politeness_schedule(rd.read_parquet(pp, columns=["url"]))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        politeness_schedule(rd.read_parquet(pp, columns=["url"]).repartition(7))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    for _host, grp in a.groupby("host"):
+        slots = sorted(grp["slot"])
+        assert slots == list(range(len(slots)))  # dense 0..n-1 per host
+    assert (a["fetch_at_s"] == a["slot"]).all()

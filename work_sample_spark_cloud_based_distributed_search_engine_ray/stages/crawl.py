@@ -616,3 +616,66 @@ def robots_gate_counts(pages: "rd.Dataset", *, concurrency: int = 4) -> "rd.Data
     return per_url.groupby("host").aggregate(
         Sum("n_allowed", alias_name="n_allowed"), Sum("n_denied", alias_name="n_denied")
     )
+
+
+def politeness_schedule(pages: "rd.Dataset", *, per_host_interval_s: int = 1) -> "rd.Dataset":
+    """The reference's politeness throttle (skip a host fetched less
+    than 1 s ago and re-emit the url to the next wave,
+    ``Crawler.java:84-91,452-477``) recast as a DETERMINISTIC batch
+    schedule: with at most one fetch per host per
+    ``per_host_interval_s``, url #k of a host (ordered by url) fetches
+    at slot k — the earliest-feasible plan the live throttle converges
+    to, computable ahead of time instead of by retry. Output: (url,
+    host, slot, fetch_at_s).
+
+    Physical plan: one bounded host-bucket hash shuffle, then ONE
+    vectorized (host, url) lexsort + segmented rank per bucket — a
+    host's urls never span buckets, so per-bucket ranks are final."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+    from ..functions.urls import host_of
+    from .shuffle import hash_map_groups
+
+    def add_host(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        hosts = [host_of(u) for u in urls]
+        # hash64, NOT python hash(): the builtin is per-process seeded,
+        # which would route one host to different buckets in different
+        # worker processes and split its rank sequence
+        hb = np.fromiter(
+            (hash64(h) & 63 for h in hosts), dtype=np.int64, count=len(hosts)
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "host": pa.array(hosts, pa.string()),
+                "hbucket": pa.array(hb),
+            }
+        )
+
+    def ranks(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("host", "ascending"), ("url", "ascending")]
+        )
+        g = group.take(idx)
+        import numpy as np
+
+        h = g["host"].to_numpy(zero_copy_only=False)
+        new_host = np.ones(len(h), dtype=bool)
+        new_host[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_host)
+        counts = np.diff(np.append(starts, len(h)))
+        slot = np.arange(len(h), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "url": g["url"],
+                "host": g["host"],
+                "slot": pa.array(slot),
+                "fetch_at_s": pa.array(slot * per_host_interval_s),
+            }
+        )
+
+    return hash_map_groups(
+        pages.map_batches(add_host, batch_format="pyarrow"), "hbucket", ranks
+    )
