@@ -1085,6 +1085,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_simhash(sf_dir: str):
         return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
+    def q_dedup_eval(sf_dir: str) -> pa.Table:
+        """Sketch quality evaluation (the dedup analog of
+        ``knn_lsh_recall``): for every EXACT n-gram-Jaccard duplicate
+        pair, did the MinHash-LSH path surface it? Both inputs are the
+        distributed ops; the join runs on their bounded pair outputs.
+        A `found=false` row is a sketch miss, measurable per pair;
+        the sketch runs a TIGHT estimator cut (est >= 0.97) so the
+        miss branch is non-vacuous at fixture scale — the
+        band-collision recall itself is ~1 here."""
+        exact = ngram_jaccard_pairs(
+            _docs(sf_dir), n=3, threshold=JACCARD_THR
+        ).take_all()
+        sketch = minhash_lsh_pairs(_docs(sf_dir), est_threshold=0.97).take_all()
+        sk = {(int(r["doc_a"]), int(r["doc_b"])) for r in sketch}
+        rows = sorted(
+            (int(r["doc_a"]), int(r["doc_b"]), float(r["jaccard"])) for r in exact
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array([a for a, _b, _j in rows], pa.int64()),
+                "doc_b": pa.array([b for _a, b, _j in rows], pa.int64()),
+                "jaccard": pa.array([j for _a, _b, j in rows], pa.float64()),
+                "found": pa.array([(a, b) in sk for a, b, _j in rows], pa.bool_()),
+            }
+        )
+
     # ---------------- similarity search ----------------
 
     def _query_matrix(sf_dir: str):
@@ -2697,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_cluster_components": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_minhash_eval": q_dedup_eval,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
         "knn_kmeans_assign": q_kmeans,
@@ -3250,7 +3277,7 @@ def _term_complete_oracle_sql() -> str:
     """
 
 
-def _sketch_oracle_sqls() -> dict[str, str]:
+def _sketch_oracle_sqls(est_threshold: float = 0.2) -> dict[str, str]:
     """Containment oracles for the sketch-based near-dup queries.
 
     The sketches themselves (blake2b token hashes -> MinHash /
@@ -3282,7 +3309,7 @@ def _sketch_oracle_sqls() -> dict[str, str]:
     texts = docs["text"].to_pylist()
 
     # --- MinHash (must mirror queries(): q_dedup_minhash params) ---
-    num_perm, num_bands, shingle_n, seed, est_threshold = 128, 32, 3, 1, 0.2
+    num_perm, num_bands, shingle_n, seed = 128, 32, 3, 1
     rows_per_band = num_perm // num_bands
     a, b = minhash_params(num_perm, seed)
     sig_rows = []
@@ -4740,6 +4767,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
+        # sketch quality eval: chain the exact-Jaccard and the
+        # embedded-signature MinHash oracles, LEFT JOIN on the pair
+        "dedup_minhash_eval": f"""
+    WITH x AS ({jaccard}),
+    s AS ({_sketch_oracle_sqls(est_threshold=0.97)["dedup_minhash_lsh"]})
+    SELECT x.doc_a, x.doc_b, x.jaccard, s.doc_a IS NOT NULL AS found
+    FROM x LEFT JOIN s ON s.doc_a = x.doc_a AND s.doc_b = x.doc_b
+    """,
         "dedup_cluster_components": dup_cluster_sql,
         "text_decontaminate": decontaminate,
         "pipeline_data_prep": data_prep,
