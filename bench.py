@@ -186,12 +186,17 @@ def run_scaling() -> None:
         "host_health_mb_s": {"before": health_before, "after": host_health()},
         "attempts": attempts_log,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_latest.json", "w") as f:
+    # repo-anchored, NOT cwd-relative: a run driven from a scratch cwd
+    # once auto-appended its ledger entry outside the repo (BASELINE.md
+    # 2026-08-18 note) — anchor on this file's directory so every
+    # observation lands in the repo's ledger regardless of cwd
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "scaling_latest.json"), "w") as f:
         json.dump(payload, f, indent=2)
     # append-only history: the sandbox VM's noise swings single runs by
     # 2x, so the record keeps every measurement, not just the last
-    with open("BENCH/scaling_history.jsonl", "a") as f:
+    with open(os.path.join(bench_dir, "scaling_history.jsonl"), "a") as f:
         f.write(json.dumps(payload) + "\n")
     print(json.dumps(payload))
 
