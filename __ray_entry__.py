@@ -137,6 +137,9 @@ def _cached_index(sf_dir: str):
 # initial (en/de/fr vocab words start with 'e'/'d'/'f'), and a zero-hit
 TERM_COMPLETE_PREFIXES = ("th", "e", "eka", "de", "fr", "zzz")
 
+# wildcard retrieval prefixes: a hot stem, a rarer stem, and a no-match
+WILDCARD_PREFIXES = ("eka", "epirv", "zzz")
+
 
 def _cached_pos_index(sf_dir: str):
     """Positional (format 3) index over the same corpus, cached
@@ -441,6 +444,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return import_reference_index(
             export_reference_index(_cached_index_dir(sf_dir))
+        )
+
+    def q_wildcard(sf_dir: str) -> pa.Table:
+        """Prefix/wildcard retrieval ("eka*"): expand each query prefix
+        to its top-8 vocabulary terms (cf desc, term — the autocomplete
+        rule), then score the expansion as a weight-1.0 BM25 OR via
+        the PRF machinery (``bm25_weighted_topk``) — the wildcard-query
+        feature the reference's exact-term Searcher cannot answer.
+        Expansion is bounded (8 terms/prefix) so query cost stays
+        independent of vocabulary size."""
+        import ray
+        import ray.data as rd
+
+        out_dir = _cached_index_dir(sf_dir)
+        idx = _cached_index(sf_dir)
+        vt = pa.concat_tables(
+            ray.get(
+                rd.read_parquet(
+                    os.path.join(out_dir, "term_stats"), columns=["term", "cf"]
+                ).to_arrow_refs()
+            )
+        ).combine_chunks()
+        terms = np.array(vt["term"].to_pylist(), dtype=object)
+        cf = vt["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qids, pres, ranks, doc_ids, scores = [], [], [], [], []
+        for qid, prefix in enumerate(WILDCARD_PREFIXES):
+            m = np.array([t.startswith(prefix) for t in terms], dtype=bool)
+            order = np.lexsort((terms[m], -cf[m]))[:8]
+            expanded = [(t, 1.0) for t in terms[m][order]]
+            top = sorted(
+                (
+                    (int(round(s * 1_000_000)), d)
+                    for d, s in idx.bm25_weighted_topk(expanded, k=50)
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(top):
+                qids.append(qid)
+                pres.append(prefix)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "prefix": pa.array(pres, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
         )
 
     def q_index_compact(sf_dir: str):
@@ -2779,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": q_host_stats,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
+        "search_wildcard": q_wildcard,
         "index_export_acc": q_index_export,
         "index_import_stats": q_index_import,
         "index_compact_stats": q_index_compact,
@@ -3774,6 +3828,51 @@ def _phash_dups_oracle_sql() -> str:
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM ph a JOIN ph b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+def _wildcard_oracle_sql() -> str:
+    """DuckDB twin of ``search_wildcard``: per prefix, expand to the
+    top-8 cf vocabulary terms (cf desc, term), score the expansion as
+    a weight-1.0 BM25 sum (exact N/df/dl/avgdl over dedup winners),
+    top-10 per qid by (score_e6 desc, doc_id)."""
+    p_rows = ", ".join(
+        f"({i}, '{p}')" for i, p in enumerate(WILDCARD_PREFIXES)
+    )
+    bm25 = (
+        "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+        " * (tf.tf * (1.2 + 1))"
+        " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+    )
+    return f"""{_docs_cte()},
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    p(qid, prefix) AS (VALUES {p_rows}),
+    exp AS (SELECT qid, prefix, term FROM (
+              SELECT p.qid, p.prefix, cf.term,
+                     row_number() OVER (PARTITION BY p.qid
+                       ORDER BY cf.c DESC, cf.term) AS rn
+              FROM p JOIN cf ON starts_with(cf.term, p.prefix)) WHERE rn <= 8),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM exp) GROUP BY term),
+    s AS (SELECT exp.qid, exp.prefix, tf.doc_id, sum({bm25}) AS score
+          FROM exp JOIN df USING (term) JOIN tf ON tf.term = exp.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+          GROUP BY exp.qid, exp.prefix, tf.doc_id),
+    e6 AS (SELECT qid, prefix, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM s)
+    SELECT qid, prefix,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
     """
 
 
@@ -4804,6 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),
         "crawl_robots_gate": _robots_gate_oracle_sql(),
+        "search_wildcard": _wildcard_oracle_sql(),
         # earliest-feasible politeness plan: rank within host by url
         "crawl_politeness_slots": f"""
             SELECT url,
