@@ -186,3 +186,33 @@ def test_http_facets_endpoint(served):
             assert e.code == 501
     finally:
         srv2.shutdown()
+
+
+def test_http_response_cache_and_stats(served):
+    # repeated identical queries hit the LRU cache and return the
+    # byte-identical payload; /stats reports index + cache counters
+    import json as _json
+    from urllib.request import urlopen
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        u = f"{base}/search?query=the+tanel&k=5"
+        a = urlopen(u).read()
+        b = urlopen(u).read()
+        assert a == b
+        assert srv.cache_hits == 1 and srv.cache_misses == 1
+        # a different k is a different cache entry
+        urlopen(f"{base}/search?query=the+tanel&k=3").read()
+        assert srv.cache_misses == 2
+        stats = _json.loads(urlopen(f"{base}/stats").read())
+        assert stats["cache_hits"] == 1 and stats["cache_misses"] == 2
+        assert stats["cache_entries"] == 2
+        assert stats["n_docs"] == idx.N and stats["avgdl"] == idx.avgdl
+    finally:
+        srv.shutdown()

@@ -185,12 +185,28 @@ class SearchHTTPServer:
     for single-process serving — the reference's deployment shape).
     Binds an ephemeral port when ``port=0``; ``start()`` serves on a
     daemon thread, ``shutdown()`` stops it.
+
+    Extensions over the reference contract: a bounded LRU response
+    cache keyed by (query, k, snippet) — the reference re-scans its
+    whole ``urls`` table on EVERY request with no reuse at all
+    (``Searcher.java:44-57``, the dominant per-query cost) — and a
+    ``GET /stats`` ops endpoint (index N/avgdl + cache counters).
     """
 
-    def __init__(self, backend, *, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(
+        self, backend, *, host: str = "127.0.0.1", port: int = 8080, cache_size: int = 256
+    ):
         import threading
+        from collections import OrderedDict
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
         from urllib.parse import parse_qs, urlsplit
+
+        outer = self
+        self.cache_size = cache_size
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self.cache_hits = 0
+        self.cache_misses = 0
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet test runs
@@ -209,6 +225,19 @@ class SearchHTTPServer:
 
             def do_GET(self) -> None:
                 u = urlsplit(self.path)
+                if u.path == "/stats":
+                    with outer._cache_lock:
+                        self._reply(
+                            200,
+                            {
+                                "n_docs": getattr(backend, "N", None),
+                                "avgdl": getattr(backend, "avgdl", None),
+                                "cache_hits": outer.cache_hits,
+                                "cache_misses": outer.cache_misses,
+                                "cache_entries": len(outer._cache),
+                            },
+                        )
+                    return
                 if u.path not in ("/search", "/facets"):
                     self._reply(404, {"error": "not found"})
                     return
@@ -238,11 +267,20 @@ class SearchHTTPServer:
                 except ValueError:
                     self._reply(400, {"error": "bad k"})
                     return
+                want_snippet = (q.get("snippet") or ["0"])[0] == "1"
+                key = (query, k, want_snippet)
+                with outer._cache_lock:
+                    cached = outer._cache.get(key)
+                    if cached is not None:
+                        outer._cache.move_to_end(key)
+                        outer.cache_hits += 1
+                if cached is not None:
+                    self._reply(200, cached)
+                    return
                 rows = backend.search(query, k)
                 # exact reference JSON shape (Searcher.java:186-195);
                 # &snippet=1 appends a query-biased snippet field (an
                 # opt-in extension — the bare contract is unchanged)
-                want_snippet = (q.get("snippet") or ["0"])[0] == "1"
                 out = [
                     {f: r[f] for f in ("url", "rank_score", "title", "body")}
                     for r in rows
@@ -250,6 +288,11 @@ class SearchHTTPServer:
                 if want_snippet:
                     for o in out:
                         o["snippet"] = render_snippet(o["body"], query)
+                with outer._cache_lock:
+                    outer.cache_misses += 1
+                    outer._cache[key] = out
+                    while len(outer._cache) > outer.cache_size:
+                        outer._cache.popitem(last=False)
                 self._reply(200, out)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
