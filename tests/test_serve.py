@@ -216,3 +216,34 @@ def test_http_response_cache_and_stats(served):
         assert stats["n_docs"] == idx.N and stats["avgdl"] == idx.avgdl
     finally:
         srv.shutdown()
+
+
+def test_http_fuzzy_param_corrects_oov(served):
+    # &fuzzy=1 rewrites OOV terms by min edit distance before scoring;
+    # the corrected query's results equal a direct search for it
+    import json as _json
+    from urllib.request import urlopen
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    # derive a misspelling of a real vocab term (drop its 2nd char)
+    term = next(t for t in idx._term_row if len(t) >= 6)
+    typo = term[0] + term[2:]
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        fuzzy = _json.loads(
+            urlopen(f"{base}/search?query={typo}&k=5&fuzzy=1").read()
+        )
+        corrected = idx.correct_query(typo)
+        direct = _json.loads(
+            urlopen(f"{base}/search?query={corrected}&k=5").read()
+        )
+        assert fuzzy == direct and len(fuzzy) > 0
+        # in-vocab queries pass through unchanged
+        assert idx.correct_query(term) == term
+    finally:
+        srv.shutdown()

@@ -835,10 +835,41 @@ class SearchIndex:
                     break
         return out
 
-    def search(self, query: str, k: int = 10) -> list[dict]:
+    def correct_query(self, query: str) -> str:
+        """Did-you-mean rewrite: every OOV query term is replaced by
+        its minimum-edit-distance vocabulary term (ties by term — the
+        ``stages/textstats.spell_correct`` rule); in-vocab terms pass
+        through. The vocabulary codepoint matrix is built lazily ONCE
+        per index (a serving shard's vocab is bounded) and cached."""
+        from ..functions.tokenize import tokenize_query
+        from ..stages.textstats import _levenshtein_to_all
+
+        toks = tokenize_query(query)
+        if all(self.has_term(t) for t in toks):
+            return query
+        if getattr(self, "_vocab_mat", None) is None:
+            terms = np.array(list(self._term_row.keys()), dtype=object)
+            lens = np.array([len(t) for t in terms], dtype=np.int64)
+            mat = np.zeros((len(terms), int(lens.max()) if lens.size else 0), np.uint32)
+            for i, t in enumerate(terms):
+                mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+            self._vocab_terms, self._vocab_lens, self._vocab_mat = terms, lens, mat
+        out = []
+        for t in toks:
+            if self.has_term(t) or not len(self._vocab_terms):
+                out.append(t)
+                continue
+            dist = _levenshtein_to_all(t, self._vocab_mat, self._vocab_lens)
+            out.append(self._vocab_terms[np.lexsort((self._vocab_terms, dist))[0]])
+        return " ".join(out)
+
+    def search(self, query: str, k: int = 10, *, fuzzy: bool = False) -> list[dict]:
         """Top-k with url/title/body assembled from the doc store
         (output shape mirrors the reference's JSON:
-        ``{url, rank_score, title, body}``, ``Searcher.java:186-195``)."""
+        ``{url, rank_score, title, body}``, ``Searcher.java:186-195``).
+        ``fuzzy=True`` applies the did-you-mean OOV rewrite first."""
+        if fuzzy:
+            query = self.correct_query(query)
         ranked = self.bm25_topk(query, k)
         if self._docstore is None:
             self._docstore = DocStore(self._docstore_path)

@@ -268,6 +268,13 @@ class SearchHTTPServer:
                     self._reply(400, {"error": "bad k"})
                     return
                 want_snippet = (q.get("snippet") or ["0"])[0] == "1"
+                # &fuzzy=1: did-you-mean OOV rewrite before scoring
+                # (501 for backends without correct_query)
+                if (q.get("fuzzy") or ["0"])[0] == "1":
+                    if not hasattr(backend, "correct_query"):
+                        self._reply(501, {"error": "backend has no fuzzy"})
+                        return
+                    query = backend.correct_query(query)
                 key = (query, k, want_snippet)
                 with outer._cache_lock:
                     cached = outer._cache.get(key)
