@@ -315,6 +315,22 @@ if __name__ == "__main__":
 
         ray.shutdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        if "--wait-healthy" in sys.argv:
+            # this VM's backing store degrades ~100-1000x for hours
+            # (BASELINE.md host notes); degraded windows systematically
+            # UNDERSTATE scaling efficiency (the I/O floor binds harder
+            # at higher CPU counts), so poll until the store recovers
+            # before spending the measurement. Thresholds are ~60% of
+            # the observed healthy levels (5,300 / 515 MB/s).
+            import time as _time
+
+            deadline = _time.time() + 6 * 3600
+            while _time.time() < deadline:
+                h = host_health()
+                print(json.dumps({"waiting_for_healthy_host": h}), flush=True)
+                if h["fault_in_mb_s"] > 3000 and h["disk_write_mb_s"] > 350:
+                    break
+                _time.sleep(120)
         run_scaling()
     else:
         run_bench()
