@@ -477,6 +477,8 @@ def afp64(samples: np.ndarray, *, frames: int = 16, bands: int = 4) -> int:
     near-identical clips land within a few bits."""
     x = samples.astype(np.float64)
     flen = x.size // frames
+    if flen == 0:  # shorter than one sample per frame: degenerate clip
+        return 0
     fr = x[: flen * frames].reshape(frames, flen)
     spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
     nf = spec.shape[1] - 1  # usable bins, DC excluded
