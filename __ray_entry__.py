@@ -792,6 +792,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 cols["n_title_hits"].append(h)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
+    def q_search_anchor(sf_dir: str) -> pa.Table:
+        """Anchor-field boost: body BM25 e6 score plus a flat
+        300000-micro boost per distinct body-present query term among
+        the doc's INBOUND anchor-text terms
+        (`SearchIndex.bm25_anchor_boost`; anchor map from
+        `stages/crawl.inbound_anchor_query_terms`, bounded by the query
+        vocabulary). All-integer ranking."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+            reference_queries,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            inbound_anchor_query_terms,
+        )
+
+        idx = _cached_index(sf_dir)
+        vocab = {
+            t
+            for _qid, q in reference_queries()
+            for t in tokenize_query(q)
+            if idx.has_term(t)
+        }
+        import ray
+
+        amap: dict[int, set[str]] = {}
+        pairs = inbound_anchor_query_terms(pages_for_sf_dir(sf_dir), vocab)
+        for blk in ray.get(pairs.to_arrow_refs()):
+            for d, t in zip(blk["doc_id"].to_pylist(), blk["term"].to_pylist()):
+                amap.setdefault(d, set()).add(t)
+
+        cols = {
+            k: []
+            for k in ("qid", "rank", "doc_id", "total_e6", "base_e6", "n_anchor_hits")
+        }
+        for qid, q in reference_queries():
+            for r, (d, tot, base, h) in enumerate(idx.bm25_anchor_boost(q, amap, k=10)):
+                cols["qid"].append(qid)
+                cols["rank"].append(r)
+                cols["doc_id"].append(d)
+                cols["total_e6"].append(tot)
+                cols["base_e6"].append(base)
+                cols["n_anchor_hits"].append(h)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
     def q_search_boolean(sf_dir: str) -> pa.Table:
         """Strict conjunctive (AND) retrieval top-10 per reference
         query, ranked by summed term frequency
@@ -2739,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
+        "search_bm25_anchor": q_search_anchor,
         "search_bm25_collapsed": q_search_collapsed,
         "search_facets": q_search_facets,
         "search_recency_boost": q_search_recency,
@@ -2927,6 +2975,102 @@ def _title_boost_oracle_sql() -> str:
            CAST(row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) - 1
                 AS BIGINT) AS "rank",
            doc_id, total_e6, base_e6, CAST(n_title_hits AS BIGINT) AS n_title_hits
+    FROM tot
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
+    """
+
+
+def _anchor_boost_oracle_sql() -> str:
+    """DuckDB twin of ``search_bm25_anchor``: the flagship BM25 replay
+    plus the anchor FIELD — ``<a href>(text)</a>`` elements extracted
+    from ALL pages (dup losers endorse too) with the same element scope
+    as the hash-matched ``crawl_links``/``crawl_anchor_terms`` oracles,
+    inner text tokenized with the canonical expression, targets
+    resolved by joining the normalized href against the normalized
+    corpus page urls (so off-corpus targets drop out), doc_id =
+    hash64(raw page url). A flat 300000-micro boost per DISTINCT
+    body-present query term among a doc's DISTINCT inbound anchor
+    terms; candidates = body matches only (LEFT JOIN from the score
+    table). All-integer scores; (total_e6 desc, doc_id) order."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    boost = SearchIndex.ANCHOR_BOOST_E6
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    toks_anchor = TOKS.replace("text", "anchor")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM winners),
+    anchors AS (SELECT
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+      FROM pages),
+    apairs AS (SELECT DISTINCT
+        regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url,
+        unnest({toks_anchor}) AS term
+      FROM anchors),
+    aterms AS MATERIALIZED (SELECT DISTINCT
+        CAST(('0x' || substr(md5(p.url), 1, 16))::UBIGINT
+             & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+        a.term
+      FROM apairs a JOIN pages p
+        ON regexp_replace(p.url, '^http://([^/]*)', 'http://\\1:80') = a.dst_url),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    scores AS (
+      SELECT qb.qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score
+      FROM qb JOIN df USING (term) JOIN tf ON tf.term = qb.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY qb.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS base_e6
+           FROM scores),
+    abst AS (SELECT qb.qid, a.doc_id,
+                    CAST({boost} * count(*) AS BIGINT) AS b
+             FROM qb JOIN aterms a USING (term)
+             GROUP BY qb.qid, a.doc_id),
+    tot AS (SELECT e6.qid, e6.doc_id,
+                   e6.base_e6 + coalesce(abst.b, 0) AS total_e6,
+                   e6.base_e6,
+                   coalesce(abst.b, 0) // {boost} AS n_anchor_hits
+            FROM e6 LEFT JOIN abst
+              ON e6.qid = abst.qid AND e6.doc_id = abst.doc_id)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, total_e6, base_e6, CAST(n_anchor_hits AS BIGINT) AS n_anchor_hits
     FROM tot
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
     """
@@ -4899,6 +5043,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank": _pagerank_oracle_sql(),
         "crawl_hits": _hits_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
+        "search_bm25_anchor": _anchor_boost_oracle_sql(),
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),

@@ -247,6 +247,81 @@ def test_title_boost_matches_bruteforce(built):
     assert checked_hits > 0, "no title hits anywhere — boost never exercised"
 
 
+def test_anchor_boost_matches_bruteforce(built):
+    """bm25_anchor_boost vs a brute-force recomputation: the anchor map
+    built by the distributed stage must equal a per-page Python rebuild
+    (extract_anchor_texts + normalize_url + canonical tokenize, distinct
+    per (target, term)), and the ranking must equal full-corpus base
+    scores + 300000 * |query terms in the doc's inbound anchor set|."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        is_crawlable,
+        normalize_seed,
+        normalize_url,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        extract_anchor_texts,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        inbound_anchor_query_terms,
+    )
+
+    import ray
+
+    pages, _paths, idx, oracle = built
+    tbl = pq.read_table(pages)
+
+    vocab = {
+        t for _qid, q in reference_queries() for t in tokenize_query(q) if idx.has_term(t)
+    }
+    # brute-force inbound anchor map: normalized target -> distinct terms
+    by_target: dict[str, set] = {}
+    for r in tbl.to_pylist():
+        html = r["html"].decode("utf-8", "replace")
+        for href, text in extract_anchor_texts(html):
+            n = normalize_url(r["url"], href)
+            if n is None or not is_crawlable(n):
+                continue
+            for term in tokenize(text):
+                if term in vocab:
+                    by_target.setdefault(n, set()).add(term)
+    expect_map: dict[int, set] = {}
+    for r in tbl.to_pylist():
+        n = normalize_seed(r["url"])
+        if n in by_target:
+            expect_map[hash64(r["url"])] = set(by_target[n])
+
+    got_map: dict[int, set] = {}
+    pairs = inbound_anchor_query_terms(pages, vocab)
+    for blk in ray.get(pairs.to_arrow_refs()):
+        for d, t in zip(blk["doc_id"].to_pylist(), blk["term"].to_pylist()):
+            got_map.setdefault(d, set()).add(t)
+    assert got_map == expect_map
+    assert expect_map, "no anchor endorsements at fixture scale — boost vacuous"
+
+    checked_hits = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25_anchor_boost(q, got_map, k=10)
+        q_terms = list(
+            dict.fromkeys(t for t in tokenize_query(q) if idx.has_term(t))
+        )
+        base = {d: int(round(s * 1e6)) for d, s in oracle.bm25_topk(q, k=10**9)}
+        expect = []
+        for d, b in base.items():
+            hits = len(set(q_terms) & expect_map.get(d, set()))
+            expect.append((d, b + 300_000 * hits, b, hits))
+        expect.sort(key=lambda t: (-t[1], t[0]))
+        assert got == expect[:10], q
+        checked_hits += sum(h for _d, _t, _b, h in got)
+    assert checked_hits > 0, "no anchor hits anywhere — boost never exercised"
+
+
 def test_facets_and_recency(built):
     """bm25_facets counts exactly the e6 top-50 prefix's (host, lang)
     values; bm25_topk_recency is the prefix re-ranked by score_e6 +

@@ -577,6 +577,67 @@ class SearchIndex:
             for i in order
         ]
 
+    ANCHOR_BOOST_E6 = 300_000
+
+    def bm25_anchor_boost(
+        self,
+        query: str,
+        anchor_terms: dict[int, set[str]],
+        k: int = 10,
+        boost_e6: int = ANCHOR_BOOST_E6,
+    ) -> list[tuple[int, int, int, int]]:
+        """Anchor-field ranking: body BM25 (e6-quantized) plus a flat
+        ``boost_e6`` per DISTINCT body-present query term among the
+        doc's INBOUND anchor-text terms — the classic web ranking
+        signal (other pages' link text endorsing this page) that the
+        reference's link extractor makes available but never consumes
+        (``Crawler.java:405-436``; its scorer is body-only,
+        ``Searcher.java:139-150``).
+
+        ``anchor_terms`` maps doc_id -> the set of inbound anchor terms
+        (built by ``stages/crawl.inbound_anchor_query_terms``, bounded
+        by the query vocabulary). Candidate set = docs matching >= 1
+        query term in the BODY (an anchor-only match never enters —
+        same contract as the title boost). Unlike the title boost there
+        is no doc-store fetch at all: hits are O(1) dict lookups, so no
+        pruning band is needed.
+
+        Returns [(doc_id, total_e6, base_e6, n_anchor_hits)] ordered by
+        (total_e6 desc, doc_id asc) — all-integer, SQL-reproducible.
+        """
+        q_terms = list(
+            dict.fromkeys(t for t in tokenize_query(query) if self.has_term(t))
+        )
+        if not q_terms:
+            return []
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_scores))
+        base_e6 = np.rint(acc * 1e6).astype(np.int64)
+
+        qset = set(q_terms)
+        empty: frozenset[str] = frozenset()
+        hits = np.fromiter(
+            (len(qset & anchor_terms.get(int(d), empty)) for d in uniq),
+            dtype=np.int64,
+            count=uniq.size,
+        )
+        total = base_e6 + boost_e6 * hits
+        order = np.lexsort((uniq, -total))[:k]
+        return [
+            (int(uniq[i]), int(total[i]), int(base_e6[i]), int(hits[i]))
+            for i in order
+        ]
+
     def phrase_topk(
         self, phrase: str, k: int = 10, method: str = "auto"
     ) -> list[tuple[int, int]]:

@@ -164,6 +164,92 @@ def anchor_top_terms(pages_ds: "rd.Dataset", num_buckets: int = 64) -> "rd.Datas
     return hash_map_groups(rows, "__bucket", _top_anchor_of_bucket)
 
 
+def inbound_anchor_query_terms(
+    pages_path: str, vocab: set[str], num_buckets: int = 64
+) -> "rd.Dataset":
+    """DISTINCT ``(doc_id, term)`` inbound anchor-text endorsements,
+    restricted to the bounded term set ``vocab`` (in practice the query
+    vocabulary), for the anchor-field ranking boost
+    (``SearchIndex.bm25_anchor_boost``).
+
+    Two streaming passes over the pages parquet:
+
+    1. anchor extraction (the ``AnchorTermsStage`` actor pool) -> a
+       vectorized ``is_in`` vocab gate -> a bucketed ``distinct_on``
+       over (dst_url, term). The gate means the distinct set is
+       ~|anchors naming a vocab term|, never the full (dst, term)
+       space.
+    2. the collected pair map (bounded by the vocab restriction) is
+       broadcast once via ``ray.put`` against a pruned url-only read of
+       the same parquet, resolving each normalized target back to its
+       page's ``doc_id = hash64(raw url)`` — the engine's url->doc_id
+       rule. Membership is one ``is_in`` per batch; only matching urls
+       pay a Python expansion.
+
+    Contract notes (mirrored by the SQL twin): endorsements aimed at
+    urls that are not corpus pages resolve to no doc and drop out;
+    targets that are dedup LOSERS resolve to doc_ids absent from every
+    posting list and are harmless downstream — anchor endorsement is
+    per-URL, not per-content. At full corpus scale the same semantics
+    come from promoting anchors to an index FIELD (anchor postings
+    built by the term shuffle alongside format 2/3); this is the
+    bounded serving-tier form.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash64
+    from ..functions.urls import normalize_seed
+    from .ops import distinct_on
+
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def vocab_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=vocab_arr)).select(
+            ["dst_url", "term"]
+        )
+
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+    rows = pages.map_batches(
+        AnchorTermsStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    pairs = distinct_on(
+        rows.map_batches(vocab_gate, batch_format="pyarrow"),
+        ["dst_url", "term"],
+        num_buckets=num_buckets,
+    )
+    amap: dict[str, list[str]] = {}
+    for blk in ray.get(pairs.to_arrow_refs()):
+        for u, t in zip(blk["dst_url"].to_pylist(), blk["term"].to_pylist()):
+            amap.setdefault(u, []).append(t)
+    key_arr = pa.array(sorted(amap), pa.string())
+    map_ref = ray.put(amap)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        urls = batch["url"].to_pylist()
+        norm = [normalize_seed(u) or "" for u in urls]
+        hit = pc.is_in(pa.array(norm, pa.string()), value_set=key_arr).to_pylist()
+        out_ids: list[int] = []
+        out_terms: list[str] = []
+        for u, n, h in zip(urls, norm, hit):
+            if not h:
+                continue
+            did = hash64(u)
+            for term in m[n]:
+                out_ids.append(did)
+                out_terms.append(term)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "term": pa.array(out_terms, pa.string()),
+            }
+        )
+
+    urls_ds = rd.read_parquet(pages_path, columns=["url"])
+    return urls_ds.map_batches(resolve, batch_format="pyarrow")
+
+
 def lang_gate(langs: list[str]):
     """Content gate: keep pages whose ``lang`` is in the allow list
     (replaces the crawler's content-type gate, ``Crawler.java:174``)."""
