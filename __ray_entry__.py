@@ -839,6 +839,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 cols["n_anchor_hits"].append(h)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
+    def q_search_not(sf_dir: str) -> pa.Table:
+        """Exclusion (NOT) retrieval: BM25 top-10 per reference query
+        among docs containing NONE of the NEXT reference query's terms
+        (cyclic pairing — deterministic, replayed in SQL).
+        `SearchIndex.bm25_not`: merged banned-id postings union +
+        sorted membership test, no doc fetch."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qs = list(reference_queries())
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for i, (qid, q) in enumerate(qs):
+            exclude = qs[(i + 1) % len(qs)][1]
+            for r, (d, s6) in enumerate(idx.bm25_not(q, exclude, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_search_site(sf_dir: str) -> pa.Table:
+        """site:-restricted retrieval ("more from this site"): within
+        the e6 top-50 prefix per reference query, docs whose URL host
+        equals the host of the prefix's TOP result, prefix order, top
+        10 (`SearchIndex.bm25_site_topk`)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores, hosts = [], [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s6, h) in enumerate(idx.bm25_site_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+                hosts.append(h)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
     def q_search_boolean(sf_dir: str) -> pa.Table:
         """Strict conjunctive (AND) retrieval top-10 per reference
         query, ranked by summed term frequency
@@ -2787,6 +2844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
         "search_bm25_anchor": q_search_anchor,
+        "search_boolean_not": q_search_not,
+        "search_site_filter": q_search_site,
         "search_bm25_collapsed": q_search_collapsed,
         "search_facets": q_search_facets,
         "search_recency_boost": q_search_recency,
@@ -3076,6 +3135,79 @@ def _anchor_boost_oracle_sql() -> str:
     """
 
 
+def _boolean_not_oracle_sql() -> str:
+    """DuckDB twin of ``search_boolean_not``: the flagship BM25 replay
+    (distinct query terms, matching the engine's dedup) over docs that
+    contain NONE of the exclusion terms — per reference query, the
+    exclusion set is the NEXT reference query's terms (cyclic pairing,
+    mirrored from the Ray side). Exclusion terms absent from the corpus
+    ban nothing (the tf join drops them). All-integer scores;
+    (score_e6 desc, doc_id) order, top 10."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    qs = list(reference_queries())
+    q_rows = [f"({qid}, '{t}')" for qid, q in qs for t in tokenize_query(q)]
+    x_rows = [
+        f"({qs[i][0]}, '{t}')"
+        for i in range(len(qs))
+        for t in tokenize_query(qs[(i + 1) % len(qs)][1])
+    ]
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text
+      FROM winners),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    xq(qid, term) AS (VALUES {', '.join(x_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    banned AS (SELECT DISTINCT xq.qid, tf.doc_id
+               FROM (SELECT DISTINCT qid, term FROM xq) xq
+               JOIN tf USING (term)),
+    scores AS (
+      SELECT qb.qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score
+      FROM qb JOIN df USING (term) JOIN tf ON tf.term = qb.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY qb.qid, tf.doc_id),
+    e6 AS (SELECT s.qid, s.doc_id,
+                  CAST(round(s.score * 1000000) AS BIGINT) AS score_e6
+           FROM scores s LEFT JOIN banned b
+             ON s.qid = b.qid AND s.doc_id = b.doc_id
+           WHERE b.doc_id IS NULL)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
 def _flagship_oracle_sql(
     scorer: str, host_collapse: int | None = None, variant: str | None = None
 ) -> str:
@@ -3164,6 +3296,25 @@ def _flagship_oracle_sql(
            doc_id, boosted_e6
     FROM boosted
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY boosted_e6 DESC, doc_id) <= 10"""
+    elif variant == "site":
+        # site:-restricted retrieval over the e6 top-50 prefix: keep
+        # docs whose URL host equals the host of the prefix's TOP
+        # result, prefix order, top 10 — bm25_site_topk, literally
+        collapse_ctes = """,
+    pref AS (SELECT qid, doc_id, score_e6,
+                    row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    hosted AS (SELECT pref.qid, pref.doc_id, pref.score_e6, pref.rn,
+                      lower(regexp_extract(docs.url,
+                            '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host
+               FROM pref JOIN docs USING (doc_id)),
+    tgt AS (SELECT qid, host AS want FROM hosted WHERE rn = 1)"""
+        final_select = """SELECT h.qid,
+           CAST(row_number() OVER (PARTITION BY h.qid ORDER BY h.rn) - 1 AS BIGINT) AS "rank",
+           h.doc_id, h.score_e6, h.host
+    FROM hosted h JOIN tgt ON h.qid = tgt.qid AND h.host = tgt.want
+    QUALIFY row_number() OVER (PARTITION BY h.qid ORDER BY h.rn) <= 10"""
     elif host_collapse is None:
         collapse_ctes = ""
         final_select = """SELECT qid,
@@ -5044,6 +5195,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_hits": _hits_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_bm25_anchor": _anchor_boost_oracle_sql(),
+        "search_boolean_not": _boolean_not_oracle_sql(),
+        "search_site_filter": _flagship_oracle_sql("bm25", variant="site"),
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),

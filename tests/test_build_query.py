@@ -322,6 +322,58 @@ def test_anchor_boost_matches_bruteforce(built):
     assert checked_hits > 0, "no anchor hits anywhere — boost never exercised"
 
 
+def test_boolean_not_matches_bruteforce(built):
+    """bm25_not vs full-corpus recomputation: base BM25 candidates with
+    every doc containing any exclusion term removed (exclusions =
+    the next reference query's terms, the registered pairing)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    _pages, _paths, idx, oracle = built
+    qs = list(reference_queries())
+    excluded_any = 0
+    for i, (_qid, q) in enumerate(qs):
+        exclude = qs[(i + 1) % len(qs)][1]
+        got = idx.bm25_not(q, exclude, k=10)
+        x_terms = set(tokenize_query(exclude))
+        base = [(d, int(round(s * 1e6))) for d, s in oracle.bm25_topk(q, k=10**9)]
+        expect = [
+            (d, s6) for d, s6 in base if not (x_terms & set(oracle.doc_tokens[d]))
+        ]
+        expect.sort(key=lambda t: (-t[1], t[0]))
+        assert got == expect[:10], q
+        excluded_any += len(base) - len(expect)
+    assert excluded_any > 0, "exclusion never removed a candidate — vacuous"
+
+
+def test_site_filter_more_from_top_host(built):
+    """bm25_site_topk keeps exactly the prefix docs sharing the top
+    result's URL host, in prefix order."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+        host_of,
+    )
+
+    _pages, _paths, idx, oracle = built
+    multi = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25_site_topk(q, k=10)
+        e6 = idx._e6_prefix(q, 50)
+        if not e6:
+            assert got == []
+            continue
+        want = host_of(oracle.docs[e6[0][1]]["url"])
+        expect = [
+            (d, s6, want)
+            for s6, d in e6
+            if host_of(oracle.docs[d]["url"]) == want
+        ][:10]
+        assert got == expect, q
+        if len(got) > 1:
+            multi += 1
+    assert multi > 0, "no query kept >1 same-host result — filter vacuous"
+
+
 def test_facets_and_recency(built):
     """bm25_facets counts exactly the e6 top-50 prefix's (host, lang)
     values; bm25_topk_recency is the prefix re-ranked by score_e6 +

@@ -510,6 +510,52 @@ class SearchIndex:
         order = np.lexsort((cand, -total))[:k]
         return [(int(cand[i]), int(total[i])) for i in order]
 
+    def bm25_not(
+        self, query: str, exclude: str, k: int = 10
+    ) -> list[tuple[int, int]]:
+        """Exclusion (NOT) retrieval — the boolean-minus half of the
+        query surface (the reference is additive-OR only,
+        ``Searcher.java:139-150``; ``boolean_and`` is the strict-AND
+        half): docs matching >= 1 body query term and containing NONE
+        of the ``exclude`` terms, ranked by body BM25 (e6-quantized)
+        desc, then doc_id asc. Exclude terms absent from the corpus
+        exclude nothing (postings lookup is empty). Returns
+        [(doc_id, score_e6)] — all-integer, SQL-reproducible.
+
+        Cost is the same postings traversal as BM25 plus one merged
+        banned-id array (union of the exclude terms' posting ids) and a
+        sorted-membership test — no doc fetch, no scan."""
+        q_terms = list(
+            dict.fromkeys(t for t in tokenize_query(query) if self.has_term(t))
+        )
+        if not q_terms:
+            return []
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_scores))
+        score_e6 = np.rint(acc * 1e6).astype(np.int64)
+
+        x_terms = [
+            t for t in dict.fromkeys(tokenize_query(exclude)) if self.has_term(t)
+        ]
+        if x_terms:
+            banned = np.unique(
+                np.concatenate([self.postings(t).ids for t in x_terms])
+            )
+            keep = ~np.isin(uniq, banned, assume_unique=True)
+            uniq, score_e6 = uniq[keep], score_e6[keep]
+        order = np.lexsort((uniq, -score_e6))[:k]
+        return [(int(uniq[i]), int(score_e6[i])) for i in order]
+
     TITLE_BOOST_E6 = 500_000
 
     def bm25_title_boost(
@@ -891,6 +937,37 @@ class SearchIndex:
             c = seen.get(h, 0)
             if c < per_host:
                 seen[h] = c + 1
+                out.append((d, s6, h))
+                if len(out) >= k:
+                    break
+        return out
+
+    def bm25_site_topk(
+        self,
+        query: str,
+        host: str | None = None,
+        k: int = 10,
+        candidates: int = 50,
+    ) -> list[tuple[int, int, str]]:
+        """``site:``-restricted retrieval (the "more from this site"
+        feature): within the e6 top-``candidates`` prefix, keep only
+        docs whose URL host equals ``host`` — by default the host of
+        the prefix's TOP result, i.e. "more results like the best one".
+        Same bounded contract as the collapse/facets/recency family:
+        ``candidates`` doc-store point reads per query, prefix order
+        preserved, cut to ``k``. Returns [(doc_id, score_e6, host)]."""
+        from ..functions.urls import host_of
+
+        e6 = self._e6_prefix(query, candidates)
+        if not e6:
+            return []
+        rows = self._store().lookup([d for _s, d in e6])
+        if host is None:
+            host = host_of(rows[e6[0][1]]["url"])
+        out: list[tuple[int, int, str]] = []
+        for s6, d in e6:
+            h = host_of(rows[d]["url"])
+            if h == host:
                 out.append((d, s6, h))
                 if len(out) >= k:
                     break
