@@ -1236,6 +1236,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=JACCARD_THR)
         return dup_clusters(pairs, rounds=CLUSTER_ROUNDS)
 
+    def q_dedup_cluster_cap(sf_dir: str):
+        # cluster-capped curation: at most 2 docs kept per near-dup
+        # cluster (lowest doc_ids win) — the keep-N-representatives
+        # rule over the connected components
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            cluster_cap_marks,
+            dup_clusters,
+        )
+
+        pairs = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=JACCARD_THR)
+        return cluster_cap_marks(dup_clusters(pairs, rounds=CLUSTER_ROUNDS), cap=2)
+
     def q_dedup_minhash(sf_dir: str):
         return minhash_lsh_pairs(_docs(sf_dir), est_threshold=0.2)
 
@@ -1859,6 +1871,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "events", ["event_id", "ts"]),
             ["ts", "event_id"],
             out_cols=["event_id"],
+        )
+
+    def q_left_join(sf_dir: str):
+        # distributed LEFT OUTER join: every qualifying left row
+        # survives (right columns typed-null when unmatched) — same ONE
+        # bounded-bucket shuffle + per-bucket Arrow C++ join as
+        # rel_outer_join; a key lives in exactly one bucket, so
+        # per-bucket left outer == global left outer
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+            filter=pads.field("c_acctbal") >= 5000.0,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "acctbal_e2": pa.array(
+                        np.rint(
+                            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        urgent = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderkey"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        ).rename_columns({"o_custkey": "c_custkey"})
+        return shuffle_join(
+            cust,
+            urgent,
+            "c_custkey",
+            left_cols=["acctbal_e2"],
+            right_cols=["o_orderkey"],
+            how="left outer",
         )
 
     def q_outer_join(sf_dir: str):
@@ -2882,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_cluster_components": q_dedup_clusters,
+        "dedup_cluster_cap": q_dedup_cluster_cap,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_minhash_eval": q_dedup_eval,
         "dedup_simhash": q_dedup_simhash,
@@ -2910,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_count": q_union,
         "rel_shuffle_join_agg": q_shuffle_join,
         "rel_outer_join": q_outer_join,
+        "rel_left_join": q_left_join,
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
         "rel_hopping_window": q_hopping_window,
@@ -4875,6 +4929,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}
     """
 
+    # cluster-capped curation: same unrolled component labels, plus the
+    # keep-the-cap-lowest-doc_ids-per-cluster window rule
+    _cap_final = (
+        "SELECT doc_id, lab AS cluster_id,\n"
+        "       row_number() OVER (PARTITION BY lab ORDER BY doc_id) <= 2 AS kept\n"
+        f"    FROM l{CLUSTER_ROUNDS}"
+    )
+    cluster_cap_sql = dup_cluster_sql.replace(
+        f"SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}", _cap_final
+    )
+    assert _cap_final in cluster_cap_sql, "dup_cluster_sql final select changed"
+
     decontaminate = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -5170,6 +5236,7 @@ def oracle_sql() -> dict[str, str]:
     FROM x LEFT JOIN s ON s.doc_a = x.doc_a AND s.doc_b = x.doc_b
     """,
         "dedup_cluster_components": dup_cluster_sql,
+        "dedup_cluster_cap": cluster_cap_sql,
         "text_decontaminate": decontaminate,
         "pipeline_data_prep": data_prep,
         **_sketch_oracle_sqls(),
@@ -5376,6 +5443,16 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
                   FROM customer WHERE c_acctbal >= 5000) c
             FULL OUTER JOIN
+                 (SELECT o_custkey, o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+        """,
+        "rel_left_join": """
+            SELECT c.c_custkey, c.acctbal_e2, o.o_orderkey
+            FROM (SELECT c_custkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+                  FROM customer WHERE c_acctbal >= 5000) c
+            LEFT JOIN
                  (SELECT o_custkey, o_orderkey FROM orders
                   WHERE o_orderpriority = '1-URGENT') o
             ON c.c_custkey = o.o_custkey

@@ -310,6 +310,38 @@ def test_dup_clusters_transitive_closure():
     assert l1[4] == 3 and l1[2] == 1
 
 
+def test_cluster_cap_marks():
+    """cluster_cap_marks keeps the cap lowest doc_ids per cluster and
+    marks the rest dropped — exact expected flags on known clusters."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        cluster_cap_marks,
+        dup_clusters,
+    )
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10, 20, 20], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+        }
+    )
+    clusters = dup_clusters(rd.from_arrow(pairs).repartition(3), rounds=10)
+    got = cluster_cap_marks(clusters, cap=2).to_pandas()
+    flags = {int(r.doc_id): bool(r.kept) for r in got.itertuples()}
+    # chain {1,2,3,4}: keep 1,2; pair {10,11}: both; star {20,21,22}: 20,21
+    assert flags == {
+        1: True, 2: True, 3: False, 4: False,
+        10: True, 11: True,
+        20: True, 21: True, 22: False,
+    }
+    # cap=1 degenerates to keep-one-per-cluster
+    one = cluster_cap_marks(clusters, cap=1).to_pandas()
+    kept = sorted(int(r.doc_id) for r in one.itertuples() if r.kept)
+    assert kept == [1, 10, 20]
+
+
 def test_chunk_dedup_stats_matches_python_reference():
     """Distributed chunk-dup accounting (vectorized polynomial chunk
     hashes + count shuffle + bucketed join) vs a Counter reference."""

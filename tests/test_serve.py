@@ -218,6 +218,32 @@ def test_http_response_cache_and_stats(served):
         srv.shutdown()
 
 
+def test_http_pagination(served):
+    # &start=N pages server-side: page0 + page1 == one k=10 fetch; an
+    # offset past the result set returns []
+    import json as _json
+    from urllib.request import urlopen
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        full = _json.loads(urlopen(f"{base}/search?query=the&k=10").read())
+        p0 = _json.loads(urlopen(f"{base}/search?query=the&k=5").read())
+        p1 = _json.loads(urlopen(f"{base}/search?query=the&k=5&start=5").read())
+        assert p0 + p1 == full and len(full) == 10
+        far = _json.loads(
+            urlopen(f"{base}/search?query=the&k=5&start=1000000").read()
+        )
+        assert far == []
+    finally:
+        srv.shutdown()
+
+
 def test_http_fuzzy_param_corrects_oov(served):
     # &fuzzy=1 rewrites OOV terms by min edit distance before scoring;
     # the corrected query's results equal a direct search for it

@@ -264,7 +264,15 @@ class SearchHTTPServer:
                     return
                 try:
                     k = int((q.get("k") or ["10"])[0])
+                    # &start=N: result-page offset (the reference serves
+                    # its full top-300 in one response and pages client-
+                    # side, Searcher.java:196-198 / Results.jsx:43-47;
+                    # this tier pages server-side: fetch start+k, slice)
+                    start = int((q.get("start") or ["0"])[0])
                 except ValueError:
+                    self._reply(400, {"error": "bad k"})
+                    return
+                if k < 0 or start < 0:
                     self._reply(400, {"error": "bad k"})
                     return
                 want_snippet = (q.get("snippet") or ["0"])[0] == "1"
@@ -275,7 +283,7 @@ class SearchHTTPServer:
                         self._reply(501, {"error": "backend has no fuzzy"})
                         return
                     query = backend.correct_query(query)
-                key = (query, k, want_snippet)
+                key = (query, k, start, want_snippet)
                 with outer._cache_lock:
                     cached = outer._cache.get(key)
                     if cached is not None:
@@ -284,7 +292,7 @@ class SearchHTTPServer:
                 if cached is not None:
                     self._reply(200, cached)
                     return
-                rows = backend.search(query, k)
+                rows = backend.search(query, start + k)[start:]
                 # exact reference JSON shape (Searcher.java:186-195);
                 # &snippet=1 appends a query-biased snippet field (an
                 # opt-in extension — the bare contract is unchanged)

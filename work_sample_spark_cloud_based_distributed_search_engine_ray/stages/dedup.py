@@ -966,6 +966,38 @@ def dup_clusters(pairs: rd.Dataset, *, rounds: int = 10) -> pa.Table:
     return pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(labels)})
 
 
+def cluster_cap_marks(clusters: pa.Table, cap: int = 2) -> pa.Table:
+    """Cluster-capped curation marks: keep at most ``cap`` docs per
+    near-dup cluster (the ``cap`` LOWEST doc_ids win — deterministic,
+    partitioning-independent), mark the rest for drop. The standard
+    "keep one/two representatives per duplicate cluster" corpus-curation
+    rule, applied to ``dup_clusters`` output (bounded: docs appearing in
+    >= 1 pair, a small fraction of the corpus by construction — the
+    per-cluster rank is one vectorized lexsort + segmented-rank pass,
+    never per-cluster Python).
+
+    Returns (doc_id, cluster_id, kept) for every clustered doc.
+    """
+    cl = clusters["cluster_id"].to_numpy(zero_copy_only=False)
+    ids = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, cl))
+    cl_s, ids_s = cl[order], ids[order]
+    first = np.ones(cl_s.size, dtype=bool)
+    first[1:] = cl_s[1:] != cl_s[:-1]
+    # rank within cluster = position - position of the cluster's first row
+    starts = np.flatnonzero(first)
+    rank = np.arange(cl_s.size) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [cl_s.size]]))
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_s),
+            "cluster_id": pa.array(cl_s),
+            "kept": pa.array(rank < cap),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunk-level duplicate detection — the paragraph/line-dedup analog
 # (CCNet dedupes at the paragraph level, RefinedWeb/FineWeb at the
