@@ -1554,6 +1554,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return intersection(urgent, high, "o_custkey")
 
+    def q_except(sf_dir: str):
+        # distributed distinct set-difference (EXCEPT): customers with
+        # an urgent order but NO high-priority order — intersection's
+        # bucketed plan with the membership test inverted
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            except_distinct,
+        )
+
+        urgent = _tbl(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        high = _tbl(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "2-HIGH")).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        return except_distinct(urgent, high, "o_custkey")
+
     def q_cogroup(sf_dir: str):
         orders = _tbl(sf_dir, "orders", ["o_custkey"]).map_batches(
             lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
@@ -1824,6 +1842,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
         bench = benchmark_shingle_set(docs, n=3, n_docs=20)
         return training_data_prep(docs, bench, min_hits=10)
+
+    def q_data_prep_v2(sf_dir: str):
+        # the v2 chain: v1 plus NEAR-dup removal — n-gram-Jaccard pair
+        # components capped at ONE representative per cluster
+        # (cluster_cap_marks), the FineWeb-style fuzzy-dedup step
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.data_prep import (
+            training_data_prep,
+        )
+
+        docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+        bench = benchmark_shingle_set(docs, n=3, n_docs=20)
+        return training_data_prep(
+            docs,
+            bench,
+            min_hits=10,
+            near_dup_cap=1,
+            jaccard_threshold=JACCARD_THR,
+            cluster_rounds=CLUSTER_ROUNDS,
+        )
 
     def q_decontaminate(sf_dir: str):
         # benchmark decontamination: per-doc count of distinct 3-gram
@@ -2927,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_loglik": q_bigram_loglik,
         "text_decontaminate": q_decontaminate,
         "pipeline_data_prep": q_data_prep,
+        "pipeline_data_prep_v2": q_data_prep_v2,
         "text_bpe_count": q_bpe_count,
         "text_pack_sequences": q_pack_sequences,
         "text_more_like_this": q_more_like_this,
@@ -2948,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_broadcast_join_agg": q_broadcast_join,
         "rel_distinct": q_distinct,
         "rel_intersection": q_intersection,
+        "rel_except": q_except,
         "rel_cogroup_counts": q_cogroup,
         "rel_window_hour": q_window_hour,
         "rel_grouped_distinct": q_grouped_distinct,
@@ -4941,6 +4980,64 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _cap_final in cluster_cap_sql, "dup_cluster_sql final select changed"
 
+    # v2 prep chain: the v1 drop set (quality gate + exact losers +
+    # contamination) plus near-dup cluster capping at ONE representative
+    # per component (the same unrolled labels as dedup_cluster_cap)
+    data_prep_v2 = f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, toks,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({EN_SQL}, x))) AS en_hits,
+                 len(list_filter(toks, x -> list_contains({DE_SQL}, x))) AS de_hits,
+                 len(list_filter(toks, x -> list_contains({FR_SQL}, x))) AS fr_hits,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_token_len
+          FROM t),
+    q AS (SELECT doc_id, n_tokens,
+                 CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+          FROM m
+          WHERE n_tokens >= 20
+            AND CAST(en_hits AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+            AND mean_token_len <= 12.0),
+    losers AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+               WHERE rn > 1),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)),
+    cont AS (SELECT s.doc_id FROM sh s JOIN bench b USING (shingle)
+             GROUP BY s.doc_id HAVING count(*) >= 10),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sz sa ON sa.doc_id = doc_a
+              JOIN sz sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THR}),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
+    l0 AS (SELECT doc_id, doc_id AS lab FROM nodes){_cluster_steps},
+    capped AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                        row_number() OVER (PARTITION BY lab ORDER BY doc_id) AS rn
+                 FROM l{CLUSTER_ROUNDS}) WHERE rn > 1)
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM q
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      AND doc_id NOT IN (SELECT doc_id FROM cont)
+      AND doc_id NOT IN (SELECT doc_id FROM capped)
+    GROUP BY lang_pred
+    """
+
     decontaminate = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -5239,6 +5336,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_cap": cluster_cap_sql,
         "text_decontaminate": decontaminate,
         "pipeline_data_prep": data_prep,
+        "pipeline_data_prep_v2": data_prep_v2,
         **_sketch_oracle_sqls(),
         "knn_lsh_topk": _lsh_knn_oracle_sql(),
         "knn_lsh_recall": f"""
@@ -5328,6 +5426,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_intersection": (
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
             "INTERSECT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+        ),
+        "rel_except": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "EXCEPT "
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
         ),
         "rel_cogroup_counts": (

@@ -31,3 +31,38 @@ def test_training_data_prep_matches_duckdb():
     g = {r.lang_pred: (r.n_docs, r.total_tokens) for r in got.itertuples()}
     w = {r.lang_pred: (r.n_docs, r.total_tokens) for r in want.itertuples()}
     assert g == w and len(g) >= 1
+
+
+def test_training_data_prep_v2_near_dup_cap():
+    """The v2 chain (near_dup_cap=1) matches its DuckDB replay and
+    keeps strictly fewer docs than v1 on this corpus (the near-dup
+    stage is non-vacuous: the fixture documents table contains planted
+    n-gram-Jaccard near-duplicates)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.data_prep import (
+        training_data_prep,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        benchmark_shingle_set,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bench = benchmark_shingle_set(docs, n=3, n_docs=5)
+    v1 = training_data_prep(docs, bench, min_hits=10).to_pandas()
+    v2 = training_data_prep(
+        docs,
+        bench,
+        min_hits=10,
+        near_dup_cap=1,
+        jaccard_threshold=entrymod.JACCARD_THR,
+    ).to_pandas()
+
+    sql = entrymod.oracle_sql()["pipeline_data_prep_v2"].replace("LIMIT 20", "LIMIT 5")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(sql).df()
+    g = {r.lang_pred: (r.n_docs, r.total_tokens) for r in v2.itertuples()}
+    w = {r.lang_pred: (r.n_docs, r.total_tokens) for r in want.itertuples()}
+    assert g == w and len(g) >= 1
+    assert v2["n_docs"].sum() < v1["n_docs"].sum(), "cap dropped nothing"

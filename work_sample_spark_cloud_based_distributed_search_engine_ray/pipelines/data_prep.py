@@ -43,6 +43,9 @@ def training_data_prep(
     min_hits: int = 10,
     ngram: int = 3,
     stats_concurrency: tuple[int, int] = (1, 4),
+    near_dup_cap: int | None = None,
+    jaccard_threshold: float = 0.5,
+    cluster_rounds: int = 10,
 ) -> rd.Dataset:
     """Run the prep chain over a (doc_id, text) dataset and return the
     per-predicted-language summary: (lang_pred, n_docs, total_tokens).
@@ -53,6 +56,13 @@ def training_data_prep(
     real corpus pipeline does). Exact-duplicate LOSERS (non-canonical
     copies) and documents sharing >= ``min_hits`` distinct word
     ``ngram``-grams with the benchmark set are dropped.
+
+    ``near_dup_cap`` (v2 chain) additionally drops NEAR-duplicates:
+    word-``ngram``-Jaccard pairs at ``jaccard_threshold`` -> connected
+    components (``cluster_rounds`` min-label rounds) -> keep only the
+    ``near_dup_cap`` lowest-doc_id representatives per cluster
+    (``stages.dedup.cluster_cap_marks``); the capped-out ids ride the
+    same broadcast drop set. ``None`` keeps the v1 exact-only chain.
     """
     drop_parts = [
         t["doc_id"]
@@ -71,6 +81,24 @@ def training_data_prep(
             ),
         )
     ]
+    if near_dup_cap is not None:
+        from ..stages.dedup import (
+            cluster_cap_marks,
+            dup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        marks = cluster_cap_marks(
+            dup_clusters(
+                ngram_jaccard_pairs(docs, n=ngram, threshold=jaccard_threshold),
+                rounds=cluster_rounds,
+            ),
+            cap=near_dup_cap,
+        )
+        capped_out = marks.filter(
+            pc.invert(marks["kept"].combine_chunks())
+        )["doc_id"]
+        drop_parts.append(capped_out)
     drop_ids = pc.unique(pa.concat_arrays([p.combine_chunks() for p in drop_parts]))
     drop_ref = ray.put(drop_ids)
 

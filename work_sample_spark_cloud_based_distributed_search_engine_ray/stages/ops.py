@@ -553,6 +553,39 @@ def intersection(
     )
 
 
+def except_distinct(
+    ds_left: rd.Dataset, ds_right: rd.Dataset, col: str, *, num_buckets: int = 64
+) -> rd.Dataset:
+    """Distributed distinct set-difference (SQL ``EXCEPT``) on one
+    column: values present in the left side and absent from the right.
+    Same physical plan as ``intersection`` (per-batch local dedup, ONE
+    bucketed shuffle, vectorized per-bucket kernel) with the membership
+    test inverted — a value lives in exactly one bucket, so per-bucket
+    difference == global difference. Never a per-key group."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select([col]).group_by([col]).aggregate([])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _bucket_of(batch[col], num_buckets))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = pc.unique(group.filter(pc.equal(side, 0))[col].combine_chunks())
+        right = pc.unique(group.filter(pc.equal(side, 1))[col].combine_chunks())
+        return pa.table(
+            {col: left.filter(pc.invert(pc.is_in(left, value_set=right)))}
+        )
+
+    lk = ds_left.map_batches(local, batch_format="pyarrow")
+    rk = ds_right.map_batches(local, batch_format="pyarrow")
+    return hash_map_groups(
+        tag_union(lk, rk, col).map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        per_bucket,
+    )
+
+
 def poisson_breakpoints(fraction: float, kmax: int = 16) -> list[float]:
     """Cumulative Poisson(fraction) probabilities P(X <= k), k = 0..kmax
     (float64). Shared between the Ray sampler and its DuckDB oracle so
