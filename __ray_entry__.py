@@ -2861,6 +2861,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_video_dups(sf_dir: str):
+        # video near-dup pairs by XOR-of-frame-pHashes fingerprint:
+        # VideoFPStage actor pool (stride-sampled frames decoded via
+        # the WSMV offset table) + the generic pigeonhole banding (the
+        # FOURTH hamming_band_pairs consumer); deterministic synthetic
+        # clips with planted noise/brightness near-duplicate variants
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            synth_video_neardup,
+            video_near_dups,
+        )
+
+        import ray.data as rd
+
+        media = rd.from_arrow(
+            synth_video_neardup(120).select(["media_id", "payload"])
+        )
+        pairs = video_near_dups(media, max_hamming=4)
+        return pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "media_a": t["doc_a"],
+                    "media_b": t["doc_b"],
+                    "hamming": t["hamming"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_winsorized(sf_dir: str):
         # per-type winsorized (p5/p95-clipped) value aggregate — exact
         # int64 end-to-end (stages/ops.py:winsorized_sum)
@@ -3047,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
         "media_audio_dups": q_audio_dups,
+        "media_video_dups": q_video_dups,
     }
 
 
@@ -4219,6 +4248,31 @@ def _phash_dups_oracle_sql() -> str:
     """
 
 
+def _vhash_dups_oracle_sql() -> str:
+    """Sketch-oracle for ``media_video_dups``: per-clip XOR-of-frame-
+    pHash fingerprints computed by the pure function are embedded as
+    VALUES and SQL re-derives every pair with popcount(xor) <= 4 —
+    banding completeness is implied by pigeonhole (max_hamming 4 < 8
+    chunks), so the band plumbing needs no replay."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_video_neardup,
+        vhash64,
+    )
+
+    t = synth_video_neardup(120)
+    rows = ", ".join(
+        f"({i}, {vhash64(p)})"
+        for i, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist())
+    )
+    return f"""
+    WITH vh(media_id, vhash) AS (VALUES {rows})
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+    FROM vh a JOIN vh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.vhash, b.vhash)) <= 4
+    """
+
+
 def _wildcard_oracle_sql() -> str:
     """DuckDB twin of ``search_wildcard``: per prefix, expand to the
     top-8 cf vocabulary terms (cf desc, term), score the expansion as
@@ -5351,6 +5405,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
+        "media_video_dups": _vhash_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),

@@ -178,6 +178,73 @@ def test_audio_fingerprint_near_dups(ray_session):
     assert len(planted) > 0
 
 
+def test_video_fingerprint_near_dups(ray_session):
+    # planted noise/brightness clip variants are recovered; the sketch
+    # pairs are exactly the popcount-<=4 pairs of the pure-function
+    # XOR-of-frame-pHash fingerprints, and every planted (dup, base)
+    # pair is among them
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_video_neardup,
+        vhash64,
+        video_near_dups,
+    )
+
+    tbl = synth_video_neardup(100)
+    got = (
+        video_near_dups(
+            rd.from_arrow(tbl.select(["media_id", "payload"])), max_hamming=4
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    fps = [vhash64(p) for p in tbl["payload"].to_pylist()]
+    want = sorted(
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 4
+    )
+    assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy())) == want
+    planted = {
+        tuple(sorted((i, b)))
+        for i, b in enumerate(tbl["base_id"].to_pylist())
+        if b >= 0
+    }
+    assert planted <= {(a, b) for a, b, _h in want}
+    assert len(planted) > 0
+
+
+def test_vhash64_samples_only_stride_frames():
+    # clip length beyond max_frames does not change cost semantics:
+    # the fingerprint is a pure function of the stride-sampled frames
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_wsmv_frame,
+        encode_wsmv,
+        wsmv_info,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        phash64,
+        vhash64,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8) for _ in range(16)
+    ]
+    payload = encode_wsmv(frames, frame_ms=100)
+    n, _ms = wsmv_info(payload)
+    assert n == 16
+    take = 8
+    expect = 0
+    for k in range(take):
+        ix = (k * n) // take
+        expect ^= phash64(decode_wsmv_frame(payload, ix)) & ((1 << 64) - 1)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert vhash64(payload, max_frames=take) == expect
+
+
 def test_afp64_gain_invariant():
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
         afp64,
