@@ -1315,6 +1315,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_bands=NEAR_DUP_BANDS,
         )
 
+    def q_knn_pq(sf_dir: str):
+        # product-quantization ANN (ADC + exact re-rank): m=8 x 16-code
+        # int64 codebooks trained on the id-gated sample, per-query
+        # distance-table lookups, exact L2 re-rank of the global ADC
+        # top-40 shortlist — the memory-bound scale path beyond
+        # IVF/LSH; the oracle replays assignment + ADC + shortlist +
+        # re-rank from embedded codebooks
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            pq_topk,
+        )
+
+        return pq_topk(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            m=8,
+            k_codes=16,
+            iters=2,
+            rerank=4,
+            n_queries=KNN_QUERIES,
+            k=KNN_K,
+        )
+
     def q_knn_ivf(sf_dir: str):
         # rows-only: IVF-partitioned approximate variant — recall vs
         # exact is asserted in tests/test_ann.py, not an equality oracle
@@ -3009,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_topk": q_knn_lsh,
         "knn_lsh_recall": q_knn_recall,
         "knn_ivf_topk": q_knn_ivf,
+        "knn_pq_topk": q_knn_pq,
         "embedding_near_dups": q_near_dups,
         "rel_groupby_agg": q_groupby_agg,
         "rel_broadcast_join_agg": q_broadcast_join,
@@ -4567,6 +4589,75 @@ def _ivf_knn_oracle_sql() -> str:
     """
 
 
+def _pq_oracle_sql(
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 4,
+    train_max_id: int = 4096,
+) -> str:
+    """DuckDB twin of ``knn_pq_topk``: the codebooks are re-trained by
+    the same pure function (``stages/ann.train_pq_codebooks``) on the
+    same id-gated, id-sorted, micro-quantized sample and embedded as
+    VALUES; SQL then replays code assignment (first-min argmin — the
+    (d, cidx) window order), the ADC sum, the global ADC top-(k*rerank)
+    shortlist, and the exact-L2 re-rank bit-for-bit in int64."""
+    import pyarrow.parquet as pq_
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        train_pq_codebooks,
+    )
+
+    t = pq_.read_table(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    keep = np.flatnonzero(ids < train_max_id)
+    keep = keep[np.argsort(ids[keep], kind="stable")]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[keep]
+    x = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    cbs = train_pq_codebooks(x, m=m, k_codes=k_codes, iters=iters)
+    sub = x.shape[1] // m
+    rows = ", ".join(
+        f"({j}, {c}, [{','.join(str(int(v)) for v in cbs[j, c])}])"
+        for j in range(m)
+        for c in range(k_codes)
+    )
+    return f"""
+    WITH cb(sub, cidx, c) AS (VALUES {rows}),
+    e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+    sv AS MATERIALIZED (SELECT vec_id, s.sub,
+                  list_slice(v, s.sub * {sub} + 1, (s.sub + 1) * {sub}) AS x
+           FROM e, (SELECT unnest(range({m})) AS sub) s),
+    dists AS MATERIALIZED (SELECT sv.vec_id, sv.sub, cb.cidx,
+                  list_sum(list_transform(range(1, {sub} + 1),
+                           i -> (sv.x[i] - cb.c[i]) * (sv.x[i] - cb.c[i]))) AS d
+           FROM sv JOIN cb ON cb.sub = sv.sub),
+    codes AS (SELECT vec_id, sub, cidx AS code FROM dists
+              QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d, cidx) = 1),
+    dt AS (SELECT vec_id AS query_id, sub, cidx, d FROM dists
+           WHERE vec_id < {KNN_QUERIES}),
+    s AS (SELECT dt.query_id, codes.vec_id, sum(dt.d) AS adc
+          FROM codes JOIN dt ON dt.sub = codes.sub AND dt.cidx = codes.code
+          GROUP BY dt.query_id, codes.vec_id),
+    short AS (SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc FROM s
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc, vec_id) <= {KNN_K * rerank}),
+    ex AS (SELECT short.query_id, short.vec_id, short.adc,
+                  list_sum(list_transform(range(1, {m * sub} + 1),
+                           i -> (qe.v[i] - de.v[i]) * (qe.v[i] - de.v[i]))) AS dist
+           FROM short JOIN e qe ON qe.vec_id = short.query_id
+                      JOIN e de ON de.vec_id = short.vec_id)
+    SELECT query_id, vec_id, adc, CAST(dist AS BIGINT) AS dist FROM ex
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {KNN_K}
+    """
+
+
 def _crawl_links_oracle_sql() -> str:
     """Oracle for the link-extraction pipeline over the synthetic pages
     corpus. Scope: the generator emits only absolute
@@ -5402,6 +5493,7 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY e.query_id
     """,
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
+        "knn_pq_topk": _pq_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),

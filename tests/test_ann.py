@@ -194,3 +194,71 @@ def test_near_dup_auto_cutover_both_sides():
     for a, b, c in zip(got2["vec_a"], got2["vec_b"], got2["cosine_e6"]):
         ia, ib = int(np.flatnonzero(ids == a)[0]), int(np.flatnonzero(ids == b)[0])
         assert c == sims[ia, ib]
+
+
+def test_pq_topk_contract_and_recall():
+    """pq_topk (ADC shortlist + exact re-rank) vs a numpy replay of the
+    SAME contract: identical rows at two partitionings, and recall@10
+    vs exact L2 clears a floor the shortlist alone does not."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    ids, mat = _load()
+    x = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s, x_s = ids[order], x[order]
+
+    m, k_codes, iters, k, rerank, nq = 8, 16, 2, 10, 4, 8
+    cbs = train_pq_codebooks(x_s, m=m, k_codes=k_codes, iters=iters)
+    sub = x.shape[1] // m
+
+    # numpy replay of the contract
+    codes = np.empty((ids.size, m), np.int64)
+    for j in range(m):
+        d = (
+            (x[:, None, j * sub : (j + 1) * sub] - cbs[j][None, :, :]) ** 2
+        ).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    want = {}
+    for q in range(nq):
+        qi = int(np.flatnonzero(ids == q)[0])
+        adc = np.zeros(ids.size, np.int64)
+        for j in range(m):
+            dt = ((x[qi, j * sub : (j + 1) * sub] - cbs[j]) ** 2).sum(axis=1)
+            adc += dt[codes[:, j]]
+        short = np.lexsort((ids, adc))[: k * rerank]
+        dist = ((x[short] - x[qi]) ** 2).sum(axis=1)
+        sel = short[np.lexsort((ids[short], dist))[:k]]
+        want[q] = [
+            (int(ids[i]), int(adc[i]), int(((x[i] - x[qi]) ** 2).sum()))
+            for i in sel
+        ]
+
+    for parts in (2, 7):
+        got = pq_topk(
+            rd.read_parquet(EMB).repartition(parts),
+            m=m,
+            k_codes=k_codes,
+            iters=iters,
+            k=k,
+            rerank=rerank,
+            n_queries=nq,
+        ).to_pandas()
+        for q in range(nq):
+            rows = got[got.query_id == q].sort_values(["dist", "vec_id"])
+            assert [
+                (int(r.vec_id), int(r.adc), int(r.dist)) for r in rows.itertuples()
+            ] == want[q], (parts, q)
+
+    # recall floor vs exact L2 (re-rank is exact on the shortlist, so
+    # recall == |exact top-k ∩ ADC shortlist| / k)
+    rec = []
+    for q in range(nq):
+        qi = int(np.flatnonzero(ids == q)[0])
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:k]].tolist())
+        approx = {v for v, _a, _d in want[q]}
+        rec.append(len(exact & approx) / k)
+    assert sum(rec) / len(rec) >= 0.5, rec

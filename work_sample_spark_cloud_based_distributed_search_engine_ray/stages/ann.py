@@ -610,6 +610,171 @@ def _assign_exact(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndar
     return out_c, out_d
 
 
+def train_pq_codebooks(
+    x: np.ndarray, *, m: int, k_codes: int, iters: int
+) -> np.ndarray:
+    """(m, k_codes, sub_dim) int64 product-quantization codebooks via
+    exact-integer Lloyd k-means per subvector — a pure, deterministic
+    function of the (already micro-quantized) training matrix so the
+    SQL twin can embed the identical codebooks as literals. Init = the
+    sample's first ``k_codes`` rows in row order (callers pass rows in
+    id-ascending order); assignment = first-min argmin
+    (``_assign_exact``); update = floor division; empty codes keep
+    their previous centroid. Runs driver-side on the BOUNDED sample."""
+    n, d = x.shape
+    sub = d // m
+    assert sub * m == d, "embedding dim must split evenly into m subvectors"
+    cbs = np.empty((m, k_codes, sub), np.int64)
+    for j in range(m):
+        xj = np.ascontiguousarray(x[:, j * sub : (j + 1) * sub])
+        c = xj[:k_codes].copy()
+        if c.shape[0] < k_codes:  # tiny sample: repeat rows to fill
+            reps = -(-k_codes // max(1, c.shape[0]))
+            c = np.tile(c, (reps, 1))[:k_codes]
+        for _ in range(iters):
+            assign, _ = _assign_exact(xj, c)
+            sums = np.zeros((k_codes, sub), np.int64)
+            np.add.at(sums, assign, xj)
+            counts = np.bincount(assign, minlength=k_codes).astype(np.int64)
+            nz = counts > 0
+            c = c.copy()
+            c[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        cbs[j] = c
+    return cbs
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    rerank: int = 4,
+    train_max_id: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) + exact re-rank — the classic memory-bound scale path beyond
+    IVF/LSH: each vector compresses to ``m`` one-byte codes, per query
+    the scan cost is a TABLE LOOKUP per code (independent of the
+    embedding dimension), and only the ADC shortlist pays an exact
+    distance. Contract (replayed bit-for-bit by the SQL twin from
+    embedded codebook literals): shortlist = the GLOBAL top
+    ``k * rerank`` by (adc asc, vec_id asc); result = the shortlist's
+    top ``k`` by (exact int64 L2^2 asc, vec_id asc). Output
+    (query_id, vec_id, adc, dist).
+
+    Physical plan: training reads only the id-gated bounded sample
+    (``id_col < train_max_id`` — deterministic, partitioning-invariant,
+    streaming; rows sorted by id before init so codebooks are a pure
+    function of the data); codebooks, per-query distance tables
+    (m x k_codes ints per query) and the query matrix broadcast once
+    via ``ray.put``; encode + ADC + local shortlist + exact distances
+    for shortlisted rows are ONE shuffle-free ``map_batches`` pass (the
+    per-block ADC top-s is a superset argument: global top-s is
+    contained in the union of per-block top-s); the merge shuffles
+    <= s x blocks rows into n_queries groups, re-selects the global
+    ADC top-s, then re-ranks it by the exact distances already riding
+    the rows.
+    """
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch[id_col], pa.scalar(train_max_id)))
+
+    def _tbl_of(b):
+        return pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+
+    sample = pa.concat_tables(
+        _tbl_of(b)
+        for b in ray.get(
+            ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    ids_s = sample[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_s, kind="stable")
+    x = _micros(sample[vec_col])[order]
+    ids_sorted = ids_s[order]
+    cbs = train_pq_codebooks(x, m=m, k_codes=k_codes, iters=iters)
+    d = x.shape[1]
+    sub = d // m
+
+    q_mask = ids_sorted < n_queries
+    qx = x[q_mask]
+    q_ids = ids_sorted[q_mask]
+    nq = qx.shape[0]
+    # per-query ADC distance tables: dt[qi, j, c] = ||q_sub - cb[j, c]||^2
+    dt = np.empty((nq, m, k_codes), np.int64)
+    for j in range(m):
+        diff = qx[:, None, j * sub : (j + 1) * sub] - cbs[j][None, :, :]
+        dt[:, j, :] = (diff * diff).sum(axis=2)
+
+    s_size = k * rerank
+    cb_ref = ray.put(cbs)
+    dt_ref = ray.put(dt)
+    qid_ref = ray.put(q_ids)
+    qx_ref = ray.put(qx)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cbs_: np.ndarray = ray.get(cb_ref)
+        dt_: np.ndarray = ray.get(dt_ref)
+        qids: np.ndarray = ray.get(qid_ref)
+        qx_: np.ndarray = ray.get(qx_ref)
+        xb = _micros(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = xb.shape[0]
+        adc = np.zeros((qids.size, n), np.int64)
+        for j in range(m):
+            codes_j, _ = _assign_exact(
+                np.ascontiguousarray(xb[:, j * sub : (j + 1) * sub]), cbs_[j]
+            )
+            adc += dt_[:, j, :][:, codes_j]
+        ss = min(s_size, n)
+        out_q, out_id, out_a, out_d = [], [], [], []
+        for qi in range(qids.size):
+            row = adc[qi]
+            sel = np.lexsort((ids, row))[:ss]  # adc asc, id asc
+            diff = xb[sel] - qx_[qi]
+            out_q.append(np.full(ss, qids[qi], np.int64))
+            out_id.append(ids[sel])
+            out_a.append(row[sel])
+            out_d.append((diff * diff).sum(axis=1))
+        empty = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else empty),
+                "vec_id": pa.array(np.concatenate(out_id) if out_id else empty),
+                "adc": pa.array(np.concatenate(out_a) if out_a else empty),
+                "dist": pa.array(np.concatenate(out_d) if out_d else empty),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        adc = group["adc"].to_numpy(zero_copy_only=False)
+        dist = group["dist"].to_numpy(zero_copy_only=False)
+        short = np.lexsort((ids, adc))[:s_size]  # global ADC top-s
+        sel = short[np.lexsort((ids[short], dist[short]))[:k]]  # exact re-rank
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(sel)),
+                "vec_id": pa.array(ids[sel]),
+                "adc": pa.array(adc[sel]),
+                "dist": pa.array(dist[sel]),
+            }
+        )
+
+    return hash_map_groups(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id",
+        merge_topk,
+        num_partitions=_merge_partitions(nq),
+    )
+
+
 def kmeans_assign(
     ds: rd.Dataset,
     *,
