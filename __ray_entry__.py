@@ -971,6 +971,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("lang")
 
+    def q_ingest_warc(sf_dir: str) -> pa.Table:
+        """WARC ingestion parity: the corpus serialized into sharded
+        per-record-gzipped WARC files (the Common Crawl layout) and
+        read back file-parallel (``sources/warc.read_warc_pages``)
+        aggregates to the same per-host page counts / html byte totals
+        / second-floored min capture time as the canonical parquet.
+        WARC carries only the wire capture (url, ts, html), so the
+        parity dimensions are exactly those three."""
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+            read_warc_pages,
+            write_pages_warc,
+        )
+        from ray.data.aggregate import Count, Min, Sum
+
+        pages = pages_for_sf_dir(sf_dir)
+        wd = "/tmp/wse_warc_" + os.path.basename(pages).replace(".parquet", "")
+        if not os.path.isdir(wd):
+            write_pages_warc(pq.read_table(pages), wd + ".tmp", num_shards=4)
+            os.replace(wd + ".tmp", wd)
+
+        def hostify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": pc.list_element(
+                        pc.split_pattern(t["url"], "/"), 2
+                    ),
+                    "html_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+                    "ts_us": t["warc_ts"].cast(pa.int64()),
+                }
+            )
+
+        got = (
+            read_warc_pages(wd)
+            .map_batches(hostify, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(), Sum("html_bytes"), Min("ts_us"))
+            .take_all()
+        )
+        return pa.table(
+            {
+                "host": pa.array([r["host"] for r in got]),
+                "n_pages": pa.array([r["count()"] for r in got], pa.int64()),
+                "sum_html_bytes": pa.array(
+                    [r["sum(html_bytes)"] for r in got], pa.int64()
+                ),
+                "min_ts_us": pa.array([r["min(ts_us)"] for r in got], pa.int64()),
+            }
+        ).sort_by("host")
+
     def q_index_update_stats(sf_dir: str) -> pa.Table:
         """Full-vocabulary (term, df, cf) of an index built incrementally
         (base over the even half, ``update_index`` with the odd half) —
@@ -2995,6 +3049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_update_stats": q_index_update_stats,
         "index_delete_stats": q_index_delete_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
+        "ingest_warc_pages": q_ingest_warc,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
         "doc_tfidf_topk": q_doc_tfidf,
@@ -4977,6 +5032,28 @@ def _ingest_oracle_sql() -> str:
     """
 
 
+def _ingest_warc_oracle_sql() -> str:
+    """DuckDB twin of ``ingest_warc_pages``: per-host counts, html byte
+    totals, and second-floored min capture time over the canonical
+    parquet (the WARC files are a lossless round-trip of those three
+    columns; WARC-Date truncates to whole seconds and floor is
+    monotonic, so min commutes with the truncation)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pages_path = pages_for_sf_dir(sf_dir)
+    return f"""
+    SELECT split_part(url, '/', 3) AS host, count(*) AS n_pages,
+           CAST(sum(octet_length(html)) AS BIGINT) AS sum_html_bytes,
+           CAST((epoch_us(min(warc_ts)) // 1000000) * 1000000 AS BIGINT)
+             AS min_ts_us
+    FROM read_parquet('{pages_path}')
+    GROUP BY host ORDER BY host
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)"
 
@@ -5277,6 +5354,7 @@ def oracle_sql() -> dict[str, str]:
         "index_update_stats": _index_update_oracle_sql(),
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
+        "ingest_warc_pages": _ingest_warc_oracle_sql(),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"

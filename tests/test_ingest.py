@@ -75,3 +75,72 @@ def test_jsonl_feeds_the_extraction_stage(tmp_path):
     )
     assert len(docs) == 50
     assert all(d["doc_len"] > 0 for d in docs)
+
+def test_warc_roundtrip_matches_parquet(tmp_path):
+    """WARC round-trip (per-record gzip, 4 shards, warcinfo leading
+    each shard) recovers url/ts/html exactly, with ts floored to whole
+    seconds (the WARC-Date granularity)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        read_warc_pages,
+        write_pages_warc,
+    )
+
+    tbl = _fixture_table()
+    paths = write_pages_warc(tbl, str(tmp_path / "warc"), num_shards=4)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    got = pa.Table.from_pylist(read_warc_pages(str(tmp_path / "warc")).take_all())
+    got = got.sort_by("url")
+    want = tbl.sort_by("url")
+    assert got["url"].to_pylist() == want["url"].to_pylist()
+    assert got["html"].to_pylist() == want["html"].to_pylist()
+    assert [t.replace(microsecond=0) for t in want["warc_ts"].to_pylist()] == got[
+        "warc_ts"
+    ].to_pylist()
+
+
+def test_warc_plain_and_skip_nonresponse(tmp_path):
+    """Uncompressed .warc parses identically, and non-response records
+    (warcinfo) never surface as pages."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        parse_warc_bytes,
+        write_pages_warc,
+    )
+
+    tbl = _fixture_table(30)
+    paths = write_pages_warc(
+        tbl, str(tmp_path / "plain"), num_shards=2, gzip_records=False
+    )
+    n = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            urls, tss, htmls = parse_warc_bytes(f.read())
+        assert len(urls) == len(tss) == len(htmls)
+        n += len(urls)
+    assert n == 30
+
+
+def test_warc_feeds_the_extraction_stage(tmp_path):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        read_warc_pages,
+        write_pages_warc,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.extract import (
+        ExtractDocs,
+    )
+
+    tbl = _fixture_table(50)
+    write_pages_warc(tbl, str(tmp_path / "warc"), num_shards=3)
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        # WARC carries only the wire capture; lang is assigned
+        # downstream (here: constant, in prod: the lang-ID stage)
+        return t.append_column("lang", pa.array(["en"] * t.num_rows))
+
+    docs = (
+        read_warc_pages(str(tmp_path / "warc"))
+        .map_batches(tag_lang, batch_format="pyarrow")
+        .map_batches(ExtractDocs, batch_format="pyarrow", concurrency=(1, 2))
+        .take_all()
+    )
+    assert len(docs) == 50
+    assert all(d["doc_len"] > 0 for d in docs)
