@@ -1390,6 +1390,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=KNN_K,
         )
 
+    def q_knn_ivfpq(sf_dir: str):
+        # IVF-PQ (coarse integer k-means + PQ on residuals + ADC over
+        # probed lists + exact re-rank) — the FAISS-style composition
+        # that serves at 100 TB; the oracle replays coarse assignment,
+        # residual codes, probe sets, ADC, shortlist, and re-rank from
+        # embedded coarse + codebook literals
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            ivfpq_topk,
+        )
+
+        return ivfpq_topk(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            nlist=8,
+            nprobe=3,
+            m=8,
+            k_codes=16,
+            iters=2,
+            rerank=4,
+            n_queries=KNN_QUERIES,
+            k=KNN_K,
+        )
+
     def q_knn_ivf(sf_dir: str):
         # rows-only: IVF-partitioned approximate variant — recall vs
         # exact is asserted in tests/test_ann.py, not an equality oracle
@@ -3086,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall": q_knn_recall,
         "knn_ivf_topk": q_knn_ivf,
         "knn_pq_topk": q_knn_pq,
+        "knn_ivfpq_topk": q_knn_ivfpq,
         "embedding_near_dups": q_near_dups,
         "rel_groupby_agg": q_groupby_agg,
         "rel_broadcast_join_agg": q_broadcast_join,
@@ -4713,6 +4736,108 @@ def _pq_oracle_sql(
     """
 
 
+def _ivfpq_oracle_sql(
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 4,
+    train_max_id: int = 4096,
+) -> str:
+    """DuckDB twin of ``knn_ivfpq_topk``: coarse centroids + residual
+    PQ codebooks are re-trained by ``stages/ann.train_ivfpq`` on the
+    identical id-gated, id-sorted, micro-quantized sample and embedded
+    as VALUES; SQL replays coarse assignment (first-min argmin),
+    residual code assignment, per-query probe sets (nprobe nearest
+    coarse by (d, cidx)), the probed-only ADC sum, the global ADC
+    top-(k*rerank) shortlist, and the exact-L2 re-rank, all in int64."""
+    import pyarrow.parquet as pq_
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        train_ivfpq,
+    )
+
+    t = pq_.read_table(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    keep = np.flatnonzero(ids < train_max_id)
+    keep = keep[np.argsort(ids[keep], kind="stable")]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[keep]
+    x = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    coarse, cbs = train_ivfpq(x, nlist=nlist, m=m, k_codes=k_codes, iters=iters)
+    d = x.shape[1]
+    sub = d // m
+    co_rows = ", ".join(
+        f"({c}, [{','.join(str(int(v)) for v in coarse[c])}])"
+        for c in range(coarse.shape[0])
+    )
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{','.join(str(int(v)) for v in cbs[j, c])}])"
+        for j in range(m)
+        for c in range(k_codes)
+    )
+    return f"""
+    WITH co(cidx, c) AS (VALUES {co_rows}),
+    cb(sub, cidx, c) AS (VALUES {cb_rows}),
+    e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+    cd AS MATERIALIZED (SELECT e.vec_id, co.cidx,
+                 list_sum(list_transform(range(1, {d} + 1),
+                          i -> (e.v[i] - co.c[i]) * (e.v[i] - co.c[i]))) AS dc
+          FROM e, co),
+    ca AS (SELECT vec_id, cidx AS coarse FROM cd
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dc, cidx) = 1),
+    rv AS MATERIALIZED (SELECT e.vec_id, ca.coarse,
+                 list_transform(range(1, {d} + 1), i -> e.v[i] - co.c[i]) AS r
+          FROM e JOIN ca USING (vec_id) JOIN co ON co.cidx = ca.coarse),
+    rsv AS (SELECT vec_id, coarse, s.sub,
+                   list_slice(r, s.sub * {sub} + 1, (s.sub + 1) * {sub}) AS x
+            FROM rv, (SELECT unnest(range({m})) AS sub) s),
+    rdist AS MATERIALIZED (SELECT rsv.vec_id, rsv.coarse, rsv.sub, cb.cidx,
+                 list_sum(list_transform(range(1, {sub} + 1),
+                          i -> (rsv.x[i] - cb.c[i]) * (rsv.x[i] - cb.c[i]))) AS dd
+          FROM rsv JOIN cb ON cb.sub = rsv.sub),
+    codes AS (SELECT vec_id, coarse, sub, cidx AS code FROM rdist
+              QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dd, cidx) = 1),
+    probes AS (SELECT vec_id AS query_id, cidx AS coarse FROM cd
+               WHERE vec_id < {KNN_QUERIES}
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dc, cidx) <= {nprobe}),
+    qrv AS (SELECT p.query_id, p.coarse, s.sub,
+                   list_slice(list_transform(range(1, {d} + 1),
+                                             i -> qe.v[i] - co.c[i]),
+                              s.sub * {sub} + 1, (s.sub + 1) * {sub}) AS x
+            FROM probes p JOIN e qe ON qe.vec_id = p.query_id
+                 JOIN co ON co.cidx = p.coarse,
+                 (SELECT unnest(range({m})) AS sub) s),
+    dtq AS MATERIALIZED (SELECT qrv.query_id, qrv.coarse, qrv.sub, cb.cidx,
+                 list_sum(list_transform(range(1, {sub} + 1),
+                          i -> (qrv.x[i] - cb.c[i]) * (qrv.x[i] - cb.c[i]))) AS dd
+          FROM qrv JOIN cb ON cb.sub = qrv.sub),
+    s AS (SELECT dtq.query_id, codes.vec_id, sum(dtq.dd) AS adc
+          FROM codes JOIN dtq ON dtq.coarse = codes.coarse
+                             AND dtq.sub = codes.sub AND dtq.cidx = codes.code
+          GROUP BY dtq.query_id, codes.vec_id),
+    short AS (SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc FROM s
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc, vec_id) <= {KNN_K * rerank}),
+    ex AS (SELECT short.query_id, short.vec_id, short.adc,
+                  list_sum(list_transform(range(1, {d} + 1),
+                           i -> (qe.v[i] - de.v[i]) * (qe.v[i] - de.v[i]))) AS dist
+           FROM short JOIN e qe ON qe.vec_id = short.query_id
+                      JOIN e de ON de.vec_id = short.vec_id)
+    SELECT query_id, vec_id, adc, CAST(dist AS BIGINT) AS dist FROM ex
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {KNN_K}
+    """
+
+
 def _crawl_links_oracle_sql() -> str:
     """Oracle for the link-extraction pipeline over the synthetic pages
     corpus. Scope: the generator emits only absolute
@@ -5572,6 +5697,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "knn_ivf_topk": _ivf_knn_oracle_sql(),
         "knn_pq_topk": _pq_oracle_sql(),
+        "knn_ivfpq_topk": _ivfpq_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),

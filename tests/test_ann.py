@@ -262,3 +262,82 @@ def test_pq_topk_contract_and_recall():
         approx = {v for v, _a, _d in want[q]}
         rec.append(len(exact & approx) / k)
     assert sum(rec) / len(rec) >= 0.5, rec
+
+
+def test_ivfpq_topk_contract_and_recall():
+    """ivfpq_topk (probed ADC shortlist + exact re-rank) vs a numpy
+    replay of the SAME contract at two partitionings, plus a recall
+    floor vs exact L2."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        ivfpq_topk,
+        train_ivfpq,
+        _assign_exact,
+    )
+
+    ids, mat = _load()
+    x = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    x_s = x[order]
+
+    nlist, nprobe, m, k_codes, iters, k, rerank, nq = 8, 3, 8, 16, 2, 10, 4, 8
+    coarse, cbs = train_ivfpq(x_s, nlist=nlist, m=m, k_codes=k_codes, iters=iters)
+    sub = x.shape[1] // m
+
+    ca, _ = _assign_exact(x, coarse)
+    rb = x - coarse[ca]
+    codes = np.empty((ids.size, m), np.int64)
+    for j in range(m):
+        codes[:, j], _ = _assign_exact(
+            np.ascontiguousarray(rb[:, j * sub : (j + 1) * sub]), cbs[j]
+        )
+    cidx = np.arange(nlist, dtype=np.int64)
+    want = {}
+    for q in range(nq):
+        qi = int(np.flatnonzero(ids == q)[0])
+        dc = ((coarse - x[qi]) ** 2).sum(axis=1)
+        probe = np.lexsort((cidx, dc))[:nprobe]
+        cand = np.flatnonzero(np.isin(ca, probe))
+        adc = np.zeros(cand.size, np.int64)
+        for j in range(m):
+            for p in probe:
+                rows = cand[ca[cand] == p]
+                if not rows.size:
+                    continue
+                qr = x[qi] - coarse[p]
+                dt = ((qr[j * sub : (j + 1) * sub] - cbs[j]) ** 2).sum(axis=1)
+                adc[np.isin(cand, rows)] += dt[codes[rows, j]]
+        short = cand[np.lexsort((ids[cand], adc))[: k * rerank]]
+        adc_of = dict(zip(cand.tolist(), adc.tolist()))
+        dist = ((x[short] - x[qi]) ** 2).sum(axis=1)
+        sel = short[np.lexsort((ids[short], dist))[:k]]
+        want[q] = [
+            (int(ids[i]), int(adc_of[int(i)]), int(((x[i] - x[qi]) ** 2).sum()))
+            for i in sel
+        ]
+
+    for parts in (2, 7):
+        got = ivfpq_topk(
+            rd.read_parquet(EMB).repartition(parts),
+            nlist=nlist,
+            nprobe=nprobe,
+            m=m,
+            k_codes=k_codes,
+            iters=iters,
+            k=k,
+            rerank=rerank,
+            n_queries=nq,
+        ).to_pandas()
+        for q in range(nq):
+            rows = got[got.query_id == q].sort_values(["dist", "vec_id"])
+            assert [
+                (int(r.vec_id), int(r.adc), int(r.dist)) for r in rows.itertuples()
+            ] == want[q], (parts, q)
+
+    rec = []
+    for q in range(nq):
+        qi = int(np.flatnonzero(ids == q)[0])
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:k]].tolist())
+        approx = {v for v, _a, _d in want[q]}
+        rec.append(len(exact & approx) / k)
+    assert sum(rec) / len(rec) >= 0.4, rec

@@ -775,6 +775,164 @@ def pq_topk(
     )
 
 
+def train_ivfpq(
+    x: np.ndarray, *, nlist: int, m: int, k_codes: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse, codebooks) for IVF-PQ, both exact-int64 and pure
+    functions of the training matrix: the coarse quantizer IS integer
+    k-means — ``train_pq_codebooks`` with one subvector spanning the
+    full dim — and the PQ codebooks train on the coarse RESIDUALS
+    (x - coarse[assign(x)]), the composition FAISS calls IVFPQ."""
+    coarse = train_pq_codebooks(x, m=1, k_codes=nlist, iters=iters)[0]
+    assign, _ = _assign_exact(x, coarse)
+    resid = x - coarse[assign]
+    return coarse, train_pq_codebooks(resid, m=m, k_codes=k_codes, iters=iters)
+
+
+def ivfpq_topk(
+    ds: rd.Dataset,
+    *,
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    rerank: int = 4,
+    train_max_id: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF-PQ ANN — the composition that serves at 100 TB: a coarse
+    integer-k-means quantizer prunes the corpus to ``nprobe`` of
+    ``nlist`` inverted lists per query, PQ codes on the coarse
+    RESIDUALS compress each kept vector to ``m`` bytes, ADC scores the
+    probed lists with per-(query, list) distance tables, and the exact
+    re-rank pays full distances only for the global ADC shortlist.
+    Contract (SQL-replayable from embedded coarse + codebook literals):
+    candidates(q) = vectors whose coarse list is among q's ``nprobe``
+    nearest coarse centroids by (int L2^2 asc, cidx asc); shortlist =
+    candidates' global top ``k * rerank`` by (adc asc, vec_id asc);
+    result = shortlist's top ``k`` by (exact int64 L2^2 asc, vec_id
+    asc). Output (query_id, vec_id, adc, dist).
+
+    Physical plan mirrors ``pq_topk``: bounded id-gated training sample,
+    coarse+codebooks+distance-tables+probe-sets+query-matrix broadcast
+    once via ``ray.put``; coarse assign + residual encode + ADC + local
+    shortlist + exact shortlist distances are ONE shuffle-free
+    ``map_batches`` pass; the merge moves <= (k*rerank) x blocks rows.
+    Unlike flat PQ the per-batch ADC touches only the probed fraction
+    (~nprobe/nlist) of rows — the scan-cost dial."""
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch[id_col], pa.scalar(train_max_id)))
+
+    def _tbl_of(b):
+        return pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+
+    sample = pa.concat_tables(
+        _tbl_of(b)
+        for b in ray.get(
+            ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    ids_s = sample[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_s, kind="stable")
+    x = _micros(sample[vec_col])[order]
+    ids_sorted = ids_s[order]
+    coarse, cbs = train_ivfpq(x, nlist=nlist, m=m, k_codes=k_codes, iters=iters)
+    d = x.shape[1]
+    sub = d // m
+    nlist = coarse.shape[0]
+
+    q_mask = ids_sorted < n_queries
+    qx = x[q_mask]
+    q_ids = ids_sorted[q_mask]
+    nq = qx.shape[0]
+    # probe sets: per query the nprobe nearest coarse centroids
+    qc = ((qx[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)  # (nq, nlist)
+    cidx = np.arange(nlist, dtype=np.int64)
+    probe = np.stack(
+        [np.lexsort((cidx, qc[qi]))[: min(nprobe, nlist)] for qi in range(nq)]
+    ) if nq else np.empty((0, min(nprobe, nlist)), np.int64)
+    # dt[qi, p, j, c] = ||(q - coarse[p])_sub_j - cb[j, c]||^2 — computed
+    # for all lists (nq*nlist*m*k_codes ints, tiny), used only on probed
+    dt = np.empty((nq, nlist, m, k_codes), np.int64)
+    for p in range(nlist):
+        qr = qx - coarse[p]
+        for j in range(m):
+            diff = qr[:, None, j * sub : (j + 1) * sub] - cbs[j][None, :, :]
+            dt[:, p, j, :] = (diff * diff).sum(axis=2)
+
+    s_size = k * rerank
+    payload_ref = ray.put((coarse, cbs, dt, probe, q_ids, qx))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        coarse_, cbs_, dt_, probe_, qids, qx_ = ray.get(payload_ref)
+        xb = _micros(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = xb.shape[0]
+        out_q, out_id, out_a, out_d = [], [], [], []
+        if n:
+            ca, _ = _assign_exact(xb, coarse_)
+            rb = xb - coarse_[ca]
+            codes = np.empty((n, m), np.int64)
+            for j in range(m):
+                codes[:, j], _ = _assign_exact(
+                    np.ascontiguousarray(rb[:, j * sub : (j + 1) * sub]), cbs_[j]
+                )
+            rows = np.arange(n)
+            for qi in range(qids.size):
+                mask = np.isin(ca, probe_[qi])
+                if not mask.any():
+                    continue
+                sel_rows = rows[mask]
+                adc = np.zeros(sel_rows.size, np.int64)
+                for j in range(m):
+                    adc += dt_[qi, ca[sel_rows], j, codes[sel_rows, j]]
+                ss = min(s_size, sel_rows.size)
+                top = np.lexsort((ids[sel_rows], adc))[:ss]  # adc asc, id asc
+                pick_rows = sel_rows[top]
+                diff = xb[pick_rows] - qx_[qi]
+                out_q.append(np.full(ss, qids[qi], np.int64))
+                out_id.append(ids[pick_rows])
+                out_a.append(adc[top])
+                out_d.append((diff * diff).sum(axis=1))
+        empty = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else empty),
+                "vec_id": pa.array(np.concatenate(out_id) if out_id else empty),
+                "adc": pa.array(np.concatenate(out_a) if out_a else empty),
+                "dist": pa.array(np.concatenate(out_d) if out_d else empty),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        adc = group["adc"].to_numpy(zero_copy_only=False)
+        dist = group["dist"].to_numpy(zero_copy_only=False)
+        short = np.lexsort((ids, adc))[:s_size]  # global ADC top-s
+        sel = short[np.lexsort((ids[short], dist[short]))[:k]]  # exact re-rank
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(sel)),
+                "vec_id": pa.array(ids[sel]),
+                "adc": pa.array(adc[sel]),
+                "dist": pa.array(dist[sel]),
+            }
+        )
+
+    return hash_map_groups(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id",
+        merge_topk,
+        num_partitions=_merge_partitions(nq),
+    )
+
+
 def kmeans_assign(
     ds: rd.Dataset,
     *,
