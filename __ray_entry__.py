@@ -14,6 +14,7 @@ written in the same association as the SQL; integer counts are exact.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -240,6 +241,12 @@ def _cached_scatter_dirs(sf_dir: str, n_ranges: int = 2) -> list[str]:
     return dirs
 
 
+# NDCG@10 integer DCG weights: w_r = round(1e6 / log2(r+2)). Computed
+# ONCE here and embedded as literals in the SQL twin, so both sides do
+# exact-integer DCG arithmetic (no float-sum association hazards).
+_NDCG_W = [round(1_000_000 / math.log2(r + 2)) for r in range(10)]
+
+
 def _search_table(sf_dir: str, scorer: str) -> pa.Table:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
         reference_queries,
@@ -408,7 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
         TextStatsStage,
     )
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
     # ---------------- search engine ----------------
 
@@ -417,6 +424,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
+
+    def q_search_ndcg(sf_dir: str) -> pa.Table:
+        """Ranking-quality evaluation: NDCG@10 of the BM25 ranking
+        against a deterministic graded-relevance oracle — rel(doc) =
+        number of DISTINCT query terms whose postings contain the doc.
+        All arithmetic is exact-integer (``_NDCG_W`` weights, integer
+        division), so the SQL twin replays it bit-for-bit. A query with
+        no indexed term contributes no row (both sides)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, dcgs, idcgs, ndcgs = [], [], [], []
+        for qid, q in reference_queries():
+            terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+            if not terms:
+                continue
+            rel: dict[int, int] = {}
+            for t in terms:
+                for d in idx.postings(t).ids.tolist():
+                    rel[d] = rel.get(d, 0) + 1
+            ranked = idx.bm25_topk(q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            dcg = sum(rel.get(d, 0) * _NDCG_W[r] for r, (_s6, d) in enumerate(e6))
+            ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            idcg = sum(rv * _NDCG_W[r] for r, (_d, rv) in enumerate(ideal))
+            qids.append(qid)
+            dcgs.append(dcg)
+            idcgs.append(idcg)
+            ndcgs.append(dcg * 1_000_000 // idcg if idcg else 0)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "dcg": pa.array(dcgs, pa.int64()),
+                "idcg": pa.array(idcgs, pa.int64()),
+                "ndcg_e6": pa.array(ndcgs, pa.int64()),
+            }
+        )
 
     def q_index_export(sf_dir: str) -> pa.Table:
         """Export the built index to the reference's KVS ``index``
@@ -1886,6 +1938,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_rel_star(sf_dir: str):
+        # TPC-H Q3-shaped star composition: dimension filter pushed to
+        # the read, small side (segment customers) broadcast-joined into
+        # orders map-side, ONE big-big shuffle join lineitem x orders,
+        # exact integer cents-x-percent revenue (order-insensitive),
+        # distributed sort + limit for the top 10 — the classic
+        # filter/broadcast/shuffle/agg/topk pipeline in one query
+        import pyarrow.parquet as pq
+        from datetime import datetime
+
+        cutoff = datetime(1998, 6, 1)
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        cust = (
+            cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"])
+            .rename_columns(["o_custkey"])
+        )
+
+        def od_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+            return pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "o_custkey": t["o_custkey"],
+                    "o_date_us": t["o_orderdate"].cast(pa.int64()),
+                }
+            )
+
+        od = broadcast_join(
+            _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+                od_prep, batch_format="pyarrow"
+            ),
+            cust,
+            on="o_custkey",
+        ).select_columns(["orderkey", "o_date_us"])
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+            ext = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            disc = np.rint(
+                (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {"orderkey": t["l_orderkey"], "rev_e4": pa.array(ext * disc)}
+            )
+
+        li = _tbl(
+            sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(li_prep, batch_format="pyarrow")
+
+        j = shuffle_join(li, od, "orderkey", left_cols=["rev_e4"], right_cols=["o_date_us"])
+        agg = j.groupby("orderkey").aggregate(
+            Sum("rev_e4", alias_name="revenue_e4"), Min("o_date_us", alias_name="o_date_us")
+        )
+        return agg.sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
+
     def q_skew_join(sf_dir: str):
         # skew-defusing salted join: orders with >= 4 lineitems count as
         # HOT (their lineitem rows salt over 4 buckets; the order row is
@@ -3053,6 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
+        "search_eval_ndcg": q_search_ndcg,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -3136,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hopping_window": q_hopping_window,
         "rel_profile": q_profile,
         "rel_skew_join_agg": q_skew_join,
+        "rel_star_topk": q_rel_star,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
         "text_heavy_hitters": q_heavy_hitters,
@@ -3537,6 +3652,35 @@ def _flagship_oracle_sql(
            h.doc_id, h.score_e6, h.host
     FROM hosted h JOIN tgt ON h.qid = tgt.qid AND h.host = tgt.want
     QUALIFY row_number() OVER (PARTITION BY h.qid ORDER BY h.rn) <= 10"""
+    elif variant == "ndcg":
+        # NDCG@10 vs a graded relevance oracle (rel = # distinct query
+        # terms containing the doc), exact-integer DCG — q_search_ndcg
+        w_rows = ", ".join(f"({r}, {w})" for r, w in enumerate(_NDCG_W))
+        collapse_ctes = f""",
+    top10 AS (SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+              FROM e6
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY score_e6 DESC, doc_id) <= 10),
+    rel AS (SELECT q.qid, tf.doc_id, count(DISTINCT q.term) AS rel
+            FROM q JOIN tf ON tf.term = q.term GROUP BY q.qid, tf.doc_id),
+    w(rnk, wt) AS (VALUES {w_rows}),
+    dcg AS (SELECT t.qid, CAST(sum(COALESCE(rel.rel, 0) * w.wt) AS BIGINT) AS dcg
+            FROM top10 t JOIN w ON w.rnk = t.rnk
+                 LEFT JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+            GROUP BY t.qid),
+    ideal AS (SELECT qid, rel,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY rel DESC, doc_id) - 1 AS rnk
+              FROM rel
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY rel DESC, doc_id) <= 10),
+    idcg AS (SELECT qid, CAST(sum(rel * w.wt) AS BIGINT) AS idcg
+             FROM ideal JOIN w ON w.rnk = ideal.rnk GROUP BY qid)"""
+        final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
+           CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
+    FROM dcg JOIN idcg USING (qid)"""
     elif host_collapse is None:
         collapse_ctes = ""
         final_select = """SELECT qid,
@@ -5470,6 +5614,7 @@ def oracle_sql() -> dict[str, str]:
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),
+        "search_eval_ndcg": _flagship_oracle_sql("bm25", variant="ndcg"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
@@ -5888,6 +6033,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # TPC-H Q3 shape: segment-filtered customers -> dated orders ->
+        # shipped lineitems, exact integer cents*percent revenue, top 10
+        "rel_star_topk": """
+            WITH li AS (
+              SELECT l_orderkey AS orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_e4
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+            ),
+            od AS (
+              SELECT o.o_orderkey AS orderkey,
+                     CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_date_us
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            )
+            SELECT li.orderkey, CAST(sum(li.rev_e4) AS BIGINT) AS revenue_e4,
+                   min(od.o_date_us) AS o_date_us
+            FROM li JOIN od USING (orderkey)
+            GROUP BY li.orderkey
+            ORDER BY revenue_e4 DESC, orderkey
+            LIMIT 10
+        """,
         # FULL OUTER JOIN with coalesced key and typed nulls on both
         # sides (Arrow coalesce_keys matches SQL COALESCE)
         "rel_outer_join": """
