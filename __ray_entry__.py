@@ -2724,6 +2724,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_media_thumbs(sf_dir: str):
+        """Image thumbnailing (decode -> aspect-fit nearest-neighbor
+        resample -> re-encode) over the synthetic near-dup image corpus;
+        the oracle embeds the pure-function replay's payload size/sha1
+        and re-derives the floor-arithmetic dimension rule in SQL."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            ThumbnailStage,
+            synth_images_neardup,
+        )
+
+        ds = rd.from_arrow(synth_images_neardup(200))
+        return ds.map_batches(
+            ThumbnailStage, batch_format="pyarrow", batch_size=32, concurrency=2
+        ).map_batches(
+            lambda t: t.drop_columns(["thumb"]), batch_format="pyarrow"
+        )
+
     def q_media_frames(sf_dir: str):
         # rows-only: per-frame explode of the video payloads — each
         # sampled frame is sliced out via the container offset table and
@@ -3287,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
+        "media_thumbs": q_media_thumbs,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
         "media_audio_dups": q_audio_dups,
@@ -4489,6 +4509,48 @@ def _phash_dups_oracle_sql() -> str:
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM ph a JOIN ph b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+def _thumbs_oracle_sql(max_side: int = 32) -> str:
+    """Oracle for ``media_thumbs``: the pure-function replay (decode ->
+    ``thumb_dims`` -> ``resize_nearest`` -> encode) provides per-image
+    payload size + sha1 as embedded ground truth, and SQL RE-DERIVES the
+    aspect-fit dimension rule (exact floor arithmetic) from the source
+    dims — so the distributed stage is checked against both the rule
+    and the bit-level payload."""
+    import hashlib
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+        thumb_dims,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_images_neardup,
+    )
+
+    t = synth_images_neardup(200)
+    rows = []
+    for i, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        rgb = decode_bmp(p)
+        h, w = rgb.shape[0], rgb.shape[1]
+        tw, th = thumb_dims(w, h, max_side)
+        tp = encode_bmp(resize_nearest(rgb, tw, th))
+        rows.append(f"({i}, {w}, {h}, {len(tp)}, '{hashlib.sha1(tp).hexdigest()}')")
+    return f"""
+    WITH src(media_id, width, height, thumb_bytes, thumb_sha1)
+      AS (VALUES {', '.join(rows)})
+    SELECT media_id, width, height,
+           CASE WHEN greatest(width, height) <= {max_side} THEN width
+                ELSE greatest(1, (width * {max_side}) // greatest(width, height))
+           END AS thumb_w,
+           CASE WHEN greatest(width, height) <= {max_side} THEN height
+                ELSE greatest(1, (height * {max_side}) // greatest(width, height))
+           END AS thumb_h,
+           thumb_bytes, thumb_sha1
+    FROM src
     """
 
 
@@ -5845,6 +5907,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_topk": _ivfpq_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
+        "media_thumbs": _thumbs_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
         "media_video_dups": _vhash_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),

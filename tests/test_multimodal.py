@@ -257,3 +257,44 @@ def test_afp64_gain_invariant():
     b = afp64(np.clip(w * 0.5, -32768, 32767).astype(np.int16))
     # pure gain change: band medians scale with the energies
     assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_thumbnail_stage_roundtrip():
+    """ThumbnailStage: dims follow the aspect-fit floor rule, the
+    payload decodes back to exactly resize_nearest of the source, and
+    no-op-sized images keep their dims."""
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_bmp,
+        resize_nearest,
+        thumb_dims,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        ThumbnailStage,
+        synth_images_neardup,
+    )
+
+    src = synth_images_neardup(40)
+    got = (
+        rd.from_arrow(src)
+        .map_batches(
+            ThumbnailStage, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+        )
+        .take_all()
+    )
+    by_id = {r["media_id"]: r for r in got}
+    for mid, p in zip(src["media_id"].to_pylist(), src["payload"].to_pylist()):
+        rgb = decode_bmp(p)
+        h, w = rgb.shape[0], rgb.shape[1]
+        r = by_id[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        tw, th = thumb_dims(w, h, 32)
+        assert (r["thumb_w"], r["thumb_h"]) == (tw, th)
+        want = resize_nearest(rgb, tw, th)
+        assert (decode_bmp(r["thumb"]) == want).all()
+
+    # no-op path: an image already within max_side keeps its dims
+    assert thumb_dims(20, 30, 32) == (20, 30)
+    assert thumb_dims(64, 16, 32) == (32, 8)
+    assert thumb_dims(200, 3, 32) == (32, 1)

@@ -139,6 +139,26 @@ def decode_wsmv_frame(data: bytes, idx: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def thumb_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-fit thumbnail dimensions, exact-integer (floor division)
+    so the SQL twin can replay the rule: no-op when the longest side
+    already fits, else scale both sides by max_side/max(w, h)."""
+    mx = max(w, h)
+    if mx <= max_side:
+        return w, h
+    return max(1, (w * max_side) // mx), max(1, (h * max_side) // mx)
+
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the deterministic floor mapping
+    src_i = (dst_i * src_len) // dst_len) — pure numpy indexing, no
+    interpolation state, bit-reproducible anywhere."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    iy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ix = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return np.ascontiguousarray(rgb[iy][:, ix])
+
+
 def image_features(rgb: np.ndarray, grid: int = 8) -> np.ndarray:
     """(H, W, 3) -> grid x grid grayscale thumbnail (area-averaged),
     flattened float32 in [0, 1] — a real, deterministic visual signature

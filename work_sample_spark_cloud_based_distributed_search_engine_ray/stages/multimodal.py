@@ -390,6 +390,56 @@ class PHashStage:
         return pa.table({"media_id": batch["media_id"], "phash": pa.array(out)})
 
 
+class ThumbnailStage:
+    """Actor-pool stage: BMP payload -> aspect-fit thumbnail (decode,
+    nearest-neighbor resample, re-encode) + (dims, sha1) provenance —
+    the image half of a multimodal prep pipeline (dedup by thumb hash,
+    preview serving, model input normalization). All integer/floor
+    arithmetic, so output bytes are bit-reproducible at any
+    partitioning and the SQL twin replays the dimension rule."""
+
+    def __init__(self, *, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media_codecs import (
+            decode_bmp,
+            encode_bmp,
+            resize_nearest,
+            thumb_dims,
+        )
+
+        n = batch.num_rows
+        ws = np.empty(n, np.int64)
+        hs = np.empty(n, np.int64)
+        tws = np.empty(n, np.int64)
+        ths = np.empty(n, np.int64)
+        nbytes = np.empty(n, np.int64)
+        thumbs: list[bytes] = []
+        sha1s: list[str] = []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            rgb = decode_bmp(p)
+            hs[i], ws[i] = rgb.shape[0], rgb.shape[1]
+            tw, th = thumb_dims(int(ws[i]), int(hs[i]), self.max_side)
+            tws[i], ths[i] = tw, th
+            tp = encode_bmp(resize_nearest(rgb, tw, th))
+            nbytes[i] = len(tp)
+            thumbs.append(tp)
+            sha1s.append(hashlib.sha1(tp).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(ws),
+                "height": pa.array(hs),
+                "thumb_w": pa.array(tws),
+                "thumb_h": pa.array(ths),
+                "thumb_bytes": pa.array(nbytes),
+                "thumb_sha1": pa.array(sha1s, pa.string()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
 def phash_near_dups(
     media, *, max_hamming: int = 3, num_chunks: int = 4, concurrency: int | None = None
 ):
