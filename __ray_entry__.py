@@ -425,6 +425,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_search_mrr(sf_dir: str) -> pa.Table:
+        """Reciprocal rank of the first FULLY-relevant result in the
+        BM25 top-10 — relevant = contains ALL distinct query terms, so
+        a query with any out-of-vocabulary term has no relevant doc
+        (rr 0), mirroring the strict-AND contract. Exact-integer
+        (1e6 // (rank+1)); queries with no indexed term emit no row."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, frs, rrs = [], [], []
+        for qid, q in reference_queries():
+            all_terms = sorted(set(tokenize_query(q)))
+            if not any(idx.has_term(t) for t in all_terms):
+                continue
+            rel: set[int] = set()
+            if all(idx.has_term(t) for t in all_terms):
+                for t in all_terms:
+                    ids = set(idx.postings(t).ids.tolist())
+                    rel = ids if not rel and t == all_terms[0] else rel & ids
+            ranked = idx.bm25_topk(q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            fr = -1
+            for r, (_s6, d) in enumerate(e6):
+                if d in rel:
+                    fr = r
+                    break
+            qids.append(qid)
+            frs.append(fr)
+            rrs.append(1_000_000 // (fr + 1) if fr >= 0 else 0)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "first_rnk": pa.array(frs, pa.int64()),
+                "rr_e6": pa.array(rrs, pa.int64()),
+            }
+        )
+
     def q_search_ndcg(sf_dir: str) -> pa.Table:
         """Ranking-quality evaluation: NDCG@10 of the BM25 ranking
         against a deterministic graded-relevance oracle — rel(doc) =
@@ -3186,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": q_search_bm25,
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
+        "search_eval_mrr": q_search_mrr,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -3701,6 +3747,30 @@ def _flagship_oracle_sql(
         final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
            CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
     FROM dcg JOIN idcg USING (qid)"""
+    elif variant == "mrr":
+        # reciprocal rank of the first FULLY-relevant result (doc
+        # contains ALL distinct query terms), exact-integer — q_search_mrr
+        collapse_ctes = """,
+    top10 AS (SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+              FROM e6
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY score_e6 DESC, doc_id) <= 10),
+    nq AS (SELECT qid, count(DISTINCT term) AS n_terms FROM q GROUP BY qid),
+    rel AS (SELECT q.qid, tf.doc_id
+            FROM q JOIN tf ON tf.term = q.term JOIN nq ON nq.qid = q.qid
+            GROUP BY q.qid, tf.doc_id, nq.n_terms
+            HAVING count(DISTINCT q.term) = nq.n_terms),
+    hit AS (SELECT t.qid, min(t.rnk) AS first_rnk
+            FROM top10 t JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+            GROUP BY t.qid)"""
+        final_select = """SELECT nq.qid,
+           COALESCE(hit.first_rnk, -1) AS first_rnk,
+           CASE WHEN hit.first_rnk IS NULL THEN 0
+                ELSE 1000000 // (hit.first_rnk + 1) END AS rr_e6
+    FROM nq LEFT JOIN hit ON hit.qid = nq.qid
+    WHERE nq.qid IN (SELECT DISTINCT qid FROM scores)"""
     elif host_collapse is None:
         collapse_ctes = ""
         final_select = """SELECT qid,
@@ -5677,6 +5747,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),
         "search_eval_ndcg": _flagship_oracle_sql("bm25", variant="ndcg"),
+        "search_eval_mrr": _flagship_oracle_sql("bm25", variant="mrr"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
