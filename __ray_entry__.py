@@ -1167,6 +1167,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _stats(sf_dir).map_batches(project, batch_format="pyarrow")
 
+    def q_stem_vocab(sf_dir: str):
+        """Stemmed vocabulary rollup (the analysis-chain normalizer the
+        raw-term reference lacks): corpus terms -> Porter stems ->
+        (stem, n_terms, total_tf). Map-side combine inside each batch
+        (unique term -> summed tf), a vocab-bounded term groupby, ONE
+        Python stem call per DISTINCT corpus term (the bounded-vocab
+        exception), then the stem groupby. The oracle embeds the
+        (term, stem) map from the same pure function and re-derives
+        both aggregations in SQL."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.stem import (
+            porter_stem,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_count_batch,
+        )
+
+        def term_tf(batch: pa.Table) -> pa.Table:
+            terms, tfs, _ = tokenize_count_batch(batch["text"])
+            tnp = terms.flatten().to_numpy(zero_copy_only=False)
+            fnp = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, inv = np.unique(tnp, return_inverse=True)
+            sums = np.zeros(uniq.size, np.int64)
+            np.add.at(sums, inv, fnp)
+            return pa.table(
+                {"term": pa.array(uniq.tolist(), pa.string()), "tf": pa.array(sums)}
+            )
+
+        totals = (
+            _tbl(sf_dir, "documents", ["text"])
+            .map_batches(term_tf, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("tf", alias_name="tf"))
+        )
+
+        def add_stem(t: pa.Table) -> pa.Table:
+            stems = [porter_stem(x) for x in t["term"].to_pylist()]
+            return t.append_column("stem", pa.array(stems, pa.string()))
+
+        return (
+            totals.map_batches(add_stem, batch_format="pyarrow")
+            .groupby("stem")
+            .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
+        )
+
     def q_repetition(sf_dir: str):
         """Gopher-style within-doc repetition signals (top-bigram mass,
         duplicate-trigram occurrences) — integer counts, one vectorized
@@ -3260,6 +3304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": q_collocations,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
+        "text_stem_vocab": q_stem_vocab,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -5433,6 +5478,41 @@ def _ingest_oracle_sql() -> str:
     """
 
 
+def _stem_vocab_oracle_sql() -> str:
+    """DuckDB twin of ``text_stem_vocab``: the (term, stem) map for the
+    corpus's DISTINCT vocabulary is computed by the same pure function
+    (``functions/stem.porter_stem``) and embedded as VALUES (the
+    bounded-vocabulary sketch-oracle pattern); SQL re-derives per-term
+    total tf from the canonical tokenization and both rollups."""
+    import pyarrow.parquet as pq_
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.stem import (
+        porter_stem,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_count_batch,
+    )
+
+    t = pq_.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"), columns=["text"]
+    )
+    terms, _tfs, _ = tokenize_count_batch(t["text"].combine_chunks())
+    vocab = sorted(set(terms.flatten().to_pylist()))
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(f"('{esc(v)}', '{esc(porter_stem(v))}')" for v in vocab)
+    return f"""
+    WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+    sm(term, stem) AS (VALUES {rows})
+    SELECT sm.stem, count(*) AS n_terms, CAST(sum(tf.tf) AS BIGINT) AS total_tf
+    FROM tf JOIN sm USING (term)
+    GROUP BY sm.stem
+    """
+
+
 def _ingest_warc_oracle_sql() -> str:
     """DuckDB twin of ``ingest_warc_pages``: per-host counts, html byte
     totals, and second-floored min capture time over the canonical
@@ -5758,6 +5838,7 @@ def oracle_sql() -> dict[str, str]:
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
+        "text_stem_vocab": _stem_vocab_oracle_sql(),
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"
