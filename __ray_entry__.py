@@ -593,6 +593,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_stemmed(sf_dir: str) -> pa.Table:
+        """Stemmed retrieval WITHOUT rebuilding the index: each query
+        term expands to the vocabulary terms sharing its Porter stem
+        (top-8 by cf desc, term — bounded like wildcard), scored as a
+        weight-1.0 BM25 OR via the PRF machinery. The oracle embeds the
+        (term, stem) map for the index vocabulary AND the per-query-term
+        stems (both from the same pure function) and replays expansion +
+        scoring in SQL."""
+        import ray
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.stem import (
+            porter_stem,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        out_dir = _cached_index_dir(sf_dir)
+        idx = _cached_index(sf_dir)
+        vt = pa.concat_tables(
+            ray.get(
+                rd.read_parquet(
+                    os.path.join(out_dir, "term_stats"), columns=["term", "cf"]
+                ).to_arrow_refs()
+            )
+        ).combine_chunks()
+        terms = vt["term"].to_pylist()
+        cf = vt["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stem_to_terms: dict[str, list[tuple[int, str]]] = {}
+        for t, c in zip(terms, cf):
+            stem_to_terms.setdefault(porter_stem(t), []).append((-int(c), t))
+        for v in stem_to_terms.values():
+            v.sort()
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            expanded: dict[str, float] = {}
+            for t in sorted(set(tokenize_query(q))):
+                for _negcf, vterm in stem_to_terms.get(porter_stem(t), [])[:8]:
+                    expanded[vterm] = 1.0
+            if not expanded:
+                continue
+            top = sorted(
+                (
+                    (int(round(s * 1_000_000)), d)
+                    for d, s in idx.bm25_weighted_topk(
+                        sorted(expanded.items()), k=50
+                    )
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(top):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_index_compact(sf_dir: str):
         """Compact the built index (one term-sorted file per shard,
         blobs byte-identical) and read the full per-term df/cf back
@@ -3276,6 +3344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
+        "search_bm25_stemmed": q_search_stemmed,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -4739,6 +4808,91 @@ def _wildcard_oracle_sql() -> str:
     """
 
 
+def _stemmed_search_oracle_sql() -> str:
+    """DuckDB twin of ``search_bm25_stemmed``: the (term, stem) map for
+    the INDEX vocabulary (dedup-winner tokenization — identical to the
+    built index's term_stats, a parity the flagship/compact oracles
+    already pin) and each query term's stem are computed by the same
+    pure function and embedded as VALUES; SQL replays the per-stem
+    top-8-by-cf expansion and the weight-1.0 BM25 scoring."""
+    import duckdb
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.stem import (
+        porter_stem,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+        WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+        winners AS (
+          SELECT url, text FROM (
+            SELECT url, text,
+                   row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+            FROM pages) WHERE rn = 1)
+        SELECT DISTINCT unnest({TOKS}) AS term FROM winners ORDER BY term
+        """
+        ).fetchall()
+    ]
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    sm_rows = ", ".join(f"('{esc(v)}', '{esc(porter_stem(v))}')" for v in vocab)
+    q_rows = ", ".join(
+        f"({qid}, '{esc(porter_stem(t))}')"
+        for qid, q in reference_queries()
+        for t in sorted(set(tokenize_query(q)))
+    )
+    bm25 = (
+        "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+        " * (tf.tf * (1.2 + 1))"
+        " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+    )
+    return f"""{_docs_cte()},
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    sm(term, stem) AS (VALUES {sm_rows}),
+    qraw(qid, qstem) AS (VALUES {q_rows}),
+    q AS (SELECT DISTINCT qid, qstem FROM qraw),
+    exp AS (SELECT DISTINCT qid, term FROM (
+              SELECT q.qid, sm.term,
+                     row_number() OVER (PARTITION BY q.qid, q.qstem
+                       ORDER BY cf.c DESC, sm.term) AS rn
+              FROM q JOIN sm ON sm.stem = q.qstem
+                   JOIN cf ON cf.term = sm.term) WHERE rn <= 8),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM exp) GROUP BY term),
+    s AS (SELECT exp.qid, tf.doc_id, sum({bm25}) AS score
+          FROM exp JOIN df USING (term) JOIN tf ON tf.term = exp.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+          GROUP BY exp.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM s)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
 def _robots_gate_oracle_sql() -> str:
     """SQL twin of ``crawl_robots_gate``: per-host rule literals from
     the SAME pure ``synth_robots``/``parse_robots`` chain are embedded
@@ -5828,6 +5982,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),
         "search_eval_ndcg": _flagship_oracle_sql("bm25", variant="ndcg"),
         "search_eval_mrr": _flagship_oracle_sql("bm25", variant="mrr"),
+        "search_bm25_stemmed": _stemmed_search_oracle_sql(),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
