@@ -1279,6 +1279,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_cms_counts(sf_dir: str):
+        """Count-min sketch frequency estimation (depth 4 x width 64 —
+        width chosen small enough that the corpus vocabulary actually
+        collides, so the min-over-cells estimate path is exercised):
+        (term, exact_tf, est_tf) for every distinct corpus term. The
+        md5-based cell hash is SQL-native, so the oracle re-derives the
+        ENTIRE sketch — no embedded literals."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            cms_term_counts,
+        )
+
+        return cms_term_counts(
+            _tbl(sf_dir, "documents", ["text"]), depth=4, width=64
+        )
+
     def q_repetition(sf_dir: str):
         """Gopher-style within-doc repetition signals (top-bigram mass,
         duplicate-trigram occurrences) — integer counts, one vectorized
@@ -3374,6 +3389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_stem_vocab": q_stem_vocab,
+        "text_cms_counts": q_cms_counts,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -5994,6 +6010,25 @@ def oracle_sql() -> dict[str, str]:
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
         "text_stem_vocab": _stem_vocab_oracle_sql(),
+        # count-min sketch: the md5 cell hash is SQL-native, so DuckDB
+        # re-derives the whole sketch and the min-over-cells estimate
+        "text_cms_counts": f"""
+    WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS exact_tf FROM toks GROUP BY term),
+    grid AS (SELECT unnest(range(4)) AS j),
+    hashed AS (SELECT tf.term, grid.j,
+                 CAST(('0x' || substr(md5(CAST(grid.j AS VARCHAR) || ':' || tf.term), 1, 16))::UBIGINT
+                      & 9223372036854775807::UBIGINT AS BIGINT) % 64 AS cell,
+                 tf.exact_tf
+               FROM tf, grid),
+    cells AS (SELECT j, cell, sum(exact_tf) AS cnt FROM hashed GROUP BY j, cell),
+    est AS (SELECT h.term, min(c.cnt) AS est_tf
+            FROM hashed h JOIN cells c ON c.j = h.j AND c.cell = h.cell
+            GROUP BY h.term)
+    SELECT tf.term, CAST(tf.exact_tf AS BIGINT) AS exact_tf,
+           CAST(est.est_tf AS BIGINT) AS est_tf
+    FROM tf JOIN est USING (term)
+    """,
         "doc_term_stats": (
             f"{toks_cte} SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM toks GROUP BY term"

@@ -392,3 +392,26 @@ def test_quality_percentile_matches_duckdb_and_invariant():
     )
     assert got2["decile"].tolist() == got["decile"].tolist()
     assert got2["score_e6"].tolist() == got["score_e6"].tolist()
+
+
+def test_cms_one_sided_and_partition_invariant():
+    """Count-min estimates are one-sided (est >= exact, equality when a
+    term's min cell is collision-free) and identical at two
+    partitionings."""
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        cms_term_counts,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    outs = []
+    for parts in (2, 5):
+        ds = rd.read_parquet(path, columns=["text"]).repartition(parts)
+        t = cms_term_counts(ds, depth=4, width=64)
+        outs.append(sorted(zip(t["term"].to_pylist(),
+                               t["exact_tf"].to_pylist(),
+                               t["est_tf"].to_pylist())))
+    assert outs[0] == outs[1]
+    assert all(est >= ex for _t, ex, est in outs[0])
+    assert sum(ex for _t, ex, _e in outs[0]) > 0

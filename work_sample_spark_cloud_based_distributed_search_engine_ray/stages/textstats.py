@@ -1060,3 +1060,107 @@ def quality_percentile(
         )
 
     return narrow.map_batches(assign, batch_format="pyarrow")
+
+
+def cms_term_counts(
+    docs,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    text_col: str = "text",
+):
+    """Count-min sketch corpus term frequencies + the exact/estimate
+    comparison table — the mergeable frequency sketch (Cormode &
+    Muthukrishnan 2005) that answers "how often does term X occur?"
+    in O(depth) ints per query at ANY corpus size.
+
+    Physical plan (all counts are associative partials, so this is one
+    combiner tree): each batch tokenizes once, combines to (term, tf)
+    locally, hashes each DISTINCT term into its ``depth`` cells
+    (``hash64(f"{j}:{term}")`` — md5-based, so the SQL twin recomputes
+    the very same cells natively), and emits non-empty (cell_id,
+    count) partials; ONE vocab-independent groupby of at most
+    depth x width groups sums the sketch; exact per-term totals ride
+    the same tokenize pass through a vocab-bounded term groupby. The
+    estimate for every distinct corpus term is the min over its cells
+    — computed from the (tiny, bounded) final sketch on the driver.
+    Output: (term, exact_tf, est_tf) with est_tf >= exact_tf always
+    (one-sided error), est - exact <= eps * total with prob 1-delta
+    for width = e/eps, depth = ln(1/delta).
+
+    100-TB shape: the sketch is depth x width ints REGARDLESS of
+    corpus size (here 4x512); partials merge by addition inside the
+    groupby, and the only vocab-dependent shuffle is the exact-count
+    side (which a pure-sketch deployment drops)."""
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+    from ..functions.tokenize import tokenize_count_batch
+
+    def partials(batch: pa.Table) -> pa.Table:
+        terms, tfs, _ = tokenize_count_batch(batch[text_col])
+        tnp = terms.flatten().to_numpy(zero_copy_only=False)
+        fnp = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(tnp, return_inverse=True)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, fnp)
+        cell_ids: list[int] = []
+        counts: list[int] = []
+        for j in range(depth):
+            cells = np.fromiter(
+                (hash64(f"{j}:{t}") % width for t in uniq), np.int64, uniq.size
+            )
+            agg = np.zeros(width, np.int64)
+            np.add.at(agg, cells, sums)
+            nz = np.flatnonzero(agg)
+            cell_ids.extend((j * width + nz).tolist())
+            counts.extend(agg[nz].tolist())
+        out = pa.table(
+            {
+                "cell": pa.array(cell_ids, pa.int64()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+        term_part = pa.table(
+            {"term": pa.array(uniq.tolist(), pa.string()), "tf": pa.array(sums)}
+        )
+        return out, term_part
+
+    # two outputs from one tokenize pass: run it as two map_batches over
+    # the same (cheap, column-pruned) read rather than caching texts
+    def sketch_part(batch: pa.Table) -> pa.Table:
+        return partials(batch)[0]
+
+    def term_part(batch: pa.Table) -> pa.Table:
+        return partials(batch)[1]
+
+    sketch_rows = (
+        docs.map_batches(sketch_part, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    sketch = np.zeros(depth * width, np.int64)
+    for r in sketch_rows:
+        sketch[r["cell"]] = r["cnt"]
+
+    exact = (
+        docs.map_batches(term_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="exact_tf"))
+        .take_all()
+    )
+    terms = sorted(r["term"] for r in exact)
+    exact_by = {r["term"]: r["exact_tf"] for r in exact}
+    est = [
+        min(int(sketch[j * width + hash64(f"{j}:{t}") % width]) for j in range(depth))
+        for t in terms
+    ]
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "exact_tf": pa.array([exact_by[t] for t in terms], pa.int64()),
+            "est_tf": pa.array(est, pa.int64()),
+        }
+    )
