@@ -2266,6 +2266,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=64,
         )
 
+    def q_hll_registers(sf_dir: str):
+        # HyperLogLog register table (2^8 buckets) for COUNT DISTINCT
+        # user_id — the constant-memory cardinality sketch; registers
+        # are integers so the SQL twin replays them exactly (the float
+        # estimator is pytest-checked against exact distinct instead)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            hll_registers,
+        )
+
+        return hll_registers(_tbl(sf_dir, "events", ["user_id"]), "user_id", b=8)
+
     def q_hash_split(sf_dir: str):
         # leakage-safe deterministic train/val/test split: same key ->
         # same split on any partitioning; md5-prefix hash64 against
@@ -3451,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": q_heavy_hitters,
         "dedup_substring": q_dedup_substring,
         "rel_approx_distinct_kmv": q_kmv_distinct,
+        "rel_hll_registers": q_hll_registers,
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
@@ -6572,6 +6584,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # KMV estimator replayed exactly: same md5-prefix hash64, same
         # k-th-smallest threshold, same floor(x + 0.5) quantization
+        # HyperLogLog: md5 hash64 is SQL-native, so DuckDB re-derives
+        # the full register table (bucket = h % 256, rho = leading
+        # zeros of the remaining 55 bits + 1)
+        "rel_hll_registers": """
+    WITH h AS (SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                      & 9223372036854775807::UBIGINT AS BIGINT) AS hv
+               FROM events),
+    parts AS (SELECT hv % 256 AS bucket, hv // 256 AS w FROM h),
+    rho AS (SELECT bucket,
+                   CASE WHEN w = 0 THEN 56
+                        ELSE strpos(lpad(bin(w), 55, '0'), '1') END AS r
+            FROM parts)
+    SELECT bucket, CAST(max(r) AS BIGINT) AS max_rho
+    FROM rho GROUP BY bucket
+    """,
         "rel_approx_distinct_kmv": """
             WITH h AS (
               SELECT DISTINCT event_type,

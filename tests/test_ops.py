@@ -585,3 +585,39 @@ def test_budget_sample_per_group_matches_reference():
     got_sums = out.groupby("source").n_chars.sum()
     assert (got_sums <= budget).all()
     assert len(out) > 0
+
+
+def test_hll_estimate_accuracy_and_merge():
+    """HLL registers: partitioning-invariant (merge = elementwise max),
+    and the estimator lands within the ~3*1.04/sqrt(m) relative-error
+    envelope of the exact distinct count."""
+    import numpy as np
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    path = "/root/testdata/sf0.01/events.parquet"
+    import pyarrow.parquet as pq
+
+    exact = len(set(pq.read_table(path, columns=["user_id"])["user_id"].to_pylist()))
+    outs = []
+    for parts in (2, 7):
+        t = (
+            hll_registers(
+                rd.read_parquet(path, columns=["user_id"]).repartition(parts),
+                "user_id",
+                b=8,
+            )
+            .to_pandas()
+            .sort_values("bucket")
+        )
+        outs.append(list(zip(t.bucket, t.max_rho)))
+    assert outs[0] == outs[1]
+    buckets = np.array([b for b, _ in outs[0]])
+    rhos = np.array([r for _, r in outs[0]])
+    est = hll_estimate(buckets, rhos, b=8)
+    rel_err = abs(est - exact) / exact
+    assert rel_err < 3 * 1.04 / np.sqrt(256), (est, exact, rel_err)

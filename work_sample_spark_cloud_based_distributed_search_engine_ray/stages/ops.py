@@ -1980,3 +1980,75 @@ def profile_columns(
             ]
         ),
     )
+
+
+def hll_registers(
+    ds: rd.Dataset,
+    col: str,
+    *,
+    b: int = 8,
+) -> rd.Dataset:
+    """HyperLogLog registers (Flajolet et al. 2007) for COUNT DISTINCT
+    of ``col`` — the constant-memory cardinality sketch next to the KMV
+    one (``approx_distinct_kmv``): 2^b integer registers regardless of
+    cardinality, merged by per-bucket MAX (fully associative — the
+    union of two sketches is their elementwise max, which is what makes
+    this THE distributed distinct sketch).
+
+    The register table (bucket, max_rho) IS the output — integers, so
+    the SQL twin replays it bit-for-bit from the same md5-based
+    ``hash64``; the float estimator (alpha_m * m^2 / sum 2^-M with
+    linear-counting small-range correction) is ``hll_estimate`` below,
+    tested against exact distinct counts in pytest rather than
+    hash-compared (float association differs across engines).
+
+    Per batch: one vectorized unique, then per-DISTINCT-value C-speed
+    md5 + bit_length (bounded by the batch's distinct count); the only
+    shuffle is the 2^b-group register max."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import hash64
+
+    m = 1 << b
+    wbits = 63 - b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        uniq = np.unique(vals)
+        regs = np.zeros(m, np.int64)
+        for v in uniq.tolist():
+            h = hash64(str(v))
+            bucket = h % m
+            w = h >> b
+            rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "max_rho": pa.array(regs[nz]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(buckets: np.ndarray, max_rho: np.ndarray, *, b: int = 8) -> float:
+    """The HLL cardinality estimate from a register table (empty
+    registers implied zero): alpha_m * m^2 / sum(2^-M_j), with the
+    standard linear-counting correction when the estimate is small and
+    registers remain empty."""
+    m = 1 << b
+    regs = np.zeros(m, np.float64)
+    regs[buckets] = max_rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
