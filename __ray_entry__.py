@@ -1759,6 +1759,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_unpivot(sf_dir: str):
+        # UNPIVOT/melt (the inverse of rel_pivot): lineitem's four
+        # numeric measures go wide-to-long as (key, metric, value_e2)
+        # in ONE vectorized map_batches — per batch the four column
+        # slices concatenate (no Python row loop, no shuffle; output
+        # rows = 4x input but each row is 3 narrow columns)
+        metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+        def melt(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            lines = t["l_linenumber"].to_numpy(zero_copy_only=False)
+            out_k = np.tile(keys, len(metrics))
+            out_l = np.tile(lines, len(metrics))
+            out_m = np.repeat(np.array(metrics, dtype=object), n)
+            out_v = np.concatenate(
+                [
+                    np.rint(
+                        t[m].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                    for m in metrics
+                ]
+            )
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(out_k),
+                    "l_linenumber": pa.array(out_l),
+                    "metric": pa.array(out_m.tolist(), pa.string()),
+                    "value_e2": pa.array(out_v),
+                }
+            )
+
+        return _tbl(
+            sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + metrics
+        ).map_batches(melt, batch_format="pyarrow")
+
     def q_pivot(sf_dir: str):
         # PIVOT events on event_type: two-pass plan — pass 1 discovers
         # the (bounded) distinct pivot values with a tiny distributed
@@ -3463,6 +3499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": q_dedup_substring,
         "rel_approx_distinct_kmv": q_kmv_distinct,
         "rel_hll_registers": q_hll_registers,
+        "rel_unpivot": q_unpivot,
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
@@ -6584,6 +6621,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # KMV estimator replayed exactly: same md5-prefix hash64, same
         # k-th-smallest threshold, same floor(x + 0.5) quantization
+        # UNPIVOT/melt: four measures wide-to-long, exact e2 integers
+        "rel_unpivot": """
+    SELECT l_orderkey, l_linenumber, m.metric,
+           CAST(round(CASE m.metric
+                 WHEN 'l_quantity' THEN l_quantity
+                 WHEN 'l_extendedprice' THEN l_extendedprice
+                 WHEN 'l_discount' THEN l_discount
+                 ELSE l_tax END * 100) AS BIGINT) AS value_e2
+    FROM lineitem,
+         (SELECT unnest(['l_quantity','l_extendedprice','l_discount','l_tax'])
+            AS metric) m
+    """,
         # HyperLogLog: md5 hash64 is SQL-native, so DuckDB re-derives
         # the full register table (bucket = h % 256, rho = leading
         # zeros of the remaining 55 bits + 1)
