@@ -247,7 +247,7 @@ def _cached_scatter_dirs(sf_dir: str, n_ranges: int = 2) -> list[str]:
 _NDCG_W = [round(1_000_000 / math.log2(r + 2)) for r in range(10)]
 
 
-def _search_table(sf_dir: str, scorer: str) -> pa.Table:
+def _search_table(sf_dir: str, scorer: str, method: str = "auto") -> pa.Table:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
         reference_queries,
     )
@@ -262,7 +262,11 @@ def _search_table(sf_dir: str, scorer: str) -> pa.Table:
         # engines. Both sides therefore order by (score_e6 desc, doc_id)
         # — candidates fetched wide (50/300) so the e6-top-10 is inside
         # the float-ranked prefix.
-        ranked = idx.bm25_topk(q, k=50) if scorer == "bm25" else idx.reference_topk(q, k=300)
+        ranked = (
+            idx.bm25_topk(q, k=50, method=method)
+            if scorer == "bm25"
+            else idx.reference_topk(q, k=300)
+        )
         e6 = sorted(((int(round(s * 1_000_000)), d) for d, s in ranked), key=lambda t: (-t[0], t[1]))[:10]
         for r, (s6, d) in enumerate(e6):
             qids.append(qid)
@@ -3407,6 +3411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
         "search_bm25_stemmed": q_search_stemmed,
+        # MaxScore dynamic pruning, same contract (and oracle) as WAND
+        "search_bm25_maxscore": lambda sf_dir: _search_table(
+            sf_dir, "bm25", method="maxscore"
+        ),
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -6048,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval_ndcg": _flagship_oracle_sql("bm25", variant="ndcg"),
         "search_eval_mrr": _flagship_oracle_sql("bm25", variant="mrr"),
         "search_bm25_stemmed": _stemmed_search_oracle_sql(),
+        "search_bm25_maxscore": _flagship_oracle_sql("bm25"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),

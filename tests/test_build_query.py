@@ -80,6 +80,18 @@ def test_wand_equals_exhaustive(built):
             assert idx.bm25_topk(q, k, method="wand") == idx.bm25_topk_exhaustive(q, k), (q, k)
 
 
+def test_maxscore_equals_exhaustive(built):
+    """MaxScore (the second dynamic-pruning algorithm) is bit-identical
+    to the exhaustive scorer — scores AND tie-broken order — at every k,
+    like WAND."""
+    _pages, _paths, idx, _oracle = built
+    for k in (1, 3, 10, 50):
+        for _qid, q in reference_queries():
+            assert idx.bm25_topk(q, k, method="maxscore") == idx.bm25_topk_exhaustive(
+                q, k
+            ), (q, k)
+
+
 def test_reference_scorer_matches_oracle(built):
     _pages, _paths, idx, oracle = built
     for _qid, q in reference_queries():

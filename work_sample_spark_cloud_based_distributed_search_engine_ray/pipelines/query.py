@@ -331,7 +331,7 @@ class SearchIndex:
         q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
         if not q_terms:
             return []
-        if method != "wand":
+        if method not in ("wand", "maxscore"):
             total = sum(self.postings(t).df for t in q_terms)
             if method == "exhaustive" or total < self.WAND_MIN_POSTINGS:
                 return self.bm25_topk_exhaustive(query, k)
@@ -349,6 +349,8 @@ class SearchIndex:
             cursors.append(
                 _Cursor(p.ids, p.tfs, p.dls, idf, p.block_last, block_ub, order=len(cursors))
             )
+        if method == "maxscore":
+            return self._maxscore(cursors, k)
         return self._wand(cursors, k)
 
     def _score_doc(self, cursors: list["_Cursor"], doc: int) -> float:
@@ -425,6 +427,71 @@ class SearchIndex:
                 # advance all pre-pivot cursors to the pivot doc
                 for c in cursors[:pivot]:
                     c.advance_to(pivot_doc)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-d, s) for s, d in out]
+
+    def _maxscore(self, cursors: list["_Cursor"], k: int) -> list[tuple[int, float]]:
+        """MaxScore dynamic pruning (Turtle & Flood 1995) — the other
+        canonical top-k algorithm next to Block-Max WAND, sharing its
+        cursors, bounds and (crucially) its scoring: terms sort by
+        ascending global upper bound; once the running threshold theta
+        exceeds the prefix sum of the lowest-bound terms, those lists
+        become NON-ESSENTIAL — no doc appearing only in them can enter
+        the heap, so candidates enumerate from the essential lists
+        alone and non-essential lists are probed per candidate in
+        descending-bound order with early bound pruning. Bounds decide
+        PRUNING ONLY; every surviving candidate is rescored over all
+        matched cursors in query-term order (``_score_doc``), so
+        results are bit-identical to the exhaustive scorer and to WAND
+        (asserted in tests). Pruning is strict (< theta): equal-score
+        ties are always examined and break by doc_id, like WAND."""
+        import heapq
+
+        heap: list[tuple[float, int]] = []
+        theta = 0.0
+        cs = sorted(cursors, key=lambda c: (c.term_ub, c.order))
+        n = len(cs)
+        pre = [0.0]
+        for c in cs:
+            pre.append(pre[-1] + c.term_ub)
+        while True:
+            j = 0
+            while j < n and pre[j + 1] < theta:
+                j += 1
+            if j >= n:
+                break  # all terms together cannot reach theta
+            cand = min(c.doc() for c in cs[j:])
+            if cand == INF:
+                break  # remaining docs live only in non-essential lists
+            matched_ub = sum(c.term_ub for c in cs[j:] if c.doc() == cand)
+            bound = matched_ub + pre[j]  # optimistic: all non-essential match
+            pruned = False
+            for i in range(j - 1, -1, -1):  # probe descending bound
+                if bound < theta:
+                    pruned = True
+                    break
+                c = cs[i]
+                c.advance_to(cand)
+                if c.doc() != cand:
+                    bound -= c.term_ub
+            if not pruned and bound >= theta:
+                matched = [c for c in cursors if c.doc() == cand]
+                block_sum = sum(c.block_ub_at(cand) for c in matched)
+                if block_sum >= theta:
+                    score = self._score_doc(matched, cand)
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -cand))
+                    else:
+                        worst_score, worst_negdoc = heap[0]
+                        if score > worst_score or (
+                            score == worst_score and -cand > worst_negdoc
+                        ):
+                            heapq.heapreplace(heap, (score, -cand))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+            for c in cs:
+                if c.doc() == cand:
+                    c.advance_to(cand + 1)
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-d, s) for s, d in out]
 
