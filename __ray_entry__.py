@@ -2702,6 +2702,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_pages"))
         )
 
+    def q_host_latest(sf_dir: str):
+        """Freshest capture per host (re-crawl bookkeeping: which
+        snapshot of each site is current): ARGMAX by warc_ts per host,
+        tie by url — the distributed keep-latest that complements the
+        keep-first content dedup. Runs on the bounded topn_per_group
+        kernel (map-side combine + one bucket shuffle, n=1)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "warc_ts"])
+
+        def hostify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": pc.list_element(pc.split_pattern(t["url"], "/"), 2),
+                    "url": t["url"],
+                    "ts_us": t["warc_ts"].cast(pa.int64()),
+                }
+            )
+
+        return topn_per_group(
+            pages.map_batches(hostify, batch_format="pyarrow"),
+            "host",
+            1,
+            [("ts_us", "descending"), ("url", "ascending")],
+        )
+
     def q_host_stats(sf_dir: str):
         """Per-HOST crawl summary over the pages corpus (the per-domain
         rollup every real crawl pipeline maintains): page count + exact
@@ -3525,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join_count": q_range_join,
         "crawl_lang_gate": q_lang_gate,
         "crawl_host_stats": q_host_stats,
+        "crawl_host_latest": q_host_latest,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -4251,6 +4285,23 @@ def _host_stats_oracle_sql() -> str:
            CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes
     FROM read_parquet('{pages_path}')
     GROUP BY 1
+    """
+
+
+def _host_latest_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_host_latest``: argmax by capture time per
+    host (tie by url) via one window rank."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    SELECT split_part(url, '/', 3) AS host, url,
+           CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+    FROM read_parquet('{pages_path}')
+    QUALIFY row_number() OVER (PARTITION BY split_part(url, '/', 3)
+                               ORDER BY warc_ts DESC, url) = 1
     """
 
 
@@ -6312,6 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_dups": _vhash_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
+        "crawl_host_latest": _host_latest_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
