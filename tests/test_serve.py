@@ -273,3 +273,71 @@ def test_http_fuzzy_param_corrects_oov(served):
         assert idx.correct_query(term) == term
     finally:
         srv.shutdown()
+
+
+def test_query_language_parse_and_dispatch(served):
+    """The operator-query parser: pure parse results, and dispatch
+    identity — query_language() returns exactly what the verified
+    primitive it routes to returns."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.queryparse import (
+        parse_query,
+    )
+
+    _ds, idx = served
+
+    p = parse_query('"exact phrase" -bad site:site3.example the tanel')
+    assert p.phrases == ["exact phrase"]
+    assert p.excluded == ["bad"]
+    assert p.site == "site3.example"
+    assert p.terms == ["the", "tanel"]
+    # unterminated quote is literal; bare dash ignored; first site: wins
+    p2 = parse_query('a "b c - site:x.y site:z.w')
+    assert p2.phrases == [] and p2.site == "x.y"
+    assert "-" not in p2.terms and '"b' in p2.terms
+
+    q = "the tanel"
+    # phrase wins
+    assert idx.query_language(f'"{q}"', 10) == idx.phrase_topk(q, k=10)
+    # exclusion next
+    assert idx.query_language("the tanel -ekamin", 10) == idx.bm25_not(
+        "the tanel", "ekamin", k=10
+    )
+    # site restriction
+    host = idx.search(q, 1)[0]["url"].split("/")[2]
+    assert idx.query_language(f"the tanel site:{host}", 10) == [
+        (d, s) for d, s, _h in idx.bm25_site_topk(q, host=host, k=10)
+    ]
+    # plain terms: e6-quantized bm25
+    got = idx.query_language(q, 10)
+    want = sorted(
+        ((int(round(s * 1e6)), d) for d, s in idx.bm25_topk(q, 50)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert got == [(d, s) for s, d in want]
+
+
+def test_http_ql_param(served):
+    """GET /search?ql=1 serves operator queries through the parser with
+    doc-store-assembled bodies."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        q = "the tanel -ekamin"
+        with urllib.request.urlopen(f"{base}/search?query={quote(q)}&ql=1") as r:
+            got = json.loads(r.read())
+        want = idx.query_language(q, 10)
+        assert [g["rank_score"] for g in got] == [s for _d, s in want]
+        fetched = idx.fetch_docs([d for d, _ in want])
+        assert [g["url"] for g in got] == [fetched[d]["url"] for d, _ in want]
+        assert all(set(g) == {"url", "rank_score", "title", "body"} for g in got)
+    finally:
+        srv.shutdown()

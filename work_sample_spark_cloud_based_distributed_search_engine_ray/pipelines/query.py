@@ -1068,6 +1068,45 @@ class SearchIndex:
             out.append(self._vocab_terms[np.lexsort((self._vocab_terms, dist))[0]])
         return " ".join(out)
 
+    def query_language(self, query: str, k: int = 10) -> list[tuple[int, int]]:
+        """Operator-query dispatch (``functions/queryparse``): parse
+        ``"phrase" -minus site:host terms`` and route to the matching
+        verified primitive. Precedence (most restrictive wins, one
+        operator per query — combinations fall back in this order):
+
+        1. a quoted phrase     -> ``phrase_topk``   (score = n_occ)
+        2. any ``-term``       -> ``bm25_not``      (score = score_e6)
+        3. ``site:host``       -> ``bm25_site_topk``(score = score_e6)
+        4. plain terms         -> e6-quantized BM25 top-k
+
+        Returns [(doc_id, int score)] — all-integer like the primitives,
+        so dispatch identity is exactly testable."""
+        from ..functions.queryparse import parse_query
+
+        p = parse_query(query)
+        if p.phrases:
+            return self.phrase_topk(p.phrases[0], k=k)
+        positives = " ".join(p.terms + p.phrases)
+        if p.excluded:
+            return self.bm25_not(positives, " ".join(p.excluded), k=k)
+        if p.site is not None:
+            return [
+                (d, s) for d, s, _h in self.bm25_site_topk(positives, host=p.site, k=k)
+            ]
+        e6 = sorted(
+            ((int(round(s * 1_000_000)), d) for d, s in self.bm25_topk(positives, k=50)),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [(d, s) for s, d in e6]
+
+    def fetch_docs(self, doc_ids: list[int]) -> dict[int, dict]:
+        """Doc-store point reads (url/title/body per doc_id) — the
+        assembly step shared by ``search`` and the operator-query
+        serving route."""
+        if self._docstore is None:
+            self._docstore = DocStore(self._docstore_path)
+        return self._docstore.lookup([int(d) for d in doc_ids])
+
     def search(self, query: str, k: int = 10, *, fuzzy: bool = False) -> list[dict]:
         """Top-k with url/title/body assembled from the doc store
         (output shape mirrors the reference's JSON:
@@ -1076,9 +1115,7 @@ class SearchIndex:
         if fuzzy:
             query = self.correct_query(query)
         ranked = self.bm25_topk(query, k)
-        if self._docstore is None:
-            self._docstore = DocStore(self._docstore_path)
-        rows = self._docstore.lookup([d for d, _ in ranked])
+        rows = self.fetch_docs([d for d, _ in ranked])
         return [
             {
                 "doc_id": d,

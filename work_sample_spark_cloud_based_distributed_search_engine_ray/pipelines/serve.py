@@ -283,7 +283,15 @@ class SearchHTTPServer:
                         self._reply(501, {"error": "backend has no fuzzy"})
                         return
                     query = backend.correct_query(query)
-                key = (query, k, start, want_snippet)
+                # &ql=1: operator-query mode ("phrase" -minus site:host)
+                # dispatched by SearchIndex.query_language; results are
+                # doc-store-assembled like the plain route (501 for
+                # backends without the parser)
+                want_ql = (q.get("ql") or ["0"])[0] == "1"
+                if want_ql and not hasattr(backend, "query_language"):
+                    self._reply(501, {"error": "backend has no query language"})
+                    return
+                key = (query, k, start, want_snippet, want_ql)
                 with outer._cache_lock:
                     cached = outer._cache.get(key)
                     if cached is not None:
@@ -292,7 +300,20 @@ class SearchHTTPServer:
                 if cached is not None:
                     self._reply(200, cached)
                     return
-                rows = backend.search(query, start + k)[start:]
+                if want_ql:
+                    ranked = backend.query_language(query, start + k)[start:]
+                    fetched = backend.fetch_docs([d for d, _ in ranked])
+                    rows = [
+                        {
+                            "url": fetched[d]["url"],
+                            "rank_score": s,
+                            "title": fetched[d]["title"],
+                            "body": fetched[d]["body"],
+                        }
+                        for d, s in ranked
+                    ]
+                else:
+                    rows = backend.search(query, start + k)[start:]
                 # exact reference JSON shape (Searcher.java:186-195);
                 # &snippet=1 appends a query-biased snippet field (an
                 # opt-in extension — the bare contract is unchanged)
