@@ -2556,6 +2556,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_event_transitions(sf_dir: str):
+        # Markov transition counts: (from_type -> to_type) over each
+        # user's (ts, event_id)-ordered event stream — the behavioral
+        # sequence-model input. Same 64-way user bucketing as
+        # sessionize; per bucket ONE multi-key sort + vectorized
+        # adjacent-pair extraction (pairs crossing a user boundary are
+        # masked out), then a tiny (types^2)-group count.
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def pairs(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].to_pylist()
+            same = uid[1:] == uid[:-1]
+            keep = np.flatnonzero(same)
+            return pa.table(
+                {
+                    "from_type": pa.array([et[i] for i in keep], pa.string()),
+                    "to_type": pa.array([et[i + 1] for i in keep], pa.string()),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        flat = hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            pairs,
+        )
+        return flat.groupby(["from_type", "to_type"]).aggregate(
+            Count(alias_name="n")
+        )
+
     def q_moving_avg(sf_dir: str):
         # window frame: 3-row trailing moving average of value per
         # user ordered by (ts, event_id) — ROWS BETWEEN 2 PRECEDING
@@ -3544,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
+        "rel_event_transitions": q_event_transitions,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -6734,6 +6782,17 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # Markov transitions: LAG over each user's ordered stream
+        "rel_event_transitions": """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
         "rel_sessionize": """
             WITH ordered AS (
               SELECT user_id, ts, event_id,
