@@ -450,9 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 continue
             rel: set[int] = set()
             if all(idx.has_term(t) for t in all_terms):
-                for t in all_terms:
-                    ids = set(idx.postings(t).ids.tolist())
-                    rel = ids if not rel and t == all_terms[0] else rel & ids
+                rel = set(idx.postings(all_terms[0]).ids.tolist())
+                for t in all_terms[1:]:
+                    rel &= set(idx.postings(t).ids.tolist())
             ranked = idx.bm25_topk(q, k=50)
             e6 = sorted(
                 ((int(round(s * 1_000_000)), d) for d, s in ranked),

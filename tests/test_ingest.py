@@ -144,3 +144,38 @@ def test_warc_feeds_the_extraction_stage(tmp_path):
     )
     assert len(docs) == 50
     assert all(d["doc_len"] > 0 for d in docs)
+
+
+def test_warc_malformed_records_skip_not_abort():
+    """One bad record (latin-1 URI bytes, missing WARC-Target-URI, or a
+    junk WARC-Date) must be skipped, never abort the file's parse."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        _build_record,
+        parse_warc_bytes,
+    )
+
+    good = _build_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Date", "2026-01-01T00:00:00Z"),
+            ("WARC-Target-URI", "http://ok.example/a"),
+            ("Content-Length", "20"),
+        ],
+        b"HTTP/1.1 200 OK\r\n\r\nhi",
+    )
+    # raw latin-1 byte in the URI header
+    bad_uri = good.replace(b"http://ok.example/a", b"http://ex.com/caf\xe9zz")
+    no_uri = _build_record(
+        [("WARC-Type", "response"), ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("Content-Length", "4")],
+        b"body",
+    )
+    bad_date = _build_record(
+        [("WARC-Type", "response"), ("WARC-Date", "not-a-date"),
+         ("WARC-Target-URI", "http://x.example/b"), ("Content-Length", "4")],
+        b"body",
+    )
+    urls, tss, htmls = parse_warc_bytes(bad_uri + no_uri + bad_date + good)
+    # the latin-1 record parses (replacement char), no-uri and bad-date skip
+    assert "http://ok.example/a" in urls
+    assert len(urls) == 2 and len(tss) == 2 and len(htmls) == 2

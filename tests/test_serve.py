@@ -341,3 +341,38 @@ def test_http_ql_param(served):
         assert all(set(g) == {"url", "rank_score", "title", "body"} for g in got)
     finally:
         srv.shutdown()
+
+
+def test_http_ql_guards_and_pagination(served):
+    """fuzzy=1&ql=1 is rejected (the rewriter would strip operators),
+    and ql plain-term pagination is not capped at the 50-candidate
+    default."""
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            urllib.request.urlopen(f"{base}/search?query=the&ql=1&fuzzy=1")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # deep page: start+k > 50 must still return k rows ('the' is hot)
+        import json
+
+        with urllib.request.urlopen(
+            f"{base}/search?query={quote('the')}&ql=1&start=55&k=10"
+        ) as r:
+            got = json.loads(r.read())
+        assert len(got) == 10
+        want = idx.query_language("the", 65)[55:]
+        assert [g["rank_score"] for g in got] == [s for _d, s in want]
+    finally:
+        srv.shutdown()

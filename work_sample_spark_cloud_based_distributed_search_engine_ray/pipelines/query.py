@@ -1086,15 +1086,20 @@ class SearchIndex:
         p = parse_query(query)
         if p.phrases:
             return self.phrase_topk(p.phrases[0], k=k)
-        positives = " ".join(p.terms + p.phrases)
+        positives = " ".join(p.terms)
         if p.excluded:
             return self.bm25_not(positives, " ".join(p.excluded), k=k)
         if p.site is not None:
             return [
                 (d, s) for d, s, _h in self.bm25_site_topk(positives, host=p.site, k=k)
             ]
+        # candidates widened to k so pagination (start+k) never caps at
+        # the default 50-candidate prefix
         e6 = sorted(
-            ((int(round(s * 1_000_000)), d) for d, s in self.bm25_topk(positives, k=50)),
+            (
+                (int(round(s * 1_000_000)), d)
+                for d, s in self.bm25_topk(positives, k=max(50, k))
+            ),
             key=lambda t: (-t[0], t[1]),
         )[:k]
         return [(d, s) for s, d in e6]

@@ -286,8 +286,14 @@ class SearchHTTPServer:
                 # &ql=1: operator-query mode ("phrase" -minus site:host)
                 # dispatched by SearchIndex.query_language; results are
                 # doc-store-assembled like the plain route (501 for
-                # backends without the parser)
+                # backends without the parser). fuzzy=1 composes with
+                # neither the operator syntax (the rewriter would strip
+                # '-'/quotes/site: and score excluded terms) — reject
+                # the combination explicitly rather than corrupt it
                 want_ql = (q.get("ql") or ["0"])[0] == "1"
+                if want_ql and (q.get("fuzzy") or ["0"])[0] == "1":
+                    self._reply(400, {"error": "fuzzy and ql are exclusive"})
+                    return
                 if want_ql and not hasattr(backend, "query_language"):
                     self._reply(501, {"error": "backend has no query language"})
                     return
@@ -322,8 +328,18 @@ class SearchHTTPServer:
                     for r in rows
                 ]
                 if want_snippet:
+                    # in ql mode, bias snippets by the PARSED positive
+                    # terms only — never by excluded terms or operator
+                    # tokens like site:host
+                    if want_ql:
+                        from ..functions.queryparse import parse_query
+
+                        p = parse_query(query)
+                        snip_q = " ".join(p.terms + p.phrases)
+                    else:
+                        snip_q = query
                     for o in out:
-                        o["snippet"] = render_snippet(o["body"], query)
+                        o["snippet"] = render_snippet(o["body"], snip_q)
                 with outer._cache_lock:
                     outer.cache_misses += 1
                     outer._cache[key] = out

@@ -133,20 +133,34 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[str], list[int], list[bytes]]:
         headers: dict[str, str] = {}
         for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        clen = int(headers.get("content-length", 0))
+            # tolerant decode: real crawl WARCs carry occasional raw
+            # latin-1 bytes in URIs — one bad record must not abort the
+            # whole file's parse
+            headers[k.strip().lower().decode("utf-8", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers.get("content-length", 0))
+        except ValueError:
+            clen = 0
         payload = raw[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if headers.get("warc-type") != "response":
             continue
-        http_end = payload.find(_CRLF2)
-        body = payload[http_end + 4 :] if http_end >= 0 else payload
-        urls.append(headers["warc-target-uri"])
+        uri = headers.get("warc-target-uri")
+        if not uri:
+            continue  # malformed response record: skip, don't abort
         from datetime import datetime, timezone
 
-        dt = datetime.strptime(
-            headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
-        ).replace(tzinfo=timezone.utc)
+        try:
+            dt = datetime.strptime(
+                headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue  # unparsable capture time: skip the record
+        http_end = payload.find(_CRLF2)
+        body = payload[http_end + 4 :] if http_end >= 0 else payload
+        urls.append(uri)
         tss.append(int(dt.timestamp()) * 1_000_000)
         htmls.append(body)
     return urls, tss, htmls

@@ -1098,13 +1098,20 @@ def cms_term_counts(
     from ..functions.hashing import hash64
     from ..functions.tokenize import tokenize_count_batch
 
-    def partials(batch: pa.Table) -> pa.Table:
+    def _term_tf(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         terms, tfs, _ = tokenize_count_batch(batch[text_col])
         tnp = terms.flatten().to_numpy(zero_copy_only=False)
         fnp = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(tnp, return_inverse=True)
         sums = np.zeros(uniq.size, np.int64)
         np.add.at(sums, inv, fnp)
+        return uniq, sums
+
+    # two passes over the same column-pruned read, each computing ONLY
+    # its own partial: the sketch pass pays the cell hashing, the exact
+    # pass just the (term, tf) combine
+    def sketch_part(batch: pa.Table) -> pa.Table:
+        uniq, sums = _term_tf(batch)
         cell_ids: list[int] = []
         counts: list[int] = []
         for j in range(depth):
@@ -1116,24 +1123,18 @@ def cms_term_counts(
             nz = np.flatnonzero(agg)
             cell_ids.extend((j * width + nz).tolist())
             counts.extend(agg[nz].tolist())
-        out = pa.table(
+        return pa.table(
             {
                 "cell": pa.array(cell_ids, pa.int64()),
                 "cnt": pa.array(counts, pa.int64()),
             }
         )
-        term_part = pa.table(
-            {"term": pa.array(uniq.tolist(), pa.string()), "tf": pa.array(sums)}
-        )
-        return out, term_part
-
-    # two outputs from one tokenize pass: run it as two map_batches over
-    # the same (cheap, column-pruned) read rather than caching texts
-    def sketch_part(batch: pa.Table) -> pa.Table:
-        return partials(batch)[0]
 
     def term_part(batch: pa.Table) -> pa.Table:
-        return partials(batch)[1]
+        uniq, sums = _term_tf(batch)
+        return pa.table(
+            {"term": pa.array(uniq.tolist(), pa.string()), "tf": pa.array(sums)}
+        )
 
     sketch_rows = (
         docs.map_batches(sketch_part, batch_format="pyarrow")
