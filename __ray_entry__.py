@@ -1283,6 +1283,176 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_vocab_neighbors(sf_dir: str):
+        """Edit-distance-1 term pairs over the corpus vocabulary — the
+        fuzzy self-join behind spell correction, done SUB-QUADRATICALLY
+        (SymSpell's deletion-neighborhood hashing): each distinct term
+        emits itself + its 1-deletion variants, candidates collide in a
+        key groupby (never all-pairs), pair dedup rides the bucketed
+        distinct kernel, and each candidate pair pays ONE exact DP
+        verify. The oracle is DuckDB's native levenshtein over the
+        O(V^2) cross join — the same answer from the opposite plan."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_count_batch,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+
+        def terms_of(batch: pa.Table) -> pa.Table:
+            terms, _tfs, _ = tokenize_count_batch(batch["text"])
+            uniq = np.unique(terms.flatten().to_numpy(zero_copy_only=False))
+            return pa.table({"term": pa.array(uniq.tolist(), pa.string())})
+
+        vocab = distinct_on(
+            rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["text"]).map_batches(
+                terms_of, batch_format="pyarrow"
+            ),
+            ["term"],
+        )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            packed_task_groups,
+        )
+
+        key_buckets, pair_buckets = 256, 64
+
+        def explode_deletions(t: pa.Table) -> pa.Table:
+            keys, terms_out = [], []
+            for w in t["term"].to_pylist():
+                keys.append(w)
+                terms_out.append(w)
+                for i in range(len(w)):
+                    keys.append(w[:i] + w[i + 1 :])
+                    terms_out.append(w)
+            return pa.table(
+                {
+                    "kbucket": pa.array(
+                        [hash64(k) % key_buckets for k in keys], pa.int64()
+                    ),
+                    "key": pa.array(keys, pa.string()),
+                    "term": pa.array(terms_out, pa.string()),
+                }
+            )
+
+        def candidate_pairs(group: pa.Table) -> pa.Table:
+            # all same-key pairs within the bucket: sort by key, run
+            # detection, per-run pair expansion (runs are tiny —
+            # deletion neighborhoods, not data keys)
+            g = group.take(
+                pc.sort_indices(
+                    group, sort_keys=[("key", "ascending"), ("term", "ascending")]
+                )
+            )
+            ks = g["key"].to_pylist()
+            ts = g["term"].to_pylist()
+            a_out, b_out = [], []
+            i = 0
+            while i < len(ks):
+                j = i + 1
+                while j < len(ks) and ks[j] == ks[i]:
+                    j += 1
+                ws = sorted(set(ts[i:j]))
+                for x in range(len(ws)):
+                    for y in range(x + 1, len(ws)):
+                        a_out.append(ws[x])
+                        b_out.append(ws[y])
+                i = j
+            return pa.table(
+                {
+                    "term_a": pa.array(a_out, pa.string()),
+                    "term_b": pa.array(b_out, pa.string()),
+                }
+            )
+
+        raw_pairs = packed_task_groups(
+            vocab.map_batches(explode_deletions, batch_format="pyarrow"),
+            "kbucket",
+            candidate_pairs,
+            num_buckets=key_buckets,
+        )
+
+        # global pair dedup on the same task exchange (bounded pair-hash
+        # buckets; the Dataset hash shuffle chokes on the schema-less
+        # empty blocks a map_groups stage can emit for empty partitions)
+        def pair_local(batch: pa.Table) -> pa.Table:
+            dd = batch.group_by(["term_a", "term_b"]).aggregate([])
+            bucket = [
+                hash64(a + "\0" + b) % pair_buckets
+                for a, b in zip(dd["term_a"].to_pylist(), dd["term_b"].to_pylist())
+            ]
+            return dd.append_column("__bucket", pa.array(bucket, pa.int64()))
+
+        def pair_bucket(group: pa.Table) -> pa.Table:
+            return (
+                group.drop_columns(["__bucket"])
+                .group_by(["term_a", "term_b"])
+                .aggregate([])
+            )
+
+        cands = packed_task_groups(
+            raw_pairs.map_batches(pair_local, batch_format="pyarrow"),
+            "__bucket",
+            pair_bucket,
+            num_buckets=pair_buckets,
+        )
+
+        def _lev1(a: str, b: str) -> bool:
+            # exact "edit distance == 1" check, O(len) two-pointer
+            if a == b:
+                return False
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return False
+            if la == lb:
+                return sum(x != y for x, y in zip(a, b)) == 1
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = j = 0
+            skipped = False
+            while i < la and j < lb:
+                if a[i] == b[j]:
+                    i += 1
+                    j += 1
+                elif not skipped:
+                    skipped = True
+                    j += 1
+                else:
+                    return False
+            return True
+
+        def verify(t: pa.Table) -> pa.Table:
+            keep = pa.array(
+                [
+                    _lev1(a, b)
+                    for a, b in zip(t["term_a"].to_pylist(), t["term_b"].to_pylist())
+                ]
+            )
+            return t.filter(keep)
+
+        # output is vocab-bounded: materialize to a TYPED table so an
+        # empty result still carries its schema (Ray drops schemas on
+        # empty datasets)
+        rows = cands.map_batches(verify, batch_format="pyarrow").take_all()
+        return pa.table(
+            {
+                "term_a": pa.array([r["term_a"] for r in rows], pa.string()),
+                "term_b": pa.array([r["term_b"] for r in rows], pa.string()),
+            }
+        )
+
     def q_cms_counts(sf_dir: str):
         """Count-min sketch frequency estimation (depth 4 x width 64 —
         width chosen small enough that the corpus vocabulary actually
@@ -2556,6 +2726,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_ntile(sf_dir: str):
+        # NTILE(4) OVER (PARTITION BY event_type ORDER BY value,
+        # event_id): SQL's equal-ish buckets (larger buckets first) as
+        # one vectorized rank->tile formula per type bucket — quartile
+        # assignment for downstream stratification
+        def tiles(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("event_type", "ascending"),
+                    ("value", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            et = g["event_type"].combine_chunks()
+            codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            first = np.ones(codes.size, dtype=bool)
+            first[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(first)
+            run_id = np.cumsum(first) - 1
+            n_of = np.diff(np.append(starts, codes.size))[run_id]
+            r = np.arange(codes.size) - starts[run_id]
+            k = 4
+            q, rem = n_of // k, n_of % k
+            boundary = rem * (q + 1)
+            big = r < boundary
+            tile = np.where(
+                big,
+                r // np.maximum(q + 1, 1),
+                rem + (r - boundary) // np.maximum(q, 1),
+            )
+            return pa.table(
+                {
+                    "event_id": g["event_id"],
+                    "event_type": g["event_type"],
+                    "tile": pa.array((tile + 1).astype(np.int64)),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
+            "event_type",
+            tiles,
+            num_partitions=5,
+        )
+
     def q_event_transitions(sf_dir: str):
         # Markov transition counts: (from_type -> to_type) over each
         # user's (ts, event_id)-ordered event stream — the behavioral
@@ -3525,6 +3746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_fingerprint,
         "text_stem_vocab": q_stem_vocab,
         "text_cms_counts": q_cms_counts,
+        "text_vocab_neighbors": q_vocab_neighbors,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -3592,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
         "rel_event_transitions": q_event_transitions,
+        "rel_ntile": q_ntile,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -4333,6 +4556,24 @@ def _host_stats_oracle_sql() -> str:
            CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes
     FROM read_parquet('{pages_path}')
     GROUP BY 1
+    """
+
+
+def _vocab_neighbors_oracle_sql() -> str:
+    """DuckDB twin of ``text_vocab_neighbors``: native levenshtein over
+    the O(V^2) vocabulary cross join of the PAGES corpus — the opposite
+    physical plan to the engine's sub-quadratic deletion-hash join."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH toks AS (SELECT DISTINCT unnest({TOKS}) AS term
+                  FROM read_parquet('{pages_path}'))
+    SELECT a.term AS term_a, b.term AS term_b
+    FROM toks a JOIN toks b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) = 1
     """
 
 
@@ -6167,6 +6408,9 @@ def oracle_sql() -> dict[str, str]:
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
         "text_stem_vocab": _stem_vocab_oracle_sql(),
+        # fuzzy vocab self-join: DuckDB's native levenshtein over the
+        # O(V^2) cross join vs the engine's deletion-hash plan
+        "text_vocab_neighbors": _vocab_neighbors_oracle_sql(),
         # count-min sketch: the md5 cell hash is SQL-native, so DuckDB
         # re-derives the whole sketch and the min-over-cells estimate
         "text_cms_counts": f"""
@@ -6782,6 +7026,13 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # NTILE quartiles per event_type (larger buckets first)
+        "rel_ntile": """
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS BIGINT) AS tile
+    FROM events
+    """,
         # Markov transitions: LAG over each user's ordered stream
         "rel_event_transitions": """
     WITH ordered AS (
