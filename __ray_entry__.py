@@ -2726,6 +2726,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_hist_quantiles(sf_dir: str):
+        """Approximate quantiles from a MERGEABLE log-binned histogram
+        (the HdrHistogram idea): bin(v) = bit_length(value_e2) — 64
+        integer counters regardless of row count, merged by addition —
+        then per event_type the estimated quantile is the LOWER BOUND
+        (2^(bin-1)) of the bin holding rank ceil(q*n). All-integer, so
+        the SQL twin replays bins, ranks and bounds exactly; accuracy
+        (one power of two) is the documented trade for O(1) memory."""
+        from ray.data.aggregate import Sum
+
+        def binify(t: pa.Table) -> pa.Table:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            v = np.maximum(v, 0)
+            # bit_length via float log2 is unsafe at boundaries; use a
+            # vectorized comparison against powers of two instead
+            bins = np.searchsorted(
+                2 ** np.arange(63, dtype=np.int64), v, side="right"
+            ).astype(np.int64)
+            from collections import Counter
+
+            cnt = Counter(zip(t["event_type"].to_pylist(), bins.tolist()))
+            keys = sorted(cnt)
+            return pa.table(
+                {
+                    "event_type": pa.array([k[0] for k in keys], pa.string()),
+                    "bin": pa.array([k[1] for k in keys], pa.int64()),
+                    "n": pa.array([cnt[k] for k in keys], pa.int64()),
+                }
+            )
+
+        hist = (
+            _tbl(sf_dir, "events", ["event_type", "value"])
+            .map_batches(binify, batch_format="pyarrow")
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        by_type: dict[str, dict[int, int]] = {}
+        for r in hist:
+            by_type.setdefault(r["event_type"], {})[r["bin"]] = r["n"]
+        types, qs, ests = [], [], []
+        for et in sorted(by_type):
+            bins = by_type[et]
+            n = sum(bins.values())
+            for q_mille in (500, 900, 990):
+                rank = -(-q_mille * n // 1000)  # ceil
+                acc = 0
+                est = 0
+                for b in sorted(bins):
+                    acc += bins[b]
+                    if acc >= rank:
+                        est = 0 if b == 0 else 1 << (b - 1)
+                        break
+                types.append(et)
+                qs.append(q_mille)
+                ests.append(est)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "q_mille": pa.array(qs, pa.int64()),
+                "est_lower_e2": pa.array(ests, pa.int64()),
+            }
+        )
+
     def q_ntile(sf_dir: str):
         # NTILE(4) OVER (PARTITION BY event_type ORDER BY value,
         # event_id): SQL's equal-ish buckets (larger buckets first) as
@@ -3815,6 +3881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": q_sessionize,
         "rel_event_transitions": q_event_transitions,
         "rel_ntile": q_ntile,
+        "rel_hist_quantiles": q_hist_quantiles,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7026,6 +7093,33 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # log-binned histogram quantiles: exact-integer bins via bin()
+        # string length, integer-ceil ranks, power-of-two lower bounds
+        "rel_hist_quantiles": """
+    WITH v AS (SELECT event_type,
+                 GREATEST(CAST(round(value * 100) AS BIGINT), 0) AS v
+               FROM events),
+    b AS (SELECT event_type,
+                 CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bin
+          FROM v),
+    hist AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS n FROM hist GROUP BY 1),
+    q(q_mille) AS (VALUES (500), (900), (990)),
+    ranks AS (SELECT t.event_type, q.q_mille,
+                     (q.q_mille * t.n + 999) // 1000 AS rnk
+              FROM tot t, q),
+    cum AS (SELECT event_type, bin,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS acc
+            FROM hist),
+    sel AS (SELECT r.event_type, r.q_mille, min(c.bin) AS bin
+            FROM ranks r JOIN cum c ON c.event_type = r.event_type
+                                   AND c.acc >= r.rnk
+            GROUP BY r.event_type, r.q_mille)
+    SELECT event_type, CAST(q_mille AS BIGINT) AS q_mille,
+           CAST(CASE WHEN bin = 0 THEN 0
+                     ELSE 1 << (bin - 1) END AS BIGINT) AS est_lower_e2
+    FROM sel
+    """,
         # NTILE quartiles per event_type (larger buckets first)
         "rel_ntile": """
     SELECT event_id, event_type,
