@@ -1283,6 +1283,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_chunk_overlap(sf_dir: str):
+        """Overlapping-window chunking (RAG prep: window 32 tokens,
+        stride 16 — each chunk shares half its tokens with the next so
+        retrieval never loses a boundary-straddling span): one ordered
+        vectorized tokenize per batch, per-doc window slicing, chunk
+        fingerprint = md5 of the space-joined tokens (SQL-native, so
+        the twin replays slicing + hashing exactly). Shuffle-free."""
+        import hashlib
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            flat_tokens_batch,
+        )
+
+        W, S = 32, 16
+
+        def chunks(t: pa.Table) -> pa.Table:
+            flat, parents, n_docs = flat_tokens_batch(t["text"])
+            toks = flat.to_pylist()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(parents)) + 1, [len(toks)])
+            ) if len(toks) else np.array([0])
+            # parents may skip docs with zero tokens: map run -> doc
+            run_docs = parents[starts[:-1]] if len(toks) else np.array([], np.int64)
+            out_id, out_ci, out_len, out_md5 = [], [], [], []
+            for r in range(run_docs.size):
+                d = int(ids[run_docs[r]])
+                seg = toks[starts[r] : starts[r + 1]]
+                n = len(seg)
+                for ci, s in enumerate(range(0, n, S)):
+                    c = seg[s : s + W]
+                    out_id.append(d)
+                    out_ci.append(ci)
+                    out_len.append(len(c))
+                    out_md5.append(hashlib.md5(" ".join(c).encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "chunk_idx": pa.array(out_ci, pa.int64()),
+                    "chunk_len": pa.array(out_len, pa.int64()),
+                    "chunk_md5": pa.array(out_md5, pa.string()),
+                }
+            )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            chunks, batch_format="pyarrow"
+        )
+
     def q_vocab_neighbors(sf_dir: str):
         """Edit-distance-1 term pairs over the corpus vocabulary — the
         fuzzy self-join behind spell correction, done SUB-QUADRATICALLY
@@ -3813,6 +3861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stem_vocab": q_stem_vocab,
         "text_cms_counts": q_cms_counts,
         "text_vocab_neighbors": q_vocab_neighbors,
+        "text_chunk_overlap": q_chunk_overlap,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -6478,6 +6527,19 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy vocab self-join: DuckDB's native levenshtein over the
         # O(V^2) cross join vs the engine's deletion-hash plan
         "text_vocab_neighbors": _vocab_neighbors_oracle_sql(),
+        # overlapping RAG chunks: list_slice windows + native md5
+        "text_chunk_overlap": f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    n AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+    starts AS (SELECT doc_id, l, n, unnest(range(0, n, 16)) AS s FROM n),
+    chunks AS (SELECT doc_id, s // 16 AS chunk_idx,
+                      list_slice(l, s + 1, least(s + 32, n)) AS c
+               FROM starts)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(c) AS BIGINT) AS chunk_len,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks
+    """,
         # count-min sketch: the md5 cell hash is SQL-native, so DuckDB
         # re-derives the whole sketch and the min-over-cells estimate
         "text_cms_counts": f"""
