@@ -2774,6 +2774,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_forward_fill(sf_dir: str):
+        """Per-user forward fill (time-series gap repair: an 'error'
+        event's value is treated as missing and repaired from the
+        user's most recent good reading; leading gaps stay null).
+        Same 64-way user bucketing as sessionize; per bucket ONE sort +
+        a fully vectorized last-valid-index accumulate that cannot
+        cross a user boundary."""
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def ffill(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            n = g.num_rows
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            v = np.rint(g["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            valid = np.array(
+                [t != "error" for t in g["event_type"].to_pylist()], dtype=bool
+            )
+            pos = np.arange(n, dtype=np.int64)
+            last_valid = np.maximum.accumulate(np.where(valid, pos, -1))
+            new_user = np.ones(n, dtype=bool)
+            new_user[1:] = uid[1:] != uid[:-1]
+            user_start = pos[new_user][np.cumsum(new_user) - 1]
+            ok = last_valid >= user_start
+            filled = np.where(ok, v[np.maximum(last_valid, 0)], 0)
+            return pa.table(
+                {
+                    "event_id": g["event_id"],
+                    "user_id": g["user_id"],
+                    # leading gaps (no prior good reading) stay NULL
+                    "filled_e2": pa.array(filled, pa.int64(), mask=~ok),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(
+                sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+            ).map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+            "ubucket",
+            ffill,
+        )
+
     def q_hist_quantiles(sf_dir: str):
         """Approximate quantiles from a MERGEABLE log-binned histogram
         (the HdrHistogram idea): bin(v) = bit_length(value_e2) — 64
@@ -3931,6 +3989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_transitions": q_event_transitions,
         "rel_ntile": q_ntile,
         "rel_hist_quantiles": q_hist_quantiles,
+        "rel_forward_fill": q_forward_fill,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7155,6 +7214,18 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # per-user forward fill: error-event values repaired from the
+        # last good reading, leading gaps stay NULL
+        "rel_forward_fill": """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'error'
+                           THEN CAST(round(value * 100) AS BIGINT) END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_e2
+    FROM events
+    """,
         # log-binned histogram quantiles: exact-integer bins via bin()
         # string length, integer-ceil ranks, power-of-two lower bounds
         "rel_hist_quantiles": """
