@@ -3439,6 +3439,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.drop_columns(["thumb"]), batch_format="pyarrow"
         )
 
+    def q_media_resample(sf_dir: str):
+        """Audio decimation (factor-2 downsample) over the synthetic
+        near-dup audio corpus; the oracle embeds source sample counts +
+        the pure-function replay's payload size/sha1 and re-derives the
+        decimation arithmetic (ceil-division output length, halved
+        rate) in SQL."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            AudioResampleStage,
+            synth_audio_neardup,
+        )
+
+        ds = rd.from_arrow(synth_audio_neardup(120))
+        return ds.map_batches(
+            AudioResampleStage, batch_format="pyarrow", batch_size=16, concurrency=2
+        )
+
     def q_media_frames(sf_dir: str):
         # rows-only: per-frame explode of the video payloads — each
         # sampled frame is sliced out via the container offset table and
@@ -4020,6 +4038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
         "media_thumbs": q_media_thumbs,
+        "media_audio_resample": q_media_resample,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
         "media_audio_dups": q_audio_dups,
@@ -5322,6 +5341,44 @@ def _thumbs_oracle_sql(max_side: int = 32) -> str:
                 ELSE greatest(1, (height * {max_side}) // greatest(width, height))
            END AS thumb_h,
            thumb_bytes, thumb_sha1
+    FROM src
+    """
+
+
+def _audio_resample_oracle_sql(factor: int = 2) -> str:
+    """Oracle for ``media_audio_resample``: per-clip source length is
+    embedded, SQL re-derives the decimation arithmetic (output samples
+    = ceil(n / factor), output rate = rate // factor), and the payload
+    is pinned by the pure-function replay's size + sha1."""
+    import hashlib
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        synth_audio_neardup,
+    )
+
+    t = synth_audio_neardup(120)
+    rows = []
+    for i, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        samples, rate = decode_wav(p)
+        import numpy as _np
+
+        ds = _np.ascontiguousarray(samples[::factor])
+        enc = encode_wav(ds, rate // factor)
+        rows.append(
+            f"({i}, {samples.size}, {rate}, {len(enc)}, "
+            f"'{hashlib.sha1(enc).hexdigest()}')"
+        )
+    return f"""
+    WITH src(media_id, n_samples, rate, out_bytes, out_sha1)
+      AS (VALUES {', '.join(rows)})
+    SELECT media_id, n_samples,
+           (n_samples + {factor} - 1) // {factor} AS out_samples,
+           rate // {factor} AS out_rate,
+           out_bytes, out_sha1
     FROM src
     """
 
@@ -6839,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_thumbs": _thumbs_oracle_sql(),
+        "media_audio_resample": _audio_resample_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
         "media_video_dups": _vhash_dups_oracle_sql(),
         "crawl_lang_gate": _lang_gate_oracle_sql(),

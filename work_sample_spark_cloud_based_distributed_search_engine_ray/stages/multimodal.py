@@ -440,6 +440,49 @@ class ThumbnailStage:
         )
 
 
+class AudioResampleStage:
+    """Actor-pool stage: WAV payload -> integer-factor downsample
+    (every ``factor``-th sample — the exact decimation a feature
+    frontend applies before FFT) + re-encode + provenance. All integer
+    slicing, so output bytes are bit-reproducible at any partitioning;
+    the SQL twin replays the arithmetic (sample counts, rate) and
+    checks the payload via embedded pure-function sha1."""
+
+    def __init__(self, *, factor: int = 2):
+        assert factor >= 1
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media_codecs import decode_wav, encode_wav
+
+        n = batch.num_rows
+        in_n = np.empty(n, np.int64)
+        out_n = np.empty(n, np.int64)
+        out_rate = np.empty(n, np.int64)
+        nbytes = np.empty(n, np.int64)
+        sha1s: list[str] = []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            samples, rate = decode_wav(p)
+            ds = np.ascontiguousarray(samples[:: self.factor])
+            rr = rate // self.factor
+            enc = encode_wav(ds, rr)
+            in_n[i] = samples.size
+            out_n[i] = ds.size
+            out_rate[i] = rr
+            nbytes[i] = len(enc)
+            sha1s.append(hashlib.sha1(enc).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_samples": pa.array(in_n),
+                "out_samples": pa.array(out_n),
+                "out_rate": pa.array(out_rate),
+                "out_bytes": pa.array(nbytes),
+                "out_sha1": pa.array(sha1s, pa.string()),
+            }
+        )
+
+
 def phash_near_dups(
     media, *, max_hamming: int = 3, num_chunks: int = 4, concurrency: int | None = None
 ):
