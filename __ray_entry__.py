@@ -2774,6 +2774,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_decayed_sum(sf_dir: str):
+        """Exponentially-decayed per-user engagement counters (the
+        streaming freshness primitive): each event contributes
+        value_e2 >> age_hours (a half-life of one hour as an EXACT
+        integer shift — no float pow, so the sum is order-independent
+        and the SQL twin replays it bit-for-bit). Age anchors on the
+        corpus max timestamp (one tiny aggregate), then one vectorized
+        map + one user groupby."""
+        from ray.data.aggregate import Max, Sum
+
+        ds = _tbl(sf_dir, "events", ["user_id", "ts", "value"])
+        anchor = ds.aggregate(Max("ts"))["max(ts)"]
+        anchor_us = int(pa.scalar(anchor, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+        def decay(t: pa.Table) -> pa.Table:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            age_h = np.minimum((anchor_us - ts) // 3_600_000_000, 62)
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "decayed": pa.array(v >> age_h),
+                }
+            )
+
+        return (
+            ds.map_batches(decay, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("decayed", alias_name="decayed_sum"))
+        )
+
     def q_forward_fill(sf_dir: str):
         """Per-user forward fill (time-series gap repair: an 'error'
         event's value is treated as missing and repaired from the
@@ -4008,6 +4041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ntile": q_ntile,
         "rel_hist_quantiles": q_hist_quantiles,
         "rel_forward_fill": q_forward_fill,
+        "rel_decayed_sum": q_decayed_sum,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7272,6 +7306,16 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # integer-shift exponential decay: exact, order-independent
+        "rel_decayed_sum": """
+    WITH anchor AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    >> least(CAST(epoch_us(anchor.mx) - epoch_us(ts) AS BIGINT)
+                             // 3600000000, 62)) AS BIGINT) AS decayed_sum
+    FROM events, anchor
+    GROUP BY user_id
+    """,
         # per-user forward fill: error-event values repaired from the
         # last good reading, leading gaps stay NULL
         "rel_forward_fill": """
