@@ -2774,6 +2774,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_arg_extremes(sf_dir: str):
+        """ARGMIN/ARGMAX aggregate: per event_type the event carrying
+        the smallest and the largest value (ties broken by event_id —
+        fully deterministic, unlike bare min_by/max_by). Map-side
+        combine keeps only each batch's two extreme rows per type, so
+        the shuffle carries <= 2 x types x blocks rows."""
+
+        def local(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("event_type", "ascending"),
+                    ("value", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = t.take(idx)
+            et = g["event_type"].combine_chunks().dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+            first = np.ones(et.size, dtype=bool)
+            first[1:] = et[1:] != et[:-1]
+            last = np.append(first[1:], True)
+            return g.filter(pa.array(first | last))
+
+        def extremes(group: pa.Table) -> pa.Table:
+            g = local(group)  # same sort; first/last row per type
+            et = g["event_type"].to_pylist()
+            ids = g["event_id"].to_numpy(zero_copy_only=False)
+            v = np.rint(g["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            out_t, amin, amax, vmin, vmax = [], [], [], [], []
+            i = 0
+            while i < len(et):
+                j = i
+                while j + 1 < len(et) and et[j + 1] == et[i]:
+                    j += 1
+                out_t.append(et[i])
+                amin.append(int(ids[i]))
+                vmin.append(int(v[i]))
+                amax.append(int(ids[j]))
+                vmax.append(int(v[j]))
+                i = j + 1
+            return pa.table(
+                {
+                    "event_type": pa.array(out_t, pa.string()),
+                    "argmin_id": pa.array(amin, pa.int64()),
+                    "min_e2": pa.array(vmin, pa.int64()),
+                    "argmax_id": pa.array(amax, pa.int64()),
+                    "max_e2": pa.array(vmax, pa.int64()),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+                local, batch_format="pyarrow"
+            ),
+            "event_type",
+            extremes,
+            num_partitions=5,
+        )
+
     def q_decayed_sum(sf_dir: str):
         """Exponentially-decayed per-user engagement counters (the
         streaming freshness primitive): each event contributes
@@ -4042,6 +4109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hist_quantiles": q_hist_quantiles,
         "rel_forward_fill": q_forward_fill,
         "rel_decayed_sum": q_decayed_sum,
+        "rel_arg_extremes": q_arg_extremes,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7306,6 +7374,22 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # deterministic argmin/argmax per group (ties by event_id)
+        "rel_arg_extremes": """
+    WITH r AS (SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rmin,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id DESC) AS rmax
+               FROM events)
+    SELECT t.event_type,
+           mn.event_id AS argmin_id, mn.v AS min_e2,
+           mx.event_id AS argmax_id, mx.v AS max_e2
+    FROM (SELECT DISTINCT event_type FROM events) t
+    JOIN r mn ON mn.event_type = t.event_type AND mn.rmin = 1
+    JOIN r mx ON mx.event_type = t.event_type AND mx.rmax = 1
+    """,
         # integer-shift exponential decay: exact, order-independent
         "rel_decayed_sum": """
     WITH anchor AS (SELECT max(ts) AS mx FROM events)
