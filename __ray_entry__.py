@@ -2774,6 +2774,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_streak(sf_dir: str):
+        """Longest consecutive-day activity streak per user — the
+        classic gaps-and-islands problem. Per user bucket: distinct
+        active days (epoch days, exact integers), one sort, run
+        detection on day-diff == 1, max run length. The SQL twin is
+        the canonical day - row_number() island grouping."""
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            days = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+                86_400 * 1_000_000
+            )
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pa.array(days),
+                    "ubucket": pa.array((uid % 64).astype(np.int64)),
+                }
+            )
+
+        def streaks(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("day", "ascending")],
+            )
+            g = group.take(idx)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            day = g["day"].to_numpy(zero_copy_only=False)
+            # distinct (user, day)
+            keep = np.ones(uid.size, dtype=bool)
+            keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+            uid, day = uid[keep], day[keep]
+            # island break: user change or day gap > 1
+            brk = np.ones(uid.size, dtype=bool)
+            brk[1:] = (uid[1:] != uid[:-1]) | ((day[1:] - day[:-1]) != 1)
+            starts = np.flatnonzero(brk)
+            lens = np.diff(np.append(starts, uid.size))
+            su = uid[starts]
+            # max run per user (runs of a user are contiguous)
+            ufirst = np.ones(su.size, dtype=bool)
+            ufirst[1:] = su[1:] != su[:-1]
+            out_u, out_s = [], []
+            i = 0
+            for j in list(np.flatnonzero(ufirst)[1:]) + [su.size]:
+                out_u.append(int(su[i]))
+                out_s.append(int(lens[i:j].max()))
+                i = j
+            return pa.table(
+                {
+                    "user_id": pa.array(out_u, pa.int64()),
+                    "max_streak": pa.array(out_s, pa.int64()),
+                }
+            )
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["user_id", "ts"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            streaks,
+        )
+
     def q_arg_extremes(sf_dir: str):
         """ARGMIN/ARGMAX aggregate: per event_type the event carrying
         the smallest and the largest value (ties broken by event_id —
@@ -4110,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_forward_fill": q_forward_fill,
         "rel_decayed_sum": q_decayed_sum,
         "rel_arg_extremes": q_arg_extremes,
+        "rel_streak": q_streak,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7374,6 +7441,20 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # gaps-and-islands: longest consecutive-day streak per user
+        "rel_streak": """
+    WITH days AS (SELECT DISTINCT user_id,
+                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                  FROM events),
+    grp AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS island
+            FROM days),
+    runs AS (SELECT user_id, island, count(*) AS len
+             FROM grp GROUP BY user_id, island)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id
+    """,
         # deterministic argmin/argmax per group (ties by event_id)
         "rel_arg_extremes": """
     WITH r AS (SELECT event_type, event_id,
