@@ -1283,6 +1283,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_sentence_stats(sf_dir: str):
+        """Per-doc sentence statistics (the quality-filter signal family
+        the token stats miss): sentences = non-empty [.!?]-separated
+        spans after whitespace trim; emits count, total and max span
+        length in CHARACTERS. One Arrow kernel chain per batch (regex
+        split, flatten, trim, utf8_length) + numpy segment reductions —
+        no per-row Python."""
+
+        def stats(t: pa.Table) -> pa.Table:
+            spans = pc.split_pattern_regex(t["text"], "[.!?]")
+            flat = pc.list_flatten(spans)
+            parents = pc.list_parent_indices(spans).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            trimmed = pc.utf8_trim(flat, " \t\r\n")
+            lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            keep = lens > 0
+            parents, lens = parents[keep], lens[keep]
+            n = t.num_rows
+            n_sent = np.zeros(n, np.int64)
+            tot = np.zeros(n, np.int64)
+            mx = np.zeros(n, np.int64)
+            np.add.at(n_sent, parents, 1)
+            np.add.at(tot, parents, lens)
+            np.maximum.at(mx, parents, lens)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_sentences": pa.array(n_sent),
+                    "sum_sentence_chars": pa.array(tot),
+                    "max_sentence_chars": pa.array(mx),
+                }
+            )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            stats, batch_format="pyarrow"
+        )
+
     def q_chunk_overlap(sf_dir: str):
         """Overlapping-window chunking (RAG prep: window 32 tokens,
         stride 16 — each chunk shares half its tokens with the next so
@@ -4104,6 +4144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_cms_counts": q_cms_counts,
         "text_vocab_neighbors": q_vocab_neighbors,
         "text_chunk_overlap": q_chunk_overlap,
+        "text_sentence_stats": q_sentence_stats,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -6812,6 +6853,20 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy vocab self-join: DuckDB's native levenshtein over the
         # O(V^2) cross join vs the engine's deletion-hash plan
         "text_vocab_neighbors": _vocab_neighbors_oracle_sql(),
+        # per-doc sentence stats in characters
+        "text_sentence_stats": """
+    WITH s AS (SELECT doc_id,
+                 list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                            x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))),
+                             x -> x <> '') AS spans
+               FROM documents)
+    SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(list_transform(spans, x -> length(x))), 0)
+                AS BIGINT) AS sum_sentence_chars,
+           CAST(COALESCE(list_max(list_transform(spans, x -> length(x))), 0)
+                AS BIGINT) AS max_sentence_chars
+    FROM s
+    """,
         # overlapping RAG chunks: list_slice windows + native md5
         "text_chunk_overlap": f"""
     WITH toks AS (SELECT doc_id, {TOKS} AS l FROM documents),
