@@ -2814,6 +2814,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_dense_hourly(sf_dir: str):
+        """Dense zero-filled hourly counts per event type (the
+        reporting/alerting primitive: a missing bucket must read 0, not
+        vanish): ONE distributed (type, hour) count groupby, a tiny
+        Min/Max span aggregate, then the bounded grid x left-join is
+        assembled from those aggregates (hours-span x types rows — the
+        dense output itself, so no distributed work is skipped)."""
+        from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Max, Min
+
+        ds = _tbl(sf_dir, "events", ["event_type", "ts"])
+
+        def hourify(t: pa.Table) -> pa.Table:
+            hr = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+                3_600 * 1_000_000
+            )
+            return pa.table({"event_type": t["event_type"], "hr": pa.array(hr)})
+
+        hours = ds.map_batches(hourify, batch_format="pyarrow")
+        cnt = {
+            (r["event_type"], r["hr"]): r["n"]
+            for r in hours.groupby(["event_type", "hr"])
+            .aggregate(_Count(alias_name="n"))
+            .take_all()
+        }
+        span = hours.aggregate(Min("hr"), Max("hr"))
+        lo, hi = int(span["min(hr)"]), int(span["max(hr)"])
+        types = sorted({k[0] for k in cnt})
+        out_t, out_h, out_n = [], [], []
+        for et in types:
+            for hr in range(lo, hi + 1):
+                out_t.append(et)
+                out_h.append(hr)
+                out_n.append(cnt.get((et, hr), 0))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "hr": pa.array(out_h, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
     def q_streak(sf_dir: str):
         """Longest consecutive-day activity streak per user — the
         classic gaps-and-islands problem. Per user bucket: distinct
@@ -4218,6 +4260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_decayed_sum": q_decayed_sum,
         "rel_arg_extremes": q_arg_extremes,
         "rel_streak": q_streak,
+        "rel_dense_hourly": q_dense_hourly,
         "rel_anti_join": q_anti_join,
         "rel_semi_join": q_semi_join,
         "rel_topn_per_group": q_topn_per_group,
@@ -7496,6 +7539,20 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # dense zero-filled hourly grid per type
+        "rel_dense_hourly": """
+    WITH h AS (SELECT event_type,
+                 CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr
+               FROM events),
+    span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    grid AS (SELECT t.event_type, g.hr
+             FROM (SELECT DISTINCT event_type FROM events) t,
+                  (SELECT unnest(range(span.lo, span.hi + 1)) AS hr
+                   FROM span) g),
+    cnt AS (SELECT event_type, hr, count(*) AS n FROM h GROUP BY 1, 2)
+    SELECT grid.event_type, grid.hr, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN cnt USING (event_type, hr)
+    """,
         # gaps-and-islands: longest consecutive-day streak per user
         "rel_streak": """
     WITH days AS (SELECT DISTINCT user_id,
