@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=True, help="input pages parquet file or directory")
     ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="input format: canonical pages parquet, or raw WARC "
+        "file(s)/directory (staged into <out>/_staged_pages first — "
+        "text extracted with the indexer's own pure function, lang "
+        "derived by the stopword vote)",
+    )
     ap.add_argument("--num-partitions", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--num-shards", type=int, default=16)
@@ -59,8 +68,18 @@ def main(argv: list[str] | None = None) -> int:
         build_index,
     )
 
+    pages_in = args.pages
+    if args.format == "warc":
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+            stage_warc_pages,
+        )
+
+        pages_in = stage_warc_pages(
+            args.pages, _os.path.join(args.out, "_staged_pages")
+        )
+
     paths = build_index(
-        args.pages,
+        pages_in,
         args.out,
         num_partitions=args.num_partitions,
         batch_size=args.batch_size,

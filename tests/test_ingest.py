@@ -179,3 +179,48 @@ def test_warc_malformed_records_skip_not_abort():
     # the latin-1 record parses (replacement char), no-uri and bad-date skip
     assert "http://ok.example/a" in urls
     assert len(urls) == 2 and len(tss) == 2 and len(htmls) == 2
+
+
+def test_stage_warc_then_build_matches_parquet_build(tmp_path):
+    """WARC -> staged pages -> build_index produces the SAME index
+    (N, vocabulary df/cf) as building from the original parquet: the
+    staging path re-derives text with the indexer's own extractor and
+    lang by the stopword vote, so everything downstream byte-matches."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        stage_warc_pages,
+        write_pages_warc,
+    )
+
+    src = pages_parquet(300)
+    tbl = pq.read_table(src)
+    write_pages_warc(tbl, str(tmp_path / "warc"), num_shards=3)
+    staged = stage_warc_pages(str(tmp_path / "warc"), str(tmp_path / "staged"))
+
+    # staged text matches the generator's text byte-for-byte (the
+    # extraction-identity invariant), lang is the derived vote
+    st = pq.read_table(staged).sort_by("url")
+    want = tbl.sort_by("url")
+    assert st["text"].to_pylist() == want["text"].to_pylist()
+    assert st["html"].to_pylist() == want["html"].to_pylist()
+
+    a = build_index(src, str(tmp_path / "idx_a"), num_partitions=2,
+                    hot_df_threshold=100)
+    b = build_index(staged, str(tmp_path / "idx_b"), num_partitions=3,
+                    hot_df_threshold=100)
+    ia, ib = SearchIndex.load(str(tmp_path / "idx_a")), SearchIndex.load(
+        str(tmp_path / "idx_b")
+    )
+    assert ia.N == ib.N
+    q = "the tanel"
+    assert ia.bm25_topk_exhaustive(q, 10) == ib.bm25_topk_exhaustive(q, 10)

@@ -191,3 +191,63 @@ def read_warc_pages(path: str | list[str]) -> rd.Dataset:
         )
 
     return rd.read_binary_files(path).map_batches(parse, batch_format="pyarrow")
+
+
+def stage_warc_pages(path: str | list[str], out_dir: str) -> str:
+    """Stage raw WARC file(s) into a canonical pages parquet directory
+    — the ingest edge that lets the flagship ``build_index`` consume a
+    crawl archive directly (``jobs/build_index.py --format warc``).
+
+    Per batch (one WARC file per block): parse records, extract
+    title/text with the SAME pure function the indexer uses
+    (``functions/tokenize.extract_html`` — so the downstream
+    extraction-verify pass still byte-matches), and assign ``lang`` by
+    the stopword argmax vote of the textstats stage (en >= de >= fr tie
+    order — WARC carries no language metadata, so it is derived, not
+    copied). Output is partitioned parquet (one file per input block),
+    resumable by re-running into the same directory."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import extract_html, tokenize_count_batch
+    from .pages import DE_STOP, EN_STOP, FR_STOP
+
+    stops = {
+        "en": pa.array(EN_STOP, pa.string()),
+        "de": pa.array(DE_STOP, pa.string()),
+        "fr": pa.array(FR_STOP, pa.string()),
+    }
+
+    def enrich(t: pa.Table) -> pa.Table:
+        texts = []
+        for h in t["html"].to_pylist():
+            _title, text = extract_html(h)
+            texts.append(text)
+        terms, tfs, _dl = tokenize_count_batch(texts)
+        flat = terms.flatten()
+        weights = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pa.ListArray.from_arrays(terms.offsets, flat)
+        parent_idx = pc.list_parent_indices(parents).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        hits = {}
+        for lang, stop in stops.items():
+            m = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+            hits[lang] = np.bincount(
+                parent_idx, weights=m * weights, minlength=n
+            ).astype(np.int64)
+        en, de, fr = hits["en"], hits["de"], hits["fr"]
+        lang = np.where((en >= de) & (en >= fr), "en", np.where(de >= fr, "de", "fr"))
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "html": t["html"],
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(lang.tolist(), pa.string()),
+            }
+        )
+
+    read_warc_pages(path).map_batches(enrich, batch_format="pyarrow").write_parquet(
+        out_dir
+    )
+    return out_dir
