@@ -139,3 +139,51 @@ def test_parse_query_total_and_stable(q):
     for t in p1.terms:
         assert not t.startswith("-") or len(t) == 1 or t == "-"
         assert not t.lower().startswith("site:")
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=0, max_size=400, unique=True),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_postings_codec_roundtrip(ids, seed):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.codec import (
+        decode_postings,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(seed)
+    doc_ids = np.sort(np.array(ids, dtype=np.int64))
+    n = doc_ids.size
+    tfs = rng.integers(1, 1000, size=n).astype(np.int64)
+    dls = rng.integers(1, 5000, size=n).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs, dls)
+    got_ids, got_tfs, got_dls = decode_postings(
+        enc["doc_blob"], enc["tf_blob"], enc["dl_blob"], enc["n"]
+    )
+    assert (got_ids == doc_ids).all()
+    assert (got_tfs == tfs).all()
+    assert (got_dls == dls).all()
+    # block bounds are true bounds (codec BLOCK = 128)
+    BLOCK_N = len(enc["block_last_id"])
+    if n:
+        assert enc["block_last_id"][-1] == doc_ids[-1]
+        for b in range(BLOCK_N):
+            lo = b * 128
+            seg_tf = tfs[lo : lo + 128]
+            seg_dl = dls[lo : lo + 128]
+            if seg_tf.size:
+                assert enc["block_max_tf"][b] == seg_tf.max()
+                assert enc["block_min_dl"][b] == seg_dl.min()
+
+
+@given(st.lists(st.integers(0, 2**62), min_size=0, max_size=500))
+@settings(max_examples=80, deadline=None)
+def test_varint_roundtrip(vals):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.codec import (
+        varint_decode,
+        varint_encode,
+    )
+
+    arr = np.array(vals, dtype=np.int64)
+    assert (varint_decode(varint_encode(arr), arr.size) == arr).all()
