@@ -1283,6 +1283,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_embed_hash(sf_dir: str):
+        """Hashed-feature document embeddings (the deterministic stand-
+        in for batched model inference — same actor-pool plumbing:
+        setup once per actor, one vectorized pass per batch): each doc
+        maps to a 64-dim hashed bag-of-tokens, emitted LONG-FORM
+        (doc_id, dim, weight) so the SQL twin replays the md5 dim
+        assignment and the per-dim sums exactly."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_count_batch,
+        )
+
+        DIMS = 64
+
+        class HashEmbedStage:
+            def __init__(self):
+                self._dim_cache: dict[str, int] = {}
+
+            def _dim(self, term: str) -> int:
+                d = self._dim_cache.get(term)
+                if d is None:
+                    d = hash64(term) % DIMS
+                    self._dim_cache[term] = d
+                return d
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                terms, tfs, _ = tokenize_count_batch(batch["text"])
+                parents = pc.list_parent_indices(terms).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat_t = terms.flatten().to_pylist()
+                flat_f = tfs.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                dims = np.fromiter(
+                    (self._dim(t) for t in flat_t), np.int64, len(flat_t)
+                )
+                n = batch.num_rows
+                acc = np.zeros((n, DIMS), np.int64)
+                np.add.at(acc, (parents, dims), flat_f)
+                rows, cols = np.nonzero(acc)
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids[rows]),
+                        "dim": pa.array(cols.astype(np.int64)),
+                        "weight": pa.array(acc[rows, cols]),
+                    }
+                )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            HashEmbedStage, batch_format="pyarrow", concurrency=(1, 4)
+        )
+
     def q_sentence_stats(sf_dir: str):
         """Per-doc sentence statistics (the quality-filter signal family
         the token stats miss): sentences = non-empty [.!?]-separated
@@ -4187,6 +4243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_neighbors": q_vocab_neighbors,
         "text_chunk_overlap": q_chunk_overlap,
         "text_sentence_stats": q_sentence_stats,
+        "text_embed_hash": q_embed_hash,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -6896,6 +6953,18 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy vocab self-join: DuckDB's native levenshtein over the
         # O(V^2) cross join vs the engine's deletion-hash plan
         "text_vocab_neighbors": _vocab_neighbors_oracle_sql(),
+        # hashed-feature embeddings, long form (md5 dim assignment)
+        "text_embed_hash": f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dims AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 16))::UBIGINT
+                    & 9223372036854775807::UBIGINT AS BIGINT) % 64 AS dim,
+               tf
+             FROM tf)
+    SELECT doc_id, dim, CAST(sum(tf) AS BIGINT) AS weight
+    FROM dims GROUP BY doc_id, dim
+    """,
         # per-doc sentence stats in characters
         "text_sentence_stats": """
     WITH s AS (SELECT doc_id,
