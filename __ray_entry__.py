@@ -1283,6 +1283,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_terms"), Sum("tf", alias_name="total_tf"))
         )
 
+    def q_compress_ratio(sf_dir: str):
+        """zlib compression ratio per document — the classic duplicate/
+        boilerplate quality signal (highly repetitive text compresses
+        far below normal prose): ratio_e4 = compressed_bytes * 10000 //
+        raw_bytes, exact integers (zlib level 6 is deterministic in
+        CPython). Embarrassingly parallel; the oracle embeds the pure
+        replay's compressed sizes and re-derives the ratio arithmetic."""
+        import zlib
+
+        def ratios(t: pa.Table) -> pa.Table:
+            raw = [s.encode() for s in t["text"].to_pylist()]
+            comp = np.fromiter(
+                (len(zlib.compress(b, 6)) for b in raw), np.int64, len(raw)
+            )
+            rawlen = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+            ratio = np.where(rawlen > 0, comp * 10_000 // np.maximum(rawlen, 1), 0)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "raw_bytes": pa.array(rawlen),
+                    "compressed_bytes": pa.array(comp),
+                    "ratio_e4": pa.array(ratio),
+                }
+            )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ratios, batch_format="pyarrow"
+        )
+
     def q_embed_hash(sf_dir: str):
         """Hashed-feature document embeddings (the deterministic stand-
         in for batched model inference — same actor-pool plumbing:
@@ -4244,6 +4273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunk_overlap": q_chunk_overlap,
         "text_sentence_stats": q_sentence_stats,
         "text_embed_hash": q_embed_hash,
+        "text_compress_ratio": q_compress_ratio,
         "text_pii_scrub": q_pii_scrub,
         "text_spell_correct": q_spell_correct,
         "text_keywords": q_keywords,
@@ -6622,6 +6652,34 @@ def _stem_vocab_oracle_sql() -> str:
     """
 
 
+def _compress_ratio_oracle_sql() -> str:
+    """Oracle for ``text_compress_ratio``: per-doc compressed sizes
+    from the same deterministic zlib call are embedded as VALUES keyed
+    by doc_id; SQL re-derives raw byte lengths and the exact ratio
+    arithmetic from the documents table itself."""
+    import zlib
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = ", ".join(
+        f"({i}, {len(zlib.compress(s.encode(), 6))})"
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    )
+    return f"""
+    WITH comp(doc_id, compressed_bytes) AS (VALUES {rows})
+    SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS raw_bytes,
+           CAST(comp.compressed_bytes AS BIGINT) AS compressed_bytes,
+           CAST(CASE WHEN strlen(d.text) > 0
+                THEN comp.compressed_bytes * 10000 // strlen(d.text)
+                ELSE 0 END AS BIGINT) AS ratio_e4
+    FROM documents d JOIN comp USING (doc_id)
+    """
+
+
 def _ingest_warc_oracle_sql() -> str:
     """DuckDB twin of ``ingest_warc_pages``: per-host counts, html byte
     totals, and second-floored min capture time over the canonical
@@ -6949,6 +7007,7 @@ def oracle_sql() -> dict[str, str]:
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
+        "text_compress_ratio": _compress_ratio_oracle_sql(),
         "text_stem_vocab": _stem_vocab_oracle_sql(),
         # fuzzy vocab self-join: DuckDB's native levenshtein over the
         # O(V^2) cross join vs the engine's deletion-hash plan
