@@ -3584,6 +3584,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         )
 
+    def q_reciprocal_links(sf_dir: str):
+        """Reciprocal link pairs (a links b AND b links a — the mutual-
+        endorsement graph signal): extract edges, canonicalize the src
+        side with the SAME URL normalizer the dst side already passed
+        through, fold each edge to an unordered pair + direction flag,
+        and keep pairs seen in BOTH directions via one bounded-bucket
+        groupby (never an edge self-join)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+            normalize_url,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+
+        n_buckets = 64
+
+        def fold(t: pa.Table) -> pa.Table:
+            srcs = t["src_url"].to_pylist()
+            dsts = t["dst_url"].to_pylist()
+            ua, ub, direc, bucket = [], [], [], []
+            for s, d in zip(srcs, dsts):
+                cs = normalize_url(s, s) or s
+                if cs == d:
+                    continue
+                a, b = (cs, d) if cs < d else (d, cs)
+                ua.append(a)
+                ub.append(b)
+                direc.append(1 if cs < d else 2)
+                bucket.append(hash64(a + "\0" + b) % n_buckets)
+            return pa.table(
+                {
+                    "url_a": pa.array(ua, pa.string()),
+                    "url_b": pa.array(ub, pa.string()),
+                    "dir": pa.array(direc, pa.int64()),
+                    "__bucket": pa.array(bucket, pa.int64()),
+                }
+            )
+
+        def both_dirs(group: pa.Table) -> pa.Table:
+            agg = (
+                group.select(["url_a", "url_b", "dir"])
+                .group_by(["url_a", "url_b"])
+                .aggregate([("dir", "min"), ("dir", "max")])
+            )
+            keep = pc.and_(
+                pc.equal(agg["dir_min"], 1), pc.equal(agg["dir_max"], 2)
+            )
+            return agg.filter(keep).select(["url_a", "url_b"])
+
+        # reciprocal pairs are rare (mutual endorsement): materialize
+        # to a TYPED table so an empty result keeps its schema
+        rows = hash_map_groups(
+            edges.map_batches(fold, batch_format="pyarrow"),
+            "__bucket",
+            both_dirs,
+        ).take_all()
+        return pa.table(
+            {
+                "url_a": pa.array([r["url_a"] for r in rows], pa.string()),
+                "url_b": pa.array([r["url_b"] for r in rows], pa.string()),
+            }
+        )
+
     def q_robots_gate(sf_dir: str):
         # robots-gate decisions over the pages corpus: per-actor host
         # rules cache (the reference's per-JVM cache, Crawler.java:27)
@@ -4363,6 +4439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lang_gate": q_lang_gate,
         "crawl_host_stats": q_host_stats,
         "crawl_host_latest": q_host_latest,
+        "crawl_reciprocal_links": q_reciprocal_links,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -6324,6 +6401,34 @@ def _crawl_links_oracle_sql() -> str:
     """
 
 
+def _reciprocal_links_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_reciprocal_links``: the hash-matched
+    ``crawl_links`` edge replay (same anchor scope + ':80' dst
+    normalization, applied to the SRC side too), folded to unordered
+    pairs and kept when both directions occur."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT
+                regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+                regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+              FROM hrefs),
+    pairs AS (SELECT least(s, d) AS url_a, greatest(s, d) AS url_b,
+                     CASE WHEN s < d THEN 1 ELSE 2 END AS dir
+              FROM edges WHERE s <> d)
+    SELECT url_a, url_b FROM pairs
+    GROUP BY url_a, url_b HAVING count(DISTINCT dir) = 2
+    """
+
+
 def _anchor_terms_oracle_sql() -> str:
     """Oracle for ``crawl_anchor_terms``: same anchor-element scope as
     the hash-matched ``crawl_links`` replica (the generator emits only
@@ -7297,6 +7402,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_lang_gate": _lang_gate_oracle_sql(),
         "crawl_host_stats": _host_stats_oracle_sql(),
         "crawl_host_latest": _host_latest_oracle_sql(),
+        "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
