@@ -3660,6 +3660,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_crawl_components(sf_dir: str):
+        """Connected components of the (undirected) LINK graph — the
+        site-cluster structure consumed by crawl partitioning and
+        spam-farm detection. Nodes are hash64 of the canonical URL (the
+        engine's doc_id convention); labels are CLUSTER_ROUNDS rounds
+        of min-label propagation on the same task-per-block machinery
+        as the dedup clusters, and the oracle unrolls the identical
+        rounds in SQL from the link-extraction replay."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+            normalize_url,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            dup_clusters,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            a_out, b_out = [], []
+            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
+                cs = normalize_url(s, s) or s
+                ha, hb = hash64(cs), hash64(d)
+                if ha == hb:
+                    continue
+                a_out.append(min(ha, hb))
+                b_out.append(max(ha, hb))
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_out, pa.int64()),
+                    "doc_b": pa.array(b_out, pa.int64()),
+                }
+            )
+
+        return dup_clusters(
+            edges.map_batches(to_ids, batch_format="pyarrow"),
+            rounds=CLUSTER_ROUNDS,
+        )
+
     def q_robots_gate(sf_dir: str):
         # robots-gate decisions over the pages corpus: per-actor host
         # rules cache (the reference's per-JVM cache, Crawler.java:27)
@@ -4440,6 +4489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": q_host_stats,
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
+        "crawl_components": q_crawl_components,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -6921,6 +6971,39 @@ def oracle_sql() -> dict[str, str]:
       USING (doc_id))"""
         for k in range(CLUSTER_ROUNDS)
     )
+    # link-graph components: the crawl_links edge replay, endpoints
+    # hashed to the md5 doc_id convention, same unrolled rounds
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir as _pfsd,
+    )
+
+    _lg_pages = _pfsd(_oracle_sf_dir())
+    _id_of = (
+        "CAST(('0x' || substr(md5({u}), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+    crawl_components_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS (SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+              FROM ids WHERE a <> b),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
+    l0 AS (SELECT doc_id, doc_id AS lab FROM nodes){_cluster_steps}
+    SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}
+    """
+
     dup_cluster_sql = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -7403,6 +7486,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_stats": _host_stats_oracle_sql(),
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
+        "crawl_components": crawl_components_sql,
         "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
