@@ -3660,6 +3660,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_degree_dist(sf_dir: str):
+        """Link-graph degree distribution: for each direction (out =
+        per source page, in = per target) the histogram of degrees —
+        the power-law shape check every web-graph pipeline runs. Two
+        vocab-bounded groupbys (page-cardinality then degree-
+        cardinality); edges never leave the cluster."""
+        import ray.data as rd
+        from ray.data.aggregate import Count as _Count
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+        out_t, out_d, out_n = [], [], []
+        for direction, key in (("out", "src_url"), ("in", "dst_url")):
+            deg = (
+                edges.groupby(key)
+                .aggregate(_Count(alias_name="deg"))
+                .groupby("deg")
+                .aggregate(_Count(alias_name="n_pages"))
+                .take_all()
+            )
+            for r in deg:
+                out_t.append(direction)
+                out_d.append(r["deg"])
+                out_n.append(r["n_pages"])
+        return pa.table(
+            {
+                "direction": pa.array(out_t, pa.string()),
+                "degree": pa.array(out_d, pa.int64()),
+                "n_pages": pa.array(out_n, pa.int64()),
+            }
+        )
+
     def q_crawl_components(sf_dir: str):
         """Connected components of the (undirected) LINK graph — the
         site-cluster structure consumed by crawl partitioning and
@@ -4490,6 +4528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_components": q_crawl_components,
+        "crawl_degree_dist": q_degree_dist,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -6479,6 +6518,34 @@ def _reciprocal_links_oracle_sql() -> str:
     """
 
 
+def _degree_dist_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_degree_dist``: degree histograms over the
+    hash-matched crawl_links edge replay (per-page distinct targets,
+    like the engine's per-page dedup)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT src_url,
+                regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+              FROM hrefs),
+    outd AS (SELECT src_url, count(*) AS deg FROM edges GROUP BY src_url),
+    ind AS (SELECT dst_url, count(*) AS deg FROM edges GROUP BY dst_url)
+    SELECT 'out' AS direction, deg AS degree, count(*) AS n_pages
+    FROM outd GROUP BY deg
+    UNION ALL
+    SELECT 'in' AS direction, deg AS degree, count(*) AS n_pages
+    FROM ind GROUP BY deg
+    """
+
+
 def _anchor_terms_oracle_sql() -> str:
     """Oracle for ``crawl_anchor_terms``: same anchor-element scope as
     the hash-matched ``crawl_links`` replica (the generator emits only
@@ -7487,6 +7554,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_components": crawl_components_sql,
+        "crawl_degree_dist": _degree_dist_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
