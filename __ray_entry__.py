@@ -3660,6 +3660,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_audience_overlap(sf_dir: str):
+        """Audience overlap: |users(a) AND users(b)| for every event-
+        type pair — the co-occurrence matrix behind segment analysis.
+        Plan: distinct (user, type) via the bounded-bucket kernel, ONE
+        user-bucketed groupby that expands each user's (tiny, bounded
+        by #types) type set into pairs map-side, then a types^2 count —
+        the user cross-join never happens."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        ut = distinct_on(
+            _tbl(sf_dir, "events", ["user_id", "event_type"]),
+            ["user_id", "event_type"],
+        )
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def pairs(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+            )
+            g = group.take(idx)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].to_pylist()
+            a_out, b_out = [], []
+            i = 0
+            n = uid.size
+            while i < n:
+                j = i + 1
+                while j < n and uid[j] == uid[i]:
+                    j += 1
+                ts = et[i:j]
+                for x in range(len(ts)):
+                    for y in range(x + 1, len(ts)):
+                        a_out.append(ts[x])
+                        b_out.append(ts[y])
+                i = j
+            return pa.table(
+                {
+                    "type_a": pa.array(a_out, pa.string()),
+                    "type_b": pa.array(b_out, pa.string()),
+                }
+            )
+
+        return (
+            hash_map_groups(
+                ut.map_batches(add_bucket, batch_format="pyarrow"),
+                "ubucket",
+                pairs,
+            )
+            .groupby(["type_a", "type_b"])
+            .aggregate(Count(alias_name="n_users"))
+        )
+
     def q_degree_dist(sf_dir: str):
         """Link-graph degree distribution: for each direction (out =
         per source page, in = per target) the histogram of degrees —
@@ -4529,6 +4590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_components": q_crawl_components,
         "crawl_degree_dist": q_degree_dist,
+        "rel_audience_overlap": q_audience_overlap,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -7925,6 +7987,15 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # audience overlap per event-type pair
+        "rel_audience_overlap": """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
         # dense zero-filled hourly grid per type
         "rel_dense_hourly": """
     WITH h AS (SELECT event_type,
