@@ -3660,6 +3660,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_benford(sf_dir: str):
+        """Benford first-significant-digit distribution of the value
+        column (the classic data-quality / fraud screen): digit of the
+        exact integer cents, counted per event_type. One vectorized
+        map + a 9 x types groupby."""
+
+        def digits(t: pa.Table) -> pa.Table:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            keep = v > 0
+            v = v[keep]
+            # first significant digit: divide by 10 until < 10
+            while (v >= 10).any():
+                big = v >= 10
+                v = np.where(big, v // 10, v)
+            return pa.table(
+                {
+                    "event_type": t["event_type"].filter(pa.array(keep)),
+                    "digit": pa.array(v),
+                }
+            )
+
+        return (
+            _tbl(sf_dir, "events", ["event_type", "value"])
+            .map_batches(digits, batch_format="pyarrow")
+            .groupby(["event_type", "digit"])
+            .aggregate(Count(alias_name="n"))
+        )
+
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
         type pair — the co-occurrence matrix behind segment analysis.
@@ -4591,6 +4621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": q_crawl_components,
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
+        "rel_benford": q_benford,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -7987,6 +8018,16 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # Benford first-digit distribution of exact integer cents
+        "rel_benford": """
+    WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+               FROM events)
+    SELECT event_type,
+           CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS n
+    FROM v WHERE v > 0
+    GROUP BY event_type, digit
+    """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
