@@ -3660,6 +3660,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_rank_frequency(sf_dir: str):
+        """Zipf rank-frequency table of the corpus vocabulary (the
+        standard corpus-health diagnostic: cf should fall ~1/rank):
+        one vocab-bounded term groupby, ranks assigned by
+        (cf desc, term) — deterministic ties."""
+        from ray.data.aggregate import Sum
+
+        def term_tf(batch: pa.Table) -> pa.Table:
+            from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+                tokenize_count_batch,
+            )
+
+            terms, tfs, _ = tokenize_count_batch(batch["text"])
+            tnp = terms.flatten().to_numpy(zero_copy_only=False)
+            fnp = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, inv = np.unique(tnp, return_inverse=True)
+            sums = np.zeros(uniq.size, np.int64)
+            np.add.at(sums, inv, fnp)
+            return pa.table(
+                {"term": pa.array(uniq.tolist(), pa.string()), "cf": pa.array(sums)}
+            )
+
+        rows = (
+            _tbl(sf_dir, "documents", ["text"])
+            .map_batches(term_tf, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("cf", alias_name="cf"))
+            .take_all()
+        )
+        order = sorted(rows, key=lambda r: (-r["cf"], r["term"]))
+        return pa.table(
+            {
+                "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+                "term": pa.array([r["term"] for r in order], pa.string()),
+                "cf": pa.array([r["cf"] for r in order], pa.int64()),
+            }
+        )
+
     def q_benford(sf_dir: str):
         """Benford first-significant-digit distribution of the value
         column (the classic data-quality / fraud screen): digit of the
@@ -3750,6 +3788,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .groupby(["type_a", "type_b"])
             .aggregate(Count(alias_name="n_users"))
         )
+
+    def q_orphans(sf_dir: str):
+        """Crawl-graph health counts: pages with NO outlinks (PageRank
+        dangling mass) and pages never linked to (orphans a pure
+        link-following crawler would miss). Pages and link endpoints
+        are canonicalized with the same URL normalizer; two bounded
+        membership checks via broadcast sets of url hashes."""
+        import ray
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
+            normalize_url,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        )
+
+        def srcdst_hashes(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_h": pa.array(
+                        [
+                            hash64(normalize_url(s, s) or s)
+                            for s in t["src_url"].to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                    "dst_h": pa.array(
+                        [hash64(d) for d in t["dst_url"].to_pylist()], pa.int64()
+                    ),
+                }
+            )
+
+        eh = edges.map_batches(srcdst_hashes, batch_format="pyarrow")
+        srcs = {r["src_h"] for r in eh.select_columns(["src_h"]).take_all()}
+        dsts = {r["dst_h"] for r in eh.select_columns(["dst_h"]).take_all()}
+        src_ref, dst_ref = ray.put(srcs), ray.put(dsts)
+
+        def flags(t: pa.Table) -> pa.Table:
+            s_set, d_set = ray.get(src_ref), ray.get(dst_ref)
+            hs = [
+                hash64(normalize_url(u, u) or u) for u in t["url"].to_pylist()
+            ]
+            no_out = sum(1 for h in hs if h not in s_set)
+            no_in = sum(1 for h in hs if h not in d_set)
+            return pa.table(
+                {
+                    "kind": pa.array(["no_outlinks", "no_inlinks"], pa.string()),
+                    "n_pages": pa.array([no_out, no_in], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            pages.select_columns(["url"])
+            .map_batches(flags, batch_format="pyarrow")
+            .groupby("kind")
+            .aggregate(Sum("n_pages", alias_name="n_pages"))
+        )
+        return agg
 
     def q_degree_dist(sf_dir: str):
         """Link-graph degree distribution: for each direction (out =
@@ -4622,6 +4729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
+        "text_rank_frequency": q_rank_frequency,
+        "crawl_orphans": q_orphans,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -6611,6 +6720,39 @@ def _reciprocal_links_oracle_sql() -> str:
     """
 
 
+def _orphans_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_orphans``: pages absent from the edge
+    replay's src side (dangling) / dst side (orphans), with the same
+    ':80' canonicalization on page urls."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    canon AS (SELECT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80')
+                       AS curl, doc
+              FROM pages),
+    hrefs AS (SELECT curl AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM canon),
+    edges AS (SELECT DISTINCT src_url,
+                regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+              FROM hrefs)
+    SELECT 'no_outlinks' AS kind,
+           CAST(count(*) FILTER (curl NOT IN (SELECT src_url FROM edges))
+                AS BIGINT) AS n_pages
+    FROM canon
+    UNION ALL
+    SELECT 'no_inlinks' AS kind,
+           CAST(count(*) FILTER (curl NOT IN (SELECT dst_url FROM edges))
+                AS BIGINT) AS n_pages
+    FROM canon
+    """
+
+
 def _degree_dist_oracle_sql() -> str:
     """DuckDB twin of ``crawl_degree_dist``: degree histograms over the
     hash-matched crawl_links edge replay (per-page distinct targets,
@@ -7648,6 +7790,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_degree_dist": _degree_dist_oracle_sql(),
+        "crawl_orphans": _orphans_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
@@ -8018,6 +8161,14 @@ def oracle_sql() -> dict[str, str]:
         # identical integer boundaries computed from SPLIT_FRACTIONS on
         # the Python side; same md5-prefix hash64 as stages.ops.hash_split
         "rel_hash_split": _hash_split_oracle_sql(),
+        # Zipf rank-frequency of the corpus vocabulary
+        "text_rank_frequency": f"""
+    WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+    cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+    SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
+           term, CAST(cf AS BIGINT) AS cf
+    FROM cf
+    """,
         # Benford first-digit distribution of exact integer cents
         "rel_benford": """
     WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
