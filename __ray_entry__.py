@@ -3698,6 +3698,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_attribution(sf_dir: str):
+        """Last-touch attribution: each 'purchase' event credits the
+        user's MOST RECENT preceding non-purchase event type (purchases
+        with no prior touch credit 'none'); output is credit counts per
+        type — the marketing-analytics classic. Same user bucketing +
+        last-valid-index accumulate as forward fill."""
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def credit(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            n = g.num_rows
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].to_pylist()
+            is_touch = np.array([t != "purchase" for t in et], dtype=bool)
+            pos = np.arange(n, dtype=np.int64)
+            last_touch = np.maximum.accumulate(np.where(is_touch, pos, -1))
+            new_user = np.ones(n, dtype=bool)
+            new_user[1:] = uid[1:] != uid[:-1]
+            user_start = pos[new_user][np.cumsum(new_user) - 1]
+            from collections import Counter
+
+            cnt: Counter = Counter()
+            for i in np.flatnonzero(~is_touch):
+                lt = last_touch[i]
+                cnt[et[lt] if lt >= user_start[i] else "none"] += 1
+            keys = sorted(cnt)
+            return pa.table(
+                {
+                    "credited_type": pa.array(keys, pa.string()),
+                    "n": pa.array([cnt[k] for k in keys], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return (
+            hash_map_groups(
+                _tbl(
+                    sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+                ).map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+                "ubucket",
+                credit,
+            )
+            .groupby("credited_type")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
     def q_benford(sf_dir: str):
         """Benford first-significant-digit distribution of the value
         column (the classic data-quality / fraud screen): digit of the
@@ -4731,6 +4793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_benford": q_benford,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
+        "rel_attribution": q_attribution,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -8168,6 +8231,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
            term, CAST(cf AS BIGINT) AS cf
     FROM cf
+    """,
+        # last-touch attribution: latest preceding non-purchase type
+        "rel_attribution": """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_touch
+      FROM events)
+    SELECT COALESCE(prev_touch, 'none') AS credited_type, count(*) AS n
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY COALESCE(prev_touch, 'none')
     """,
         # Benford first-digit distribution of exact integer cents
         "rel_benford": """
