@@ -49,13 +49,19 @@ def test_wav_roundtrip(n, seed, rate):
 
 @given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=0, max_size=24))
 @settings(max_examples=300, deadline=None)
-def test_stem_idempotent_and_bounded(word):
+def test_stem_bounded_total_deterministic(word):
+    # NOTE: Porter is deliberately NOT idempotent in general (hypothesis
+    # found 'aase' -> 'aas' -> 'aa': step 5a exposes a new final 's').
+    # The stemmed-retrieval contract needs only ONE stem application on
+    # both sides, so the properties that matter are: total, bounded
+    # growth (at/bl/iz 'e' restore adds at most one char), non-empty on
+    # non-empty input, alphabet-preserving, deterministic.
     s = porter_stem(word)
-    # stems never grow, and re-stemming a stem is the identity on
-    # ascii-lowercase input (the analyze(analyze(x)) == analyze(x)
-    # requirement of an index analysis chain)
-    assert len(s) <= len(word) + 1  # +1: the at/bl/iz 'e' restore
-    assert porter_stem(s) == s
+    assert len(s) <= len(word) + 1
+    if word:
+        assert s
+        assert s.isascii() and s.isalpha() and s == s.lower()
+    assert porter_stem(word) == s
 
 
 @given(st.integers(1, 10_000), st.integers(1, 10_000), st.integers(1, 256))

@@ -63,6 +63,8 @@ def test_idempotent_on_corpus_vocab():
     assert vocab, "corpus vocabulary must be non-empty"
     for v in vocab:
         s = porter_stem(v)
-        # stems are stable under re-stemming on this vocabulary (the
-        # usual index-analysis requirement: analyze(analyze(x)) == analyze(x))
+        # Porter is NOT idempotent in general ('aase' -> 'aas' -> 'aa');
+        # this asserts the PINNED corpus vocabulary happens to contain
+        # no such words — a tripwire against silent generator/vocab
+        # drift, not an algorithm property
         assert porter_stem(s) == s, (v, s, porter_stem(s))
