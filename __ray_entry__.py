@@ -3698,6 +3698,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_pareto_users(sf_dir: str):
+        """Concentration (Pareto) metric: per event_type, the smallest
+        number of users whose summed value covers >= 80% of the type's
+        total — exact integer cents, deterministic (value desc, user_id
+        asc) ordering. One (type, user) sum groupby, then a per-type
+        sorted cumulative count on the bounded per-type user lists."""
+        from ray.data.aggregate import Sum
+
+        def cents(t: pa.Table) -> pa.Table:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": t["user_id"],
+                    "v": pa.array(v),
+                }
+            )
+
+        per_user = (
+            _tbl(sf_dir, "events", ["event_type", "user_id", "value"])
+            .map_batches(cents, batch_format="pyarrow")
+            .groupby(["event_type", "user_id"])
+            .aggregate(Sum("v", alias_name="v"))
+            .take_all()
+        )
+        by_type: dict[str, list[tuple[int, int]]] = {}
+        for r in per_user:
+            by_type.setdefault(r["event_type"], []).append((-r["v"], r["user_id"]))
+        types, ns, totals = [], [], []
+        for et in sorted(by_type):
+            rows = sorted(by_type[et])
+            total = sum(-nv for nv, _u in rows)
+            need = -(-total * 8 // 10)  # ceil(0.8 * total)
+            acc = 0
+            k = 0
+            for nv, _u in rows:
+                acc += -nv
+                k += 1
+                if acc >= need:
+                    break
+            types.append(et)
+            ns.append(k)
+            totals.append(total)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "users_for_80pct": pa.array(ns, pa.int64()),
+                "total_e2": pa.array(totals, pa.int64()),
+            }
+        )
+
     def q_attribution(sf_dir: str):
         """Last-touch attribution: each 'purchase' event credits the
         user's MOST RECENT preceding non-purchase event type (purchases
@@ -4794,6 +4847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
         "rel_attribution": q_attribution,
+        "rel_pareto_users": q_pareto_users,
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
@@ -8231,6 +8285,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
            term, CAST(cf AS BIGINT) AS cf
     FROM cf
+    """,
+        # Pareto: users covering >= 80% of each type's exact total
+        "rel_pareto_users": """
+    WITH pu AS (SELECT event_type, user_id,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY event_type, user_id),
+    tot AS (SELECT event_type, sum(v) AS total FROM pu GROUP BY event_type),
+    ranked AS (SELECT pu.event_type, pu.v, tot.total,
+                      sum(pu.v) OVER (PARTITION BY pu.event_type
+                                      ORDER BY pu.v DESC, pu.user_id) AS acc,
+                      row_number() OVER (PARTITION BY pu.event_type
+                                         ORDER BY pu.v DESC, pu.user_id) AS rn
+               FROM pu JOIN tot USING (event_type))
+    SELECT event_type,
+           CAST(min(rn) AS BIGINT) AS users_for_80pct,
+           CAST(min(total) AS BIGINT) AS total_e2
+    FROM ranked WHERE acc >= (total * 8 + 9) // 10
+    GROUP BY event_type
     """,
         # last-touch attribution: latest preceding non-purchase type
         "rel_attribution": """
