@@ -2554,6 +2554,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return agg.sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
 
+    def q_rel_star_q5(sf_dir: str):
+        # TPC-H Q5 shape — the DEEP join chain (region -> nation ->
+        # customer -> orders -> lineitem -> supplier): every dimension
+        # is broadcast (region/nation/supplier/customer are tiny at any
+        # realistic fanout — the star-schema rule), the single big-big
+        # exchange is lineitem x orders, and the "local supplier" filter
+        # (s_nationkey == c_nationkey) evaluates map-side against the
+        # broadcast supplier map. Exact cents*percent integer revenue.
+        import pyarrow.parquet as pq
+        from datetime import datetime
+
+        lo, hi = datetime(1996, 1, 1), datetime(1999, 1, 1)
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        )
+        region = pq.read_table(
+            os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+        )
+        rkeys = set(
+            region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_pylist()
+        )
+        nat = nation.filter(
+            pc.is_in(nation["n_regionkey"], value_set=pa.array(sorted(rkeys)))
+        )
+        nat_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        cust_nat = {
+            c: n
+            for c, n in zip(
+                cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+            )
+            if n in nat_name
+        }
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        supp_nat = dict(
+            zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+        )
+        import ray as _ray
+
+        maps_ref = _ray.put((cust_nat, supp_nat, nat_name))
+
+        def od_prep(t: pa.Table) -> pa.Table:
+            cn, _sn, _nn = _ray.get(maps_ref)
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+            nk = [cn.get(c, -1) for c in t["o_custkey"].to_pylist()]
+            out = pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "c_nat": pa.array(nk, pa.int64()),
+                }
+            )
+            return out.filter(pc.not_equal(out["c_nat"], -1))
+
+        od = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            od_prep, batch_format="pyarrow"
+        )
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            _cn, sn, _nn = _ray.get(maps_ref)
+            ext = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            disc = np.rint(
+                (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            s_nat = [sn.get(s, -1) for s in t["l_suppkey"].to_pylist()]
+            return pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "s_nat": pa.array(s_nat, pa.int64()),
+                    "rev_e4": pa.array(ext * disc),
+                }
+            )
+
+        li = _tbl(
+            sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ).map_batches(li_prep, batch_format="pyarrow")
+
+        j = shuffle_join(
+            li, od, "orderkey", left_cols=["s_nat", "rev_e4"], right_cols=["c_nat"]
+        )
+
+        def local_only(t: pa.Table) -> pa.Table:
+            _cn, _sn, nn = _ray.get(maps_ref)
+            t = t.filter(pc.equal(t["s_nat"], t["c_nat"]))
+            names = [nn[k] for k in t["s_nat"].to_pylist()]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "rev_e4": t["rev_e4"]}
+            )
+
+        return (
+            j.map_batches(local_only, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        )
+
     def q_skew_join(sf_dir: str):
         # skew-defusing salted join: orders with >= 4 lineitems count as
         # HOT (their lineitem rows salt over 4 buckets; the order row is
@@ -4806,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_profile": q_profile,
         "rel_skew_join_agg": q_skew_join,
         "rel_star_topk": q_rel_star,
+        "rel_star_q5": q_rel_star_q5,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
         "text_heavy_hitters": q_heavy_hitters,
@@ -8092,6 +8201,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # TPC-H Q5 shape: local-supplier revenue per ASIA nation
+        "rel_star_q5": """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e4
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
         # TPC-H Q3 shape: segment-filtered customers -> dated orders ->
         # shipped lineitems, exact integer cents*percent revenue, top 10
         "rel_star_topk": """
