@@ -2554,6 +2554,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return agg.sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
 
+    def q_promo_share(sf_dir: str):
+        # TPC-H Q14 shape: revenue share of ECONOMY-type parts in one
+        # shipping month — the broadcast-dimension scan (part map via
+        # ray.put, ONE lineitem pass, no shuffle at all). Exact-integer
+        # numerator/denominator instead of the float percent.
+        import pyarrow.parquet as pq
+        from datetime import datetime
+
+        import ray as _ray
+
+        lo, hi = datetime(1998, 1, 1), datetime(1998, 7, 1)
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        promo = {
+            k
+            for k, ty in zip(part["p_partkey"].to_pylist(), part["p_type"].to_pylist())
+            if ty == "ECONOMY"
+        }
+        promo_ref = _ray.put(promo)
+
+        def partials(t: pa.Table) -> pa.Table:
+            pset = _ray.get(promo_ref)
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)),
+                )
+            )
+            ext = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            disc = np.rint(
+                (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            rev = ext * disc
+            is_promo = np.array(
+                [k in pset for k in t["l_partkey"].to_pylist()], dtype=bool
+            )
+            return pa.table(
+                {
+                    "promo_rev_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                    "total_rev_e4": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        agg = (
+            _tbl(
+                sf_dir,
+                "lineitem",
+                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            )
+            .map_batches(partials, batch_format="pyarrow")
+            .aggregate(
+                Sum("promo_rev_e4", alias_name="p"), Sum("total_rev_e4", alias_name="t")
+            )
+        )
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([agg["p"]], pa.int64()),
+                "total_rev_e4": pa.array([agg["t"]], pa.int64()),
+            }
+        )
+
     def q_rel_star_q5(sf_dir: str):
         # TPC-H Q5 shape — the DEEP join chain (region -> nation ->
         # customer -> orders -> lineitem -> supplier): every dimension
@@ -4915,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skew_join_agg": q_skew_join,
         "rel_star_topk": q_rel_star,
         "rel_star_q5": q_rel_star_q5,
+        "rel_promo_share": q_promo_share,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
         "text_heavy_hitters": q_heavy_hitters,
@@ -8201,6 +8266,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # TPC-H Q14 shape: promo revenue numerator/denominator
+        "rel_promo_share": """
+    SELECT CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_rev_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-07-01'
+    """,
         # TPC-H Q5 shape: local-supplier revenue per ASIA nation
         "rel_star_q5": """
     SELECT n.n_name,
