@@ -2554,6 +2554,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return agg.sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
 
+    def q_supplier_rank(sf_dir: str):
+        # top-3 suppliers by account balance per nation (exact cents,
+        # deterministic ties) on the bounded topn kernel, nation names
+        # broadcast-joined map-side
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        )
+        names = dict(
+            zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+        )
+        import ray as _ray
+
+        names_ref = _ray.put(names)
+
+        def prep(t: pa.Table) -> pa.Table:
+            nn = _ray.get(names_ref)
+            bal = np.rint(
+                t["s_acctbal"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [nn[k] for k in t["s_nationkey"].to_pylist()], pa.string()
+                    ),
+                    "s_suppkey": t["s_suppkey"],
+                    "acctbal_e2": pa.array(bal),
+                }
+            )
+
+        return topn_per_group(
+            _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            "n_name",
+            3,
+            [("acctbal_e2", "descending"), ("s_suppkey", "ascending")],
+        )
+
     def q_promo_share(sf_dir: str):
         # TPC-H Q14 shape: revenue share of ECONOMY-type parts in one
         # shipping month — the broadcast-dimension scan (part map via
@@ -4980,6 +5024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_star_topk": q_rel_star,
         "rel_star_q5": q_rel_star_q5,
         "rel_promo_share": q_promo_share,
+        "rel_supplier_rank": q_supplier_rank,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
         "text_heavy_hitters": q_heavy_hitters,
@@ -8266,6 +8311,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # top-3 suppliers per nation by exact-cents balance
+        "rel_supplier_rank": """
+    SELECT n.n_name, s.s_suppkey,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_e2
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    QUALIFY row_number() OVER (PARTITION BY n.n_name
+                               ORDER BY s.s_acctbal DESC, s.s_suppkey) <= 3
+    """,
         # TPC-H Q14 shape: promo revenue numerator/denominator
         "rel_promo_share": """
     SELECT CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
