@@ -1471,9 +1471,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
             distinct_on,
         )
-        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
-            hash_map_groups,
-        )
 
         import ray.data as rd
 
@@ -3123,7 +3120,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assembled from those aggregates (hours-span x types rows — the
         dense output itself, so no distributed work is skipped)."""
         from ray.data.aggregate import Count as _Count
-        from ray.data.aggregate import Max, Min
 
         ds = _tbl(sf_dir, "events", ["event_type", "ts"])
 
@@ -3140,8 +3136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(_Count(alias_name="n"))
             .take_all()
         }
-        span = hours.aggregate(Min("hr"), Max("hr"))
-        lo, hi = int(span["min(hr)"]), int(span["max(hr)"])
+        # the span is exactly the key range of the counts — no second scan
+        hrs = [k[1] for k in cnt]
+        lo, hi = (min(hrs), max(hrs)) if hrs else (0, -1)
         types = sorted({k[0] for k in cnt})
         out_t, out_h, out_n = [], [], []
         for et in types:
@@ -3812,9 +3809,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
             hash64,
         )
-        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
-            normalize_url,
-        )
         from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
             pages_for_sf_dir,
         )
@@ -3823,9 +3817,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        # ONE canonical url convention for graph joins (_canon80 — the
+        # same rule the oracles hard-code), applied vectorized
         edges = pages.map_batches(
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
-        )
+        ).map_batches(_canon80_src, batch_format="pyarrow")
 
         n_buckets = 64
 
@@ -3834,7 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dsts = t["dst_url"].to_pylist()
             ua, ub, direc, bucket = [], [], [], []
             for s, d in zip(srcs, dsts):
-                cs = normalize_url(s, s) or s
+                cs = s
                 if cs == d:
                     continue
                 a, b = (cs, d) if cs < d else (d, cs)
@@ -4132,9 +4128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
             hash64,
         )
-        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
-            normalize_url,
-        )
         from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
             pages_for_sf_dir,
         )
@@ -4142,17 +4135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
         edges = pages.map_batches(
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
-        )
+        ).map_batches(_canon80_src, batch_format="pyarrow")
 
         def srcdst_hashes(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "src_h": pa.array(
-                        [
-                            hash64(normalize_url(s, s) or s)
-                            for s in t["src_url"].to_pylist()
-                        ],
-                        pa.int64(),
+                        [hash64(s) for s in t["src_url"].to_pylist()], pa.int64()
                     ),
                     "dst_h": pa.array(
                         [hash64(d) for d in t["dst_url"].to_pylist()], pa.int64()
@@ -4160,16 +4149,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        eh = edges.map_batches(srcdst_hashes, batch_format="pyarrow")
-        srcs = {r["src_h"] for r in eh.select_columns(["src_h"]).take_all()}
-        dsts = {r["dst_h"] for r in eh.select_columns(["dst_h"]).take_all()}
+        # ONE execution of the extraction chain: collect both columns
+        eh_rows = edges.map_batches(srcdst_hashes, batch_format="pyarrow").take_all()
+        srcs = {r["src_h"] for r in eh_rows}
+        dsts = {r["dst_h"] for r in eh_rows}
         src_ref, dst_ref = ray.put(srcs), ray.put(dsts)
 
         def flags(t: pa.Table) -> pa.Table:
             s_set, d_set = ray.get(src_ref), ray.get(dst_ref)
-            hs = [
-                hash64(normalize_url(u, u) or u) for u in t["url"].to_pylist()
-            ]
+            hs = [hash64(_canon80(u)) for u in t["url"].to_pylist()]
             no_out = sum(1 for h in hs if h not in s_set)
             no_in = sum(1 for h in hs if h not in d_set)
             return pa.table(
@@ -4203,9 +4191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        # materialize ONCE: both directions aggregate the same edges,
+        # and a lazy Dataset would re-run the extraction per loop pass
         edges = pages.map_batches(
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
-        )
+        ).materialize()
         out_t, out_d, out_n = [], [], []
         for direction, key in (("out", "src_url"), ("in", "dst_url")):
             deg = (
@@ -4240,9 +4230,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
             hash64,
         )
-        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.urls import (
-            normalize_url,
-        )
         from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
             pages_for_sf_dir,
         )
@@ -4253,13 +4240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
         edges = pages.map_batches(
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
-        )
+        ).map_batches(_canon80_src, batch_format="pyarrow")
 
         def to_ids(t: pa.Table) -> pa.Table:
             a_out, b_out = [], []
             for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
-                cs = normalize_url(s, s) or s
-                ha, hb = hash64(cs), hash64(d)
+                ha, hb = hash64(s), hash64(d)
                 if ha == hb:
                     continue
                 a_out.append(min(ha, hb))
@@ -8555,12 +8541,15 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY pu.v DESC, pu.user_id) AS acc,
                       row_number() OVER (PARTITION BY pu.event_type
                                          ORDER BY pu.v DESC, pu.user_id) AS rn
-               FROM pu JOIN tot USING (event_type))
-    SELECT event_type,
-           CAST(min(rn) AS BIGINT) AS users_for_80pct,
-           CAST(min(total) AS BIGINT) AS total_e2
-    FROM ranked WHERE acc >= (total * 8 + 9) // 10
-    GROUP BY event_type
+               FROM pu JOIN tot USING (event_type)),
+    hit AS (SELECT event_type, min(rn) AS k FROM ranked
+            WHERE acc >= (total * 8 + 9) // 10 GROUP BY event_type),
+    nu AS (SELECT event_type, count(*) AS n_users FROM pu GROUP BY event_type)
+    SELECT tot.event_type,
+           CAST(COALESCE(hit.k, nu.n_users) AS BIGINT) AS users_for_80pct,
+           CAST(tot.total AS BIGINT) AS total_e2
+    FROM tot JOIN nu USING (event_type)
+    LEFT JOIN hit USING (event_type)
     """,
         # last-touch attribution: latest preceding non-purchase type
         "rel_attribution": """

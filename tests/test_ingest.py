@@ -224,3 +224,26 @@ def test_stage_warc_then_build_matches_parquet_build(tmp_path):
     assert ia.N == ib.N
     q = "the tanel"
     assert ia.bm25_topk_exhaustive(q, 10) == ib.bm25_topk_exhaustive(q, 10)
+
+
+def test_stage_warc_rerun_replaces_not_appends(tmp_path):
+    """Re-running the staging pass must REPLACE the staged pages (Ray's
+    write_parquet appends by default — an append would silently double
+    every page and corrupt the downstream build's N/df/cf)."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.warc import (
+        stage_warc_pages,
+        write_pages_warc,
+    )
+
+    tbl = pq.read_table(pages_parquet(40))
+    write_pages_warc(tbl, str(tmp_path / "warc"), num_shards=2)
+    staged = stage_warc_pages(str(tmp_path / "warc"), str(tmp_path / "staged"))
+    n1 = pq.read_table(staged).num_rows
+    staged = stage_warc_pages(str(tmp_path / "warc"), str(tmp_path / "staged"))
+    n2 = pq.read_table(staged).num_rows
+    assert n1 == n2 == 40

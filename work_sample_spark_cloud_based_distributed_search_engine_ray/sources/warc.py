@@ -204,8 +204,13 @@ def stage_warc_pages(path: str | list[str], out_dir: str) -> str:
     extraction-verify pass still byte-matches), and assign ``lang`` by
     the stopword argmax vote of the textstats stage (en >= de >= fr tie
     order — WARC carries no language metadata, so it is derived, not
-    copied). Output is partitioned parquet (one file per input block),
-    resumable by re-running into the same directory."""
+    copied). Output is partitioned parquet; any existing staging dir is
+    REPLACED first (Ray's write_parquet appends by default, which would
+    silently double every page on a re-run — the resumable unit is the
+    downstream build's phase-A manifests, not this staging pass)."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     import numpy as np
     import pyarrow.compute as pc
 
