@@ -4262,6 +4262,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=CLUSTER_ROUNDS,
         )
 
+    def q_crawl_triangles(sf_dir: str):
+        """Exact triangle census of the undirected link graph (nodes,
+        edges, wedges, triangles, global transitivity) — the clustering
+        / link-farm-density signal over the same edge replay as
+        ``crawl_components``. Degree-oriented distributed plan
+        (``stages/crawl.triangle_stats``): hub wedge fan-out is defused
+        by orienting every edge from low (deg, id) to high."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            triangle_stats,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            a_out, b_out = [], []
+            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
+                ha, hb = hash64(s), hash64(d)
+                if ha == hb:
+                    continue
+                a_out.append(min(ha, hb))
+                b_out.append(max(ha, hb))
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_out, pa.int64()),
+                    "doc_b": pa.array(b_out, pa.int64()),
+                }
+            )
+
+        undirected = distinct_on(
+            edges.map_batches(to_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
+        )
+        return triangle_stats(undirected)
+
     def q_robots_gate(sf_dir: str):
         # robots-gate decisions over the pages corpus: per-actor host
         # rules cache (the reference's per-JVM cache, Crawler.java:27)
@@ -5046,6 +5093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_components": q_crawl_components,
+        "crawl_triangles": q_crawl_triangles,
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
@@ -7628,6 +7676,44 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}
     """
 
+    # triangle census: the same edge replay up to the distinct (a<b)
+    # pair set, then degrees / wedges / the one-orientation triangle
+    # join (a<b, b<c closing a<c counts each triangle exactly once)
+    crawl_triangles_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+        FROM ids WHERE a <> b),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT doc_a AS node FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+            GROUP BY node),
+    tri AS (SELECT count(*) AS n FROM pairs e1
+            JOIN pairs e2 ON e2.doc_a = e1.doc_b
+            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+            FROM deg)
+    SELECT agg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           agg.n_wedges,
+           (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+           CAST(CASE WHEN agg.n_wedges = 0 THEN 0
+                ELSE (3000000 * (SELECT n FROM tri)) // agg.n_wedges
+                END AS BIGINT) AS transitivity_e6
+    FROM agg
+    """
+
     dup_cluster_sql = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -8111,6 +8197,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_components": crawl_components_sql,
+        "crawl_triangles": crawl_triangles_sql,
         "crawl_degree_dist": _degree_dist_oracle_sql(),
         "crawl_orphans": _orphans_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),

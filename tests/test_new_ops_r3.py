@@ -474,3 +474,71 @@ def test_cube_grouping_sets_vs_duckdb(con):
     assert len(got) == len(want)
     for col in want.columns:
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_triangle_stats_known_graphs_and_partitioning_invariance():
+    """K4 (4 triangles, 12 wedges) + a pendant path (1 wedge) + an
+    isolated edge; census is exact and invariant to input block
+    layout and bucket count."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        triangle_stats,
+    )
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(5, 6), (6, 7), (8, 9)]
+    t_expect = {
+        "n_nodes": [9],
+        "n_edges": [9],
+        "n_wedges": [13],
+        "n_triangles": [4],
+        "transitivity_e6": [(3_000_000 * 4) // 13],
+    }
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+            "doc_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    for nparts, nbuck in ((1, 8), (4, 3)):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        got = triangle_stats(ds, num_buckets=nbuck)
+        assert got.to_pydict() == t_expect
+
+
+def test_triangle_stats_vs_duckdb_random_graph():
+    """Erdos-Renyi-ish random graph: census matches the plain SQL
+    triangle join (orientation-free ground truth)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        triangle_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 60
+    a = rng.integers(0, n, 400)
+    b = rng.integers(0, n, 400)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    tbl = pa.table(
+        {
+            "doc_a": pa.array(pairs[:, 0], pa.int64()),
+            "doc_b": pa.array(pairs[:, 1], pa.int64()),
+        }
+    )
+    got = triangle_stats(rd.from_arrow(tbl).repartition(3), num_buckets=8).to_pydict()
+    con = duckdb.connect()
+    con.register("pairs", tbl)
+    tri = con.sql(
+        """SELECT count(*) FROM pairs e1
+           JOIN pairs e2 ON e2.doc_a = e1.doc_b
+           JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"""
+    ).fetchone()[0]
+    wedges = con.sql(
+        """SELECT CAST(sum((deg*(deg-1))//2) AS BIGINT) FROM (
+             SELECT count(*) AS deg FROM (
+               SELECT doc_a AS x FROM pairs UNION ALL SELECT doc_b FROM pairs)
+             GROUP BY x)"""
+    ).fetchone()[0]
+    assert got["n_triangles"] == [int(tri)]
+    assert got["n_wedges"] == [int(wedges)]
+    assert got["n_edges"] == [len(pairs)]

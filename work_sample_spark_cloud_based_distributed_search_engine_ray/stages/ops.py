@@ -209,6 +209,53 @@ def shuffle_join(
     return hash_map_groups(tagged, "__bucket", per_bucket)
 
 
+def packed_join(
+    ds_left: rd.Dataset,
+    ds_right: rd.Dataset,
+    key: str,
+    *,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """``shuffle_join`` executed on the task-based packed exchange
+    (``shuffle.packed_task_groups``) instead of the Dataset hash
+    shuffle. Two reasons to prefer it when an input comes OUT of a
+    ``map_groups``-style stage:
+
+    - a map_groups partition that received zero rows emits a
+      SCHEMA-LESS empty block; downstream ``map_batches`` skip it (so
+      the ``__bucket`` column never appears) and the Dataset hash
+      shuffle then dies sorting on the missing key —
+      ``packed_task_groups.split_block`` guards ``num_rows == 0``
+      before touching any column;
+    - the hash shuffle pays ~2-3 s of fixed aggregator-actor setup per
+      execution, which dominates joins of compact intermediates.
+
+    Inputs are materialized by the packed exchange — use for narrow
+    mid-pipeline tables (degree maps, pair counts), not huge streaming
+    inputs (those keep ``shuffle_join``'s backpressure)."""
+    from .shuffle import packed_task_groups
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        left = group.filter(pc.equal(side, 0)).select([key] + left_cols)
+        right = group.filter(pc.equal(side, 1)).select([key] + right_cols)
+        return left.join(right, keys=key, join_type=how)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__jbucket",
+            pc.cast(_bucket_of(batch[key], num_buckets), pa.int64()),
+        )
+
+    lk = ds_left.select_columns([key] + left_cols)
+    rk = ds_right.select_columns([key] + right_cols)
+    tagged = tag_union(lk, rk, key).map_batches(add_bucket, batch_format="pyarrow")
+    return packed_task_groups(tagged, "__jbucket", per_bucket, num_buckets=num_buckets)
+
+
 def distinct_on(ds: rd.Dataset, cols: list[str], *, num_buckets: int = 64) -> rd.Dataset:
     """Global exact distinct over ``cols``: per-batch local dedup
     (combiner — shrinks the shuffle), then ONE hash shuffle on a
