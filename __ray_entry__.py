@@ -1408,6 +1408,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             stats, batch_format="pyarrow"
         )
 
+    def q_readability(sf_dir: str):
+        """Automated Readability Index per doc (Senter & Smith 1967:
+        4.71*chars/words + 0.5*words/sentences - 21.43) — the grade-
+        level quality-filter signal. Chars/words come from the
+        CANONICAL tokens (punctuation already stripped), sentences from
+        the [.!?] non-empty-span rule of ``text_sentence_stats``; the
+        score is the exact integer rational floor((4710*C*S + 500*W^2 +
+        (K-21430)*W*S) / (W*S)) - K at e3 quantization (K=30000 keeps
+        the numerator positive so floor == truncation and the SQL twin
+        replays it with BIGINT division). Shuffle-free; docs with zero
+        words or zero sentences drop out (mirrored in SQL)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            flat_tokens_batch,
+        )
+
+        K = 30_000
+
+        def ari(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            flat, parents, _nd = flat_tokens_batch(t["text"])
+            tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            n_words = np.zeros(n, np.int64)
+            n_chars = np.zeros(n, np.int64)
+            if tok_lens.size:
+                np.add.at(n_words, parents, 1)
+                np.add.at(n_chars, parents, tok_lens)
+            spans = pc.split_pattern_regex(t["text"], "[.!?]")
+            sflat = pc.utf8_trim(pc.list_flatten(spans), " \t\r\n")
+            sparents = pc.list_parent_indices(spans).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            nonempty = pc.utf8_length(sflat).to_numpy(zero_copy_only=False) > 0
+            n_sent = np.zeros(n, np.int64)
+            np.add.at(n_sent, sparents[nonempty], 1)
+            keep = (n_words > 0) & (n_sent > 0)
+            W, C, S = n_words[keep], n_chars[keep], n_sent[keep]
+            ari_e3 = (4710 * C * S + 500 * W * W + (K - 21430) * W * S) // (W * S) - K
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(keep)),
+                    "n_chars": pa.array(C),
+                    "n_words": pa.array(W),
+                    "n_sentences": pa.array(S),
+                    "ari_e3": pa.array(ari_e3),
+                }
+            )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ari, batch_format="pyarrow"
+        )
+
     def q_chunk_overlap(sf_dir: str):
         """Overlapping-window chunking (RAG prep: window 32 tokens,
         stride 16 — each chunk shares half its tokens with the next so
@@ -2237,6 +2290,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow",
         )
+
+    def q_string_agg(sf_dir: str):
+        """Ordered string aggregation per group (the reference's
+        foldByKey comma-concat accumulator, FlameWorker.java:223-270,
+        made deterministic): per nation, the alphabetically ordered
+        comma-joined supplier names. Broadcast dimension + ONE bounded
+        key-bucket exchange with a fully vectorized per-bucket concat
+        (``stages/ops.grouped_string_agg``)."""
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_string_agg,
+        )
+
+        supp = _tbl(sf_dir, "supplier", ["s_nationkey", "s_name"])
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).rename_columns(["s_nationkey", "n_name"])
+        joined = broadcast_join(supp, nation, on="s_nationkey")
+        return grouped_string_agg(joined, "n_name", "s_name", sep=",")
 
     def q_distinct(sf_dir: str):
         return distinct_on(
@@ -4055,6 +4128,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n"))
         )
 
+    def q_corr(sf_dir: str):
+        """Pearson correlation of quantity vs price per (returnflag,
+        linestatus) group — the two-moment grouped aggregate
+        (``stages/ops.grouped_corr``). Quantize-first discipline:
+        x = floor(quantity), y = floor(price dollars) so every moment
+        sum is an exact int64 per block and an exact big-int at the
+        final combine; the ONLY float op is the last corr_e6 rational,
+        replayed with identical IEEE ops by the SQL twin."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_corr,
+        )
+
+        def quantize(t: pa.Table) -> pa.Table:
+            q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            p = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "x": pa.array(q),
+                    "y": pa.array(p),
+                }
+            )
+
+        ds = _tbl(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ).map_batches(quantize, batch_format="pyarrow")
+        return grouped_corr(ds, ["l_returnflag", "l_linestatus"], "x", "y")
+
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
         type pair — the co-occurrence matrix behind segment analysis.
@@ -4997,6 +5105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_neighbors": q_vocab_neighbors,
         "text_chunk_overlap": q_chunk_overlap,
         "text_sentence_stats": q_sentence_stats,
+        "text_readability": q_readability,
         "text_embed_hash": q_embed_hash,
         "text_compress_ratio": q_compress_ratio,
         "text_pii_scrub": q_pii_scrub,
@@ -5031,6 +5140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_groupby_agg": q_groupby_agg,
         "rel_broadcast_join_agg": q_broadcast_join,
         "rel_distinct": q_distinct,
+        "rel_string_agg": q_string_agg,
         "rel_intersection": q_intersection,
         "rel_except": q_except,
         "rel_cogroup_counts": q_cogroup,
@@ -5097,6 +5207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
+        "rel_corr": q_corr,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
         "rel_attribution": q_attribution,
@@ -7936,6 +8047,25 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS max_sentence_chars
     FROM s
     """,
+        # ARI readability: canonical-token chars/words + the sentence
+        # rule above; exact integer rational at e3 (positive-shifted
+        # numerator so floor == BIGINT truncation in both engines)
+        "text_readability": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks, text FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                 AS BIGINT) AS n_chars,
+            CAST(len(list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                          x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))),
+                     x -> x <> '')) AS BIGINT) AS n_sentences
+          FROM t)
+    SELECT doc_id, n_chars, n_words, n_sentences,
+           CAST((4710 * n_chars * n_sentences + 500 * n_words * n_words
+                 + (30000 - 21430) * n_words * n_sentences)
+                // (n_words * n_sentences) - 30000 AS BIGINT) AS ari_e3
+    FROM m WHERE n_words > 0 AND n_sentences > 0
+    """,
         # overlapping RAG chunks: list_slice windows + native md5
         "text_chunk_overlap": f"""
     WITH toks AS (SELECT doc_id, {TOKS} AS l FROM documents),
@@ -8270,6 +8400,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_mktsegment"
         ),
         "rel_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        # deterministic ordered string_agg (grouped_string_agg twin)
+        "rel_string_agg": """
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS agg,
+           CAST(count(*) AS BIGINT) AS n_values
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
         "rel_intersection": (
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
             "INTERSECT "
@@ -8661,6 +8799,30 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n
     FROM v WHERE v > 0
     GROUP BY event_type, digit
+    """,
+        # grouped Pearson correlation: exact HUGEINT moment sums, one
+        # identical IEEE expression at the end (matches grouped_corr)
+        "rel_corr": """
+    WITH q AS (SELECT l_returnflag, l_linestatus,
+                      CAST(floor(l_quantity) AS HUGEINT) AS x,
+                      CAST(floor(l_extendedprice) AS HUGEINT) AS y
+               FROM lineitem),
+    s AS (SELECT l_returnflag, l_linestatus,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM q GROUP BY l_returnflag, l_linestatus),
+    d AS (SELECT l_returnflag, l_linestatus, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM s)
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                      / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+                AS BIGINT) AS corr_e6
+    FROM d WHERE d1 > 0 AND d2 > 0
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

@@ -542,3 +542,75 @@ def test_triangle_stats_vs_duckdb_random_graph():
     assert got["n_triangles"] == [int(tri)]
     assert got["n_wedges"] == [int(wedges)]
     assert got["n_edges"] == [len(pairs)]
+
+
+def test_grouped_corr_exact_vs_duckdb(con):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_corr,
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pa.array(
+                    np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
+                "y": pa.array(
+                    np.floor(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = (
+        rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(quantize, batch_format="pyarrow")
+        .repartition(5)
+    )
+    got = _sorted(grouped_corr(ds, ["l_returnflag"], "x", "y"), ["l_returnflag"])
+    want = _sorted(
+        con.sql(
+            """
+        WITH q AS (SELECT l_returnflag,
+                          CAST(floor(l_quantity) AS HUGEINT) x,
+                          CAST(floor(l_extendedprice) AS HUGEINT) y FROM lineitem),
+        s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) n, sum(x) sx, sum(y) sy,
+                     sum(x*x) sxx, sum(y*y) syy, sum(x*y) sxy
+              FROM q GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               CAST(floor(1000000.0 * CAST(n*sxy - sx*sy AS DOUBLE)
+                    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT) AS corr_e6
+        FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """
+        ).df(),
+        ["l_returnflag"],
+    )
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    assert got["corr_e6"].tolist() == want["corr_e6"].tolist()
+
+
+def test_grouped_string_agg_ordered_and_partitioning_invariant():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_string_agg,
+    )
+
+    t = pa.table(
+        {
+            "k": ["b", "a", "b", "a", "c", "b"],
+            "v": ["z", "m", "a", "n", "q", "k"],
+        }
+    )
+    want = {"a": "m,n", "b": "a,k,z", "c": "q"}
+    for nparts in (1, 3):
+        got = (
+            grouped_string_agg(rd.from_arrow(t).repartition(nparts), "k", "v")
+            .to_pandas()
+            .set_index("k")
+        )
+        assert dict(got["agg"]) == want
+        assert dict(got["n_values"]) == {"a": 2, "b": 3, "c": 1}
