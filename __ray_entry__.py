@@ -429,6 +429,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_search_tfidf(sf_dir: str) -> pa.Table:
         return _search_table(sf_dir, "reference")
 
+    def q_search_tiered(sf_dir: str) -> pa.Table:
+        """Two-tier champion-list retrieval (static index pruning):
+        tier 1 = BM25 over the union of per-term top-32-by-tf champion
+        postings when that union holds >= 50 docs; tier 2 = exhaustive
+        fallback. Candidate scores are bit-identical to the flagship
+        scorer, so the e6 re-rank convention carries over unchanged."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores, tiers = [], [], [], [], []
+        for qid, q in reference_queries():
+            ranked, tier = idx.bm25_topk_tiered(q, k=50, champions=32)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+                tiers.append(tier)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+                "tier": pa.array(tiers, pa.int64()),
+            }
+        )
+
     def q_search_mrr(sf_dir: str) -> pa.Table:
         """Reciprocal rank of the first FULLY-relevant result in the
         BM25 top-10 — relevant = contains ALL distinct query terms, so
@@ -5064,6 +5098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "search_bm25_wand": q_search_bm25,
+        "search_bm25_tiered": q_search_tiered,
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
@@ -5622,6 +5657,33 @@ def _flagship_oracle_sql(
         final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
            CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
     FROM dcg JOIN idcg USING (qid)"""
+    elif variant == "tiered":
+        # two-tier champion-list retrieval — bm25_topk_tiered: per-term
+        # champion list = top-32 postings by (tf desc, doc_id); tier 1
+        # serves from the champion union when it holds >= 50 docs, else
+        # tier 2 = the exhaustive flagship ranking
+        collapse_ctes = """,
+    champ AS (SELECT term, doc_id FROM tf
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              QUALIFY row_number() OVER (PARTITION BY term
+                                         ORDER BY tf DESC, doc_id) <= 32),
+    cand AS (SELECT DISTINCT q.qid, c.doc_id FROM q JOIN champ c USING (term)),
+    nc AS (SELECT qid, count(*) AS n FROM cand GROUP BY qid),
+    tiered AS (
+      SELECT e6.qid, e6.doc_id, e6.score_e6, CAST(1 AS BIGINT) AS tier
+      FROM e6 JOIN cand ON cand.qid = e6.qid AND cand.doc_id = e6.doc_id
+              JOIN nc ON nc.qid = e6.qid
+      WHERE nc.n >= 50
+      UNION ALL
+      SELECT e6.qid, e6.doc_id, e6.score_e6, CAST(2 AS BIGINT) AS tier
+      FROM e6 JOIN nc ON nc.qid = e6.qid
+      WHERE nc.n < 50)"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6, tier
+    FROM tiered
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
     elif variant == "mrr":
         # reciprocal rank of the first FULLY-relevant result (doc
         # contains ALL distinct query terms), exact-integer — q_search_mrr
@@ -7999,6 +8061,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
+        "search_bm25_tiered": _flagship_oracle_sql("bm25", variant="tiered"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),

@@ -561,3 +561,27 @@ def test_compact_index_single_file_and_score_identical(built, tmp_path):
     for _qid, q in reference_queries():
         assert idx2.bm25_topk(q, 10) == idx.bm25_topk(q, 10)
         assert idx2.reference_topk(q) == idx.reference_topk(q)
+
+
+def test_tiered_champion_retrieval(built):
+    """Tier-1 scores are bit-identical to exhaustive for the same docs;
+    tier-2 fallback IS the exhaustive ranking; with champions covering
+    whole posting lists tier 1 reproduces the flagship top-k exactly."""
+    _pages, _paths, idx, _oracle = built
+    saw_t1 = saw_t2 = False
+    for _qid, q in reference_queries():
+        ranked, tier = idx.bm25_topk_tiered(q, k=10, champions=8)
+        exh = idx.bm25_topk_exhaustive(q, 10)
+        if tier == 2:
+            saw_t2 = True
+            assert ranked == exh
+        else:
+            saw_t1 = bool(ranked) or saw_t1
+            exact = dict(idx.bm25_topk_exhaustive(q, 10_000))
+            for d, s in ranked:
+                assert s == exact[d]  # bit-identical restricted scoring
+        # champion lists >= every posting list -> tier 1 == flagship
+        full, tier_full = idx.bm25_topk_tiered(q, k=10, champions=10_000)
+        if tier_full == 1:
+            assert full == exh
+    assert saw_t1 and saw_t2, "both tiers must be exercised at fixture scale"

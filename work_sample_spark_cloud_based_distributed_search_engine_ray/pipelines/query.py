@@ -353,6 +353,47 @@ class SearchIndex:
             return self._maxscore(cursors, k)
         return self._wand(cursors, k)
 
+    def bm25_topk_tiered(
+        self, query: str, k: int = 10, *, champions: int = 32
+    ) -> tuple[list[tuple[int, float]], int]:
+        """Two-tier champion-list retrieval (static index pruning —
+        Carmel et al. 2001; Manning IIR §7.1.3): tier 1 scores ONLY the
+        union of each query term's top-``champions`` postings by
+        (tf desc, doc_id asc) — the per-term champion list a tiered
+        index stores as its own short posting file, so at corpus scale
+        tier 1 touches a bounded number of postings per query no matter
+        how common the terms are. If the champion union has fewer than
+        ``k`` docs the query falls back to the exhaustive tier (tier 2,
+        the reference-parity scorer).
+
+        Candidate scores are bit-identical to ``bm25_topk_exhaustive``
+        for the same docs: identical per-posting float kernel on the
+        sliced arrays and identical term-order accumulation. Returns
+        ``(topk, tier)``.
+        """
+        q_terms = [t for t in tokenize_query(query) if self.has_term(t)]
+        if not q_terms:
+            return [], 1
+        plist = [self.postings(t) for t in q_terms]
+        champ_ids = []
+        for p in plist:
+            m = min(champions, p.ids.size)
+            order = np.lexsort((p.ids, -p.tfs))[:m]
+            champ_ids.append(p.ids[order])
+        cands = np.unique(np.concatenate(champ_ids))
+        if cands.size < k:
+            return self.bm25_topk_exhaustive(query, k), 2
+        acc = np.zeros(cands.size, dtype=np.float64)
+        for p in plist:
+            pos = np.searchsorted(p.ids, cands)
+            pos_c = np.minimum(pos, p.ids.size - 1)
+            hit = p.ids[pos_c] == cands
+            idx = pos_c[hit]
+            acc[hit] += self.bm25_idf(p.df) * self._bm25_tf_part(
+                p.tfs[idx].astype(np.float64), p.dls[idx].astype(np.float64)
+            )
+        return _topk(cands, acc, k), 1
+
     def _score_doc(self, cursors: list["_Cursor"], doc: int) -> float:
         s = 0.0
         # accumulate in query-term order, with the same float association
