@@ -54,6 +54,7 @@ MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
+KCORE_K = 12  # k-core peel threshold: non-trivial core at the gate (733/10k nodes)
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 10
@@ -4451,6 +4452,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return triangle_stats(undirected)
 
+    def q_crawl_kcore(sf_dir: str):
+        """k-core decomposition of the undirected link graph (k=16,
+        CLUSTER_ROUNDS peels): the dense-nucleus membership flag per
+        node. Same edge replay as ``crawl_components``; iterative
+        peeling runs on the task-per-block plan
+        (``stages/crawl.kcore_flags``), the oracle unrolls the
+        identical fixed rounds in SQL."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            kcore_flags,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            a_out, b_out = [], []
+            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
+                ha, hb = hash64(s), hash64(d)
+                if ha == hb:
+                    continue
+                a_out.append(min(ha, hb))
+                b_out.append(max(ha, hb))
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_out, pa.int64()),
+                    "doc_b": pa.array(b_out, pa.int64()),
+                }
+            )
+
+        undirected = distinct_on(
+            edges.map_batches(to_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
+        )
+        return kcore_flags(undirected, k=KCORE_K, rounds=CLUSTER_ROUNDS)
+
     def q_robots_gate(sf_dir: str):
         # robots-gate decisions over the pages corpus: per-actor host
         # rules cache (the reference's per-JVM cache, Crawler.java:27)
@@ -5239,6 +5287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_components": q_crawl_components,
         "crawl_triangles": q_crawl_triangles,
+        "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
@@ -7887,6 +7936,82 @@ def oracle_sql() -> dict[str, str]:
     FROM agg
     """
 
+
+    # k-core: same edge replay, then CLUSTER_ROUNDS unrolled peels
+    crawl_kcore_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+        FROM ids WHERE a <> b),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
+    a0 AS (SELECT doc_id FROM nodes),
+    a1 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a0 s ON e.src = s.doc_id
+      JOIN a0 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a2 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a1 s ON e.src = s.doc_id
+      JOIN a1 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a3 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a2 s ON e.src = s.doc_id
+      JOIN a2 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a4 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a3 s ON e.src = s.doc_id
+      JOIN a3 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a5 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a4 s ON e.src = s.doc_id
+      JOIN a4 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a6 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a5 s ON e.src = s.doc_id
+      JOIN a5 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a7 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a6 s ON e.src = s.doc_id
+      JOIN a6 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a8 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a7 s ON e.src = s.doc_id
+      JOIN a7 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a9 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a8 s ON e.src = s.doc_id
+      JOIN a8 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K}),
+    a10 AS MATERIALIZED (
+      SELECT e.src AS doc_id FROM e
+      JOIN a9 s ON e.src = s.doc_id
+      JOIN a9 t ON e.dst = t.doc_id
+      GROUP BY e.src HAVING count(*) >= {KCORE_K})
+    SELECT n.doc_id, (k.doc_id IS NOT NULL) AS in_core
+    FROM nodes n LEFT JOIN a10 k ON n.doc_id = k.doc_id
+    """
+
     dup_cluster_sql = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -8391,6 +8516,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_triangles": crawl_triangles_sql,
+        "crawl_kcore": crawl_kcore_sql,
         "crawl_degree_dist": _degree_dist_oracle_sql(),
         "crawl_orphans": _orphans_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),

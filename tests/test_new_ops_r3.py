@@ -614,3 +614,35 @@ def test_grouped_string_agg_ordered_and_partitioning_invariant():
         )
         assert dict(got["agg"]) == want
         assert dict(got["n_values"]) == {"a": 2, "b": 3, "c": 1}
+
+
+def test_kcore_known_graph_and_unconverged_rounds():
+    """K5 (4-core) + a chain: 3-core keeps exactly the K5; rounds cap
+    semantics — with rounds=1 only one peel is applied (matching the
+    unrolled oracle), with enough rounds the fixpoint is reached."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        kcore_flags,
+    )
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(6, 7), (7, 8), (8, 9)] + [(5, 6)]
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([e[0] for e in k5 + chain], pa.int64()),
+            "doc_b": pa.array([e[1] for e in k5 + chain], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = kcore_flags(ds, k=3, rounds=10).to_pydict()
+    flags = dict(zip(got["doc_id"], got["in_core"]))
+    assert all(flags[n] for n in range(1, 6))
+    assert not any(flags[n] for n in range(6, 10))
+    # one peel only: chain ends 9 (deg 1 < 2) drop, interior survives
+    one = kcore_flags(ds, k=2, rounds=1).to_pydict()
+    f1 = dict(zip(one["doc_id"], one["in_core"]))
+    assert f1[9] is False and f1[8] is True and f1[7] is True
+    # fixpoint of k=2: the chain unravels completely, K5+node6 stay
+    fx = kcore_flags(ds, k=2, rounds=10).to_pydict()
+    f2 = dict(zip(fx["doc_id"], fx["in_core"]))
+    assert not f2[9] and not f2[8] and not f2[7] and not f2[6]
+    assert all(f2[n] for n in range(1, 6))

@@ -998,3 +998,87 @@ def triangle_stats(edges: "rd.Dataset", *, num_buckets: int = 64) -> pa.Table:
             "transitivity_e6": pa.array([trans_e6], pa.int64()),
         }
     )
+
+
+def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
+    """k-core decomposition of an undirected graph by iterative peeling
+    (Seidman 1983) — the "dense nucleus" signal link-spam and
+    community analyses run over a web graph: repeatedly drop nodes
+    whose degree among SURVIVORS is < k; after enough rounds the
+    remainder is the k-core.
+
+    Input: DISTINCT (doc_a < doc_b) edges. Output: one row per graph
+    node, ``(doc_id, in_core)`` — membership after exactly ``rounds``
+    peels (early-exit on fixpoint is invariant: a fixpoint survives
+    any further rounds, so the unrolled-SQL twin computes the same
+    set).
+
+    Physical plan (the ``pagerank``/``dup_clusters`` task-per-block
+    pattern): edge blocks are integer-encoded against the sorted node
+    array ONCE and stay in the object store; per round the alive
+    bitmap (1 bit-bool per node) is broadcast via ``ray.put`` and one
+    task per block returns its node-bounded surviving-degree partials,
+    which the driver folds with ``np.add.at``. Nothing corpus-sized
+    ever lands on the driver — state is O(nodes-in-edges)."""
+    import numpy as np
+
+    import ray
+
+    edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+    refs = edges.to_arrow_refs()
+
+    def _tbl_of(b):
+        return pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+
+    @ray.remote
+    def block_nodes(b):
+        t = _tbl_of(b)
+        return np.unique(
+            np.concatenate(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False),
+                    t["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+
+    parts = ray.get([block_nodes.remote(r) for r in refs])
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "in_core": pa.array([], pa.bool_())}
+        )
+    nodes = np.unique(np.concatenate(parts))
+    ids_ref = ray.put(nodes)
+
+    @ray.remote
+    def prep_block(b, ids):
+        t = _tbl_of(b)
+        a = np.searchsorted(ids, t["doc_a"].to_numpy(zero_copy_only=False))
+        bb = np.searchsorted(ids, t["doc_b"].to_numpy(zero_copy_only=False))
+        return a.astype(np.int64), bb.astype(np.int64)
+
+    prep_refs = [prep_block.remote(r, ids_ref) for r in refs]
+
+    @ray.remote
+    def surviving_degree(prep, alive):
+        a, b = prep
+        live = alive[a] & alive[b]
+        idx = np.concatenate([a[live], b[live]])
+        u, c = np.unique(idx, return_counts=True)
+        return u, c.astype(np.int64)
+
+    alive = np.ones(nodes.size, dtype=bool)
+    for _ in range(rounds):
+        alive_ref = ray.put(alive)
+        deg = np.zeros(nodes.size, np.int64)
+        for u, c in ray.get([surviving_degree.remote(p, alive_ref) for p in prep_refs]):
+            np.add.at(deg, u, c)
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            break
+        alive = new_alive
+
+    return pa.table(
+        {"doc_id": pa.array(nodes), "in_core": pa.array(alive)}
+    )
