@@ -1766,6 +1766,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["w1", "w2", "n_occ"]), batch_format="pyarrow"
         )
 
+    def q_cooccurrence(sf_dir: str):
+        """Windowed co-occurrence counts over the top-50 corpus terms
+        (the GloVe-style embedding-training input): unordered pairs
+        within 2 ORIGINAL token positions (out-of-vocab tokens still
+        consume distance). Map-side (V x V) dense combine per batch ->
+        bounded groupby (``stages/textstats.windowed_cooccurrence``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            windowed_cooccurrence,
+        )
+
+        return windowed_cooccurrence(_docs(sf_dir), vocab_size=50, window=2)
+
     def q_lang_id(sf_dir: str):
         return _stats(sf_dir).map_batches(
             lambda t: t.select(["doc_id", "en_hits", "de_hits", "fr_hits", "lang_pred"]),
@@ -5181,6 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": q_lang_id,
         "text_repetition": q_repetition,
         "text_collocations": q_collocations,
+        "text_cooccurrence": q_cooccurrence,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_stem_vocab": q_stem_vocab,
@@ -8315,6 +8328,25 @@ def oracle_sql() -> dict[str, str]:
            GROUP BY ALL)
     SELECT w1, w2, CAST(n_occ AS BIGINT) AS n_occ FROM bi
     QUALIFY row_number() OVER (ORDER BY n_occ DESC, w1, w2) <= 100
+    """,
+        # windowed co-occurrence over the top-50 vocab: positions from
+        # generate_subscripts so out-of-vocab tokens consume distance,
+        # unordered pairs via least/greatest (windowed_cooccurrence)
+        "text_cooccurrence": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    flat AS MATERIALIZED (SELECT doc_id, unnest(l) AS term,
+                                 generate_subscripts(l, 1) AS i FROM t),
+    cf AS (SELECT term, count(*) AS c FROM flat GROUP BY term),
+    vocab AS (SELECT term FROM cf
+              QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 50),
+    p AS MATERIALIZED (SELECT doc_id, term, i FROM flat
+                       WHERE term IN (SELECT term FROM vocab)),
+    pairs AS (SELECT least(a.term, b.term) AS term_a,
+                     greatest(a.term, b.term) AS term_b
+              FROM p a JOIN p b ON a.doc_id = b.doc_id
+                              AND b.i - a.i BETWEEN 1 AND 2)
+    SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_cooc
+    FROM pairs GROUP BY term_a, term_b
     """,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),

@@ -415,3 +415,33 @@ def test_cms_one_sided_and_partition_invariant():
     assert outs[0] == outs[1]
     assert all(est >= ex for _t, ex, est in outs[0])
     assert sum(ex for _t, ex, _e in outs[0]) > 0
+
+
+def test_windowed_cooccurrence_tiny_known():
+    """Hand-checkable corpus: window-2 unordered pairs over the full
+    vocab; intervening out-of-vocab tokens consume distance when the
+    vocab is restricted."""
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        windowed_cooccurrence,
+    )
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a"},
+            {"doc_id": 2, "text": "b z a"},
+        ]
+    ).repartition(2)
+    got = {
+        (r["term_a"], r["term_b"]): r["n_cooc"]
+        for r in windowed_cooccurrence(docs, vocab_size=10, window=2).take_all()
+    }
+    # doc1: (a,b)d1 (b,a)d1 (a,a)d2 ; doc2: (b,z)d1 (z,a)d1 (b,a)d2
+    assert got == {("a", "b"): 3, ("a", "a"): 1, ("b", "z"): 1, ("a", "z"): 1}
+    # vocab restricted to {a, b}: z vanishes but still consumes distance
+    got2 = {
+        (r["term_a"], r["term_b"]): r["n_cooc"]
+        for r in windowed_cooccurrence(docs, vocab_size=2, window=2).take_all()
+    }
+    assert got2 == {("a", "b"): 3, ("a", "a"): 1}

@@ -244,43 +244,6 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
     )
 
 
-def bigram_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-batch partial counts of adjacent token PAIRS across the
-    batch's docs (never across doc boundaries) — the map-side combine of
-    the corpus collocation query: the shuffle that follows carries one
-    row per distinct pair per batch, not per occurrence. Also the
-    building block of a bigram ("next-word") auxiliary index, the
-    classic phrase-query accelerator."""
-    import pyarrow.compute as pc
-
-    from ..functions.tokenize import flat_tokens_batch
-
-    flat, parents, _n = flat_tokens_batch(batch[text_col])
-    d = flat.dictionary_encode()
-    vocab = d.dictionary
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    if codes.size < 2:
-        return pa.table(
-            {
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "n_occ": pa.array([], pa.int64()),
-            }
-        )
-    same = parents[1:] == parents[:-1]
-    a = codes[:-1][same]
-    b = codes[1:][same]
-    key = a * len(vocab) + b
-    uniq, counts = np.unique(key, return_counts=True)
-    return pa.table(
-        {
-            "w1": vocab.take(pa.array(uniq // len(vocab))),
-            "w2": vocab.take(pa.array(uniq % len(vocab))),
-            "n_occ": pa.array(counts.astype(np.int64)),
-        }
-    )
-
-
 def token_counts_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch partial UNIGRAM counts — the map-side combine of the
     corpus language-model pass: the shuffle that follows carries one row
@@ -1164,4 +1127,100 @@ def cms_term_counts(
             "exact_tf": pa.array([exact_by[t] for t in terms], pa.int64()),
             "est_tf": pa.array(est, pa.int64()),
         }
+    )
+
+
+def windowed_cooccurrence(
+    docs, *, vocab_size: int = 50, window: int = 2, text_col: str = "text"
+):
+    """Windowed term co-occurrence counts over a BOUNDED vocabulary —
+    the GloVe/word2vec-style embedding-training input: for the corpus's
+    top-``vocab_size`` terms by occurrence count, how often does each
+    unordered pair appear within ``window`` token positions (original
+    positions — intervening out-of-vocabulary tokens still consume
+    distance)?
+
+    Physical plan, two streaming passes over a materialized input:
+
+    1. vocab — ``token_counts_partial`` map-side combine, one
+       vocab-cardinality groupby, top-``vocab_size`` by (cf desc,
+       term asc).
+    2. counting — per batch ONE flat tokenize; terms map to vocab codes
+       with a single ``index_in`` (codes are lexicographic because the
+       vocab array is sorted, so unordered pairs are min/max on codes);
+       for each offset d in 1..window one vectorized mask + one
+       ``np.add.at`` into a dense (V x V) per-batch matrix — the
+       map-side combine, so the final exchange carries <= V^2 rows per
+       block into a bounded groupby.
+
+    Output Dataset: (term_a, term_b, n_cooc), term_a <= term_b.
+    """
+    from ray.data.aggregate import Sum
+
+    from .ops import topn_per_group
+
+    docs = docs.materialize()
+    cf = (
+        docs.map_batches(token_counts_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="cf"))
+    )
+    tagged = cf.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    top = topn_per_group(
+        tagged, "g", vocab_size, [("cf", "descending"), ("term", "ascending")]
+    ).take_all()
+    vocab = sorted(r["term"] for r in top)
+    vocab_arr = pa.array(vocab, pa.string())
+    V = len(vocab)
+
+    empty = pa.table(
+        {
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import flat_tokens_batch
+
+        if V == 0:
+            return empty
+        flat, parents, _n = flat_tokens_batch(batch[text_col])
+        codes = (
+            pc.fill_null(pc.index_in(flat, value_set=vocab_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if codes.size < 2:
+            return empty
+        m = np.zeros(V * V, np.int64)
+        for d in range(1, window + 1):
+            if codes.size <= d:
+                break
+            a0, b0 = codes[:-d], codes[d:]
+            ok = (parents[:-d] == parents[d:]) & (a0 >= 0) & (b0 >= 0)
+            lo = np.minimum(a0[ok], b0[ok])
+            hi = np.maximum(a0[ok], b0[ok])
+            np.add.at(m, lo * V + hi, 1)
+        nz = np.flatnonzero(m)
+        if nz.size == 0:
+            return empty
+        return pa.table(
+            {
+                "term_a": vocab_arr.take(pa.array(nz // V)),
+                "term_b": vocab_arr.take(pa.array(nz % V)),
+                "n": pa.array(m[nz]),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n_cooc"))
     )
