@@ -1778,6 +1778,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return windowed_cooccurrence(_docs(sf_dir), vocab_size=50, window=2)
 
+    def q_pmi(sf_dir: str):
+        """Pointwise mutual information of the top-100 adjacent
+        collocations: pmi = ln(p(w1,w2) / (p(w1) p(w2))) with p from
+        exact corpus counts (bigram transitions / unigram occurrences).
+        Counts stay exact ints end-to-end; the ONE float expression is
+        evaluated in the same IEEE order as the SQL twin and e6-rounded
+        (the BM25-oracle convention)."""
+        import math
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            bigram_counts_partial,
+            token_counts_partial,
+        )
+
+        docs = _docs(sf_dir).materialize()
+        bi = (
+            docs.map_batches(bigram_counts_partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"])
+            .aggregate(Sum("n_occ", alias_name="n_occ"))
+            .materialize()
+        )
+        uni = (
+            docs.map_batches(token_counts_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n_occ", alias_name="cf"))
+            .materialize()
+        )
+        tbi = int(bi.sum("n_occ"))
+        tuni = int(uni.sum("cf"))
+        tagged = bi.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        top = topn_per_group(
+            tagged, "g", 100,
+            [("n_occ", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        ).take_all()
+        involved = sorted({w for r in top for w in (r["w1"], r["w2"])})
+        inv_arr = pa.array(involved, pa.string())
+        cf_rows = uni.map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], value_set=inv_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+        cf = {r["term"]: r["cf"] for r in cf_rows}
+        w1s, w2s, ns, pmis = [], [], [], []
+        for r in sorted(top, key=lambda r: (-r["n_occ"], r["w1"], r["w2"])):
+            c1, c2, n = cf[r["w1"]], cf[r["w2"]], r["n_occ"]
+            ratio = float(n) * float(tuni) * float(tuni) / (
+                float(tbi) * float(c1) * float(c2)
+            )
+            w1s.append(r["w1"])
+            w2s.append(r["w2"])
+            ns.append(n)
+            pmis.append(int(round(1000000.0 * math.log(ratio))))
+        return pa.table(
+            {
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "n_occ": pa.array(ns, pa.int64()),
+                "pmi_e6": pa.array(pmis, pa.int64()),
+            }
+        )
+
     def q_lang_id(sf_dir: str):
         return _stats(sf_dir).map_batches(
             lambda t: t.select(["doc_id", "en_hits", "de_hits", "fr_hits", "lang_pred"]),
@@ -5194,6 +5260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_repetition,
         "text_collocations": q_collocations,
         "text_cooccurrence": q_cooccurrence,
+        "text_pmi": q_pmi,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_stem_vocab": q_stem_vocab,
@@ -8347,6 +8414,30 @@ def oracle_sql() -> dict[str, str]:
                               AND b.i - a.i BETWEEN 1 AND 2)
     SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_cooc
     FROM pairs GROUP BY term_a, term_b
+    """,
+        # PMI over the same top-100 collocations: exact counts, one
+        # e6-rounded IEEE ln in the identical operand order
+        "text_pmi": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS term,
+                                 generate_subscripts(l, 1) AS pos FROM t),
+    bi AS MATERIALIZED (SELECT a.term AS w1, b.term AS w2, count(*) AS n_occ
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY ALL),
+    top AS (SELECT w1, w2, n_occ FROM bi
+            QUALIFY row_number() OVER (ORDER BY n_occ DESC, w1, w2) <= 100),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT (SELECT CAST(sum(n_occ) AS BIGINT) FROM bi) AS tbi,
+                   (SELECT count(*) FROM toks) AS tuni)
+    SELECT top.w1, top.w2, CAST(top.n_occ AS BIGINT) AS n_occ,
+           CAST(round(1000000.0 * ln(
+               CAST(top.n_occ AS DOUBLE) * CAST(tot.tuni AS DOUBLE)
+               * CAST(tot.tuni AS DOUBLE)
+               / (CAST(tot.tbi AS DOUBLE) * CAST(c1.c AS DOUBLE)
+                  * CAST(c2.c AS DOUBLE)))) AS BIGINT) AS pmi_e6
+    FROM top, tot
+    JOIN cf c1 ON c1.term = top.w1
+    JOIN cf c2 ON c2.term = top.w2
     """,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),
