@@ -464,6 +464,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_mmr_div(sf_dir: str) -> pa.Table:
+        """MMR-diversified BM25 top-10 (lambda = 0.5): greedy integer
+        re-ranking of the e6 candidate prefix penalizing Jaccard
+        similarity to already-selected results — the result-
+        diversification feature (Carbonell & Goldstein 1998)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            for d, s6, r in idx.bm25_topk_mmr(q, k=10, candidates=50):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "mmr_rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_mrr(sf_dir: str) -> pa.Table:
         """Reciprocal rank of the first FULLY-relevant result in the
         BM25 top-10 — relevant = contains ALL distinct query terms, so
@@ -5225,6 +5251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_bm25_wand": q_search_bm25,
         "search_bm25_tiered": q_search_tiered,
+        "search_bm25_mmr": q_search_mmr_div,
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
@@ -5786,6 +5813,54 @@ def _flagship_oracle_sql(
         final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
            CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
     FROM dcg JOIN idcg USING (qid)"""
+    elif variant == "mmr":
+        # MMR diversification — bm25_topk_mmr: pairwise integer Jaccard
+        # over candidate token sets (tf rows ARE the distinct
+        # (doc_id, term) pairs), then k-1 unrolled greedy steps; every
+        # comparison is int64 (lam_e6=500000)
+        _steps = []
+        for r in range(1, 10):
+            _steps.append(f""",
+    cand{r} AS MATERIALIZED (
+      SELECT p.qid, p.doc_id, p.score_e6, max(COALESCE(s.sim_e6, 0)) AS ms
+      FROM pref p
+      ANTI JOIN sel{r - 1} d ON d.qid = p.qid AND d.doc_id = p.doc_id
+      JOIN sel{r - 1} t ON t.qid = p.qid
+      LEFT JOIN sims s ON s.qid = p.qid AND s.da = p.doc_id AND s.db = t.doc_id
+      GROUP BY p.qid, p.doc_id, p.score_e6),
+    pick{r} AS MATERIALIZED (
+      SELECT qid, doc_id, score_e6, CAST({r} AS BIGINT) AS mmr_rank FROM (
+        SELECT qid, doc_id, score_e6,
+               500000 * score_e6 - 500000 * ms AS val
+        FROM cand{r})
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY val DESC, doc_id) = 1),
+    sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+        collapse_ctes = (
+            """,
+    pref AS MATERIALIZED (
+             SELECT qid, doc_id, score_e6,
+                    row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    ct AS MATERIALIZED (SELECT p.qid, p.doc_id, tf.term
+                        FROM pref p JOIN tf USING (doc_id)),
+    szs AS (SELECT qid, doc_id, count(*) AS sz FROM ct GROUP BY qid, doc_id),
+    it AS (SELECT a.qid, a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM ct a JOIN ct b ON a.qid = b.qid AND a.term = b.term
+                             AND a.doc_id <> b.doc_id
+           GROUP BY a.qid, a.doc_id, b.doc_id),
+    sims AS MATERIALIZED (
+      SELECT it.qid, it.da, it.db,
+             CAST(1000000 * it.i // (sa.sz + sb.sz - it.i) AS BIGINT) AS sim_e6
+      FROM it JOIN szs sa ON sa.qid = it.qid AND sa.doc_id = it.da
+              JOIN szs sb ON sb.qid = it.qid AND sb.doc_id = it.db),
+    sel0 AS MATERIALIZED (
+             SELECT qid, doc_id, score_e6, CAST(0 AS BIGINT) AS mmr_rank
+             FROM pref WHERE rn = 1)"""
+            + "".join(_steps)
+        )
+        final_select = """SELECT qid, mmr_rank, doc_id, score_e6 FROM sel9"""
     elif variant == "tiered":
         # two-tier champion-list retrieval — bm25_topk_tiered: per-term
         # champion list = top-32 postings by (tf desc, doc_id); tier 1
@@ -8267,6 +8342,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_bm25_tiered": _flagship_oracle_sql("bm25", variant="tiered"),
+        "search_bm25_mmr": _flagship_oracle_sql("bm25", variant="mmr"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),

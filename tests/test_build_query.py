@@ -585,3 +585,25 @@ def test_tiered_champion_retrieval(built):
         if tier_full == 1:
             assert full == exh
     assert saw_t1 and saw_t2, "both tiers must be exercised at fixture scale"
+
+
+def test_mmr_diversification_properties(built):
+    """MMR rank-0 is the e6-top-1; selection never repeats a doc;
+    lambda=1.0 (no diversity penalty) reproduces the e6 prefix order;
+    diversification actually reorders at least one query at fixture
+    scale (non-vacuous)."""
+    _pages, _paths, idx, _oracle = built
+    reordered = 0
+    for _qid, q in reference_queries():
+        sel = idx.bm25_topk_mmr(q, k=10, candidates=30)
+        if not sel:
+            continue
+        pref = idx._e6_prefix(q, 30)
+        assert sel[0][0] == pref[0][1]
+        assert len({d for d, _s, _r in sel}) == len(sel)
+        assert [r for _d, _s, r in sel] == list(range(len(sel)))
+        pure = idx.bm25_topk_mmr(q, k=10, candidates=30, lam_e6=1_000_000)
+        assert [d for d, _s, _r in pure] == [d for _s, d in pref[: len(pure)]]
+        if [d for d, _s, _r in sel] != [d for d, _s, _r in pure]:
+            reordered += 1
+    assert reordered >= 1, "MMR never reordered anything — vacuous at fixture scale"

@@ -962,6 +962,53 @@ class SearchIndex:
             self._docstore = DocStore(self._docstore_path)
         return self._docstore
 
+    def bm25_topk_mmr(
+        self, query: str, k: int = 10, *, candidates: int = 50, lam_e6: int = 500_000
+    ) -> list[tuple[int, int, int]]:
+        """Maximal-Marginal-Relevance result diversification (Carbonell
+        & Goldstein 1998) over the e6 candidate prefix: greedy selection
+        maximizing ``lam * relevance - (1 - lam) * max-similarity-to-
+        already-selected``, doc-doc similarity = exact integer Jaccard
+        (e6-floored) over DISTINCT canonical token sets. Every
+        comparison is int64 — value = lam_e6 * score_e6 -
+        (1e6 - lam_e6) * maxsim_e6, ties to the lower doc_id — so the
+        selection order is hash-exact and the SQL twin unrolls the same
+        k-1 greedy steps.
+
+        Token sets come from ``candidates`` DocStore point reads per
+        query (bounded, never corpus-dependent; the body is
+        byte-identical to the indexed text by the extraction
+        invariant). Returns [(doc_id, score_e6, mmr_rank)] in selection
+        order; fewer than k results when the prefix is short.
+        """
+        pref = self._e6_prefix(query, candidates)
+        if not pref:
+            return []
+        rel = {d: s for s, d in pref}
+        order = [d for _s, d in pref]
+        rows = self._store().lookup(order)
+        tsets = {d: frozenset(tokenize(rows[d]["body"])) if d in rows else frozenset() for d in order}
+
+        def sim_e6(a: int, b: int) -> int:
+            ta, tb = tsets[a], tsets[b]
+            i = len(ta & tb)
+            u = len(ta) + len(tb) - i
+            return (1_000_000 * i) // u if u else 0
+
+        comp = 1_000_000 - lam_e6
+        selected = [order[0]]
+        remaining = order[1:]
+        while remaining and len(selected) < k:
+            best, best_key = None, None
+            for d in remaining:
+                ms = max(sim_e6(d, s) for s in selected)
+                key = (lam_e6 * rel[d] - comp * ms, -d)
+                if best_key is None or key > best_key:
+                    best, best_key = d, key
+            selected.append(best)
+            remaining.remove(best)
+        return [(d, rel[d], r) for r, d in enumerate(selected)]
+
     def bm25_facets(
         self, query: str, candidates: int = 50
     ) -> list[tuple[str, str, int]]:
