@@ -1804,6 +1804,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return windowed_cooccurrence(_docs(sf_dir), vocab_size=50, window=2)
 
+    def q_nb_lang(sf_dir: str):
+        """Naive-Bayes language ID: train per-language Laplace-smoothed
+        term likelihoods over the top-200 vocab (labels = the documents
+        table's lang column), then classify every doc. All weights
+        e6-quantized before the exact int64 per-doc sum
+        (``stages/textstats.naive_bayes_lang``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            naive_bayes_lang,
+        )
+
+        return naive_bayes_lang(
+            _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]), vocab_size=200
+        )
+
     def q_pmi(sf_dir: str):
         """Pointwise mutual information of the top-100 adjacent
         collocations: pmi = ln(p(w1,w2) / (p(w1) p(w2))) with p from
@@ -5288,6 +5302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": q_collocations,
         "text_cooccurrence": q_cooccurrence,
         "text_pmi": q_pmi,
+        "text_nb_lang": q_nb_lang,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_stem_vocab": q_stem_vocab,
@@ -8514,6 +8529,43 @@ def oracle_sql() -> dict[str, str]:
     FROM top, tot
     JOIN cf c1 ON c1.term = top.w1
     JOIN cf c2 ON c2.term = top.w2
+    """,
+        # naive-Bayes lang ID: weights e6-quantized one at a time (the
+        # unigram_loglik discipline) so per-doc sums are exact int64
+        "text_nb_lang": f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, lang, {TOKS} AS l FROM documents),
+    flat AS MATERIALIZED (SELECT doc_id, unnest(l) AS term FROM t),
+    cf AS (SELECT term, count(*) AS c FROM flat GROUP BY term),
+    vocab AS MATERIALIZED (SELECT term FROM cf
+              QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 200),
+    vs AS (SELECT count(*) AS vn FROM vocab),
+    v AS MATERIALIZED (SELECT doc_id, term FROM flat
+                       WHERE term IN (SELECT term FROM vocab)),
+    tr AS (SELECT d.lang, v.term, count(*) AS n
+           FROM v JOIN t d USING (doc_id) GROUP BY d.lang, v.term),
+    nl AS (SELECT lang, count(*) AS ndocs FROM t GROUP BY lang),
+    ntot AS (SELECT count(*) AS n FROM t),
+    totl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY lang),
+    grid AS (SELECT nl.lang, vocab.term FROM nl, vocab),
+    w AS MATERIALIZED (
+      SELECT g.lang, g.term,
+             CAST(round(1000000 * ln((COALESCE(tr.n, 0) + 1.0)
+                                     / (totl.tot + vs.vn))) AS BIGINT) AS w_e6
+      FROM grid g
+      JOIN totl ON totl.lang = g.lang
+      LEFT JOIN tr ON tr.lang = g.lang AND tr.term = g.term, vs),
+    pri AS (SELECT nl.lang,
+                   CAST(round(1000000 * ln(CAST(nl.ndocs AS DOUBLE) / ntot.n))
+                        AS BIGINT) AS p_e6
+            FROM nl, ntot),
+    occ AS (SELECT v.doc_id, w.lang, CAST(sum(w.w_e6) AS BIGINT) AS s
+            FROM v JOIN w ON w.term = v.term GROUP BY v.doc_id, w.lang),
+    sc AS (SELECT t.doc_id, pri.lang, pri.p_e6 + COALESCE(occ.s, 0) AS score_e6
+           FROM t CROSS JOIN pri
+           LEFT JOIN occ ON occ.doc_id = t.doc_id AND occ.lang = pri.lang)
+    SELECT doc_id, lang AS lang_nb, CAST(score_e6 AS BIGINT) AS nb_score_e6
+    FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, lang) = 1
     """,
         "text_quality": quality,
         "text_fingerprint": _fingerprint_oracle_sql(),

@@ -445,3 +445,32 @@ def test_windowed_cooccurrence_tiny_known():
         for r in windowed_cooccurrence(docs, vocab_size=2, window=2).take_all()
     }
     assert got2 == {("a", "b"): 3, ("a", "a"): 1}
+
+
+def test_naive_bayes_lang_recovers_labels():
+    """On cleanly separable synthetic docs the NB classifier recovers
+    the training labels; ties break to the lexicographically first
+    language; partitioning-invariant."""
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        naive_bayes_lang,
+    )
+
+    rows = []
+    for i in range(12):
+        rows.append({"doc_id": i, "text": "the cat and the dog", "lang": "en"})
+        rows.append({"doc_id": 100 + i, "text": "der hund und die katze", "lang": "de"})
+    rows.append({"doc_id": 999, "text": "zzz qqq", "lang": "en"})  # OOV-ish doc
+    for nparts in (1, 4):
+        got = (
+            naive_bayes_lang(rd.from_items(rows).repartition(nparts), vocab_size=50)
+            .to_pandas()
+            .set_index("doc_id")["lang_nb"]
+            .to_dict()
+        )
+        for i in range(12):
+            assert got[i] == "en"
+            assert got[100 + i] == "de"
+        # OOV doc: decided by priors (en has 13 docs vs de 12) -> en
+        assert got[999] == "en"

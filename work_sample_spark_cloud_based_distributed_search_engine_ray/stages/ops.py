@@ -902,17 +902,27 @@ def topn_per_group(
         return taken.filter(pa.array(pos < n))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__bucket", _bucket_of(t[group_col], num_buckets))
+        return t.append_column(
+            "__bucket", pc.cast(_bucket_of(t[group_col], num_buckets), pa.int64())
+        )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return topn(t.drop_columns(["__bucket"]))
 
-    return hash_map_groups(
+    # task-based packed exchange, not the Dataset hash shuffle: the
+    # input is post-combine compact (<= n rows per group per batch),
+    # and upstream groupby().aggregate() stages can emit SCHEMA-LESS
+    # empty blocks that the hash shuffle dies sorting on (the
+    # packed_task_groups split_block guards num_rows == 0 first)
+    from .shuffle import packed_task_groups
+
+    return packed_task_groups(
         ds.map_batches(topn, batch_format="pyarrow").map_batches(
             add_bucket, batch_format="pyarrow"
         ),
         "__bucket",
         per_bucket,
+        num_buckets=num_buckets,
     )
 
 

@@ -1224,3 +1224,130 @@ def windowed_cooccurrence(
         .groupby(["term_a", "term_b"])
         .aggregate(Sum("n", alias_name="n_cooc"))
     )
+
+
+def naive_bayes_lang(
+    docs, *, vocab_size: int = 200, text_col: str = "text", label_col: str = "lang"
+):
+    """Multinomial naive-Bayes language classification — the
+    train-then-infer pipeline shape (fastText-style lang-ID, one order
+    simpler): train per-language term likelihoods over the corpus's
+    top-``vocab_size`` terms with Laplace smoothing, then score every
+    doc and emit the argmax language.
+
+    Exactness discipline (the ``unigram_loglik`` rule): every
+    log-likelihood and log-prior is e6-quantized BEFORE the per-doc
+    sum, so scores are exact int64 and the SQL twin replays the
+    identical floats one weight at a time. Tie-break: higher score,
+    then lexicographic language.
+
+    Physical plan: vocab pass (map-side unigram combine -> bounded
+    groupby -> top-V), training pass (per-batch (label, code) count
+    partials via one index_in + np.add.at -> <= langs x V rows per
+    block folded on the driver), inference pass (broadcast weight
+    matrix, one index_in + per-language segmented np.add.at per batch
+    — shuffle-free). Output: (doc_id, lang_nb, nb_score_e6).
+    """
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from .ops import topn_per_group
+
+    docs = docs.materialize()
+    cf = (
+        docs.map_batches(
+            lambda b: token_counts_partial(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="cf"))
+    )
+    tagged = cf.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    top = topn_per_group(
+        tagged, "g", vocab_size, [("cf", "descending"), ("term", "ascending")]
+    ).take_all()
+    vocab = sorted(r["term"] for r in top)
+    vocab_arr = pa.array(vocab, pa.string())
+    V = len(vocab)
+
+    pri_rows = docs.groupby(label_col).aggregate(Count(alias_name="nd")).take_all()
+    langs = sorted(r[label_col] for r in pri_rows)
+    nd = {r[label_col]: r["nd"] for r in pri_rows}
+    n_total = sum(nd.values())
+    L = len(langs)
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import flat_tokens_batch
+
+        flat, parents, _n = flat_tokens_batch(batch[text_col])
+        codes = (
+            pc.fill_null(pc.index_in(flat, value_set=vocab_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lab = batch[label_col].to_pylist()
+        lcode = np.array([langs.index(x) for x in lab], np.int64)[parents]
+        ok = codes >= 0
+        m = np.zeros(L * V, np.int64)
+        np.add.at(m, lcode[ok] * V + codes[ok], 1)
+        nz = np.flatnonzero(m)
+        return pa.table(
+            {
+                "lc": pa.array(nz // V),
+                "tc": pa.array(nz % V),
+                "n": pa.array(m[nz]),
+            }
+        )
+
+    counts = np.zeros((L, V), np.int64)
+    for r in docs.map_batches(train_partial, batch_format="pyarrow").take_all():
+        counts[r["lc"], r["tc"]] += r["n"]
+
+    tot = counts.sum(axis=1)
+    w = np.zeros((L, V), np.int64)
+    for li in range(L):
+        for vi in range(V):
+            w[li, vi] = int(
+                round(1_000_000 * math.log((counts[li, vi] + 1.0) / (int(tot[li]) + V)))
+            )
+    prior = np.array(
+        [
+            int(round(1_000_000 * math.log(float(nd[lg]) / n_total)))
+            for lg in langs
+        ],
+        np.int64,
+    )
+    langs_arr = pa.array(langs, pa.string())
+
+    def infer(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import flat_tokens_batch
+
+        n = batch.num_rows
+        flat, parents, _nd = flat_tokens_batch(batch[text_col])
+        codes = (
+            pc.fill_null(pc.index_in(flat, value_set=vocab_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ok = codes >= 0
+        p_ok, c_ok = parents[ok], codes[ok]
+        scores = np.tile(prior, (n, 1))
+        for li in range(L):
+            np.add.at(scores[:, li], p_ok, w[li, c_ok])
+        best = np.argmax(scores, axis=1)  # ties -> lowest index == lex lang
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_nb": langs_arr.take(pa.array(best.astype(np.int64))),
+                "nb_score_e6": pa.array(scores[np.arange(n), best]),
+            }
+        )
+
+    return docs.map_batches(infer, batch_format="pyarrow")
