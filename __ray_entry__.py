@@ -1469,6 +1469,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             stats, batch_format="pyarrow"
         )
 
+    def q_entropy(sf_dir: str):
+        """Token-distribution Shannon entropy per doc (the repetition /
+        boilerplate quality signal: low entropy = few distinct tokens
+        dominate): H = -sum_t (tf/dl) ln(tf/dl). Each term's
+        contribution is e6-quantized BEFORE the per-doc sum (the
+        unigram_loglik discipline), so entropy_e6 is an exact int64 sum
+        replayed term-by-term in SQL. One tokenize-count kernel per
+        batch, shuffle-free; empty docs drop out (both sides)."""
+        import math
+
+        def entropy(t: pa.Table) -> pa.Table:
+            from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+                tokenize_count_batch,
+            )
+
+            terms, tfs, _lens = tokenize_count_batch(t["text"])
+            parents = pc.list_parent_indices(terms).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tf = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = t.num_rows
+            dl = np.zeros(n, np.int64)
+            np.add.at(dl, parents, tf)
+            # per-(tf, dl) quantized contribution: w = round(1e6 *
+            # (tf/dl) * ln(tf/dl)) — python-float ops in SQL's order
+            dlf = dl[parents].astype(np.float64)
+            ratio = tf.astype(np.float64) / dlf
+            w = np.rint(1_000_000.0 * ratio * np.log(ratio)).astype(np.int64)
+            h = np.zeros(n, np.int64)
+            np.add.at(h, parents, w)
+            keep = dl > 0
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(keep)),
+                    "dl": pa.array(dl[keep]),
+                    "entropy_e6": pa.array(-h[keep]),
+                }
+            )
+
+        return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            entropy, batch_format="pyarrow"
+        )
+
+    def q_path_depth(sf_dir: str):
+        """URL path-depth histogram per host (crawl frontier shape
+        diagnostics: how deep does each site go?): depth = number of
+        path segments after the authority. One vectorized regex +
+        count_substring per batch, then a bounded (host, depth)
+        groupby."""
+
+        def depths(t: pa.Table) -> pa.Table:
+            host = pc.extract_regex(
+                t["url"], r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/:?#]+)"
+            )
+            hosts = pc.struct_field(host, "h")
+            # path = everything after scheme://authority
+            path = pc.replace_substring_regex(
+                t["url"], r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""
+            )
+            depth = pc.count_substring(path, "/")
+            return pa.table(
+                {
+                    "host": pc.utf8_lower(hosts),
+                    "depth": pc.cast(depth, pa.int64()),
+                }
+            )
+
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+
+        return (
+            rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url"])
+            .map_batches(depths, batch_format="pyarrow")
+            .groupby(["host", "depth"])
+            .aggregate(Count(alias_name="n_urls"))
+        )
+
     def q_readability(sf_dir: str):
         """Automated Readability Index per doc (Senter & Smith 1967:
         4.71*chars/words + 0.5*words/sentences - 21.43) — the grade-
@@ -5311,6 +5391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunk_overlap": q_chunk_overlap,
         "text_sentence_stats": q_sentence_stats,
         "text_readability": q_readability,
+        "text_entropy": q_entropy,
+        "crawl_path_depth": q_path_depth,
         "text_embed_hash": q_embed_hash,
         "text_compress_ratio": q_compress_ratio,
         "text_pii_scrub": q_pii_scrub,
@@ -8182,6 +8264,19 @@ def oracle_sql() -> dict[str, str]:
     FROM nodes n LEFT JOIN a10 k ON n.doc_id = k.doc_id
     """
 
+    # URL path-depth histogram per host (same pages replay)
+    crawl_path_depth_sql = f"""
+    WITH pages AS (SELECT url FROM read_parquet('{_lg_pages}')),
+    d AS (SELECT lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS host,
+                 CAST(length(p) - length(replace(p, '/', '')) AS BIGINT) AS depth
+          FROM (SELECT url,
+                       regexp_replace(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*', '') AS p
+                FROM pages))
+    SELECT host, depth, count(*) AS n_urls FROM d GROUP BY host, depth
+    """
+
     dup_cluster_sql = f"""
     WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -8405,6 +8500,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(COALESCE(list_max(list_transform(spans, x -> length(x))), 0)
                 AS BIGINT) AS max_sentence_chars
     FROM s
+    """,
+        # token-distribution entropy: per-(tf, dl) contribution
+        # e6-quantized before the exact int64 per-doc sum
+        "text_entropy": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    flat AS MATERIALIZED (SELECT doc_id, unnest(l) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM flat GROUP BY doc_id),
+    w AS (SELECT tf.doc_id,
+            CAST(round(1000000.0 * (CAST(tf.tf AS DOUBLE) / dl.dl)
+                 * ln(CAST(tf.tf AS DOUBLE) / dl.dl)) AS BIGINT) AS w
+          FROM tf JOIN dl USING (doc_id))
+    SELECT w.doc_id, dl.dl, CAST(-sum(w.w) AS BIGINT) AS entropy_e6
+    FROM w JOIN dl USING (doc_id)
+    GROUP BY w.doc_id, dl.dl
     """,
         # ARI readability: canonical-token chars/words + the sentence
         # rule above; exact integer rational at e3 (positive-shifted
@@ -8768,6 +8878,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_components": crawl_components_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,
+        "crawl_path_depth": crawl_path_depth_sql,
         "crawl_degree_dist": _degree_dist_oracle_sql(),
         "crawl_orphans": _orphans_oracle_sql(),
         "search_term_complete": _term_complete_oracle_sql(),
