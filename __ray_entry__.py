@@ -4650,6 +4650,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return triangle_stats(undirected)
 
+    def q_debounce(sf_dir: str):
+        """Debounce (burst collapse) of per-(user, type) event streams:
+        keep an event only when it is the first of its key or more than
+        1 day after the PREVIOUS event (LAG semantics — the dedup rule
+        upstream of retention/funnel metrics). One bounded user-bucket
+        exchange, one multi-key sort + vectorized LAG mask per bucket —
+        the sessionize machinery with a keep-mask instead of run
+        aggregation. Non-vacuous at the gate (drops ~36% of events)."""
+        import ray.data as rd  # noqa: F401
+
+        gap_us = 86_400 * 1_000_000
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def debounce(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].combine_chunks().dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+            keep = np.ones(ts.size, dtype=bool)
+            keep[1:] = (
+                (uid[1:] != uid[:-1])
+                | (et[1:] != et[:-1])
+                | ((ts[1:] - ts[:-1]) > gap_us)
+            )
+            out = g.filter(pa.array(keep))
+            return out.select(["event_id", "user_id", "event_type", "ts"])
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            debounce,
+        )
+
     def q_crawl_kcore(sf_dir: str):
         """k-core decomposition of the undirected link graph (k=16,
         CLUSTER_ROUNDS peels): the dense-nucleus membership flag per
@@ -5496,6 +5549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
         "rel_corr": q_corr,
+        "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
         "rel_attribution": q_attribution,
@@ -9350,6 +9404,15 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n
     FROM v WHERE v > 0
     GROUP BY event_type, digit
+    """,
+        # debounce: LAG semantics per (user, type), 1-day gap
+        "rel_debounce": """
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS pts
+      FROM events)
+    WHERE pts IS NULL OR ts - pts > INTERVAL 1 DAY
     """,
         # grouped Pearson correlation: exact HUGEINT moment sums, one
         # identical IEEE expression at the end (matches grouped_corr)

@@ -66,3 +66,35 @@ def test_training_data_prep_v2_near_dup_cap():
     w = {r.lang_pred: (r.n_docs, r.total_tokens) for r in want.itertuples()}
     assert g == w and len(g) >= 1
     assert v2["n_docs"].sum() < v1["n_docs"].sum(), "cap dropped nothing"
+
+
+def test_curated_docs_summary_matches_training_data_prep():
+    """The writer path (curated_docs) keeps exactly the docs whose
+    aggregate the summary pipeline reports — same drop set, same
+    quality gate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.data_prep import (
+        curated_docs,
+        training_data_prep,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        benchmark_shingle_set,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = rd.read_parquet(src, columns=["doc_id", "text"])
+    bench = benchmark_shingle_set(docs, n=3, n_docs=20)
+    summary = {
+        r["lang_pred"]: (r["n_docs"], r["total_tokens"])
+        for r in training_data_prep(docs, bench, near_dup_cap=1).take_all()
+    }
+    kept = curated_docs(docs, bench, near_dup_cap=1).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in kept:
+        a = agg.setdefault(r["lang_pred"], [0, 0])
+        a[0] += 1
+        a[1] += r["n_tokens"]
+        assert r["text"]  # the writer path carries the document itself
+    assert {k: tuple(v) for k, v in agg.items()} == summary

@@ -64,6 +64,64 @@ def training_data_prep(
     (``stages.dedup.cluster_cap_marks``); the capped-out ids ride the
     same broadcast drop set. ``None`` keeps the v1 exact-only chain.
     """
+    drop_ids = build_drop_ids(
+        docs,
+        benchmark_shingles,
+        min_hits=min_hits,
+        ngram=ngram,
+        near_dup_cap=near_dup_cap,
+        jaccard_threshold=jaccard_threshold,
+        cluster_rounds=cluster_rounds,
+    )
+    drop_ref = ray.put(drop_ids)
+
+    # RANGED pool (min 1): a strict pool size pins min x num_cpus CPUs
+    # for the plan's whole lifetime, and on a fully-subscribed node the
+    # downstream groupby's shuffle tasks then starve — a measured
+    # deadlock at num_cpus=4. The range lets the executor scale the
+    # pool down once extraction drains and hand its CPUs to the shuffle.
+    stats = docs.map_batches(
+        TextStatsStage, batch_format="pyarrow", concurrency=stats_concurrency
+    )
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        keep = batch["is_quality"]
+        dropped = ray.get(drop_ref)
+        if len(dropped):
+            keep = pc.and_(keep, pc.invert(pc.is_in(batch["doc_id"], value_set=dropped)))
+        return batch.filter(keep).select(["doc_id", "lang_pred", "n_tokens"])
+
+    clean = stats.map_batches(keep_clean, batch_format="pyarrow")
+    agg = clean.groupby("lang_pred").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang_pred": t["lang_pred"],
+                "n_docs": t["n_docs"],
+                "total_tokens": t["total_tokens"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def build_drop_ids(
+    docs: rd.Dataset,
+    benchmark_shingles: pa.Array,
+    *,
+    min_hits: int = 10,
+    ngram: int = 3,
+    near_dup_cap: int | None = None,
+    jaccard_threshold: float = 0.5,
+    cluster_rounds: int = 10,
+) -> pa.Array:
+    """The prep chain's drop set (exact-dup losers + contaminated ids
+    + optionally near-dup cluster-cap rejects) as one deduped int64
+    array — shared by the summary pipeline and the curated-docs writer
+    (small by construction; see the module docstring for the cutover
+    once it stops fitting the broadcast convention)."""
     drop_parts = [
         t["doc_id"]
         for t in (
@@ -99,36 +157,59 @@ def training_data_prep(
             pc.invert(marks["kept"].combine_chunks())
         )["doc_id"]
         drop_parts.append(capped_out)
-    drop_ids = pc.unique(pa.concat_arrays([p.combine_chunks() for p in drop_parts]))
+    return pc.unique(pa.concat_arrays([p.combine_chunks() for p in drop_parts]))
+
+
+class _StatsWithText(TextStatsStage):
+    """TextStatsStage that carries the text column through — the
+    curated-docs writer needs the surviving documents themselves, not
+    just their metrics."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        return out.append_column("text", batch[self.text_col])
+
+
+def curated_docs(
+    docs: rd.Dataset,
+    benchmark_shingles: pa.Array,
+    *,
+    min_hits: int = 10,
+    ngram: int = 3,
+    stats_concurrency: tuple[int, int] = (1, 4),
+    near_dup_cap: int | None = None,
+    jaccard_threshold: float = 0.5,
+    cluster_rounds: int = 10,
+) -> rd.Dataset:
+    """The same prep chain as ``training_data_prep`` but returning the
+    SURVIVING DOCUMENTS (doc_id, text, lang_pred, n_tokens) as a
+    streaming Dataset — the writer path of ``jobs/data_prep.py``
+    (``write_parquet`` on the result gives the resumable partitioned
+    curated corpus)."""
+    drop_ids = build_drop_ids(
+        docs,
+        benchmark_shingles,
+        min_hits=min_hits,
+        ngram=ngram,
+        near_dup_cap=near_dup_cap,
+        jaccard_threshold=jaccard_threshold,
+        cluster_rounds=cluster_rounds,
+    )
     drop_ref = ray.put(drop_ids)
 
-    # RANGED pool (min 1): a strict pool size pins min x num_cpus CPUs
-    # for the plan's whole lifetime, and on a fully-subscribed node the
-    # downstream groupby's shuffle tasks then starve — a measured
-    # deadlock at num_cpus=4. The range lets the executor scale the
-    # pool down once extraction drains and hand its CPUs to the shuffle.
     stats = docs.map_batches(
-        TextStatsStage, batch_format="pyarrow", concurrency=stats_concurrency
+        _StatsWithText, batch_format="pyarrow", concurrency=stats_concurrency
     )
 
     def keep_clean(batch: pa.Table) -> pa.Table:
         keep = batch["is_quality"]
         dropped = ray.get(drop_ref)
         if len(dropped):
-            keep = pc.and_(keep, pc.invert(pc.is_in(batch["doc_id"], value_set=dropped)))
-        return batch.filter(keep).select(["doc_id", "lang_pred", "n_tokens"])
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(batch["doc_id"], value_set=dropped))
+            )
+        return batch.filter(keep).select(
+            ["doc_id", "text", "lang_pred", "n_tokens"]
+        )
 
-    clean = stats.map_batches(keep_clean, batch_format="pyarrow")
-    agg = clean.groupby("lang_pred").aggregate(
-        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "lang_pred": t["lang_pred"],
-                "n_docs": t["n_docs"],
-                "total_tokens": t["total_tokens"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return stats.map_batches(keep_clean, batch_format="pyarrow")
