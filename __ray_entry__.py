@@ -83,6 +83,29 @@ def _canon80_src(t: pa.Table) -> pa.Table:
     )
 
 
+def _undirected_edge_ids(t: pa.Table) -> pa.Table:
+    """(src_url, dst_url) batch -> undirected (doc_a < doc_b) int64
+    edge ids: C-speed md5 hash per url via hash64_array, vectorized
+    min/max orientation, self-loops dropped. Shared by the
+    components / triangles / k-core edge replays."""
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64_array,
+    )
+
+    ha = hash64_array(t["src_url"].to_pylist())
+    hb = hash64_array(t["dst_url"].to_pylist())
+    keep = ha != hb
+    ha, hb = ha[keep], hb[keep]
+    return pa.table(
+        {
+            "doc_a": pa.array(np.minimum(ha, hb)),
+            "doc_b": pa.array(np.maximum(ha, hb)),
+        }
+    )
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -487,6 +510,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "mmr_rank": pa.array(ranks, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_search_rrf(sf_dir: str) -> pa.Table:
+        """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the
+        BM25 and reference-tfidf top-10 rankings: rrf_e6 = sum over
+        systems of 1e6 // (60 + rank) — exact integers, so fusion order
+        is hash-exact. A doc in only one system fuses that term alone;
+        the fused list re-ranks by (rrf_e6 desc, doc_id), top 10."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, rrfs = [], [], [], []
+        for qid, q in reference_queries():
+            fused: dict[int, int] = {}
+            for ranked in (
+                idx.bm25_topk(q, k=50),
+                idx.reference_topk(q, k=300),
+            ):
+                e6 = sorted(
+                    ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                    key=lambda t: (-t[0], t[1]),
+                )[:10]
+                for r, (_s6, d) in enumerate(e6):
+                    fused[d] = fused.get(d, 0) + 1_000_000 // (60 + r)
+            top = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:10]
+            for r, (d, v) in enumerate(top):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                rrfs.append(v)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "rrf_e6": pa.array(rrfs, pa.int64()),
             }
         )
 
@@ -4583,23 +4645,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         ).map_batches(_canon80_src, batch_format="pyarrow")
 
-        def to_ids(t: pa.Table) -> pa.Table:
-            a_out, b_out = [], []
-            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
-                ha, hb = hash64(s), hash64(d)
-                if ha == hb:
-                    continue
-                a_out.append(min(ha, hb))
-                b_out.append(max(ha, hb))
-            return pa.table(
-                {
-                    "doc_a": pa.array(a_out, pa.int64()),
-                    "doc_b": pa.array(b_out, pa.int64()),
-                }
-            )
 
         return dup_clusters(
-            edges.map_batches(to_ids, batch_format="pyarrow"),
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
             rounds=CLUSTER_ROUNDS,
         )
 
@@ -4630,23 +4678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         ).map_batches(_canon80_src, batch_format="pyarrow")
 
-        def to_ids(t: pa.Table) -> pa.Table:
-            a_out, b_out = [], []
-            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
-                ha, hb = hash64(s), hash64(d)
-                if ha == hb:
-                    continue
-                a_out.append(min(ha, hb))
-                b_out.append(max(ha, hb))
-            return pa.table(
-                {
-                    "doc_a": pa.array(a_out, pa.int64()),
-                    "doc_b": pa.array(b_out, pa.int64()),
-                }
-            )
 
         undirected = distinct_on(
-            edges.map_batches(to_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
         )
         return triangle_stats(undirected)
 
@@ -4730,23 +4764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         ).map_batches(_canon80_src, batch_format="pyarrow")
 
-        def to_ids(t: pa.Table) -> pa.Table:
-            a_out, b_out = [], []
-            for s, d in zip(t["src_url"].to_pylist(), t["dst_url"].to_pylist()):
-                ha, hb = hash64(s), hash64(d)
-                if ha == hb:
-                    continue
-                a_out.append(min(ha, hb))
-                b_out.append(max(ha, hb))
-            return pa.table(
-                {
-                    "doc_a": pa.array(a_out, pa.int64()),
-                    "doc_b": pa.array(b_out, pa.int64()),
-                }
-            )
 
         undirected = distinct_on(
-            edges.map_batches(to_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
         )
         return kcore_flags(undirected, k=KCORE_K, rounds=CLUSTER_ROUNDS)
 
@@ -5399,6 +5419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": q_search_bm25,
         "search_bm25_tiered": q_search_tiered,
         "search_bm25_mmr": q_search_mmr_div,
+        "search_rrf": q_search_rrf,
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
@@ -5964,6 +5985,40 @@ def _flagship_oracle_sql(
         final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
            CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
     FROM dcg JOIN idcg USING (qid)"""
+    elif variant == "rrf":
+        # reciprocal-rank fusion of the BM25 and reference-tfidf top-10
+        # rankings: rrf = sum over systems 1e6 // (60 + rank) — exact
+        # integers end to end (Cormack et al. 2009's k=60)
+        collapse_ctes = """,
+    r1 AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+           FROM e6
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10),
+    scores_ref AS (
+      SELECT q.qid, tf.doc_id,
+             sum(log10(CAST(stats.n AS DOUBLE) / df.df)
+                 * (1 + log10(CAST(tf.tf AS DOUBLE)))) AS score
+      FROM q JOIN df USING (term) JOIN tf ON tf.term = q.term, stats
+      GROUP BY q.qid, tf.doc_id
+      HAVING sum(log10(CAST(stats.n AS DOUBLE) / df.df)
+                 * (1 + log10(CAST(tf.tf AS DOUBLE)))) > 0.3),
+    e6r AS (SELECT qid, doc_id,
+                   CAST(round(score * 1000000) AS BIGINT) AS score_e6
+            FROM scores_ref),
+    r2 AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+           FROM e6r
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10),
+    fused AS (SELECT qid, doc_id,
+                     CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_e6
+              FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+              GROUP BY qid, doc_id)"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, rrf_e6
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_e6 DESC, doc_id) <= 10"""
     elif variant == "mmr":
         # MMR diversification — bm25_topk_mmr: pairwise integer Jaccard
         # over candidate token sets (tf rows ARE the distinct
@@ -8507,6 +8562,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _flagship_oracle_sql("bm25"),
         "search_bm25_tiered": _flagship_oracle_sql("bm25", variant="tiered"),
         "search_bm25_mmr": _flagship_oracle_sql("bm25", variant="mmr"),
+        "search_rrf": _flagship_oracle_sql("bm25", variant="rrf"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),

@@ -812,6 +812,11 @@ def triangle_stats(edges: "rd.Dataset", *, num_buckets: int = 64) -> pa.Table:
     from .ops import bucket_mix, packed_join
     from .shuffle import packed_task_groups
 
+    # pin the edge blocks ONCE: degrees, the edge count and the first
+    # degree-attach join all consume them — unmaterialized, the whole
+    # upstream plan (extraction + distinct) would re-run three times
+    edges = edges.materialize()
+
     # --- 1. degrees ------------------------------------------------
     def deg_partial(batch: pa.Table) -> pa.Table:
         nodes = np.concatenate(
