@@ -513,6 +513,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_ltr(sf_dir: str) -> pa.Table:
+        """LTR feature-vector export for every reference query's e6
+        top-10 (the ranker-training table): exact-integer BM25 score,
+        doc length, matched-term count, summed tf, epoch-day recency."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        cols = {c: [] for c in
+                ("qid", "rank", "doc_id", "score_e6", "dl", "n_terms", "sum_tf", "warc_day")}
+        for qid, q in reference_queries():
+            for row in idx.ltr_features(q, k=10, candidates=50):
+                cols["qid"].append(qid)
+                for c in ("rank", "doc_id", "score_e6", "dl", "n_terms", "sum_tf", "warc_day"):
+                    cols[c].append(row[c])
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
     def q_search_rrf(sf_dir: str) -> pa.Table:
         """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the
         BM25 and reference-tfidf top-10 rankings: rrf_e6 = sum over
@@ -5420,6 +5438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_tiered": q_search_tiered,
         "search_bm25_mmr": q_search_mmr_div,
         "search_rrf": q_search_rrf,
+        "search_ltr_features": q_search_ltr,
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
@@ -5985,6 +6004,30 @@ def _flagship_oracle_sql(
         final_select = """SELECT dcg.qid, dcg.dcg, idcg.idcg,
            CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_e6
     FROM dcg JOIN idcg USING (qid)"""
+    elif variant == "ltr":
+        # LTR feature export — SearchIndex.ltr_features: exact-integer
+        # feature vectors for the e6 top-10 (score, dl, matched-term
+        # count, summed tf, epoch-day recency)
+        collapse_ctes = """,
+    top10 AS (SELECT qid, doc_id, score_e6,
+                     row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+              FROM e6
+              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10),
+    qd AS (SELECT DISTINCT qid, term FROM q),
+    feat AS (SELECT t.qid, t.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(tf.tf) AS BIGINT) AS sum_tf
+             FROM top10 t
+             JOIN qd ON qd.qid = t.qid
+             JOIN tf ON tf.term = qd.term AND tf.doc_id = t.doc_id
+             GROUP BY t.qid, t.doc_id)"""
+        final_select = """SELECT t.qid, t.rnk AS "rank", t.doc_id, t.score_e6,
+           CAST(dl.dl AS BIGINT) AS dl, feat.n_terms, feat.sum_tf,
+           CAST(floor(epoch(d.warc_ts) / 86400) AS BIGINT) AS warc_day
+    FROM top10 t
+    JOIN dl ON dl.doc_id = t.doc_id
+    JOIN feat ON feat.qid = t.qid AND feat.doc_id = t.doc_id
+    JOIN docs d ON d.doc_id = t.doc_id"""
     elif variant == "rrf":
         # reciprocal-rank fusion of the BM25 and reference-tfidf top-10
         # rankings: rrf = sum over systems 1e6 // (60 + rank) — exact
@@ -8563,6 +8606,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_tiered": _flagship_oracle_sql("bm25", variant="tiered"),
         "search_bm25_mmr": _flagship_oracle_sql("bm25", variant="mmr"),
         "search_rrf": _flagship_oracle_sql("bm25", variant="rrf"),
+        "search_ltr_features": _flagship_oracle_sql("bm25", variant="ltr"),
         "search_reference_tfidf": _flagship_oracle_sql("reference"),
         "search_bm25_collapsed": _flagship_oracle_sql("bm25", host_collapse=1),
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),

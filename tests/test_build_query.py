@@ -607,3 +607,36 @@ def test_mmr_diversification_properties(built):
         if [d for d, _s, _r in sel] != [d for d, _s, _r in pure]:
             reordered += 1
     assert reordered >= 1, "MMR never reordered anything — vacuous at fixture scale"
+
+
+def test_ltr_features_consistency(built):
+    """Feature rows agree with first-principles postings probes: dl is
+    the doc's length, sum_tf sums exactly the matched terms' tfs, and
+    score_e6 matches the e6 prefix."""
+    _pages, _paths, idx, oracle = built
+    checked = 0
+    for _qid, q in reference_queries():
+        rows = idx.ltr_features(q, k=10, candidates=30)
+        pref = dict((d, s) for s, d in idx._e6_prefix(q, 30))
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+
+        terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+        for row in rows:
+            assert row["score_e6"] == pref[row["doc_id"]]
+            n, st = 0, 0
+            dls = set()
+            for t in terms:
+                p = idx.postings(t)
+                import numpy as np
+
+                i = int(np.searchsorted(p.ids, row["doc_id"]))
+                if i < p.ids.size and p.ids[i] == row["doc_id"]:
+                    n += 1
+                    st += int(p.tfs[i])
+                    dls.add(int(p.dls[i]))
+            assert row["n_terms"] == n and row["sum_tf"] == st
+            assert dls == {row["dl"]}
+            checked += 1
+    assert checked > 50

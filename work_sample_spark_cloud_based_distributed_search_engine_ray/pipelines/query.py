@@ -962,6 +962,53 @@ class SearchIndex:
             self._docstore = DocStore(self._docstore_path)
         return self._docstore
 
+    def ltr_features(
+        self, query: str, k: int = 10, *, candidates: int = 50
+    ) -> list[dict]:
+        """Learning-to-rank feature vectors for the e6 top-``k``
+        results — the (query, doc) feature table a ranker trains on.
+        All features are exact integers: BM25 ``score_e6``, doc length
+        ``dl``, ``n_terms`` = distinct query terms whose postings
+        contain the doc, ``sum_tf`` = their total tf, and ``warc_day``
+        (epoch day, the recency feature — ``calendar.timegm`` to match
+        DuckDB ``epoch``). Term features come from bounded
+        ``searchsorted`` postings probes; ``warc_day`` from k DocStore
+        point reads. Returns dicts in rank order."""
+        import calendar
+
+        pref = self._e6_prefix(query, candidates)[:k]
+        if not pref:
+            return []
+        docs = np.array([d for _s, d in pref], np.int64)
+        q_terms = sorted({t for t in tokenize_query(query) if self.has_term(t)})
+        n_terms = np.zeros(docs.size, np.int64)
+        sum_tf = np.zeros(docs.size, np.int64)
+        dl = np.zeros(docs.size, np.int64)
+        for t in q_terms:
+            p = self.postings(t)
+            pos = np.minimum(np.searchsorted(p.ids, docs), p.ids.size - 1)
+            hit = p.ids[pos] == docs
+            n_terms[hit] += 1
+            sum_tf[hit] += p.tfs[pos[hit]]
+            dl[hit] = p.dls[pos[hit]]
+        rows = self._store().lookup(docs.tolist())
+        out = []
+        for r, (s6, d) in enumerate(pref):
+            di = int(np.flatnonzero(docs == d)[0])
+            out.append(
+                {
+                    "rank": r,
+                    "doc_id": int(d),
+                    "score_e6": int(s6),
+                    "dl": int(dl[di]),
+                    "n_terms": int(n_terms[di]),
+                    "sum_tf": int(sum_tf[di]),
+                    "warc_day": calendar.timegm(rows[d]["warc_ts"].timetuple())
+                    // 86400,
+                }
+            )
+        return out
+
     def bm25_topk_mmr(
         self, query: str, k: int = 10, *, candidates: int = 50, lam_e6: int = 500_000
     ) -> list[tuple[int, int, int]]:
