@@ -286,11 +286,12 @@ def _search_table(sf_dir: str, scorer: str, method: str = "auto") -> pa.Table:
         # engines. Both sides therefore order by (score_e6 desc, doc_id)
         # — candidates fetched wide (50/300) so the e6-top-10 is inside
         # the float-ranked prefix.
-        ranked = (
-            idx.bm25_topk(q, k=50, method=method)
-            if scorer == "bm25"
-            else idx.reference_topk(q, k=300)
-        )
+        if scorer == "bm25":
+            ranked = idx.bm25_topk(q, k=50, method=method)
+        elif scorer == "lm":
+            ranked = idx.lm_dirichlet_topk(q, k=50)
+        else:
+            ranked = idx.reference_topk(q, k=300)
         e6 = sorted(((int(round(s * 1_000_000)), d) for d, s in ranked), key=lambda t: (-t[0], t[1]))[:10]
         for r, (s6, d) in enumerate(e6):
             qids.append(qid)
@@ -5447,6 +5448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_maxscore": lambda sf_dir: _search_table(
             sf_dir, "bm25", method="maxscore"
         ),
+        # query-likelihood / Dirichlet LM ranking over the same index
+        # (SearchIndex.lm_dirichlet_topk — Zhai & Lafferty 2001)
+        "search_lm_dirichlet": lambda sf_dir: _search_table(sf_dir, "lm"),
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -5904,6 +5908,7 @@ def _flagship_oracle_sql(
     ]
     toks_pages = TOKS  # operates on the `text` column of docs
 
+    lm_ctes = ""
     if scorer == "bm25":
         score_expr = (
             "sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
@@ -5915,6 +5920,29 @@ def _flagship_oracle_sql(
             "JOIN dl ON tf.doc_id = dl.doc_id, stats"
         )
         having = ""
+    elif scorer == "lm":
+        # query-likelihood with Dirichlet smoothing (SearchIndex.
+        # lm_dirichlet_topk, mu=2000): matched-term sum
+        # ln(1 + tf*C/(mu*cf)) plus m*ln(mu/(dl+mu)); C (collection
+        # token count) and cf re-derived exactly from the toks CTE,
+        # query terms deduplicated on both sides
+        score_expr = (
+            "sum(ln(1 + (tf.tf * stats.c) / (2000.0 * cf.cf)))"
+            " + any_value(nq.m) * ln(2000.0 / (any_value(dl.dl) + 2000.0))"
+        )
+        joins = (
+            "FROM (SELECT DISTINCT qid, term FROM q) q "
+            "JOIN cf USING (term) "
+            "JOIN tf ON tf.term = q.term "
+            "JOIN dl ON tf.doc_id = dl.doc_id "
+            "JOIN nq ON nq.qid = q.qid, stats"
+        )
+        having = ""
+        lm_ctes = """
+    cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    nq AS (SELECT qid, count(DISTINCT term) AS m FROM q
+           WHERE term IN (SELECT term FROM cf) GROUP BY qid),"""
     else:
         score_expr = (
             "sum(log10(CAST(stats.n AS DOUBLE) / df.df)"
@@ -6208,10 +6236,11 @@ def _flagship_oracle_sql(
     dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT (SELECT count(*) FROM docs) AS n,
                      CAST((SELECT count(*) FROM toks) AS DOUBLE)
-                       / (SELECT count(*) FROM docs) AS avgdl),
+                       / (SELECT count(*) FROM docs) AS avgdl,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE) AS c),
     q(qid, term) AS (VALUES {', '.join(q_rows)}),
     df AS (SELECT term, count(*) AS df FROM tf
-           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),{lm_ctes}
     scores AS (
       SELECT q.qid, tf.doc_id, {score_expr} AS score
       {joins}
@@ -8614,6 +8643,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval_mrr": _flagship_oracle_sql("bm25", variant="mrr"),
         "search_bm25_stemmed": _stemmed_search_oracle_sql(),
         "search_bm25_maxscore": _flagship_oracle_sql("bm25"),
+        "search_lm_dirichlet": _flagship_oracle_sql("lm"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),

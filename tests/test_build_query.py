@@ -640,3 +640,29 @@ def test_ltr_features_consistency(built):
             assert dls == {row["dl"]}
             checked += 1
     assert checked > 50
+
+
+def test_lm_dirichlet_matches_oracle(built):
+    """Query-likelihood / Dirichlet ranking matches the brute-force
+    oracle at the e6 contract (numpy's SIMD log differs from libm by
+    <=1 ULP, so raw-float equality is too strict), is non-vacuous, and
+    is NOT the same ordering as BM25 everywhere (a genuinely different
+    ranking family)."""
+    _pages, _paths, idx, oracle = built
+    any_hits = 0
+    differs = 0
+    for _qid, q in reference_queries():
+        got = idx.lm_dirichlet_topk(q, 10)
+        want = oracle.lm_dirichlet_topk(q, 10)
+        assert [(d, round(s * 1e6)) for d, s in got] == [
+            (d, round(s * 1e6)) for d, s in want
+        ], q
+        for (_d, s_got), (_d2, s_want) in zip(got, want):
+            assert abs(s_got - s_want) <= 1e-9 * max(1.0, abs(s_want)), q
+        if got:
+            any_hits += 1
+            bm = [d for d, _s in idx.bm25_topk_exhaustive(q, 10)]
+            if [d for d, _s in got] != bm:
+                differs += 1
+    assert any_hits >= 10
+    assert differs >= 1, "LM ranking never diverged from BM25 — vacuous"

@@ -98,6 +98,31 @@ class OracleIndex:
                 scores[did] = scores.get(did, 0.0) + idf * part
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def lm_dirichlet_topk(
+        self, query: str, k: int = 10, mu: float = 2000.0
+    ) -> list[tuple[int, float]]:
+        """Brute-force query-likelihood / Dirichlet-smoothing scorer
+        (Zhai & Lafferty 2001), the float-identical twin of
+        ``SearchIndex.lm_dirichlet_topk``: per-doc contributions are
+        added in the same sorted-distinct-term order, constant term
+        last, so scores match bit-for-bit."""
+        q_terms = sorted({t for t in tokenize_query(query) if t in self.postings})
+        if not q_terms:
+            return []
+        scores: dict[int, float] = {}
+        for t in q_terms:
+            p = self.postings[t]
+            cf = float(sum(p.values()))
+            for did, tf in p.items():
+                scores[did] = scores.get(did, 0.0) + math.log(
+                    1.0 + (tf * float(self.total_len)) / (mu * cf)
+                )
+        for did in scores:
+            scores[did] += len(q_terms) * math.log(
+                mu / (self.docs[did]["doc_len"] + mu)
+            )
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def reference_topk(
         self, query: str, k: int = 300, threshold: float = 0.3
     ) -> list[tuple[int, float]]:

@@ -580,6 +580,49 @@ class SearchIndex:
             acc = acc * (1.0 + rank_weight * boost)
         return _topk(uniq, acc, k)
 
+    def lm_dirichlet_topk(
+        self, query: str, k: int = 10, mu: float = 2000.0
+    ) -> list[tuple[int, float]]:
+        """Query-likelihood retrieval with Dirichlet-prior smoothing
+        (Zhai & Lafferty 2001) — the language-model ranking family the
+        reference lacks (its only scorers are log-tf-idf,
+        ``Searcher.java:108-150``, and our BM25). Rank-equivalent
+        matched-term form over docs containing >= 1 query term:
+
+            score(d) = sum_{t in q, tf>0} ln(1 + tf * C / (mu * cf_t))
+                       + m * ln(mu / (dl_d + mu))
+
+        with C = exact collection token count (``meta['total_len']``,
+        carried by the build), cf_t = collection frequency from the
+        shard row, dl_d read off the posting itself (format-2 dl_blob),
+        and m = #distinct query terms present in the index. Everything
+        the scorer needs lives in the postings already fetched — same
+        access pattern (and cost) as ``bm25_topk_exhaustive``."""
+        q_terms = sorted({t for t in tokenize_query(query) if self.has_term(t)})
+        if not q_terms:
+            return []
+        c_total = float(self.meta["total_len"])
+        all_ids, all_parts, all_dls = [], [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            # ln(1 + (tf*C) / (mu*cf)) — parenthesized exactly like the
+            # SQL twin so both sides round identically at e6
+            all_parts.append(
+                np.log(1.0 + (p.tfs.astype(np.float64) * c_total) / (mu * float(p.cf)))
+            )
+            all_dls.append(p.dls)
+        ids = np.concatenate(all_ids)
+        parts = np.concatenate(all_parts)
+        dls = np.concatenate(all_dls)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, parts)
+        dl_u = np.zeros(uniq.size, dtype=np.int64)
+        dl_u[inv] = dls  # every posting of a doc carries the same dl
+        acc += len(q_terms) * np.log(mu / (dl_u.astype(np.float64) + mu))
+        return _topk(uniq, acc, k)
+
     # ---------------- boolean / phrase retrieval ----------------
 
     def _conjunctive_candidates(self, terms: list[str]) -> np.ndarray:
