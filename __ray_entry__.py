@@ -2293,6 +2293,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def q_knn_range(sf_dir: str):
+        # cosine RANGE query (radius 0.30): shuffle-free per-block
+        # threshold filter, no top-k merge (stages/ann.py:
+        # knn_range_search); same broadcast query matrix as q_knn
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            knn_range_search,
+        )
+
+        qids, qm = _query_matrix(sf_dir)
+        out = knn_range_search(
+            _tbl(sf_dir, "embeddings"), qm, threshold_e6=300_000
+        )
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = pc.take(pa.array(qids, pa.int64()), t["query_id"])
+            return t.set_column(t.schema.get_field_index("query_id"), "query_id", mapped)
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
     def q_near_dups(sf_dir: str):
         # auto cutover (stages/ann.py): exact all-pairs <= NEAR_DUP_EXACT_MAX
         # rows, banded-LSH + per-bucket exact verify above — the oracle
@@ -5514,6 +5533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_eval": q_dedup_eval,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
+        "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
         "knn_lsh_topk": q_knn_lsh,
         "knn_lsh_recall": q_knn_recall,
@@ -9121,6 +9141,14 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "knn_cosine_topk": knn,
+        "knn_range_search": f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+    s AS (SELECT q.query_id, e.vec_id,
+                 CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
+          FROM q CROSS JOIN embeddings e)
+    SELECT query_id, vec_id, cosine_e6 FROM s WHERE cosine_e6 >= 300000
+    """,
         "embedding_near_dups": _near_dups_oracle_sql(),
         "rel_groupby_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "

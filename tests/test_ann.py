@@ -341,3 +341,26 @@ def test_ivfpq_topk_contract_and_recall():
         approx = {v for v, _a, _d in want[q]}
         rec.append(len(exact & approx) / k)
     assert sum(rec) / len(rec) >= 0.4, rec
+
+
+def test_knn_range_search_matches_numpy():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        knn_range_search,
+    )
+
+    ids, m = _load()
+    qn = _norm(m[:5])
+    mn = _norm(m)
+    sims = np.rint((qn @ mn.T) * 1e6).astype(np.int64)
+    thr = 300_000
+    ds = rd.read_parquet(EMB)
+    got = (
+        knn_range_search(ds, m[:5], threshold_e6=thr)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    qi, vi = np.nonzero(sims >= thr)
+    want = sorted(zip(qi.tolist(), ids[vi].tolist(), sims[qi, vi].tolist()))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert len(want) >= 5  # self-matches at minimum — non-vacuous

@@ -112,6 +112,45 @@ def knn_brute_force(
     )
 
 
+def knn_range_search(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    threshold_e6: int = 800_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Cosine RANGE query: every (query, vector) pair with
+    ``cosine_e6 >= threshold_e6`` — the radius-based counterpart of
+    ``knn_brute_force``'s top-k (unbounded result size, bounded by the
+    similarity radius instead of a count).
+
+    Shuffle-free: the query matrix is ``ray.put`` once (broadcast);
+    each block does one matmul + one integer threshold filter and emits
+    its hits — the result is a plain union of per-block outputs with NO
+    exchange at all (top-k needs a per-query merge; a radius filter
+    does not). At 100 TB this streams: output volume is governed by the
+    radius, worker memory by (Q x block) score tiles."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_range(batch: pa.Table) -> pa.Table:
+        q: np.ndarray = ray.get(q_ref)
+        m = _normalize(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = np.rint((q @ m.T) * 1e6).astype(np.int64)  # (Q, n) micros
+        qi, vi = np.nonzero(sims >= threshold_e6)
+        return pa.table(
+            {
+                "query_id": pa.array(qi.astype(np.int64)),
+                "vec_id": pa.array(ids[vi].astype(np.int64)),
+                "cosine_e6": pa.array(sims[qi, vi]),
+            }
+        )
+
+    return ds.map_batches(local_range, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds: rd.Dataset,
     *,
