@@ -3065,6 +3065,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_small_qty_share(sf_dir: str):
+        # TPC-H Q17 shape — the correlated-average filter: lineitems
+        # whose quantity is below 20% of their PART's average quantity,
+        # total revenue + row count. Two passes over the fact table:
+        # (1) map-side per-block (partkey -> sum_qty, cnt) partials,
+        # merged in a BOUNDED bucket groupby (64 buckets, vectorized
+        # combine per bucket — the per-part aggregate is dimension-
+        # sized, never lineitem-sized) and broadcast via ray.put;
+        # (2) one scan filtering 5*qty*cnt < sum_qty — the exact
+        # integer form of qty < 0.2*avg (quantities are integral).
+        import ray as _ray
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        def partial_qty(t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            u, inv = np.unique(pk, return_inverse=True)
+            sq = np.zeros(u.size, np.int64)
+            np.add.at(sq, inv, qty)
+            c = np.bincount(inv, minlength=u.size).astype(np.int64)
+            return pa.table(
+                {
+                    "pk": pa.array(u.astype(np.int64)),
+                    "sq": pa.array(sq),
+                    "c": pa.array(c),
+                    "bucket": pa.array((u % 64).astype(np.int64)),
+                }
+            )
+
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            pk = g["pk"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(pk, return_inverse=True)
+            sq = np.zeros(u.size, np.int64)
+            np.add.at(sq, inv, g["sq"].to_numpy(zero_copy_only=False))
+            c = np.zeros(u.size, np.int64)
+            np.add.at(c, inv, g["c"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"pk": pa.array(u), "sq": pa.array(sq), "c": pa.array(c)}
+            )
+
+        li = _tbl(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        per_part = hash_map_groups(
+            li.map_batches(partial_qty, batch_format="pyarrow").select_columns(
+                ["pk", "sq", "c", "bucket"]
+            ),
+            "bucket",
+            merge_bucket,
+            num_partitions=16,
+        ).take_all()
+        pks = np.array([r["pk"] for r in per_part], np.int64)
+        order = np.argsort(pks)
+        pks = pks[order]
+        sqs = np.array([r["sq"] for r in per_part], np.int64)[order]
+        cnts = np.array([r["c"] for r in per_part], np.int64)[order]
+        stats_ref = _ray.put((pks, sqs, cnts))
+
+        def small_rev(t: pa.Table) -> pa.Table:
+            pks_b, sqs_b, cnts_b = _ray.get(stats_ref)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            pos = np.searchsorted(pks_b, pk)
+            keep = 5 * qty * cnts_b[pos] < sqs_b[pos]
+            ext = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "rev_e2": pa.array([int(ext[keep].sum())], pa.int64()),
+                    "n_small": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        agg = li.map_batches(small_rev, batch_format="pyarrow").aggregate(
+            Sum("rev_e2", alias_name="r"), Sum("n_small", alias_name="n")
+        )
+        return pa.table(
+            {
+                "rev_e2": pa.array([agg["r"]], pa.int64()),
+                "n_small": pa.array([agg["n"]], pa.int64()),
+                "avg_yearly_e2": pa.array([agg["r"] // 7], pa.int64()),
+            }
+        )
+
     def q_rel_star_q5(sf_dir: str):
         # TPC-H Q5 shape — the DEEP join chain (region -> nation ->
         # customer -> orders -> lineitem -> supplier): every dimension
@@ -4049,6 +4139,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return grouped_quantiles(
+            _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+        )
+
+    def q_mad_outliers(sf_dir: str):
+        # robust outlier screen: exact per-group median + MAD + count
+        # of |v-med| > 3*MAD, all from ONE histogram shuffle (the MAD
+        # distribution is a fold of the value histogram — no second
+        # data pass; stages/ops.py:grouped_mad_outliers)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_mad_outliers,
+        )
+
+        return grouped_mad_outliers(
             _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
         )
 
@@ -5571,6 +5674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_star_topk": q_rel_star,
         "rel_star_q5": q_rel_star_q5,
         "rel_promo_share": q_promo_share,
+        "rel_small_qty_share": q_small_qty_share,
         "rel_supplier_rank": q_supplier_rank,
         "rel_bloom_join_agg": q_bloom_join,
         "rel_weighted_sample": q_weighted_sample,
@@ -5599,6 +5703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": q_pivot,
         "rel_cube": q_cube,
         "rel_quantiles": q_quantiles,
+        "rel_mad_outliers": q_mad_outliers,
         "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -9306,6 +9411,20 @@ def oracle_sql() -> dict[str, str]:
     WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-07-01'
     """,
+        # TPC-H Q17 shape: revenue of lineitems below 20% of their
+        # part's average quantity — 5*qty*cnt < sum_qty is the exact
+        # integer form of qty < 0.2*(sum/cnt)
+        "rel_small_qty_share": """
+    WITH a AS (SELECT l_partkey,
+                      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                      count(*) AS c
+               FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2,
+           count(*) AS n_small,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT) AS avg_yearly_e2
+    FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+    WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.c < a.sq
+    """,
         # TPC-H Q5 shape: local-supplier revenue per ASIA nation
         "rel_star_q5": """
     SELECT n.n_name,
@@ -9804,6 +9923,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
             FROM events GROUP BY event_type
+        """,
+        # robust MAD outlier screen: same quantize + quantile_disc
+        # (lower-median) rules as rel_quantiles, deviations folded
+        # around the median, k=3
+        "rel_mad_outliers": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+            med AS (SELECT event_type, quantile_disc(vq, 0.5) AS med
+                    FROM v GROUP BY event_type),
+            d AS (SELECT v.event_type, med.med, abs(v.vq - med.med) AS ad
+                  FROM v JOIN med USING (event_type)),
+            mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad
+                    FROM d GROUP BY event_type)
+            SELECT d.event_type,
+                   CAST(any_value(d.med) AS BIGINT) AS med_e2,
+                   CAST(any_value(mad.mad) AS BIGINT) AS mad_e2,
+                   count(*) AS n,
+                   CAST(coalesce(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+            FROM d JOIN mad USING (event_type)
+            GROUP BY d.event_type
         """,
         # winsorized aggregate: same quantize + quantile_disc rules as
         # rel_quantiles, clip with least/greatest, exact int64 sum

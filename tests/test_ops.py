@@ -621,3 +621,54 @@ def test_hll_estimate_accuracy_and_merge():
     est = hll_estimate(buckets, rhos, b=8)
     rel_err = abs(est - exact) / exact
     assert rel_err < 3 * 1.04 / np.sqrt(256), (est, exact, rel_err)
+
+
+def test_grouped_mad_outliers_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_mad_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # mixture with planted far-out tail so n_outliers is non-vacuous
+    base = rng.normal(10, 1, n)
+    base[rng.random(n) < 0.02] += 40
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "v": pa.array(np.round(base, 2)),
+        }
+    )
+    out = {
+        r["g"]: r for r in grouped_mad_outliers(rd.from_arrow(t), "g", "v").take_all()
+    }
+    con = duckdb.connect()
+    want = con.sql(
+        """
+        WITH v AS (SELECT g, CAST(round(v*100) AS BIGINT) AS vq FROM t),
+        med AS (SELECT g, quantile_disc(vq, 0.5) AS med FROM v GROUP BY g),
+        d AS (SELECT v.g, med.med, abs(v.vq - med.med) AS ad
+              FROM v JOIN med USING (g)),
+        mad AS (SELECT g, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY g)
+        SELECT d.g, any_value(d.med), any_value(mad.mad), count(*),
+               CAST(sum(CASE WHEN d.ad > 3*mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d JOIN mad USING (g) GROUP BY d.g
+        """
+    ).fetchall()
+    assert len(out) == 3
+    total_out = 0
+    for g, med, mad, cnt, n_out in want:
+        r = out[g]
+        assert (r["med_e2"], r["mad_e2"], r["n"], r["n_outliers"]) == (
+            med,
+            mad,
+            cnt,
+            n_out,
+        ), g
+        total_out += n_out
+    assert total_out > 0, "no outliers flagged — planted tail missed"

@@ -803,6 +803,87 @@ def grouped_quantiles(
     return hash_map_groups(hist, group_col, pick)
 
 
+def grouped_mad_outliers(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    k: int = 3,
+) -> rd.Dataset:
+    """EXACT per-group robust outlier screen: median, median absolute
+    deviation (MAD), and the count of values with ``|v - med| > k*MAD``
+    — the classic robust-statistics alternative to mean/stddev z-scores
+    (immune to the very outliers it hunts).
+
+    Same distributed-histogram plan as ``grouped_quantiles`` (quantize
+    to fixed point, map-side (group, value) count combine, ONE narrow
+    histogram shuffle, no global sort) — but the MAD needs no second
+    pass over the data: the |v - med| distribution per group is a pure
+    transform of the value histogram already in hand, so the group
+    kernel folds the histogram around the median, re-sorts the bounded
+    deviation values, and picks the MAD with the same ``quantile_disc``
+    index rule. Both medians are the DISCRETE (lower) median, matching
+    DuckDB ``quantile_disc(x, 0.5)``.
+
+    Output per group: ``med_e{D}``, ``mad_e{D}``, ``n``,
+    ``n_outliers`` (int64, D digits of fixed-point scale)."""
+    exp = len(str(scale)) - 1
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        )
+        qt = pa.table({group_col: t[group_col], "__vq": v.cast(pa.int64())})
+        agg = qt.group_by([group_col, "__vq"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "__vq", "__n"])
+
+    def _disc_quantile(vals: np.ndarray, counts: np.ndarray, n: int) -> int:
+        # DuckDB quantile_disc(x, 0.5) index rule: element at rank
+        # max(1, ceil(0.5*n)) in sorted order (exact integer ceil)
+        target = max(1, (n + 1) // 2)
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, target, side="left"))
+        return int(vals[min(j, vals.size - 1)])
+
+    def screen(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        idx = pc.sort_indices(g["__vq"])
+        vq = g["__vq"].to_numpy(zero_copy_only=False)[idx]
+        nn = g["__n"].to_numpy(zero_copy_only=False)[idx]
+        first = np.ones(vq.size, dtype=bool)
+        first[1:] = vq[1:] != vq[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(nn, starts)
+        vals = vq[starts]
+        n = int(sums.sum())
+        med = _disc_quantile(vals, sums, n)
+        # fold the histogram around the median -> |v-med| histogram
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev_s, w_s = dev[order], sums[order]
+        dfirst = np.ones(dev_s.size, dtype=bool)
+        dfirst[1:] = dev_s[1:] != dev_s[:-1]
+        dstarts = np.flatnonzero(dfirst)
+        dsums = np.add.reduceat(w_s, dstarts)
+        dvals = dev_s[dstarts]
+        mad = _disc_quantile(dvals, dsums, n)
+        n_out = int(dsums[dvals > k * mad].sum())
+        return pa.table(
+            {
+                group_col: group.slice(0, 1)[group_col],
+                f"med_e{exp}": pa.array([med], pa.int64()),
+                f"mad_e{exp}": pa.array([mad], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "n_outliers": pa.array([n_out], pa.int64()),
+            }
+        )
+
+    hist = ds.map_batches(partial_hist, batch_format="pyarrow")
+    return hash_map_groups(hist, group_col, screen)
+
+
 def _membership_join_keys(
     ds_left: rd.Dataset,
     ds_right: rd.Dataset,
