@@ -4825,6 +4825,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return triangle_stats(undirected)
 
+    def q_cocitation(sf_dir: str):
+        """Co-citation pairs over the link graph: doc pairs cited
+        together by >= 4 distinct sources (Small 1973's relatedness
+        signal). Same edge replay as the other graph rows; the pair
+        explosion and counting run in bounded bucket kernels
+        (``stages/crawl.cocitation_pairs``)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            cocitation_pairs,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        return cocitation_pairs(edges, min_common=4)
+
     def q_debounce(sf_dir: str):
         """Debounce (burst collapse) of per-(user, type) event streams:
         keep an event only when it is the first of its key or more than
@@ -5711,6 +5732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": q_host_stats,
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
+        "crawl_cocitation": q_cocitation,
         "crawl_components": q_crawl_components,
         "crawl_triangles": q_crawl_triangles,
         "crawl_kcore": q_crawl_kcore,
@@ -7870,6 +7892,38 @@ def _reciprocal_links_oracle_sql() -> str:
     """
 
 
+def _cocitation_oracle_sql(min_common: int = 4) -> str:
+    """DuckDB twin of ``crawl_cocitation``: the hash-matched edge
+    replay (':80' canonicalization both sides), urls hashed to the
+    engine's doc ids (md5-prefix hash64), then a src self-join counts
+    how many distinct sources cite each (a < b) target pair."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    h = (
+        "CAST(('0x' || substr(md5({u}), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+    h_src = h.format(u="regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80')")
+    h_dst = h.format(u="regexp_replace(href, '^http://([^/]*)', 'http://\\1:80')")
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT
+                {h_src} AS s,
+                {h_dst} AS d
+              FROM hrefs)
+    SELECT a.d AS doc_a, b.d AS doc_b, count(*) AS n_common_src
+    FROM edges a JOIN edges b ON a.s = b.s AND a.d < b.d
+    GROUP BY a.d, b.d HAVING count(*) >= {min_common}
+    """
+
+
 def _orphans_oracle_sql() -> str:
     """DuckDB twin of ``crawl_orphans``: pages absent from the edge
     replay's src side (dangling) / dst side (orphans), with the same
@@ -9184,6 +9238,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_stats": _host_stats_oracle_sql(),
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
+        "crawl_cocitation": _cocitation_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,

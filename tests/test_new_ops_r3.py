@@ -646,3 +646,58 @@ def test_kcore_known_graph_and_unconverged_rounds():
     f2 = dict(zip(fx["doc_id"], fx["in_core"]))
     assert not f2[9] and not f2[8] and not f2[7] and not f2[6]
     assert all(f2[n] for n in range(1, 6))
+
+
+def test_cocitation_pairs_matches_bruteforce():
+    """cocitation_pairs on a synthetic (src_url, dst_url) edge set
+    equals the brute-force per-src pair count, at two bucket counts
+    (partitioning invariance)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        cocitation_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    srcs, dsts = [], []
+    pages = [f"http://h{i}.test:80/p{i}" for i in range(40)]
+    for s in range(120):
+        outs = rng.choice(40, size=rng.integers(2, 8), replace=False)
+        for d in outs:
+            srcs.append(f"http://src{s}.test:80/")
+            dsts.append(pages[d])
+            if rng.random() < 0.3:  # duplicate anchor — must count once
+                srcs.append(f"http://src{s}.test:80/")
+                dsts.append(pages[d])
+
+    # brute force
+    from collections import defaultdict
+
+    by_src = defaultdict(set)
+    for s, d in zip(srcs, dsts):
+        by_src[s].add(hash64(d))
+    counts = defaultdict(int)
+    for s, ds_ in by_src.items():
+        for a, b in itertools.combinations(sorted(ds_), 2):
+            counts[(a, b)] += 1
+    min_common = 2
+    want = sorted((a, b, n) for (a, b), n in counts.items() if n >= min_common)
+    assert want, "fixture produced no co-cited pairs"
+
+    t = pa.table({"src_url": pa.array(srcs), "dst_url": pa.array(dsts)})
+    for nbuck in (8, 64):
+        got = (
+            cocitation_pairs(
+                rd.from_arrow(t), min_common=min_common, num_buckets=nbuck
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+        )
+        assert [tuple(r) for r in got.itertuples(index=False)] == want, nbuck
