@@ -4155,6 +4155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
         )
 
+    def q_percentile_rank(sf_dir: str):
+        # per-row percent_rank() within event_type WITHOUT a per-group
+        # data sort: bounded histogram broadcast + one searchsorted per
+        # batch (stages/ops.py:grouped_percentile_rank)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_percentile_rank,
+        )
+
+        return grouped_percentile_rank(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
+            "event_type",
+            "value",
+            "event_id",
+        )
+
     def q_asof_join(sf_dir: str):
         # AS-OF join (click -> most recent prior view per user): a
         # custom temporal operator Ray Data lacks, expressed as one
@@ -4845,6 +4860,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
         ).map_batches(_canon80_src, batch_format="pyarrow")
         return cocitation_pairs(edges, min_common=4)
+
+    def q_bib_coupling(sf_dir: str):
+        """Bibliographic coupling over the link graph: src pairs
+        sharing >= 3 common targets (Kessler 1963 — the dual of
+        co-citation; ``stages/crawl.bib_coupling_pairs`` runs the
+        co-citation kernels over the reversed edges)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            bib_coupling_pairs,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        return bib_coupling_pairs(edges, min_common=3)
 
     def q_debounce(sf_dir: str):
         """Debounce (burst collapse) of per-(user, type) event streams:
@@ -5725,6 +5760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": q_cube,
         "rel_quantiles": q_quantiles,
         "rel_mad_outliers": q_mad_outliers,
+        "rel_percentile_rank": q_percentile_rank,
         "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -5733,6 +5769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_cocitation": q_cocitation,
+        "crawl_bib_coupling": q_bib_coupling,
         "crawl_components": q_crawl_components,
         "crawl_triangles": q_crawl_triangles,
         "crawl_kcore": q_crawl_kcore,
@@ -7924,6 +7961,37 @@ def _cocitation_oracle_sql(min_common: int = 4) -> str:
     """
 
 
+def _bib_coupling_oracle_sql(min_common: int = 3) -> str:
+    """DuckDB twin of ``crawl_bib_coupling``: the same hashed edge
+    replay as ``crawl_cocitation``, self-joined on the TARGET side —
+    source pairs sharing >= min_common common link targets."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    h = (
+        "CAST(('0x' || substr(md5({u}), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+    h_src = h.format(u="regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80')")
+    h_dst = h.format(u="regexp_replace(href, '^http://([^/]*)', 'http://\\1:80')")
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT
+                {h_src} AS s,
+                {h_dst} AS d
+              FROM hrefs)
+    SELECT a.s AS doc_a, b.s AS doc_b, count(*) AS n_common_dst
+    FROM edges a JOIN edges b ON a.d = b.d AND a.s < b.s
+    GROUP BY a.s, b.s HAVING count(*) >= {min_common}
+    """
+
+
 def _orphans_oracle_sql() -> str:
     """DuckDB twin of ``crawl_orphans``: pages absent from the edge
     replay's src side (dangling) / dst side (orphans), with the same
@@ -9239,6 +9307,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_cocitation": _cocitation_oracle_sql(),
+        "crawl_bib_coupling": _bib_coupling_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,
@@ -9978,6 +10047,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
             FROM events GROUP BY event_type
+        """,
+        # per-row percent_rank within event_type: rank() ties share the
+        # minimum rank, integer-micros division matches Python //
+        "rel_percentile_rank": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+            n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type)
+            SELECT v.event_id, v.event_type, v.vq AS vq_e2,
+                   CAST(1000000 * (rank() OVER (PARTITION BY v.event_type ORDER BY v.vq) - 1)
+                        // (n.n - 1) AS BIGINT) AS pr_e6
+            FROM v JOIN n USING (event_type)
         """,
         # robust MAD outlier screen: same quantize + quantile_disc
         # (lower-median) rules as rel_quantiles, deviations folded

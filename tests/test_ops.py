@@ -672,3 +672,46 @@ def test_grouped_mad_outliers_matches_duckdb():
         ), g
         total_out += n_out
     assert total_out > 0, "no outliers flagged — planted tail missed"
+
+
+def test_grouped_percentile_rank_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_percentile_rank,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(rng.choice(["a", "b"], n).tolist()),
+            # coarse values force TIES so the min-rank rule is exercised
+            "v": pa.array(np.round(rng.uniform(0, 3, n), 1)),
+        }
+    )
+    got = (
+        grouped_percentile_rank(rd.from_arrow(t), "g", "v", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        """
+        WITH v AS (SELECT id, g, CAST(round(v*100) AS BIGINT) AS vq FROM t),
+        n AS (SELECT g, count(*) AS n FROM v GROUP BY g)
+        SELECT v.id, CAST(1000000 * (rank() OVER (PARTITION BY v.g ORDER BY v.vq) - 1)
+                          // (n.n - 1) AS BIGINT) AS pr
+        FROM v JOIN n USING (g) ORDER BY v.id
+        """
+    ).fetchall()
+    assert got["pr_e6"].tolist() == [w[1] for w in want]
+    # ties share the MIN rank, so a tied maximum never reaches 1.0 —
+    # but the top must be close and the bottom exactly 0
+    assert got["pr_e6"].max() > 900_000
+    assert got["pr_e6"].min() == 0

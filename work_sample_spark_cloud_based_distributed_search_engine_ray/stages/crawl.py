@@ -1135,6 +1135,31 @@ def cocitation_pairs(
     )
 
 
+def bib_coupling_pairs(
+    edges: "rd.Dataset", *, min_common: int = 3, num_buckets: int = 64
+) -> "rd.Dataset":
+    """Bibliographic coupling (Kessler 1963) — the dual of co-citation:
+    pairs of SOURCES sharing >= ``min_common`` common link targets
+    (two pages citing the same things are related). Exactly
+    ``cocitation_pairs`` over the reversed edge set, so the same
+    bounded-bucket kernels carry it; only the count column is renamed
+    to say what was shared."""
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_url": t["dst_url"], "dst_url": t["src_url"]})
+
+    out = cocitation_pairs(
+        edges.map_batches(swap, batch_format="pyarrow"),
+        min_common=min_common,
+        num_buckets=num_buckets,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "doc_b", "n_common_dst"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
     """k-core decomposition of an undirected graph by iterative peeling
     (Seidman 1983) — the "dense nucleus" signal link-spam and

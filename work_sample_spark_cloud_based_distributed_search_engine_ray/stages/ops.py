@@ -803,6 +803,85 @@ def grouped_quantiles(
     return hash_map_groups(hist, group_col, pick)
 
 
+def grouped_percentile_rank(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    scale: int = 100,
+) -> rd.Dataset:
+    """EXACT per-row percentile rank within its group — SQL
+    ``percent_rank()`` (= (rank-1)/(n-1), ties share the minimum rank)
+    as integer micros: ``pr_e6 = 1_000_000 * n_strictly_smaller
+    // (n - 1)``.
+
+    A window function with NO per-group sort of the data: pass 1
+    builds the bounded per-group value HISTOGRAM (map-side (group,
+    value) count combine — the domain is fixed-point-quantized, so the
+    histogram is value-range-bounded, never row-bounded), merges it on
+    the driver and broadcasts (vals, exclusive-cumsum) arrays via
+    ``ray.put``; pass 2 assigns every row its rank with one
+    ``np.searchsorted`` per batch. Rows stream; only histogram rows
+    ever cross the wire."""
+    exp = len(str(scale)) - 1
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        )
+        qt = pa.table({group_col: t[group_col], "__vq": v.cast(pa.int64())})
+        agg = qt.group_by([group_col, "__vq"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "__vq", "__n"])
+
+    hist_rows = ds.map_batches(partial_hist, batch_format="pyarrow").take_all()
+    by_group: dict = {}
+    for r in hist_rows:
+        by_group.setdefault(r[group_col], {})
+        by_group[r[group_col]][r["__vq"]] = (
+            by_group[r[group_col]].get(r["__vq"], 0) + r["__n"]
+        )
+    lookup = {}
+    for g, hv in by_group.items():
+        vals = np.array(sorted(hv), np.int64)
+        counts = np.array([hv[v] for v in vals], np.int64)
+        cum_excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        lookup[g] = (vals, cum_excl, int(counts.sum()))
+    lookup_ref = ray.put(lookup)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        v = (
+            pc.round(
+                pc.multiply(t[value_col], float(scale)),
+                round_mode="half_towards_infinity",
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        groups = t[group_col].to_pylist()
+        pr = np.zeros(v.size, np.int64)
+        garr = np.asarray(groups, dtype=object)
+        for g in set(groups):
+            vals, cum_excl, n = lk[g]
+            m = garr == g
+            if n <= 1:
+                continue
+            idx = np.searchsorted(vals, v[m], side="left")
+            pr[m] = 1_000_000 * cum_excl[idx] // (n - 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                f"vq_e{exp}": pa.array(v),
+                "pr_e6": pa.array(pr),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def grouped_mad_outliers(
     ds: rd.Dataset,
     group_col: str,
