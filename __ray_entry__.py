@@ -1082,6 +1082,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_page2(sf_dir: str) -> pa.Table:
+        """Page 2 of each reference query via the stateless search-after
+        cursor (``SearchIndex.bm25_topk_after``): page 1's last
+        (score_e6, doc_id) is the cursor; ranks continue at 10."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            page1 = idx.bm25_topk_after(q, k=10)
+            if len(page1) < 10:
+                continue  # no second page
+            page2 = idx.bm25_topk_after(q, k=10, after=page1[-1])
+            for r, (s6, d) in enumerate(page2):
+                qids.append(qid)
+                ranks.append(10 + r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_title(sf_dir: str) -> pa.Table:
         """BM25F-lite title boost: body BM25 e6 score plus a flat
         500000-micro boost per distinct body-present query term in the
@@ -4170,6 +4199,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_id",
         )
 
+    def q_skyline(sf_dir: str):
+        # per-type 2-D skyline (value MAX, ts MIN): Pareto-optimal
+        # events via local-skyline combiner + tiny per-group merge
+        # (stages/ops.py:grouped_skyline_2d)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_skyline_2d,
+        )
+
+        return grouped_skyline_2d(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "value", "ts"]),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+
     def q_asof_join(sf_dir: str):
         # AS-OF join (click -> most recent prior view per user): a
         # custom temporal operator Ray Data lacks, expressed as one
@@ -5629,6 +5674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-likelihood / Dirichlet LM ranking over the same index
         # (SearchIndex.lm_dirichlet_topk — Zhai & Lafferty 2001)
         "search_lm_dirichlet": lambda sf_dir: _search_table(sf_dir, "lm"),
+        # stateless cursor pagination: page 2 fetched through the
+        # search-after API (SearchIndex.bm25_topk_after — the cursor is
+        # page 1's last (score_e6, doc_id); no scroll state server-side)
+        "search_page2": q_search_page2,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -5761,6 +5810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_quantiles": q_quantiles,
         "rel_mad_outliers": q_mad_outliers,
         "rel_percentile_rank": q_percentile_rank,
+        "rel_skyline": q_skyline,
         "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -6373,6 +6423,15 @@ def _flagship_oracle_sql(
                 ELSE 1000000 // (hit.first_rnk + 1) END AS rr_e6
     FROM nq LEFT JOIN hit ON hit.qid = nq.qid
     WHERE nq.qid IN (SELECT DISTINCT qid FROM scores)"""
+    elif variant == "page2":
+        # ranks 11..20 of the flagship ranking — the search-after page
+        collapse_ctes = ""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) BETWEEN 11 AND 20"""
     elif host_collapse is None:
         collapse_ctes = ""
         final_select = """SELECT qid,
@@ -8891,6 +8950,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_stemmed": _stemmed_search_oracle_sql(),
         "search_bm25_maxscore": _flagship_oracle_sql("bm25"),
         "search_lm_dirichlet": _flagship_oracle_sql("lm"),
+        "search_page2": _flagship_oracle_sql("bm25", variant="page2"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
@@ -10047,6 +10107,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
             FROM events GROUP BY event_type
+        """,
+        # per-type 2-D skyline: NOT-EXISTS strict dominance under
+        # (value max, ts min); exact (v, ts) ties are all kept
+        "rel_skyline": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vq, ts
+                       FROM events)
+            SELECT a.event_id, a.event_type, a.vq AS vq_e2, a.ts
+            FROM e a WHERE NOT EXISTS (
+              SELECT 1 FROM e b WHERE b.event_type = a.event_type
+                AND b.vq >= a.vq AND b.ts <= a.ts
+                AND (b.vq > a.vq OR b.ts < a.ts))
         """,
         # per-row percent_rank within event_type: rank() ties share the
         # minimum rank, integer-micros division matches Python //

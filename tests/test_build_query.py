@@ -666,3 +666,26 @@ def test_lm_dirichlet_matches_oracle(built):
                 differs += 1
     assert any_hits >= 10
     assert differs >= 1, "LM ranking never diverged from BM25 — vacuous"
+
+
+def test_search_after_cursor_pagination(built):
+    """Paging through bm25_topk_after reconstructs the e6 top-20
+    exactly (no gaps, no dupes at the page boundary), and a cursor
+    deep enough to force iterative deepening still works."""
+    _pages, _paths, idx, _oracle = built
+    checked = 0
+    for _qid, q in reference_queries():
+        full = idx._e6_prefix(q, candidates=20)
+        p1 = idx.bm25_topk_after(q, k=10)
+        assert p1 == full[:10], q
+        if len(p1) < 10:
+            continue
+        p2 = idx.bm25_topk_after(q, k=10, after=p1[-1])
+        assert p2 == full[10:20], q
+        if p2:
+            # deepening: page 3 via page 2's last cursor
+            p3 = idx.bm25_topk_after(q, k=10, after=p2[-1])
+            deep = idx._e6_prefix(q, candidates=30)
+            assert p3 == deep[len(p1) + len(p2) : len(p1) + len(p2) + 10], q
+        checked += 1
+    assert checked >= 10

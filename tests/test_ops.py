@@ -715,3 +715,51 @@ def test_grouped_percentile_rank_matches_duckdb():
     # but the top must be close and the bottom exactly 0
     assert got["pr_e6"].max() > 900_000
     assert got["pr_e6"].min() == 0
+
+
+def test_grouped_skyline_2d_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_skyline_2d,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts = base + rng.integers(0, 10**6, n) * 1000
+    v = np.round(rng.uniform(0, 20, n), 2)
+    # plant an exact (value, ts) tie pair that must BOTH survive
+    v[10] = v[11] = 99.99
+    ts[10] = ts[11] = base
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(rng.choice(["a", "b"], n).tolist()),
+            "v": pa.array(v),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        }
+    )
+    got = (
+        grouped_skyline_2d(rd.from_arrow(t), "g", "v", "ts", "id")
+        .to_pandas()
+        .sort_values("id")
+    )
+
+    vq = np.rint(v * 100).astype(np.int64)
+    garr = np.asarray(t["g"].to_pylist(), dtype=object)
+    keep = []
+    for i in range(n):
+        m = garr == garr[i]
+        dom = (
+            (vq[m] >= vq[i])
+            & (ts[m] <= ts[i])
+            & ((vq[m] > vq[i]) | (ts[m] < ts[i]))
+        )
+        if not dom.any():
+            keep.append(i)
+    assert got["id"].tolist() == keep
+    assert 10 in keep and 11 in keep  # the planted tie pair survives

@@ -1005,6 +1005,27 @@ class SearchIndex:
             self._docstore = DocStore(self._docstore_path)
         return self._docstore
 
+    def bm25_topk_after(
+        self, query: str, k: int = 10, after: tuple[int, int] | None = None
+    ) -> list[tuple[int, int]]:
+        """Cursor pagination ("search after"): the next ``k`` results
+        STRICTLY after cursor ``after = (score_e6, doc_id)`` in the e6
+        contract order (score_e6 desc, doc_id asc); ``None`` = first
+        page. Stateless between calls — the serving tier keeps no
+        scroll context (the cursor IS the state), so any replica can
+        serve any page. Iterative deepening re-runs the ranked prefix
+        only as deep as the cursor actually sits."""
+        depth = max(2 * k, 20)
+        while True:
+            pref = self._e6_prefix(query, candidates=depth)
+            if after is None:
+                return pref[:k]
+            key = (-after[0], after[1])
+            tail = [t for t in pref if (-t[0], t[1]) > key]
+            if len(tail) >= k or len(pref) < depth:
+                return tail[:k]
+            depth *= 2
+
     def ltr_features(
         self, query: str, k: int = 10, *, candidates: int = 50
     ) -> list[dict]:

@@ -803,6 +803,111 @@ def grouped_quantiles(
     return hash_map_groups(hist, group_col, pick)
 
 
+def grouped_skyline_2d(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    scale: int = 100,
+) -> rd.Dataset:
+    """Per-group 2-D SKYLINE (Pareto-optimal set, Borzsony et al.
+    2001): rows not strictly dominated under (value MAX, ts MIN) —
+    "the earliest events of each unbeaten value level". Exact-tie rows
+    (equal value AND equal ts) are all kept, matching the SQL
+    NOT-EXISTS dominance twin.
+
+    Dominance is transitive, so the LOCAL skyline is a valid combiner:
+    every block reduces to its own skyline first (vectorized — one
+    lexsort, per-group running-min scan over value classes), and only
+    those few survivors enter the per-group merge, where the same
+    kernel runs once more. The exchange carries skyline-sized data
+    (O(log n) expected for independent dims), never the table."""
+    exp = len(str(scale)) - 1
+    vq_name = f"vq_e{exp}"
+
+    def _skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks must keep the output schema
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.string()),
+                    vq_name: pa.array([], pa.int64()),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                }
+            )
+        _g, v, _tsu, take = _skyline_core(
+            t, group_col, vq_name if vq_name in t.column_names else value_col,
+            ts_col, scale, quantize=vq_name not in t.column_names,
+        )
+        out = t.take(pa.array(take))
+        cols = {
+            id_col: out[id_col],
+            group_col: out[group_col],
+            vq_name: pa.array(v, pa.int64()),
+            ts_col: out[ts_col],
+        }
+        return pa.table(cols)
+
+    local = ds.map_batches(_skyline, batch_format="pyarrow")
+    return hash_map_groups(local, group_col, _skyline)
+
+
+def _skyline_core(
+    t: pa.Table,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    scale: int,
+    *,
+    quantize: bool,
+):
+    """Shared skyline kernel: returns (group codes, surviving quantized
+    values, surviving ts, take indices) for the (value MAX, ts MIN)
+    skyline of ``t`` — used both per block and per merge group."""
+    tt = t.combine_chunks()
+    if quantize:
+        v = (
+            pc.round(
+                pc.multiply(tt[value_col], float(scale)),
+                round_mode="half_towards_infinity",
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+    else:
+        v = tt[value_col].to_numpy(zero_copy_only=False)
+    tsu = tt[ts_col].to_numpy(zero_copy_only=False).view(np.int64)
+    if pa.types.is_integer(tt[group_col].type):
+        gcode = tt[group_col].to_numpy(zero_copy_only=False)
+    else:
+        _, gcode = np.unique(
+            np.asarray(tt[group_col].to_pylist(), dtype=object), return_inverse=True
+        )
+    order = np.lexsort((tsu, -v, gcode))
+    gs, vs, ts_s = gcode[order], v[order], tsu[order]
+    keep_sorted = np.zeros(vs.size, dtype=bool)
+    run_starts = np.concatenate(([0], np.flatnonzero(np.diff(gs) != 0) + 1))
+    run_ends = np.concatenate((run_starts[1:], [gs.size]))
+    for rs, re in zip(run_starts, run_ends):
+        vv, tv = vs[rs:re], ts_s[rs:re]
+        cls_start = np.concatenate(([0], np.flatnonzero(np.diff(vv) != 0) + 1))
+        cmin = tv[cls_start]  # ts asc within a value class
+        prev = np.empty(cmin.size, np.int64)
+        prev[0] = np.iinfo(np.int64).max
+        if cmin.size > 1:
+            prev[1:] = np.minimum.accumulate(cmin)[:-1]
+        alive = cmin < prev
+        # survivors: rows of living classes whose ts equals the class min
+        cls_of_row = np.cumsum(
+            np.concatenate(([0], (np.diff(vv) != 0).astype(np.int64)))
+        )
+        keep_sorted[rs:re] = alive[cls_of_row] & (tv == cmin[cls_of_row])
+    take = order[keep_sorted]
+    return gcode[take], v[take], tsu[take], take
+
+
 def grouped_percentile_rank(
     ds: rd.Dataset,
     group_col: str,
