@@ -1111,6 +1111,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_conj(sf_dir: str) -> pa.Table:
+        """Strict-AND BM25 retrieval (every query term must match,
+        ranked by the flagship score — ``SearchIndex.
+        bm25_conjunctive_topk``); e6 contract like the OR rows."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            ranked = idx.bm25_conjunctive_topk(q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_search_explain(sf_dir: str) -> pa.Table:
+        """Score EXPLAIN rows — per (top-3 doc, matched term): tf, df
+        and the single-occurrence BM25 contribution in micros
+        (``SearchIndex.explain_topk``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        cols = {k: [] for k in ("qid", "doc_id", "term", "tf", "df", "contrib_e6")}
+        for qid, q in reference_queries():
+            for row in idx.explain_topk(q, k=3):
+                cols["qid"].append(qid)
+                for c in ("doc_id", "term", "tf", "df", "contrib_e6"):
+                    cols[c].append(row[c])
+        return pa.table(
+            {
+                "qid": pa.array(cols["qid"], pa.int64()),
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "term": pa.array(cols["term"], pa.string()),
+                "tf": pa.array(cols["tf"], pa.int64()),
+                "df": pa.array(cols["df"], pa.int64()),
+                "contrib_e6": pa.array(cols["contrib_e6"], pa.int64()),
+            }
+        )
+
     def q_search_title(sf_dir: str) -> pa.Table:
         """BM25F-lite title boost: body BM25 e6 score plus a flat
         500000-micro boost per distinct body-present query term in the
@@ -5678,6 +5734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search-after API (SearchIndex.bm25_topk_after — the cursor is
         # page 1's last (score_e6, doc_id); no scroll state server-side)
         "search_page2": q_search_page2,
+        "search_bm25_conjunctive": q_search_conj,
+        "search_explain": q_search_explain,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -6423,6 +6481,42 @@ def _flagship_oracle_sql(
                 ELSE 1000000 // (hit.first_rnk + 1) END AS rr_e6
     FROM nq LEFT JOIN hit ON hit.qid = nq.qid
     WHERE nq.qid IN (SELECT DISTINCT qid FROM scores)"""
+    elif variant == "conj":
+        # strict-AND filter over the flagship ranking: a doc qualifies
+        # iff it matches EVERY distinct query term (absent terms make
+        # the count unreachable, emptying the query — engine parity)
+        collapse_ctes = """,
+    nq AS (SELECT qid, count(DISTINCT term) AS m FROM q GROUP BY qid),
+    allhit AS (SELECT q.qid, tf.doc_id
+               FROM q JOIN tf ON tf.term = q.term JOIN nq ON nq.qid = q.qid
+               GROUP BY q.qid, tf.doc_id, nq.m
+               HAVING count(DISTINCT q.term) = nq.m),
+    conj AS (SELECT e6.* FROM e6
+             JOIN allhit ON allhit.qid = e6.qid AND allhit.doc_id = e6.doc_id)"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM conj
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
+    elif variant == "explain":
+        # per-(top-3 doc, matched term) BM25 contribution breakdown;
+        # parenthesized exactly like the engine (idf * (tf_part))
+        collapse_ctes = """,
+    top3 AS (SELECT qid, doc_id FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 3),
+    qd AS (SELECT DISTINCT qid, term FROM q)"""
+        final_select = """SELECT t.qid, t.doc_id, qd.term,
+           CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+           CAST(round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * ((tf.tf * (1.2 + 1))
+                    / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)))
+                 * 1000000) AS BIGINT) AS contrib_e6
+    FROM top3 t
+    JOIN qd ON qd.qid = t.qid
+    JOIN tf ON tf.term = qd.term AND tf.doc_id = t.doc_id
+    JOIN df ON df.term = qd.term
+    JOIN dl ON dl.doc_id = t.doc_id, stats"""
     elif variant == "page2":
         # ranks 11..20 of the flagship ranking — the search-after page
         collapse_ctes = ""
@@ -8951,6 +9045,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_maxscore": _flagship_oracle_sql("bm25"),
         "search_lm_dirichlet": _flagship_oracle_sql("lm"),
         "search_page2": _flagship_oracle_sql("bm25", variant="page2"),
+        "search_bm25_conjunctive": _flagship_oracle_sql("bm25", variant="conj"),
+        "search_explain": _flagship_oracle_sql("bm25", variant="explain"),
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),

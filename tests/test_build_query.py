@@ -689,3 +689,39 @@ def test_search_after_cursor_pagination(built):
             assert p3 == deep[len(p1) + len(p2) : len(p1) + len(p2) + 10], q
         checked += 1
     assert checked >= 10
+
+
+def test_bm25_conjunctive_and_explain(built):
+    _pages, _paths, idx, _oracle = built
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    nonempty = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25_conjunctive_topk(q, 10)
+        terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+        # strict-AND: every result contains ALL terms, with flagship score
+        exh = dict(idx.bm25_topk_exhaustive(q, 10**6))
+        for d, s in got:
+            assert s == exh[d], q
+            for t in terms:
+                p = idx.postings(t)
+                i = int(np.searchsorted(p.ids, d))
+                assert i < p.ids.size and p.ids[i] == d, (q, t)
+        if got:
+            nonempty += 1
+        # explain: per-term contribs of a duplicate-free query sum to
+        # the doc's score within per-term e6 rounding slack
+        toks = tokenize_query(q)
+        if len(toks) == len(set(toks)):
+            rows = idx.explain_topk(q, k=3)
+            by_doc = {}
+            for r in rows:
+                by_doc.setdefault(r["doc_id"], 0)
+                by_doc[r["doc_id"]] += r["contrib_e6"]
+            for s6, d in idx._e6_prefix(q, candidates=3):
+                assert abs(by_doc[d] - s6) <= len(toks) + 1, (q, d)
+    assert nonempty >= 5
+    # absent term empties a strict AND even when other terms match
+    assert idx.bm25_conjunctive_topk("the zzqxnothing", 10) == []

@@ -623,6 +623,63 @@ class SearchIndex:
         acc += len(q_terms) * np.log(mu / (dl_u.astype(np.float64) + mu))
         return _topk(uniq, acc, k)
 
+    def bm25_conjunctive_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Strict-AND retrieval with BM25 ranking (the default mode of
+        most production engines: every query term must match, results
+        ranked by relevance — the reference only has additive OR,
+        ``Searcher.java:139-150``). Candidates come from the rarest-
+        first sorted intersection; scores are computed exactly like
+        ``bm25_topk_exhaustive`` (same per-term accumulation order), so
+        a conjunctive result always carries its flagship score."""
+        terms_all = [t for t in tokenize_query(query)]
+        distinct = sorted(set(terms_all))
+        if not distinct or any(not self.has_term(t) for t in distinct):
+            return []  # an absent term empties a strict AND
+        cand = self._conjunctive_candidates(distinct)
+        if cand.size == 0:
+            return []
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for t in terms_all:  # duplicate-preserving, flagship order
+            p = self.postings(t)
+            pos = np.searchsorted(p.ids, cand)
+            tfs = p.tfs[pos].astype(np.float64)
+            dls = p.dls[pos].astype(np.float64)
+            acc += self.bm25_idf(p.df) * self._bm25_tf_part(tfs, dls)
+        return _topk(cand, acc, k)
+
+    def explain_topk(self, query: str, k: int = 3) -> list[dict]:
+        """Score EXPLAIN for the e6 top-``k`` results: one row per
+        (doc, matched distinct term) with the term's tf, df and its
+        single-occurrence BM25 contribution in micros — the per-term
+        breakdown a relevance engineer debugs ranking with. Pure
+        postings probes (searchsorted per term), no doc fetch."""
+        pref = self._e6_prefix(query, candidates=k)[:k]
+        if not pref:
+            return []
+        docs = np.array([d for _s, d in pref], np.int64)
+        out = []
+        for t in sorted({t for t in tokenize_query(query) if self.has_term(t)}):
+            p = self.postings(t)
+            pos = np.minimum(np.searchsorted(p.ids, docs), p.ids.size - 1)
+            hit = p.ids[pos] == docs
+            if not hit.any():
+                continue
+            idf = self.bm25_idf(p.df)
+            tfs = p.tfs[pos].astype(np.float64)
+            dls = p.dls[pos].astype(np.float64)
+            contrib = idf * self._bm25_tf_part(tfs, dls)
+            for i in np.flatnonzero(hit):
+                out.append(
+                    {
+                        "doc_id": int(docs[i]),
+                        "term": t,
+                        "tf": int(p.tfs[pos[i]]),
+                        "df": int(p.df),
+                        "contrib_e6": int(round(contrib[i] * 1_000_000)),
+                    }
+                )
+        return out
+
     # ---------------- boolean / phrase retrieval ----------------
 
     def _conjunctive_candidates(self, terms: list[str]) -> np.ndarray:
