@@ -1167,6 +1167,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_index_shard_stats(sf_dir: str) -> pa.Table:
+        """Index LAYOUT audit: per serving shard (shard =
+        hash64(term) % num_shards — the hash routing that replaces the
+        reference's range-partitioned KVS, ``kvs/KVSClient.java:
+        188-198``), the vocabulary size and total df/cf it holds. The
+        SQL twin re-derives the whole vocabulary from the corpus AND
+        replays the md5 shard routing — so a routing or df/cf drift in
+        ANY term fails the hash match."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+            hash64_array,
+        )
+
+        idx = _cached_index(sf_dir)
+        t = idx._shards
+        ns = int(idx.meta["num_shards"])
+        shard = hash64_array(t["term"].to_pylist()) % ns
+        df = t["df"].to_numpy(zero_copy_only=False)
+        cf = t["cf"].to_numpy(zero_copy_only=False)
+        n_terms = np.bincount(shard, minlength=ns).astype(np.int64)
+        sum_df = np.zeros(ns, np.int64)
+        np.add.at(sum_df, shard, df)
+        sum_cf = np.zeros(ns, np.int64)
+        np.add.at(sum_cf, shard, cf)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(ns, dtype=np.int64)),
+                "n_terms": pa.array(n_terms),
+                "sum_df": pa.array(sum_df),
+                "sum_cf": pa.array(sum_cf),
+            }
+        )
+
     def q_search_title(sf_dir: str) -> pa.Table:
         """BM25F-lite title boost: body BM25 e6 score plus a flat
         500000-micro boost per distinct body-present query term in the
@@ -4982,6 +5014,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(_canon80_src, batch_format="pyarrow")
         return bib_coupling_pairs(edges, min_common=3)
 
+    def q_host_graph(sf_dir: str):
+        """Host-level link graph (graph coarsening): distinct page
+        edges aggregated to (src_host, dst_host, n_links) — the site
+        topology view a crawl scheduler partitions by. Distinct page
+        edges via the bounded-bucket dedup, hosts by one vectorized
+        regex, per-block partial counts merged in a tiny host-pair
+        groupby (host cardinality is corpus-bounded)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        dedup = distinct_on(edges, ["src_url", "dst_url"])
+
+        host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+
+        def hosts_partial(t: pa.Table) -> pa.Table:
+            sh = pc.utf8_lower(
+                pc.replace_substring_regex(t["src_url"], host_re + r".*$", r"\1")
+            )
+            dh = pc.utf8_lower(
+                pc.replace_substring_regex(t["dst_url"], host_re + r".*$", r"\1")
+            )
+            agg = (
+                pa.table({"src_host": sh, "dst_host": dh})
+                .group_by(["src_host", "dst_host"])
+                .aggregate([([], "count_all")])
+            )
+            return agg.rename_columns(["src_host", "dst_host", "n"])
+
+        def merge(g: pa.Table) -> pa.Table:
+            agg = (
+                g.select(["src_host", "dst_host", "n"])
+                .group_by(["src_host", "dst_host"])
+                .aggregate([("n", "sum")])
+            )
+            return agg.rename_columns(["src_host", "dst_host", "n_links"])
+
+        partials = dedup.map_batches(hosts_partial, batch_format="pyarrow")
+        return hash_map_groups(partials, "src_host", merge, num_partitions=8)
+
     def q_debounce(sf_dir: str):
         """Debounce (burst collapse) of per-(user, type) event streams:
         keep an event only when it is the first of its key or more than
@@ -5736,6 +5820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page2": q_search_page2,
         "search_bm25_conjunctive": q_search_conj,
         "search_explain": q_search_explain,
+        "index_shard_stats": q_index_shard_stats,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
         "search_boolean_and": q_search_boolean,
@@ -5878,6 +5963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_cocitation": q_cocitation,
         "crawl_bib_coupling": q_bib_coupling,
+        "crawl_host_graph": q_host_graph,
         "crawl_components": q_crawl_components,
         "crawl_triangles": q_crawl_triangles,
         "crawl_kcore": q_crawl_kcore,
@@ -8114,6 +8200,32 @@ def _cocitation_oracle_sql(min_common: int = 4) -> str:
     """
 
 
+def _host_graph_oracle_sql() -> str:
+    """DuckDB twin of ``crawl_host_graph``: the hash-matched edge
+    replay, hosts extracted with the oracle-standard host regex, one
+    group-by over host pairs."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT
+                regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+                regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+              FROM hrefs)
+    SELECT lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS src_host,
+           lower(regexp_extract(d, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS dst_host,
+           count(*) AS n_links
+    FROM edges GROUP BY src_host, dst_host
+    """
+
+
 def _bib_coupling_oracle_sql(min_common: int = 3) -> str:
     """DuckDB twin of ``crawl_bib_coupling``: the same hashed edge
     replay as ``crawl_cocitation``, self-joined on the TARGET side —
@@ -9047,6 +9159,26 @@ def oracle_sql() -> dict[str, str]:
         "search_page2": _flagship_oracle_sql("bm25", variant="page2"),
         "search_bm25_conjunctive": _flagship_oracle_sql("bm25", variant="conj"),
         "search_explain": _flagship_oracle_sql("bm25", variant="explain"),
+        "index_shard_stats": _docs_cte()
+        + f""",
+    toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    vocab AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term),
+    routed AS (SELECT CAST(CAST(('0x' || substr(md5(term), 1, 16))::UBIGINT
+                             & 9223372036854775807::UBIGINT AS BIGINT) % 16
+                       AS BIGINT) AS shard, df, cf
+               FROM vocab),
+    per AS (SELECT shard, count(*) AS n_terms,
+                   CAST(sum(df) AS BIGINT) AS sum_df,
+                   CAST(sum(cf) AS BIGINT) AS sum_cf
+            FROM routed GROUP BY shard)
+    SELECT s.shard, COALESCE(per.n_terms, 0) AS n_terms,
+           COALESCE(per.sum_df, 0) AS sum_df,
+           COALESCE(per.sum_cf, 0) AS sum_cf
+    FROM (SELECT unnest(range(16)) AS shard) s
+    LEFT JOIN per USING (shard)
+    """,
         "search_recency_boost": _flagship_oracle_sql("bm25", variant="recency"),
         "search_phrase": _phrase_oracle_sql(),
         "search_phrase_positional": _phrase_oracle_sql(),
@@ -9464,6 +9596,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_cocitation": _cocitation_oracle_sql(),
         "crawl_bib_coupling": _bib_coupling_oracle_sql(),
+        "crawl_host_graph": _host_graph_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,
