@@ -376,3 +376,40 @@ def test_http_ql_guards_and_pagination(served):
         assert [g["rank_score"] for g in got] == [s for _d, s in want]
     finally:
         srv.shutdown()
+
+
+def test_http_explain_endpoint(served):
+    """GET /explain?query= returns the per-(doc, term) BM25 contribution
+    rows as JSON; a backend without explain_topk answers 501."""
+    import json
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    ds, idx = served
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        checked = 0
+        for _qid, q in reference_queries()[:6]:
+            with urllib.request.urlopen(f"{base}/explain?query={quote(q)}") as r:
+                got = json.loads(r.read())
+            assert got == idx.explain_topk(q, k=3)
+            checked += len(got)
+        assert checked > 0
+    finally:
+        srv.shutdown()
+
+    srv2 = SearchHTTPServer(ds, port=0).start()
+    try:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv2.port}/explain?query=the")
+            raise AssertionError("expected HTTP 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        srv2.shutdown()

@@ -238,7 +238,7 @@ class SearchHTTPServer:
                             },
                         )
                     return
-                if u.path not in ("/search", "/facets"):
+                if u.path not in ("/search", "/facets", "/explain"):
                     self._reply(404, {"error": "not found"})
                     return
                 q = parse_qs(u.query)
@@ -246,6 +246,15 @@ class SearchHTTPServer:
                 if not query:
                     # Searcher.java:38 null-query guard
                     self._reply(400, {"error": "missing query"})
+                    return
+                if u.path == "/explain":
+                    # per-(doc, matched term) BM25 contribution rows for
+                    # the top results (SearchIndex.explain_topk); 501
+                    # for backends without the method
+                    if not hasattr(backend, "explain_topk"):
+                        self._reply(501, {"error": "backend has no explain"})
+                        return
+                    self._reply(200, backend.explain_topk(query, k=3))
                     return
                 if u.path == "/facets":
                     # result-refinement sidebar counts over the top-50
