@@ -4303,6 +4303,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_id",
         )
 
+    def q_interarrival(sf_dir: str):
+        # per-type exact quantiles of same-(user,type) inter-event gaps
+        # (stages/temporal.py:interarrival_quantiles — user-bucket sort
+        # once, second-quantized gap histogram, quantile_disc rule)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            interarrival_quantiles,
+        )
+
+        return interarrival_quantiles(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        )
+
     def q_asof_join(sf_dir: str):
         # AS-OF join (click -> most recent prior view per user): a
         # custom temporal operator Ray Data lacks, expressed as one
@@ -5954,6 +5966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mad_outliers": q_mad_outliers,
         "rel_percentile_rank": q_percentile_rank,
         "rel_skyline": q_skyline,
+        "rel_interarrival": q_interarrival,
         "rel_winsorized_agg": q_winsorized,
         "rel_asof_join": q_asof_join,
         "rel_range_join_count": q_range_join,
@@ -10336,6 +10349,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
                    CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
             FROM events GROUP BY event_type
+        """,
+        # per-(user,type) inter-arrival gap quantiles: lag() over the
+        # total (ts, event_id) order, floor-seconds, quantile_disc
+        "rel_interarrival": """
+            WITH g AS (SELECT event_type,
+                              CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS d_us
+                       FROM events)
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST(quantile_disc(d_us // 1000000, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(d_us // 1000000, 0.9) AS BIGINT) AS p90_s
+            FROM g WHERE d_us IS NOT NULL GROUP BY event_type
         """,
         # per-type 2-D skyline: NOT-EXISTS strict dominance under
         # (value max, ts min); exact (v, ts) ties are all kept

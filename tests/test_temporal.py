@@ -154,3 +154,56 @@ def test_moving_avg_matches_bruteforce_random():
         # oldest-first addition, like the kernel and the SQL frame
         want = int(np.rint(sum(reversed(window)) / len(window) * 1e6))
         assert out[eid[i]] == want, (i, window)
+
+
+def test_interarrival_quantiles_matches_duckdb():
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+        interarrival_quantiles,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    base = dt.datetime(2024, 1, 1)
+    rows = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 86400, n)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", rows)
+    want = {
+        r[0]: r[1:]
+        for r in con.sql(
+            """
+        WITH g AS (SELECT event_type,
+                          CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                           AS BIGINT) AS d_us
+                   FROM t)
+        SELECT event_type, count(*), quantile_disc(d_us // 1000000, 0.5),
+               quantile_disc(d_us // 1000000, 0.9)
+        FROM g WHERE d_us IS NOT NULL GROUP BY event_type
+        """
+        ).fetchall()
+    }
+    for nbuck in (4, 64):
+        got = {
+            r["event_type"]: (r["n_gaps"], r["p50_s"], r["p90_s"])
+            for r in interarrival_quantiles(
+                rd.from_arrow(rows), num_buckets=nbuck
+            ).take_all()
+        }
+        assert got == want, nbuck

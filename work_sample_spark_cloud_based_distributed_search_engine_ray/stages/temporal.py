@@ -214,3 +214,82 @@ def moving_avg_per_user(
 
     ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
     return hash_map_groups(ev, "ubucket", ma)
+
+
+def interarrival_quantiles(
+    events: rd.Dataset,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """EXACT per-type quantiles of the inter-arrival gap (seconds)
+    between consecutive events of the same (user, type) stream — the
+    traffic-cadence statistic a rate limiter or anomaly detector is
+    tuned against.
+
+    Two bounded exchanges, no global sort: (1) the user-bucket shuffle
+    orders each bucket once by (user, type, ts, event_id) and reduces
+    its gaps to a (type, gap_s) COUNT histogram (one Arrow group_by —
+    gaps are second-quantized so the histogram is range-bounded);
+    (2) the tiny per-type merge picks each quantile with the
+    ``quantile_disc`` index rule, exactly like ``grouped_quantiles``.
+    Gap = floor((ts - prev_ts) / 1s), order total via (ts, event_id)."""
+    import math
+    from fractions import Fraction
+
+    def gaps_hist(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = group.take(idx).combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        d_us = np.empty(len(g), np.int64)
+        d_us[1:] = ts[1:] - ts[:-1]
+        gap_s = d_us[same] // 1_000_000
+        agg = (
+            pa.table({"event_type": pa.array(et[same]), "gap_s": pa.array(gap_s)})
+            .group_by(["event_type", "gap_s"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["event_type", "gap_s", "n"])
+
+    def _pname(q: float) -> str:
+        return f"p{q * 100:g}_s".replace(".", "_")
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        idx = pc.sort_indices(g["gap_s"])
+        vq = g["gap_s"].to_numpy(zero_copy_only=False)[idx]
+        nn = g["n"].to_numpy(zero_copy_only=False)[idx]
+        first = np.ones(vq.size, dtype=bool)
+        first[1:] = vq[1:] != vq[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(nn, starts)
+        vals = vq[starts]
+        cum = np.cumsum(sums)
+        n = int(cum[-1])
+        cols = {
+            "event_type": g.slice(0, 1)["event_type"],
+            "n_gaps": pa.array([n], pa.int64()),
+        }
+        for q in qs:
+            target = max(1, math.ceil(Fraction(str(q)) * n))
+            j = int(np.searchsorted(cum, target, side="left"))
+            cols[_pname(q)] = pa.array([int(vals[min(j, vals.size - 1)])], pa.int64())
+        return pa.table(cols)
+
+    ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+    hist = hash_map_groups(ev, "ubucket", gaps_hist)
+    return hash_map_groups(hist, "event_type", pick, num_partitions=8)
