@@ -1082,6 +1082,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_bm25f(sf_dir: str) -> pa.Table:
+        """Simple BM25F re-ranking of the e6 top-50 body prefix
+        (``SearchIndex.bm25f_topk``, w_title=3): title tf and length
+        fold INTO the BM25 saturation instead of a flat boost."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s6) in enumerate(idx.bm25f_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "bm25f_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_page2(sf_dir: str) -> pa.Table:
         """Page 2 of each reference query via the stateless search-after
         cursor (``SearchIndex.bm25_topk_after``): page 1's last
@@ -5832,6 +5857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page2": q_search_page2,
         "search_bm25_conjunctive": q_search_conj,
         "search_explain": q_search_explain,
+        "search_bm25f": q_search_bm25f,
         "index_shard_stats": q_index_shard_stats,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
@@ -6091,6 +6117,97 @@ def _title_boost_oracle_sql() -> str:
            doc_id, total_e6, base_e6, CAST(n_title_hits AS BIGINT) AS n_title_hits
     FROM tot
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
+    """
+
+
+def _bm25f_oracle_sql(w: float = 3.0) -> str:
+    """DuckDB twin of ``search_bm25f`` (simple BM25F, Robertson et al.
+    2004): the flagship replay plus the title FIELD folded into the
+    saturation — tf' = tf_body + w*tf_title, dl' = dl_body +
+    w*title_len, avg' = (C_body + w*C_title)/N with C_title the exact
+    title token count over canonical docs; idf stays the body idf.
+    Re-ranks the e6 top-50 body prefix, engine-parenthesized
+    expression, (bm25f_e6 desc, doc_id) order."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    ttl_toks = TOKS.replace("(text,", "(title,")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text, html FROM (
+        SELECT url, text, html,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text,
+             regexp_extract(decode(html), '<title[^>]*>(.*?)</title>', 1) AS title
+      FROM winners),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    ttoks_all AS MATERIALIZED (SELECT doc_id, unnest({ttl_toks}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    ttf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM ttoks_all GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tlen AS (SELECT doc_id, count(*) AS tl FROM ttoks_all GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl,
+                     (CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                      + {w} * CAST((SELECT count(*) FROM ttoks_all) AS DOUBLE))
+                       / (SELECT count(*) FROM docs) AS avgdlf),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    scores AS (
+      SELECT qb.qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score
+      FROM qb JOIN df USING (term) JOIN tf ON tf.term = qb.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY qb.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM scores),
+    pref AS MATERIALIZED (SELECT qid, doc_id FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 50),
+    folded AS (SELECT p.qid, p.doc_id, qb.term,
+                      COALESCE(tf.tf, 0) + {w} * COALESCE(ttf.tf, 0) AS tfp
+               FROM pref p
+               JOIN qb ON qb.qid = p.qid
+               LEFT JOIN tf ON tf.term = qb.term AND tf.doc_id = p.doc_id
+               LEFT JOIN ttf ON ttf.term = qb.term AND ttf.doc_id = p.doc_id
+               WHERE COALESCE(tf.tf, 0) + COALESCE(ttf.tf, 0) > 0),
+    scored AS (
+      SELECT f.qid, f.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * ((f.tfp * (1.2 + 1))
+                    / (f.tfp + 1.2 * ((1 - 0.75)
+                       + 0.75 * (dl.dl + {w} * COALESCE(tlen.tl, 0)) / stats.avgdlf)))) AS s
+      FROM folded f
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = f.doc_id
+      LEFT JOIN tlen ON tlen.doc_id = f.doc_id, stats
+      GROUP BY f.qid, f.doc_id)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, bm25f_e6
+    FROM (SELECT qid, doc_id, CAST(round(s * 1000000) AS BIGINT) AS bm25f_e6 FROM scored)
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) <= 10
     """
 
 
@@ -9172,6 +9289,7 @@ def oracle_sql() -> dict[str, str]:
         "search_page2": _flagship_oracle_sql("bm25", variant="page2"),
         "search_bm25_conjunctive": _flagship_oracle_sql("bm25", variant="conj"),
         "search_explain": _flagship_oracle_sql("bm25", variant="explain"),
+        "search_bm25f": _bm25f_oracle_sql(),
         "index_shard_stats": _docs_cte()
         + f""",
     toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM docs),

@@ -725,3 +725,57 @@ def test_bm25_conjunctive_and_explain(built):
     assert nonempty >= 5
     # absent term empties a strict AND even when other terms match
     assert idx.bm25_conjunctive_topk("the zzqxnothing", 10) == []
+
+
+def test_bm25f_matches_bruteforce(built):
+    """Simple BM25F re-rank equals a from-scratch brute force over the
+    oracle corpus (title tf/length folded into saturation, exact global
+    title stats), at the e6 contract; and the title field actually
+    moves at least one ranking vs plain BM25."""
+    import math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+        tokenize_query,
+    )
+
+    _pages, _paths, idx, oracle = built
+    w = 3.0
+    title_toks = {d: tokenize(v["title"]) for d, v in oracle.docs.items()}
+    c_title = sum(len(t) for t in title_toks.values())
+    assert idx._title_len_total() == c_title
+    avgf = (oracle.total_len + w * c_title) / oracle.N
+    k1, b = 1.2, 0.75
+
+    moved = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25f_topk(q, k=10)
+        terms = sorted({t for t in tokenize_query(q) if t in oracle.postings})
+        pref = sorted(
+            (
+                (int(round(s * 1e6)), d)
+                for d, s in oracle.bm25_topk(q, k=80)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:50]
+        want = []
+        for _s6, d in pref:
+            tc = {}
+            for t in title_toks[d]:
+                tc[t] = tc.get(t, 0) + 1
+            dlf = oracle.docs[d]["doc_len"] + w * len(title_toks[d])
+            s = 0.0
+            for t in terms:
+                p = oracle.postings[t]
+                tfp = p.get(d, 0) + w * tc.get(t, 0)
+                if tfp > 0:
+                    idf = math.log(1.0 + (oracle.N - len(p) + 0.5) / (len(p) + 0.5))
+                    s += idf * ((tfp * (k1 + 1.0)) / (tfp + k1 * ((1.0 - b) + b * dlf / avgf)))
+            want.append((d, int(round(s * 1e6))))
+        want.sort(key=lambda t: (-t[1], t[0]))
+        assert got == want[:10], q
+        if got and [d for d, _ in got] != [
+            d for d, _ in idx.bm25_topk_exhaustive(q, 10)
+        ]:
+            moved += 1
+    assert moved >= 1, "title field never changed a ranking — vacuous"

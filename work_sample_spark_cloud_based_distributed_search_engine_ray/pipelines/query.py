@@ -831,6 +831,99 @@ class SearchIndex:
             for i in order
         ]
 
+    def _title_len_total(self) -> int:
+        """Exact total TITLE token count over the canonical doc store
+        (the title-field half of the BM25F length normalization) —
+        one vectorized tokenize pass over the docstore's title column,
+        cached for the index's lifetime."""
+        if getattr(self, "_title_total", None) is None:
+            import pyarrow.parquet as _pq
+
+            from ..functions.tokenize import tokenize_count_batch
+
+            t = _pq.read_table(
+                self._docstore_path, columns=["title", "is_canonical"]
+            )
+            titles = t.filter(t["is_canonical"])["title"].combine_chunks()
+            _terms, tfs, _ = tokenize_count_batch(titles)
+            flat = tfs.flatten()
+            self._title_total = (
+                int(flat.to_numpy(zero_copy_only=False).sum()) if len(flat) else 0
+            )
+        return self._title_total
+
+    def bm25f_topk(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        w_title: float = 3.0,
+        candidates: int = 50,
+    ) -> list[tuple[int, int]]:
+        """Simple BM25F (Robertson, Zaragoza & Taylor 2004): two-field
+        ranking where the TITLE field's term frequencies and length are
+        folded into the BM25 saturation with weight ``w_title`` —
+        unlike the flat ``bm25_title_boost``, a title hit here
+        interacts with tf saturation and length normalization:
+
+            tf'  = tf_body + w*tf_title
+            dl'  = dl_body + w*title_len
+            avg' = (C_body + w*C_title) / N     (exact ints, C_title
+                                                 from one cached
+                                                 docstore title pass)
+            score = sum_t idf_body(t) * (tf'*(k1+1)) / (tf' + k1*((1-b) + b*dl'/avg'))
+
+        Re-ranks the e6 top-``candidates`` body prefix (the re-ranking
+        family convention — a title-only match outside the body
+        candidate set never enters; a dedicated title-postings index is
+        the corpus-scale form). Returns [(doc_id, bm25f_e6)] ordered by
+        (score desc, doc_id)."""
+        from collections import Counter
+
+        q_terms = sorted({t for t in tokenize_query(query) if self.has_term(t)})
+        if not q_terms:
+            return []
+        pref = self._e6_prefix(query, candidates)
+        if not pref:
+            return []
+        docs = np.array([d for _s, d in pref], np.int64)
+        rows = self._store().lookup(docs.tolist())
+        tcounts = [Counter(tokenize(rows[int(d)]["title"])) for d in docs]
+        tlen = np.array([sum(c.values()) for c in tcounts], np.float64)
+        avgdlf = (
+            float(self.meta["total_len"]) + w_title * float(self._title_len_total())
+        ) / float(self.N)
+        k1, b = self.k1, self.b
+        dlb = np.zeros(docs.size, np.float64)
+        tf_body = {}
+        for t in q_terms:
+            p = self.postings(t)
+            pos = np.minimum(np.searchsorted(p.ids, docs), p.ids.size - 1)
+            hit = p.ids[pos] == docs
+            tfb = np.where(hit, p.tfs[pos], 0).astype(np.float64)
+            tf_body[t] = tfb
+            dlb[hit] = p.dls[pos[hit]]
+        dlf = dlb + w_title * tlen
+        score = np.zeros(docs.size, np.float64)
+        for t in q_terms:
+            tft = np.array([c.get(t, 0) for c in tcounts], np.float64)
+            tfp = tf_body[t] + w_title * tft
+            idf = self.bm25_idf(self.postings(t).df)
+            with np.errstate(invalid="ignore"):
+                contrib = np.where(
+                    tfp > 0,
+                    idf
+                    * (
+                        (tfp * (k1 + 1.0))
+                        / (tfp + k1 * ((1.0 - b) + b * dlf / avgdlf))
+                    ),
+                    0.0,
+                )
+            score += contrib
+        e6 = np.rint(score * 1e6).astype(np.int64)
+        order = np.lexsort((docs, -e6))[:k]
+        return [(int(docs[i]), int(e6[i])) for i in order]
+
     ANCHOR_BOOST_E6 = 300_000
 
     def bm25_anchor_boost(
