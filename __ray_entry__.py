@@ -5796,6 +5796,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, iters=3
         )
 
+    def q_dedup_semantic(sf_dir: str):
+        # SemDeDup (Abbas et al. 2023): exact-integer k-means clusters,
+        # then within-cluster cosine keep-first dedup — one bounded
+        # exchange on the cluster id (stages/ann.py:semantic_dedup)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            semantic_dedup,
+        )
+
+        return semantic_dedup(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            k=8,
+            iters=3,
+            threshold=0.42,
+        )
+
     def q_dedup_substring(sf_dir: str):
         # char-32-gram cross-doc duplicated-substring accounting — the
         # n-gram approximation of suffix-array substring dedup (Lee et
@@ -5924,6 +5939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": q_knn,
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
+        "dedup_semantic": q_dedup_semantic,
         "knn_lsh_topk": q_knn_lsh,
         "knn_lsh_recall": q_knn_recall,
         "knn_ivf_topk": q_knn_ivf,
@@ -7957,14 +7973,11 @@ def _afp_dups_oracle_sql() -> str:
     """
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """Full SQL replay of ``stages/ann.py:kmeans_assign`` — the
-    pagerank-style unrolled-CTE iteration: micro-quantize (the
-    floor(x*1e6+0.5) rule), seed with the k smallest
-    (md5-prefix hash64, vec_id), then ``iters`` exact-integer Lloyd
-    steps (int64 squared distances, (dist, c) argmin tie-break, FLOOR
-    integer-division centroid update via (sx - ((sx%n)+n)%n) // n,
-    empty clusters keep their centroid)."""
+def _kmeans_cte_parts(k: int, iters: int) -> tuple[list, "object"]:
+    """The shared unrolled-CTE k-means replay (see
+    :func:`_kmeans_oracle_sql`): returns the WITH-clause parts list and
+    the dist-expression builder; ``c{iters}`` is the final centroid
+    CTE. Shared by the kmeans and semantic-dedup oracles."""
     hexpr = (
         "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT"
         " & 9223372036854775807::UBIGINT AS BIGINT)"
@@ -8002,6 +8015,18 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
             " list(CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) ORDER BY d) AS e"
             f" FROM s{i} GROUP BY c) nl ON cc.c = nl.c)"
         )
+    return parts, dist
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Full SQL replay of ``stages/ann.py:kmeans_assign`` — the
+    pagerank-style unrolled-CTE iteration: micro-quantize (the
+    floor(x*1e6+0.5) rule), seed with the k smallest
+    (md5-prefix hash64, vec_id), then ``iters`` exact-integer Lloyd
+    steps (int64 squared distances, (dist, c) argmin tie-break, FLOOR
+    integer-division centroid update via (sx - ((sx%n)+n)%n) // n,
+    empty clusters keep their centroid)."""
+    parts, dist = _kmeans_cte_parts(k, iters)
     final = (
         "SELECT vec_id, c AS cluster, dist FROM (\n"
         f"  SELECT v.vec_id, c{iters}.c,"
@@ -8009,6 +8034,41 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
         f"         row_number() OVER (PARTITION BY v.vec_id"
         f" ORDER BY {dist(f'c{iters}.e')}, c{iters}.c) AS rn\n"
         f"  FROM v CROSS JOIN c{iters}) t WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 3, threshold: float = 0.92
+) -> str:
+    """Oracle for ``dedup_semantic``: the unrolled-CTE k-means replay
+    (shared with ``knn_kmeans_assign``) assigns every vector, then a
+    within-cluster self-join finds, per vector, the smallest EARLIER
+    cluster-mate with cosine_e6 >= threshold — the keep-first SemDeDup
+    contract of ``stages/ann.py:semantic_dedup``."""
+    thr_e6 = int(round(threshold * 1e6))
+    parts, dist = _kmeans_cte_parts(k, iters)
+    parts.append(
+        "asg AS (SELECT vec_id, c AS cluster FROM (\n"
+        f"  SELECT v.vec_id, c{iters}.c,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {dist(f'c{iters}.e')}, c{iters}.c) AS rn\n"
+        f"  FROM v CROSS JOIN c{iters}) t WHERE rn = 1)"
+    )
+    parts.append(
+        "d AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of\n"
+        "  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id\n"
+        "  JOIN embeddings ea ON ea.vec_id = a.vec_id\n"
+        "  JOIN embeddings eb ON eb.vec_id = b.vec_id\n"
+        "  WHERE CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
+        f"        CAST(eb.embedding AS DOUBLE[])) * 1000000) AS BIGINT) >= {thr_e6}\n"
+        "  GROUP BY b.vec_id)"
+    )
+    final = (
+        "SELECT asg.vec_id, asg.cluster,\n"
+        "       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,\n"
+        "       d.dup_of AS dup_of\n"
+        "FROM asg LEFT JOIN d ON asg.vec_id = d.vec_id"
     )
     return ",\n".join(parts) + "\n" + final
 
@@ -9716,6 +9776,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_topk": _pq_oracle_sql(),
         "knn_ivfpq_topk": _ivfpq_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
+        "dedup_semantic": _semantic_dedup_oracle_sql(k=8, iters=3, threshold=0.42),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_thumbs": _thumbs_oracle_sql(),
         "media_audio_resample": _audio_resample_oracle_sql(),

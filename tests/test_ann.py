@@ -364,3 +364,56 @@ def test_knn_range_search_matches_numpy():
     want = sorted(zip(qi.tolist(), ids[vi].tolist(), sims[qi, vi].tolist()))
     assert list(map(tuple, got.itertuples(index=False))) == want
     assert len(want) >= 5  # self-matches at minimum — non-vacuous
+
+
+def test_semantic_dedup_matches_numpy_and_partitioning():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        _assign_exact,
+        _micros,
+        kmeans_train_micros,
+        semantic_dedup,
+    )
+
+    tbl, planted = _planted_corpus(n_base=40, dim=16, seed=3)
+    ds = rd.from_arrow(tbl)
+    k, iters, thr = 4, 2, 0.9
+    got = (
+        semantic_dedup(ds, k=k, iters=iters, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got8 = (
+        semantic_dedup(ds.repartition(8), k=k, iters=iters, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # partitioning-invariant
+    for col in ("cluster", "is_dup"):
+        assert got[col].tolist() == got8[col].tolist(), col
+
+    # single-process replay of the contract: assign with the trained
+    # centroids, then within-cluster keep-first at cosine_e6 >= thr
+    cents = kmeans_train_micros(ds, k=k, iters=iters)
+    x = _micros(tbl["embedding"])
+    assign, _ = _assign_exact(x, cents)
+    ids = tbl["vec_id"].to_numpy()
+    m = _norm(np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64))
+    sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+    thr_e6 = int(round(thr * 1e6))
+    want_dup = {}
+    for j in range(len(ids)):
+        earlier = np.nonzero(
+            (assign == assign[j]) & (ids < ids[j]) & (sims[:, j] >= thr_e6)
+        )[0]
+        if earlier.size:
+            want_dup[int(ids[j])] = int(ids[earlier].min())
+    assert got["cluster"].tolist() == assign[np.argsort(ids)].tolist()
+    dup_rows = got[got["is_dup"] == 1]
+    assert {int(r.vec_id): int(r.dup_of) for r in dup_rows.itertuples()} == want_dup
+
+    # planted near-neighbours (cos ~0.99) that share a cluster must be
+    # caught — and a healthy majority should share one (non-vacuous)
+    caught = sum(1 for a, b in planted if want_dup.get(b) is not None)
+    assert caught >= len(planted) * 0.5, caught

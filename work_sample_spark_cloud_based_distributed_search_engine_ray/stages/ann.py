@@ -1003,6 +1003,36 @@ def kmeans_assign(
     (IVF's codebook trainer is the approximate cousin — this one is
     the exact, oracle-checkable clustering operator).
     """
+    cents = kmeans_train_micros(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    final_ref = ray.put(cents)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        x = _micros(batch[vec_col])
+        assign, dist = _assign_exact(x, c)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(assign),
+                "dist": pa.array(dist),
+            }
+        )
+
+    return ds.map_batches(assign_out, batch_format="pyarrow")
+
+
+def kmeans_train_micros(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The training half of :func:`kmeans_assign` — returns the final
+    (k, d) int64 micro-quantized centroids. Shared by
+    :func:`semantic_dedup`, which needs the centroids for its own
+    assignment pass."""
     from ..functions.hashing import hash64_array
 
     def local_init(batch: pa.Table) -> pa.Table:
@@ -1056,18 +1086,87 @@ def kmeans_assign(
         # (sx - ((sx % n) + n) % n) // n)
         cents[nz] = np.floor_divide(sums[nz], counts[nz, None])
 
-    final_ref = ray.put(cents)
+    return cents
 
-    def assign_out(batch: pa.Table) -> pa.Table:
-        c = ray.get(final_ref)
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding column with the exact
+    integer k-means trainer, then within each cluster mark every vector
+    that has an EARLIER (lower-id) cluster-mate with cosine_e6 >=
+    threshold as a duplicate — the keep-first contract every other
+    dedup operator in this repo pins.
+
+    Physical plan: centroids train via :func:`kmeans_train_micros`
+    (k x blocks partials, never rows); ONE assignment pass carries the
+    vector along; one bounded exchange on the cluster id (clusters are
+    the partitioning unit — at corpus scale k grows ~n/target so each
+    cluster's pairwise matmul stays bounded, exactly the paper's
+    strategy); per cluster: one id-sort, one normalized (c, c) matmul,
+    one vectorized first-earlier-neighbour argmax. No per-pair Python.
+
+    Output: (id_col, cluster, is_dup, dup_of) — dup_of is the smallest
+    earlier id with cosine_e6 >= threshold (null for keepers). The
+    SQL twin chains the unrolled-CTE k-means replay with a within-
+    cluster EXISTS self-join on ``list_cosine_similarity``.
+
+    The reference has only exact content dedup (``Crawler.java:
+    178-190``); this is the embedding-space analog for training-data
+    curation.
+    """
+    thr_e6 = int(round(threshold * 1e6))
+    cents = kmeans_train_micros(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
         x = _micros(batch[vec_col])
-        assign, dist = _assign_exact(x, c)
+        assign, _ = _assign_exact(x, c)
         return pa.table(
             {
                 id_col: batch[id_col],
+                vec_col: batch[vec_col],
                 "cluster": pa.array(assign),
-                "dist": pa.array(dist),
             }
         )
 
-    return ds.map_batches(assign_out, batch_format="pyarrow")
+    assigned = ds.map_batches(assign_carry, batch_format="pyarrow")
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_mat(group[vec_col].combine_chunks().take(pa.array(order))))
+        sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+        hit = sims >= thr_e6
+        # only earlier (i < j) neighbours count: zero the lower triangle
+        # and diagonal, then column j's first True row is its dup_of
+        hit &= np.tri(len(ids), k=-1, dtype=bool).T
+        is_dup = hit.any(axis=0)
+        first = hit.argmax(axis=0)
+        dup_of = np.where(is_dup, ids[first], 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": group["cluster"].take(pa.array(order)),
+                "is_dup": pa.array(is_dup.astype(np.int64)),
+                "dup_of": pa.array(
+                    np.ma.masked_array(dup_of, mask=~is_dup), pa.int64()
+                ),
+            }
+        )
+
+    return hash_map_groups(
+        assigned,
+        "cluster",
+        dedup_cluster,
+        num_partitions=_merge_partitions(k),
+    )
