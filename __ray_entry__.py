@@ -4784,6 +4784,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(quantize, batch_format="pyarrow")
         return grouped_corr(ds, ["l_returnflag", "l_linestatus"], "x", "y")
 
+    def q_linfit(sf_dir: str):
+        """Per-group OLS fit price ~ quantity — the regression
+        companion of rel_corr on the same moment pass
+        (``stages/ops.grouped_linfit``). NO float op anywhere: slope
+        and intercept micros are exact big-int floor divisions,
+        replayed in HUGEINT by the SQL twin."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_linfit,
+        )
+
+        def quantize(t: pa.Table) -> pa.Table:
+            q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            p = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "x": pa.array(q),
+                    "y": pa.array(p),
+                }
+            )
+
+        ds = _tbl(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ).map_batches(quantize, batch_format="pyarrow")
+        return grouped_linfit(ds, ["l_returnflag", "l_linestatus"], "x", "y")
+
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
         type pair — the co-occurrence matrix behind segment analysis.
@@ -6026,6 +6059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_audience_overlap": q_audience_overlap,
         "rel_benford": q_benford,
         "rel_corr": q_corr,
+        "rel_linfit": q_linfit,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -10319,6 +10353,33 @@ def oracle_sql() -> dict[str, str]:
                       / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
                 AS BIGINT) AS corr_e6
     FROM d WHERE d1 > 0 AND d2 > 0
+    """,
+        # per-group OLS fit: exact HUGEINT floor-division micros
+        # (the (a - ((a%b)+b)%b) // b emulation — SQL // truncates,
+        # the engine's Python // floors)
+        "rel_linfit": """
+    WITH q AS (SELECT l_returnflag, l_linestatus,
+                      CAST(floor(l_quantity) AS HUGEINT) AS x,
+                      CAST(floor(l_extendedprice) AS HUGEINT) AS y
+               FROM lineitem),
+    s AS (SELECT l_returnflag, l_linestatus,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM q GROUP BY l_returnflag, l_linestatus),
+    d AS (SELECT l_returnflag, l_linestatus, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1
+          FROM s),
+    e AS (SELECT l_returnflag, l_linestatus, n, d1,
+                 1000000 * num AS a1,
+                 1000000 * (sy * d1 - num * sx) AS a2,
+                 n * d1 AS b2
+          FROM d WHERE d1 > 0)
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           CAST((a1 - ((a1 % d1) + d1) % d1) // d1 AS BIGINT) AS slope_e6,
+           CAST((a2 - ((a2 % b2) + b2) % b2) // b2 AS BIGINT) AS intercept_e6
+    FROM e
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

@@ -701,3 +701,33 @@ def test_cocitation_pairs_matches_bruteforce():
             .sort_values(["doc_a", "doc_b"])
         )
         assert [tuple(r) for r in got.itertuples(index=False)] == want, nbuck
+
+
+def test_grouped_linfit_exact_vs_numpy_rational():
+    import math
+    from fractions import Fraction
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_linfit,
+    )
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 3, 400)
+    x = rng.integers(0, 50, 400).astype(np.int64)
+    y = (3 * x + 7 + rng.integers(-5, 6, 400)).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g.astype(np.int64)), "x": pa.array(x), "y": pa.array(y)})
+    got = _sorted(
+        grouped_linfit(rd.from_arrow(tbl).repartition(6), ["g"], "x", "y"), ["g"]
+    )
+    for i, gv in enumerate(got["g"]):
+        m = g == gv
+        n, sx, sy = int(m.sum()), int(x[m].sum()), int(y[m].sum())
+        sxx, sxy = int((x[m] * x[m]).sum()), int((x[m] * y[m]).sum())
+        d1, num = n * sxx - sx * sx, n * sxy - sx * sy
+        slope = Fraction(num, d1)
+        intercept = Fraction(sy, n) - slope * Fraction(sx, n)
+        assert got["slope_e6"][i] == (1_000_000 * num) // d1
+        assert got["intercept_e6"][i] == math.floor(1_000_000 * intercept)
+        # sanity: the planted line y = 3x + 7 is recovered closely
+        assert abs(got["slope_e6"][i] - 3_000_000) < 60_000
+        assert abs(got["intercept_e6"][i] - 7_000_000) < 1_600_000

@@ -2401,6 +2401,70 @@ def grouped_corr(
     Zero-variance groups (d1 == 0 or d2 == 0) are dropped, mirroring
     the SQL twin's WHERE guard. Returns a driver-side pa.Table
     (group keys, n_rows, corr_e6)."""
+    acc = _moment_partials(ds, keys, x, y)
+    out_keys: list[list] = [[] for _ in keys]
+    out_n, out_c = [], []
+    for k in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[k]
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        num = n * sxy - sx * sy
+        corr_e6 = math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
+        for i, kv in enumerate(k):
+            out_keys[i].append(kv)
+        out_n.append(n)
+        out_c.append(corr_e6)
+    cols = {kc: pa.array(out_keys[i]) for i, kc in enumerate(keys)}
+    cols["n_rows"] = pa.array(out_n, pa.int64())
+    cols["corr_e6"] = pa.array(out_c, pa.int64())
+    return pa.table(cols)
+
+
+def grouped_linfit(
+    ds: rd.Dataset, keys: list[str], x: str, y: str
+) -> pa.Table:
+    """Exact per-group OLS fit ``y ~ slope * x + intercept`` — the
+    regression companion of :func:`grouped_corr`, sharing its one
+    streaming moment pass (the exchange carries groups x blocks tiny
+    partial rows). Unlike corr there is NO float op at all: with
+    integer-quantized inputs the closed forms are rationals —
+    ``slope = (n*sxy - sx*sy) / (n*sxx - sx^2)`` and
+    ``intercept = (sy*d1 - num*sx) / (n*d1)`` — so both are emitted as
+    exact FLOOR-division micros computed in arbitrary-precision Python
+    ints; the DuckDB twin replays them in HUGEINT with the
+    ``(a - ((a%b)+b)%b) // b`` floor emulation (SQL ``//`` truncates).
+    Zero-variance-x groups are dropped (d1 <= 0 guard on both sides)."""
+    acc = _moment_partials(ds, keys, x, y)
+    out_keys: list[list] = [[] for _ in keys]
+    out_n, out_s, out_i = [], [], []
+    for k in sorted(acc):
+        n, sx, sy, sxx, _syy, sxy = acc[k]
+        d1 = n * sxx - sx * sx
+        if d1 <= 0:
+            continue
+        num = n * sxy - sx * sy
+        slope_e6 = (1_000_000 * num) // d1
+        intercept_e6 = (1_000_000 * (sy * d1 - num * sx)) // (n * d1)
+        for i, kv in enumerate(k):
+            out_keys[i].append(kv)
+        out_n.append(n)
+        out_s.append(slope_e6)
+        out_i.append(intercept_e6)
+    cols = {kc: pa.array(out_keys[i]) for i, kc in enumerate(keys)}
+    cols["n_rows"] = pa.array(out_n, pa.int64())
+    cols["slope_e6"] = pa.array(out_s, pa.int64())
+    cols["intercept_e6"] = pa.array(out_i, pa.int64())
+    return pa.table(cols)
+
+
+def _moment_partials(
+    ds: rd.Dataset, keys: list[str], x: str, y: str
+) -> dict:
+    """Shared streaming (n, sx, sy, sxx, syy, sxy) per-group moment
+    pass of :func:`grouped_corr` / :func:`grouped_linfit`: vectorized
+    Arrow group_by per batch, driver combine in Python bigints."""
 
     def partial(batch: pa.Table) -> pa.Table:
         xv = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2433,24 +2497,7 @@ def grouped_corr(
         a[3] += r["__xx_sum"]
         a[4] += r["__yy_sum"]
         a[5] += r["__xy_sum"]
-    out_keys: list[list] = [[] for _ in keys]
-    out_n, out_c = [], []
-    for k in sorted(acc):
-        n, sx, sy, sxx, syy, sxy = acc[k]
-        d1 = n * sxx - sx * sx
-        d2 = n * syy - sy * sy
-        if d1 <= 0 or d2 <= 0:
-            continue
-        num = n * sxy - sx * sy
-        corr_e6 = math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
-        for i, kv in enumerate(k):
-            out_keys[i].append(kv)
-        out_n.append(n)
-        out_c.append(corr_e6)
-    cols = {kc: pa.array(out_keys[i]) for i, kc in enumerate(keys)}
-    cols["n_rows"] = pa.array(out_n, pa.int64())
-    cols["corr_e6"] = pa.array(out_c, pa.int64())
-    return pa.table(cols)
+    return acc
 
 
 def grouped_string_agg(
