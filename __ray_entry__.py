@@ -54,6 +54,7 @@ MEDIA_N = 200
 NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
+LP_ROUNDS = 5  # label-propagation community rounds (engine == unrolled SQL)
 KCORE_K = 12  # k-core peel threshold: non-trivial core at the gate (733/10k nodes)
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
@@ -5010,6 +5011,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=CLUSTER_ROUNDS,
         )
 
+    def q_crawl_label_prop(sf_dir: str):
+        """Label-propagation COMMUNITIES of the undirected link graph
+        (Raghavan et al. 2007): synchronous rounds of adopt-the-most-
+        frequent-neighbour-label with a (count desc, label asc) tie
+        break — finer structure than connected components (a component
+        splits into link-dense neighbourhoods). Same edge replay as
+        ``crawl_components``; the oracle unrolls the identical rounds
+        (stages/crawl.py:label_prop_communities)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            label_prop_communities,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        return label_prop_communities(
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
+            rounds=LP_ROUNDS,
+        )
+
     def q_crawl_triangles(sf_dir: str):
         """Exact triangle census of the undirected link graph (nodes,
         edges, wedges, triangles, global transitivity) — the clustering
@@ -6053,6 +6080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bib_coupling": q_bib_coupling,
         "crawl_host_graph": q_host_graph,
         "crawl_components": q_crawl_components,
+        "crawl_label_prop": q_crawl_label_prop,
         "crawl_triangles": q_crawl_triangles,
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
@@ -9067,6 +9095,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lab AS cluster_id FROM l{CLUSTER_ROUNDS}
     """
 
+    # label-propagation communities: same edge replay, LP_ROUNDS
+    # unrolled synchronous adopt-the-mode rounds, (count desc, label
+    # asc) tie-break — identical to stages/crawl.label_prop_communities
+    _lp_steps = "".join(
+        f""",
+    p{k + 1} AS MATERIALIZED (
+      SELECT w.node, w.lab FROM (
+        SELECT e.dst AS node, l.lab, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.lab) AS rn
+        FROM e JOIN p{k} l ON e.src = l.node GROUP BY e.dst, l.lab) w
+      WHERE w.rn = 1)"""
+        for k in range(LP_ROUNDS)
+    )
+    crawl_label_prop_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS (SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+              FROM ids WHERE a <> b),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    p0 AS (SELECT DISTINCT src AS node, src AS lab FROM e){_lp_steps}
+    SELECT node AS doc_id, lab AS community_id FROM p{LP_ROUNDS}
+    """
+
     # triangle census: the same edge replay up to the distinct (a<b)
     # pair set, then degrees / wedges / the one-orientation triangle
     # join (a<b, b<c closing a<c counts each triangle exactly once)
@@ -9824,6 +9887,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bib_coupling": _bib_coupling_oracle_sql(),
         "crawl_host_graph": _host_graph_oracle_sql(),
         "crawl_components": crawl_components_sql,
+        "crawl_label_prop": crawl_label_prop_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,
         "crawl_path_depth": crawl_path_depth_sql,

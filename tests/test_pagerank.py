@@ -156,3 +156,58 @@ def test_hits_matches_numpy_golden(ray_session):
     assert max(got, key=lambda u: got[u][0]) == "http://c:80/"
     # a links to the two strongest authorities: top hub
     assert max(got, key=lambda u: got[u][1]) == "http://a:80/"
+
+
+def test_label_prop_two_cliques(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        label_prop_communities,
+    )
+
+    # two 5-cliques (ids 0-4 and 10-14) joined by one bridge edge (4,10)
+    pairs = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append((base + i, base + j))
+    pairs.append((4, 10))
+    # duplicate a few pairs — the operator must dedup them
+    pairs += pairs[:5]
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    got = label_prop_communities(rd.from_arrow(tbl), rounds=5)
+    lab = dict(zip(got["doc_id"].to_pylist(), got["community_id"].to_pylist()))
+    c1 = {lab[i] for i in range(5)}
+    c2 = {lab[i] for i in range(10, 15)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+    # partitioning invariance
+    got8 = label_prop_communities(rd.from_arrow(tbl).repartition(8), rounds=5)
+    lab8 = dict(zip(got8["doc_id"].to_pylist(), got8["community_id"].to_pylist()))
+    assert lab == lab8
+
+    # synchronous numpy replay (distinct pairs, mode with min tie-break)
+    import numpy as np
+
+    dp = sorted(set(pairs))
+    nodes = sorted({x for p in dp for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    labels = np.array(nodes, dtype=np.int64)
+    for _ in range(5):
+        cnt = {}
+        for a, b in dp:
+            cnt.setdefault(idx[a], {}).setdefault(labels[idx[b]], 0)
+            cnt[idx[a]][labels[idx[b]]] += 1
+            cnt.setdefault(idx[b], {}).setdefault(labels[idx[a]], 0)
+            cnt[idx[b]][labels[idx[a]]] += 1
+        new = labels.copy()
+        for i, d in cnt.items():
+            best = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[i] = best
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    assert [lab[v] for v in nodes] == labels.tolist()

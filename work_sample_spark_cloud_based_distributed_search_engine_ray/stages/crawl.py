@@ -1242,3 +1242,115 @@ def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(nodes), "in_core": pa.array(alive)}
     )
+
+
+def label_prop_communities(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
+    """Synchronous label-propagation COMMUNITY detection (Raghavan et
+    al. 2007) over an undirected (doc_a, doc_b) pair graph — the
+    community counterpart of ``stages/dedup.dup_clusters``'s
+    connected-component min-label: each round every node adopts the
+    MOST FREQUENT label among its neighbours (tie -> smallest label),
+    starting from label(v) = v. Synchronous updates + the deterministic
+    tie-break make the result partitioning-invariant and exactly
+    replayable by the unrolled-CTE SQL twin (fixed ``rounds``; early
+    exit only on a fixpoint, which further rounds preserve).
+
+    Physical plan is ``dup_clusters``'s task-per-block pattern: pair
+    blocks integer-encode against the sorted node array ONCE (object
+    store resident); per round the label vector broadcasts and one task
+    per block returns its node-bounded per-(node, neighbour-label)
+    partial counts; the driver folds counts and takes the per-node
+    (count desc, label asc) argmax. Node/label state bounded by the
+    nodes appearing in pairs (the repo's broadcast convention — at
+    10^12 nodes swap for the bucketed-join variant, see ``pagerank``).
+    """
+    import numpy as np
+
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from .ops import distinct_on
+
+    # mode-of-neighbours weights by multiplicity, so the pair set must
+    # be globally DISTINCT (reciprocal a->b / b->a links collapse to
+    # one undirected pair) — one bounded-bucket dedup exchange
+    edges = distinct_on(
+        pairs.select_columns(["doc_a", "doc_b"]), ["doc_a", "doc_b"]
+    ).materialize()
+    refs = edges.to_arrow_refs()
+
+    def _tbl_of(b):
+        return pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+
+    @ray.remote
+    def block_nodes(b):
+        t = _tbl_of(b)
+        return np.unique(
+            np.concatenate(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False),
+                    t["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+
+    parts = ray.get([block_nodes.remote(r) for r in refs])
+    if not parts or all(p.size == 0 for p in parts):
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "community_id": pa.array([], pa.int64()),
+            }
+        )
+    nodes = np.unique(np.concatenate(parts))
+    ids_ref = ray.put(nodes)
+
+    @ray.remote
+    def prep_block(b, ids):
+        t = _tbl_of(b)
+        a = np.searchsorted(ids, t["doc_a"].to_numpy(zero_copy_only=False))
+        bb = np.searchsorted(ids, t["doc_b"].to_numpy(zero_copy_only=False))
+        return a.astype(np.int64), bb.astype(np.int64)
+
+    prep_refs = [prep_block.remote(r, ids_ref) for r in refs]
+
+    @ray.remote
+    def count_prop(prep, lab):
+        a, b = prep
+        # each undirected pair contributes both directions
+        node = np.concatenate([a, b])
+        nlab = np.concatenate([lab[b], lab[a]])
+        order = np.lexsort((nlab, node))
+        on, ol = node[order], nlab[order]
+        first = np.ones(on.size, dtype=bool)
+        first[1:] = (on[1:] != on[:-1]) | (ol[1:] != ol[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, on.size))
+        return on[starts], ol[starts], cnt.astype(np.int64)
+
+    labels = nodes.copy()
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+        outs = ray.get([count_prop.remote(p, lab_ref) for p in prep_refs])
+        node = np.concatenate([o[0] for o in outs])
+        nlab = np.concatenate([o[1] for o in outs])
+        cnt = np.concatenate([o[2] for o in outs])
+        # combine same (node, label) counts across blocks
+        order = np.lexsort((nlab, node))
+        node, nlab, cnt = node[order], nlab[order], cnt[order]
+        first = np.ones(node.size, dtype=bool)
+        first[1:] = (node[1:] != node[:-1]) | (nlab[1:] != nlab[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.add.reduceat(cnt, starts)
+        node, nlab = node[starts], nlab[starts]
+        # per-node winner: count desc, label asc
+        order = np.lexsort((nlab, -cnt, node))
+        node, nlab = node[order], nlab[order]
+        first = np.ones(node.size, dtype=bool)
+        first[1:] = node[1:] != node[:-1]
+        new = labels.copy()
+        new[node[first]] = nlab[first]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return pa.table({"doc_id": pa.array(nodes), "community_id": pa.array(labels)})
