@@ -2108,6 +2108,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return windowed_cooccurrence(_docs(sf_dir), vocab_size=50, window=2)
 
+    def q_textrank(sf_dir: str):
+        """TextRank keyword scoring (Mihalcea & Tarau 2004): exact-
+        integer damped power iteration over the windowed co-occurrence
+        graph of the top-50 terms — transition weights quantized once
+        as (1e6*n)//W(u), every floor division explicit, so the
+        unrolled-CTE SQL twin replays all 10 iterations bit-for-bit
+        (stages/textstats.py:textrank_keywords)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            textrank_keywords,
+        )
+
+        return textrank_keywords(_docs(sf_dir), vocab_size=50, window=2, iters=10)
+
     def q_nb_lang(sf_dir: str):
         """Naive-Bayes language ID: train per-language Laplace-smoothed
         term likelihoods over the top-200 vocab (labels = the documents
@@ -5961,6 +5974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_repetition,
         "text_collocations": q_collocations,
         "text_cooccurrence": q_cooccurrence,
+        "text_textrank": q_textrank,
         "text_pmi": q_pmi,
         "text_nb_lang": q_nb_lang,
         "text_quality": q_quality,
@@ -9623,6 +9637,45 @@ def oracle_sql() -> dict[str, str]:
     SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_cooc
     FROM pairs GROUP BY term_a, term_b
     """,
+        # TextRank: the co-occurrence CTEs, then 10 unrolled exact-
+        # integer damped power-iteration rounds (every floor division
+        # explicit; all operands positive so SQL // == Python //)
+        "text_textrank": f"""
+    WITH t AS (SELECT doc_id, {{TOKS}} AS l FROM documents),
+    flat AS MATERIALIZED (SELECT doc_id, unnest(l) AS term,
+                                 generate_subscripts(l, 1) AS i FROM t),
+    cf AS (SELECT term, count(*) AS c FROM flat GROUP BY term),
+    vocab AS MATERIALIZED (SELECT term FROM cf
+              QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 50),
+    p AS MATERIALIZED (SELECT doc_id, term, i FROM flat
+                       WHERE term IN (SELECT term FROM vocab)),
+    pr AS MATERIALIZED (
+        SELECT least(a.term, b.term) AS term_a,
+               greatest(a.term, b.term) AS term_b,
+               CAST(count(*) AS BIGINT) AS n_cooc
+        FROM p a JOIN p b ON a.doc_id = b.doc_id
+                         AND b.i - a.i BETWEEN 1 AND 2
+        GROUP BY 1, 2),
+    cg AS MATERIALIZED (
+        SELECT term_a AS u, term_b AS v, n_cooc FROM pr WHERE term_a <> term_b
+        UNION ALL
+        SELECT term_b AS u, term_a AS v, n_cooc FROM pr WHERE term_a <> term_b),
+    ws AS (SELECT u, sum(n_cooc) AS w FROM cg GROUP BY u),
+    wq AS MATERIALIZED (SELECT cg.u, cg.v,
+                               (1000000 * cg.n_cooc) // ws.w AS wq
+                        FROM cg JOIN ws USING (u)),
+    r0 AS (SELECT term, CAST(1000000 AS BIGINT) AS r FROM vocab){{_TR_STEPS}}
+    SELECT term, r AS rank_e6 FROM r{{TR_ITERS}}
+    """.replace("{TOKS}", TOKS).replace("{_TR_STEPS}", "".join(
+        f''',
+    r{k + 1} AS MATERIALIZED (
+      SELECT n.term,
+             CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS r
+      FROM vocab n LEFT JOIN (
+        SELECT wq.v AS term, sum((wq.wq * r.r) // 1000000) AS acc
+        FROM wq JOIN r{k} r ON wq.u = r.term GROUP BY wq.v) s USING (term))'''
+        for k in range(10)
+    )).replace("{TR_ITERS}", "10"),
         # PMI over the same top-100 collocations: exact counts, one
         # e6-rounded IEEE ln in the identical operand order
         "text_pmi": f"""

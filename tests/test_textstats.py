@@ -474,3 +474,50 @@ def test_naive_bayes_lang_recovers_labels():
             assert got[100 + i] == "de"
         # OOV doc: decided by priors (en has 13 docs vs de 12) -> en
         assert got[999] == "en"
+
+
+def test_textrank_integer_replay_and_hub():
+    import numpy as np
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        textrank_keywords,
+    )
+
+    # 'hub' co-occurs with everything; spokes only with hub
+    texts = ["hub aaa", "hub bbb", "hub ccc", "hub ddd", "aaa bbb"] * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = textrank_keywords(
+        rd.from_arrow(tbl).repartition(4), vocab_size=10, window=2, iters=10
+    )
+    ranks = dict(zip(got["term"].to_pylist(), got["rank_e6"].to_pylist()))
+    assert max(ranks, key=ranks.get) == "hub"
+
+    # pure-python integer replay of the iteration contract
+    vocab = sorted(ranks)
+    idx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    cooc = {}
+    for txt in texts:
+        toks = txt.split()
+        for d in (1, 2):
+            for i in range(len(toks) - d):
+                a, b = sorted((toks[i], toks[i + d]))
+                if a != b:
+                    cooc[(a, b)] = cooc.get((a, b), 0) + 1
+    w = np.zeros((V, V), np.int64)
+    for (a, b), n in cooc.items():
+        w[idx[a], idx[b]] += n
+        w[idx[b], idx[a]] += n
+    wsum = w.sum(axis=1)
+    wq = (1_000_000 * w) // np.maximum(wsum, 1)[:, None]
+    r = np.full(V, 1_000_000, np.int64)
+    for _ in range(10):
+        contrib = ((wq * r[:, None]) // 1_000_000).sum(axis=0)
+        r = 150_000 + (85 * contrib) // 100
+    assert [ranks[t] for t in vocab] == r.tolist()

@@ -1130,6 +1130,29 @@ def cms_term_counts(
     )
 
 
+def _top_vocab(docs, vocab_size: int) -> list:
+    """The shared bounded-vocab rule: top-``vocab_size`` corpus terms
+    by (occurrence count desc, term asc), returned SORTED — one
+    map-side token-count combine + one vocab-cardinality groupby."""
+    from ray.data.aggregate import Sum
+
+    from .ops import topn_per_group
+
+    cf = (
+        docs.map_batches(token_counts_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="cf"))
+    )
+    tagged = cf.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    top = topn_per_group(
+        tagged, "g", vocab_size, [("cf", "descending"), ("term", "ascending")]
+    ).take_all()
+    return sorted(r["term"] for r in top)
+
+
 def windowed_cooccurrence(
     docs, *, vocab_size: int = 50, window: int = 2, text_col: str = "text"
 ):
@@ -1157,22 +1180,8 @@ def windowed_cooccurrence(
     """
     from ray.data.aggregate import Sum
 
-    from .ops import topn_per_group
-
     docs = docs.materialize()
-    cf = (
-        docs.map_batches(token_counts_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n_occ", alias_name="cf"))
-    )
-    tagged = cf.map_batches(
-        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
-        batch_format="pyarrow",
-    )
-    top = topn_per_group(
-        tagged, "g", vocab_size, [("cf", "descending"), ("term", "ascending")]
-    ).take_all()
-    vocab = sorted(r["term"] for r in top)
+    vocab = _top_vocab(docs, vocab_size)
     vocab_arr = pa.array(vocab, pa.string())
     V = len(vocab)
 
@@ -1351,3 +1360,71 @@ def naive_bayes_lang(
         )
 
     return docs.map_batches(infer, batch_format="pyarrow")
+
+
+def textrank_keywords(
+    docs,
+    *,
+    vocab_size: int = 50,
+    window: int = 2,
+    iters: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): damped power
+    iteration over the :func:`windowed_cooccurrence` graph of the
+    corpus's top-``vocab_size`` terms — the unsupervised keyword
+    extractor (corpus-level variant: one graph for the whole corpus,
+    the bounded-vocab exception).
+
+    EXACT integer arithmetic so every iteration replays bit-for-bit in
+    SQL (the kmeans/pagerank oracle discipline): transition weights
+    quantize ONCE as wq(u->v) = (1e6 * n_cooc) // W(u); ranks start at
+    1e6 micros and update as
+
+        r'(v) = 150000 + (85 * sum_u (wq(u,v) * r(u)) // 1e6) // 100
+
+    — every floor division explicit, all intermediates < 2^63 for
+    vocab_size <= ~1e3 (per-edge product <= 1e6 * V * 1e6). Self-loop
+    co-occurrences are dropped (a term cannot endorse itself); isolated
+    vocab terms settle at the 150000 teleport floor.
+
+    Distribution: the expensive part — the corpus scan into windowed
+    pair counts — is the existing two-pass streaming plan; the graph
+    itself is vocab-bounded (V^2 rows max) so the iteration is exact
+    driver numpy. Returns (term, rank_e6) for the whole vocab.
+    """
+    docs = docs.materialize()
+    cooc = windowed_cooccurrence(
+        docs, vocab_size=vocab_size, window=window, text_col=text_col
+    ).take_all()
+    # vocab terms that never co-occur still belong to the node set
+    vocab = _top_vocab(docs, vocab_size)
+    idx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    if V == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "rank_e6": pa.array([], pa.int64())}
+        )
+
+    us, vs, nw = [], [], []
+    for r in cooc:
+        if r["term_a"] == r["term_b"]:
+            continue
+        a, b = idx[r["term_a"]], idx[r["term_b"]]
+        us += [a, b]
+        vs += [b, a]
+        nw += [r["n_cooc"], r["n_cooc"]]
+    u = np.asarray(us, np.int64)
+    v = np.asarray(vs, np.int64)
+    w = np.asarray(nw, np.int64)
+    wsum = np.zeros(V, np.int64)
+    np.add.at(wsum, u, w)
+    wq = np.floor_divide(1_000_000 * w, np.maximum(wsum[u], 1))
+    rank = np.full(V, 1_000_000, np.int64)
+    for _ in range(iters):
+        contrib = np.zeros(V, np.int64)
+        np.add.at(contrib, v, np.floor_divide(wq * rank[u], 1_000_000))
+        rank = 150_000 + np.floor_divide(85 * contrib, 100)
+    return pa.table(
+        {"term": pa.array(vocab, pa.string()), "rank_e6": pa.array(rank)}
+    )
