@@ -5104,6 +5104,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(_canon80_src, batch_format="pyarrow")
         return cocitation_pairs(edges, min_common=4)
 
+    def q_link_jaccard(sf_dir: str):
+        """Neighbourhood-Jaccard link relatedness: co-citation pairs
+        normalized by the IN-neighbour-set union — jaccard_e6 is an
+        exact integer floor the SQL twin replays verbatim
+        (stages/crawl.link_jaccard_pairs)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            link_jaccard_pairs,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        return link_jaccard_pairs(edges, min_common=4)
+
     def q_bib_coupling(sf_dir: str):
         """Bibliographic coupling over the link graph: src pairs
         sharing >= 3 common targets (Kessler 1963 — the dual of
@@ -6091,6 +6111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_latest": q_host_latest,
         "crawl_reciprocal_links": q_reciprocal_links,
         "crawl_cocitation": q_cocitation,
+        "crawl_link_jaccard": q_link_jaccard,
         "crawl_bib_coupling": q_bib_coupling,
         "crawl_host_graph": q_host_graph,
         "crawl_components": q_crawl_components,
@@ -8466,6 +8487,44 @@ def _cocitation_oracle_sql(min_common: int = 4) -> str:
     """
 
 
+def _link_jaccard_oracle_sql(min_common: int = 4) -> str:
+    """DuckDB twin of ``crawl_link_jaccard``: the co-citation replay
+    plus per-target in-degrees over the same DISTINCT edge set; the
+    Jaccard micros are one positive integer floor division
+    (``//`` == floor on positive operands, matching numpy)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    h = (
+        "CAST(('0x' || substr(md5({u}), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+    h_src = h.format(u="regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80')")
+    h_dst = h.format(u="regexp_replace(href, '^http://([^/]*)', 'http://\\1:80')")
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS MATERIALIZED (SELECT DISTINCT
+                {h_src} AS s,
+                {h_dst} AS d
+              FROM hrefs),
+    cc AS (SELECT a.d AS doc_a, b.d AS doc_b, count(*) AS n_common_src
+           FROM edges a JOIN edges b ON a.s = b.s AND a.d < b.d
+           GROUP BY a.d, b.d HAVING count(*) >= {min_common}),
+    indeg AS (SELECT d, count(*) AS deg FROM edges GROUP BY d)
+    SELECT cc.doc_a, cc.doc_b, CAST(cc.n_common_src AS BIGINT) AS n_common_src,
+           CAST((1000000 * cc.n_common_src)
+                // (ia.deg + ib.deg - cc.n_common_src) AS BIGINT) AS jaccard_e6
+    FROM cc JOIN indeg ia ON ia.d = cc.doc_a
+            JOIN indeg ib ON ib.d = cc.doc_b
+    """
+
+
 def _host_graph_oracle_sql() -> str:
     """DuckDB twin of ``crawl_host_graph``: the hash-matched edge
     replay, hosts extracted with the oracle-standard host regex, one
@@ -9937,6 +9996,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_latest": _host_latest_oracle_sql(),
         "crawl_reciprocal_links": _reciprocal_links_oracle_sql(),
         "crawl_cocitation": _cocitation_oracle_sql(),
+        "crawl_link_jaccard": _link_jaccard_oracle_sql(),
         "crawl_bib_coupling": _bib_coupling_oracle_sql(),
         "crawl_host_graph": _host_graph_oracle_sql(),
         "crawl_components": crawl_components_sql,

@@ -211,3 +211,36 @@ def test_label_prop_two_cliques(ray_session):
             break
         labels = new
     assert [lab[v] for v in nodes] == labels.tolist()
+
+
+def test_link_jaccard_manual(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        link_jaccard_pairs,
+    )
+
+    # sources s1..s4 all cite both A and B; s5 cites only B (and C)
+    edges = []
+    for s in ("s1", "s2", "s3", "s4"):
+        edges += [(s, "A"), (s, "B")]
+    edges += [("s5", "B"), ("s5", "C"), ("s5", "C")]  # dup edge must not count
+    tbl = pa.table(
+        {
+            "src_url": pa.array([a for a, _ in edges], pa.string()),
+            "dst_url": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+    got = (
+        link_jaccard_pairs(rd.from_arrow(tbl).repartition(3), min_common=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # only (A,B) passes min_common=4: common=4, indeg A=4, B=5
+    assert len(got) == 1
+    ha, hb = sorted((hash64("A"), hash64("B")))
+    assert (got.doc_a[0], got.doc_b[0]) == (ha, hb)
+    assert got.n_common_src[0] == 4
+    assert got.jaccard_e6[0] == (1_000_000 * 4) // (4 + 5 - 4)

@@ -1354,3 +1354,66 @@ def label_prop_communities(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
             break
         labels = new
     return pa.table({"doc_id": pa.array(nodes), "community_id": pa.array(labels)})
+
+
+def link_jaccard_pairs(
+    edges: "rd.Dataset", *, min_common: int = 4, num_buckets: int = 64
+) -> "rd.Dataset":
+    """Neighbourhood-Jaccard link relatedness: for every co-citation
+    pair (>= ``min_common`` shared citing sources), the Jaccard
+    similarity of the two pages' IN-neighbour sets —
+    ``jaccard_e6 = (1e6 * common) // (indeg_a + indeg_b - common)``
+    (exact integer floor, replayed verbatim in SQL). Co-citation
+    counts INTERSECTIONS only; normalizing by the union separates
+    "popular pages cited everywhere" from "pages with genuinely
+    similar citation neighbourhoods" (the SimRank-lite signal).
+
+    Plan: :func:`cocitation_pairs` unchanged (two bounded bucket
+    exchanges); in-degrees over globally-DISTINCT edges (one
+    ``distinct_on`` exchange + per-batch count partials folded on the
+    driver — node-bounded state, the graph family's broadcast
+    convention); one broadcast join adds the Jaccard column per batch.
+    """
+    import numpy as np
+
+    import ray
+
+    from ..functions.hashing import hash64_array
+    from .ops import distinct_on
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pa.array(hash64_array(t["src_url"].to_pylist())),
+                "d": pa.array(hash64_array(t["dst_url"].to_pylist())),
+            }
+        )
+
+    ids = edges.map_batches(to_ids, batch_format="pyarrow")
+    dd = distinct_on(ids, ["s", "d"], num_buckets=num_buckets)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["d"]).aggregate([([], "count_all")])
+
+    deg: dict = {}
+    for r in dd.map_batches(deg_partial, batch_format="pyarrow").take_all():
+        deg[r["d"]] = deg.get(r["d"], 0) + r["count_all"]
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    degs = np.array([deg[k] for k in sorted(deg)], dtype=np.int64)
+    nodes_ref = ray.put(nodes)
+    degs_ref = ray.put(degs)
+
+    cc = cocitation_pairs(edges, min_common=min_common, num_buckets=num_buckets)
+
+    def add_jaccard(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        dg = ray.get(degs_ref)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        n = t["n_common_src"].to_numpy(zero_copy_only=False)
+        da = dg[np.clip(np.searchsorted(nd, a), 0, max(len(nd) - 1, 0))]
+        db = dg[np.clip(np.searchsorted(nd, b), 0, max(len(nd) - 1, 0))]
+        j = np.floor_divide(1_000_000 * n, np.maximum(da + db - n, 1))
+        return t.append_column("jaccard_e6", pa.array(j.astype(np.int64)))
+
+    return cc.map_batches(add_jaccard, batch_format="pyarrow")
