@@ -4147,7 +4147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_partitions=5,
         )
 
-    def q_event_transitions(sf_dir: str):
+    def _transition_counts(sf_dir: str):
         # Markov transition counts: (from_type -> to_type) over each
         # user's (ts, event_id)-ordered event stream — the behavioral
         # sequence-model input. Same 64-way user bucketing as
@@ -4192,6 +4192,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return flat.groupby(["from_type", "to_type"]).aggregate(
             Count(alias_name="n")
+        )
+
+    def q_event_transitions(sf_dir: str):
+        return _transition_counts(sf_dir)
+
+    def q_markov(sf_dir: str):
+        """Markov next-event model: the transition counts normalized
+        into per-from-type probabilities — p_e6 = (1e6 * n) // n_from,
+        an exact integer floor over the (types^2)-bounded count table
+        (driver-side, the bounded-domain exception)."""
+        tc = _transition_counts(sf_dir).take_all()
+        tot: dict = {}
+        for r in tc:
+            tot[r["from_type"]] = tot.get(r["from_type"], 0) + r["n"]
+        rows = sorted(tc, key=lambda r: (r["from_type"], r["to_type"]))
+        return pa.table(
+            {
+                "from_type": pa.array([r["from_type"] for r in rows], pa.string()),
+                "to_type": pa.array([r["to_type"] for r in rows], pa.string()),
+                "n": pa.array([r["n"] for r in rows], pa.int64()),
+                "p_e6": pa.array(
+                    [
+                        (1_000_000 * r["n"]) // tot[r["from_type"]]
+                        for r in rows
+                    ],
+                    pa.int64(),
+                ),
+            }
         )
 
     def q_moving_avg(sf_dir: str):
@@ -4830,6 +4858,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
         ).map_batches(quantize, batch_format="pyarrow")
         return grouped_linfit(ds, ["l_returnflag", "l_linestatus"], "x", "y")
+
+    def q_spearman(sf_dir: str):
+        """Spearman rank correlation of quantity vs price per
+        returnflag — Pearson on exact DOUBLED average ranks derived
+        from bounded per-(group, value) histograms, NO per-group sort
+        (stages/ops.grouped_spearman). The SQL twin replays rank2 as
+        2*rank() + count(*) OVER (PARTITION BY g, v) - 1."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_spearman,
+        )
+
+        def quantize(t: pa.Table) -> pa.Table:
+            q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            p = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "x": pa.array(q),
+                    "y": pa.array(p),
+                }
+            )
+
+        ds = _tbl(
+            sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+        ).map_batches(quantize, batch_format="pyarrow")
+        return grouped_spearman(ds, "l_returnflag", "x", "y")
 
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
@@ -6083,6 +6141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
         "rel_event_transitions": q_event_transitions,
+        "rel_markov": q_markov,
         "rel_ntile": q_ntile,
         "rel_hist_quantiles": q_hist_quantiles,
         "rel_forward_fill": q_forward_fill,
@@ -6123,6 +6182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_benford": q_benford,
         "rel_corr": q_corr,
         "rel_linfit": q_linfit,
+        "rel_spearman": q_spearman,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -10558,6 +10618,36 @@ def oracle_sql() -> dict[str, str]:
            CAST((a2 - ((a2 % b2) + b2) % b2) // b2 AS BIGINT) AS intercept_e6
     FROM e
     """,
+        # Spearman: Pearson on doubled average ranks (exact integers
+        # even under ties; the x2 scaling cancels exactly, incl. the
+        # final IEEE expression — sqrt(4d) = 2*sqrt(d) is exact)
+        "rel_spearman": """
+    WITH q AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+    r AS (SELECT g,
+                 CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                      + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS rx,
+                 CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                      + count(*) OVER (PARTITION BY g, y) - 1 AS HUGEINT) AS ry
+          FROM q),
+    s AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                 sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                 sum(rx * ry) AS sxy
+          FROM r GROUP BY g),
+    d AS (SELECT g, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM s)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                      / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+                AS BIGINT) AS spearman_e6
+    FROM d WHERE d1 > 0 AND d2 > 0
+    """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
@@ -10677,6 +10767,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
     FROM ordered WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
+    """,
+        # Markov transition probabilities: the counts normalized per
+        # from_type — positive-integer floor division, exact
+        "rel_markov": """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    tc AS (SELECT prev_type AS from_type, event_type AS to_type,
+                  count(*) AS n
+           FROM ordered WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type),
+    ft AS (SELECT from_type, sum(n) AS tot FROM tc GROUP BY from_type)
+    SELECT tc.from_type, tc.to_type, CAST(tc.n AS BIGINT) AS n,
+           CAST((1000000 * tc.n) // ft.tot AS BIGINT) AS p_e6
+    FROM tc JOIN ft USING (from_type)
     """,
         "rel_sessionize": """
             WITH ordered AS (

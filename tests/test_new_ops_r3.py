@@ -731,3 +731,48 @@ def test_grouped_linfit_exact_vs_numpy_rational():
         # sanity: the planted line y = 3x + 7 is recovered closely
         assert abs(got["slope_e6"][i] - 3_000_000) < 60_000
         assert abs(got["intercept_e6"][i] - 7_000_000) < 1_600_000
+
+
+def test_grouped_spearman_matches_naive():
+    import math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_spearman,
+    )
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 2, 300).astype(np.int64)
+    x = rng.integers(0, 20, 300).astype(np.int64)  # heavy ties
+    y = (x * 2 + rng.integers(0, 15, 300)).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+    got = _sorted(grouped_spearman(rd.from_arrow(tbl).repartition(7), "g", "x", "y"), ["g"])
+
+    def rank2(vals):
+        # 2 * average rank (integer under ties)
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            # ranks i+1..j averaged, doubled: (i+1 + j) exactly
+            for k in range(i, j):
+                r[order[k]] = (i + 1) + j
+            i = j
+        return r
+
+    for gi, gv in enumerate(got["g"]):
+        m = g == gv
+        rx = rank2(list(x[m]))
+        ry = rank2(list(y[m]))
+        n = len(rx)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        want = math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
+        assert got["spearman_e6"][gi] == want
+        assert got["spearman_e6"][gi] > 500_000  # planted monotone signal

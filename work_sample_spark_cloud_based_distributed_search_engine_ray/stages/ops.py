@@ -2459,6 +2459,120 @@ def grouped_linfit(
     return pa.table(cols)
 
 
+def grouped_spearman(
+    ds: rd.Dataset, key: str, x: str, y: str
+) -> pa.Table:
+    """Exact Spearman rank correlation per group — Pearson on DOUBLED
+    average ranks (``rank2(v) = 2*cum_less(v) + ties(v) + 1``, an
+    integer even under ties; Pearson is exactly invariant under the
+    x2 scaling, including the final IEEE expression, because sqrt(4d)
+    = 2*sqrt(d) is exact in binary floating point).
+
+    ``x`` and ``y`` MUST be integer-quantized by the caller. NO
+    per-group sort anywhere (the ``rel_percentile_rank`` discipline):
+
+    1. one streaming pass builds per-(group, value) count histograms
+       for both columns — the exchange is bounded by the VALUE DOMAIN
+       x groups, never by rows; the driver folds them and derives
+       rank2 per distinct value from the cumulative counts;
+    2. the (sorted values, rank2) arrays broadcast via ``ray.put``;
+       a second pass maps each row to its ranks with one searchsorted
+       per (group, column) and emits the exact int64 moment partials;
+    3. the driver combine and the corr_e6 final are
+       :func:`grouped_corr`'s, bit-for-bit (same IEEE op order as the
+       SQL twin's ``2*rank() + count(*) OVER (...) - 1`` replay).
+
+    Returns (key, n_rows, spearman_e6); zero-variance groups drop.
+    """
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for col, tag in ((x, 0), (y, 1)):
+            t = pa.table({key: batch[key], "v": batch[col]})
+            a = t.group_by([key, "v"]).aggregate([([], "count_all")])
+            a = a.append_column(
+                "c", pa.array(np.full(a.num_rows, tag, np.int64))
+            )
+            outs.append(a)
+        return pa.concat_tables(outs)
+
+    hist: dict = {}
+    for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        k = (r[key], r["c"])
+        d = hist.setdefault(k, {})
+        d[r["v"]] = d.get(r["v"], 0) + r["count_all"]
+
+    # rank2 per distinct value: 2*cum_less + ties + 1
+    rank_maps: dict = {}
+    for k, d in hist.items():
+        vals = np.array(sorted(d), dtype=np.int64)
+        cnts = np.array([d[v] for v in vals], dtype=np.int64)
+        cum_less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        rank_maps[k] = (vals, 2 * cum_less + cnts + 1)
+    maps_ref = ray.put(rank_maps)
+
+    def rank_moments(batch: pa.Table) -> pa.Table:
+        maps = ray.get(maps_ref)
+        gv = batch[key].to_pylist()
+        xv = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = batch[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, inv = np.unique(np.array(gv, dtype=object), return_inverse=True)
+        rx = np.empty(len(gv), np.int64)
+        ry = np.empty(len(gv), np.int64)
+        for gi, g in enumerate(codes):
+            m = inv == gi
+            vx, kx = maps[(g, 0)]
+            vy, ky = maps[(g, 1)]
+            rx[m] = kx[np.searchsorted(vx, xv[m])]
+            ry[m] = ky[np.searchsorted(vy, yv[m])]
+        t = pa.table({key: batch[key]})
+        t = t.append_column("__x", pa.array(rx))
+        t = t.append_column("__y", pa.array(ry))
+        t = t.append_column("__xx", pa.array(rx * rx))
+        t = t.append_column("__yy", pa.array(ry * ry))
+        t = t.append_column("__xy", pa.array(rx * ry))
+        return t.group_by([key]).aggregate(
+            [
+                ([], "count_all"),
+                ("__x", "sum"),
+                ("__y", "sum"),
+                ("__xx", "sum"),
+                ("__yy", "sum"),
+                ("__xy", "sum"),
+            ]
+        )
+
+    acc: dict = {}
+    for r in ds.map_batches(rank_moments, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r[key], [0, 0, 0, 0, 0, 0])
+        a[0] += r["count_all"]
+        a[1] += r["__x_sum"]
+        a[2] += r["__y_sum"]
+        a[3] += r["__xx_sum"]
+        a[4] += r["__yy_sum"]
+        a[5] += r["__xy_sum"]
+    out_g, out_n, out_c = [], [], []
+    for g in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[g]
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        num = n * sxy - sx * sy
+        out_g.append(g)
+        out_n.append(n)
+        out_c.append(
+            math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
+        )
+    return pa.table(
+        {
+            key: pa.array(out_g),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "spearman_e6": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 def _moment_partials(
     ds: rd.Dataset, keys: list[str], x: str, y: str
 ) -> dict:
