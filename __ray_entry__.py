@@ -5528,6 +5528,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.drop_columns(["thumb"]), batch_format="pyarrow"
         )
 
+    def q_media_image_stats(sf_dir: str):
+        """Exact integer per-image channel statistics (means, luma
+        range, dark/bright counts) over the synthetic image corpus —
+        REAL BMP decode per row; the oracle embeds the statistics of
+        the PRE-ENCODE pixel arrays (decode-inverts-encode, the
+        media_features contract) as VALUES
+        (stages/multimodal.py:ImageStatsStage)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            ImageStatsStage,
+            synth_images_neardup,
+        )
+
+        ds = rd.from_arrow(synth_images_neardup(200))
+        return ds.map_batches(
+            ImageStatsStage, batch_format="pyarrow", batch_size=32, concurrency=2
+        )
+
     def q_media_resample(sf_dir: str):
         """Audio decimation (factor-2 downsample) over the synthetic
         near-dup audio corpus; the oracle embeds source sample counts +
@@ -6203,6 +6222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
         "media_thumbs": q_media_thumbs,
+        "media_image_stats": q_media_image_stats,
         "media_audio_resample": q_media_resample,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
@@ -7759,6 +7779,43 @@ def _phash_dups_oracle_sql() -> str:
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM ph a JOIN ph b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+def _image_stats_oracle_sql() -> str:
+    """Oracle for ``media_image_stats``: the statistics of the
+    PRE-ENCODE pixel arrays (the generator's ``_pixel_truth``) embed as
+    VALUES via the same pure :func:`image_stats` kernel — the
+    distributed stage must recover them by actually DECODING the BMP
+    payloads (decode-inverts-encode, the media_features contract)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        image_stats,
+        synth_images_neardup,
+    )
+
+    truth: list = []
+    synth_images_neardup(200, _pixel_truth=truth)
+    rows = []
+    for i, px in enumerate(truth):
+        st = image_stats(px)
+        rows.append(
+            "({}, true, {}, {}, {})".format(
+                i, px.shape[1], px.shape[0], ", ".join(str(v) for v in st)
+            )
+        )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, decoded,
+           CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(mean_r_e4 AS BIGINT) AS mean_r_e4,
+           CAST(mean_g_e4 AS BIGINT) AS mean_g_e4,
+           CAST(mean_b_e4 AS BIGINT) AS mean_b_e4,
+           CAST(min_luma AS BIGINT) AS min_luma,
+           CAST(max_luma AS BIGINT) AS max_luma,
+           CAST(n_dark AS BIGINT) AS n_dark,
+           CAST(n_bright AS BIGINT) AS n_bright
+    FROM (VALUES {', '.join(rows)})
+      AS t(media_id, decoded, width, height, mean_r_e4, mean_g_e4,
+           mean_b_e4, min_luma, max_luma, n_dark, n_bright)
     """
 
 
@@ -10048,6 +10105,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_oracle_sql(k=8, iters=3, threshold=0.42),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_thumbs": _thumbs_oracle_sql(),
+        "media_image_stats": _image_stats_oracle_sql(),
         "media_audio_resample": _audio_resample_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
         "media_video_dups": _vhash_dups_oracle_sql(),

@@ -298,3 +298,49 @@ def test_thumbnail_stage_roundtrip():
     assert thumb_dims(20, 30, 32) == (20, 30)
     assert thumb_dims(64, 16, 32) == (32, 8)
     assert thumb_dims(200, 3, 32) == (32, 1)
+
+
+def test_image_stats_decode_inverts_encode():
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        image_stats,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    st = image_stats(decode_bmp(encode_bmp(img)))
+    assert st == image_stats(img)
+    # exact-integer replay of the kernel contract
+    px = img.astype(np.int64)
+    n = 17 * 23
+    luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    assert st[0] == (10_000 * int(px[..., 0].sum())) // n
+    assert st[3] == int(luma.min()) and st[4] == int(luma.max())
+    assert st[5] == int((luma < 64).sum()) and st[6] == int((luma >= 192).sum())
+
+    # malformed payload -> decoded=false row, batch survives
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        ImageStatsStage,
+    )
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_bmp(img), b"notabmp"], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(ImageStatsStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert out.decoded.tolist() == [True, False]

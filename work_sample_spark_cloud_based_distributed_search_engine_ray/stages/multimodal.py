@@ -295,7 +295,9 @@ def synth_media_frame_truth(n: int, seed: int = 42) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def synth_images_neardup(n: int, seed: int = 43) -> pa.Table:
+def synth_images_neardup(
+    n: int, seed: int = 43, _pixel_truth: list | None = None
+) -> pa.Table:
     """Deterministic image corpus with NEAR-duplicate variants: ~15% of
     rows re-encode an earlier base image with +-2 pixel noise and a
     small brightness shift — byte-different payloads (exact dedup
@@ -322,6 +324,8 @@ def synth_images_neardup(n: int, seed: int = 43) -> pa.Table:
             img = _synth_image(rng, w, h)
         pixels.append(img)
         payloads.append(encode_bmp(img))
+    if _pixel_truth is not None:
+        _pixel_truth.extend(pixels)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -746,3 +750,83 @@ def video_near_dups(
         max_hamming=max_hamming,
         num_chunks=num_chunks,
     )
+
+
+def image_stats(rgb: np.ndarray) -> tuple:
+    """Exact integer per-image channel statistics of an (h, w, 3)
+    uint8 pixel array — the profiling pass an image-curation pipeline
+    gates on (too dark / too flat / wrong colour cast). All values are
+    exact ints: channel means as e4 floors, ITU-R BT.601 integer luma
+    ((299r + 587g + 114b) // 1000), dark/bright pixel counts at the
+    64/192 luma thresholds, contrast = max - min luma. Pure function —
+    shared verbatim by the engine stage and the oracle replay."""
+    px = rgb.astype(np.int64)
+    n = px.shape[0] * px.shape[1]
+    sums = px.reshape(-1, 3).sum(axis=0)
+    luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    return (
+        int((10_000 * sums[0]) // n),
+        int((10_000 * sums[1]) // n),
+        int((10_000 * sums[2]) // n),
+        int(luma.min()),
+        int(luma.max()),
+        int((luma < 64).sum()),
+        int((luma >= 192).sum()),
+    )
+
+
+class ImageStatsStage:
+    """payload batch -> per-image exact channel statistics: REAL BMP
+    decode per row (``functions/media_codecs.decode_bmp``), then the
+    :func:`image_stats` integer kernel. Actor-pool stage (import cost
+    once per actor); malformed payloads emit ``decoded=false`` zero
+    rows rather than aborting the batch (the MediaFeatureStage
+    fallback contract)."""
+
+    def __init__(self):
+        from ..functions.media_codecs import decode_bmp
+
+        self._decode = decode_bmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out = {
+            "media_id": [], "decoded": [], "width": [], "height": [],
+            "mean_r_e4": [], "mean_g_e4": [], "mean_b_e4": [],
+            "min_luma": [], "max_luma": [], "n_dark": [], "n_bright": [],
+        }
+        for mid, payload in zip(ids, batch["payload"].to_pylist()):
+            out["media_id"].append(int(mid))
+            try:
+                rgb = self._decode(payload)
+                st = image_stats(rgb)
+                out["decoded"].append(True)
+                out["width"].append(int(rgb.shape[1]))
+                out["height"].append(int(rgb.shape[0]))
+                for k, v in zip(
+                    ("mean_r_e4", "mean_g_e4", "mean_b_e4", "min_luma",
+                     "max_luma", "n_dark", "n_bright"),
+                    st,
+                ):
+                    out[k].append(v)
+            except Exception:
+                out["decoded"].append(False)
+                for k in ("width", "height", "mean_r_e4", "mean_g_e4",
+                          "mean_b_e4", "min_luma", "max_luma", "n_dark",
+                          "n_bright"):
+                    out[k].append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "decoded": pa.array(out["decoded"], pa.bool_()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "mean_r_e4": pa.array(out["mean_r_e4"], pa.int64()),
+                "mean_g_e4": pa.array(out["mean_g_e4"], pa.int64()),
+                "mean_b_e4": pa.array(out["mean_b_e4"], pa.int64()),
+                "min_luma": pa.array(out["min_luma"], pa.int64()),
+                "max_luma": pa.array(out["max_luma"], pa.int64()),
+                "n_dark": pa.array(out["n_dark"], pa.int64()),
+                "n_bright": pa.array(out["n_bright"], pa.int64()),
+            }
+        )
