@@ -5425,6 +5425,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         e9 = np.round(t["rank"].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
         return pa.table({"url": t["url"], "rank_e9": pa.array(e9)})
 
+    def q_crawl_ppr(sf_dir: str):
+        """Personalized PageRank (the related-pages / TrustRank
+        primitive): teleport and dangling mass go uniformly to the 5
+        lexicographically smallest page urls instead of all nodes —
+        same block-prepped task plan, r_0 = teleport
+        (stages/crawl.pagerank with teleport_urls)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            pagerank,
+        )
+
+        pages_path = pages_for_sf_dir(sf_dir)
+        edges = (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(_canon80_src, batch_format="pyarrow")
+        )
+        urls = [
+            _canon80(u)
+            for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        ]
+        seeds = sorted(set(urls))[:5]
+        t = pagerank(
+            edges,
+            urls,
+            damping=PAGERANK_D,
+            iters=PAGERANK_ITERS,
+            teleport_urls=seeds,
+        )
+        e9 = np.round(t["rank"].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
+        return pa.table({"url": t["url"], "rank_e9": pa.array(e9)})
+
     def q_crawl_hits(sf_dir: str):
         # HITS hubs/authorities over the same link graph — the pagerank
         # physical plan (block-prepped tasks, broadcast score vector),
@@ -6218,6 +6258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_gate": q_robots_gate,
         "crawl_politeness_slots": q_politeness,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_ppr": q_crawl_ppr,
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
         "media_features": q_media_features,
@@ -8924,6 +8965,60 @@ def _pagerank_oracle_sql() -> str:
     return head + "".join(steps) + tail
 
 
+def _ppr_oracle_sql() -> str:
+    """Oracle for ``crawl_ppr``: the pagerank edge/node replay with a
+    PERSONALIZED teleport — the 5 lexicographically smallest node urls
+    get 1/k teleport mass each, everyone else 0; r_0 = teleport and
+    the dangling mass redistributes to the seeds ((1-d)*t + d*(c +
+    dang*t), the same IEEE expression order as the engine branch)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    d = PAGERANK_D
+    head = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    nodes AS (SELECT DISTINCT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS url
+              FROM pages),
+    e AS MATERIALIZED (SELECT src_url, dst_url FROM edges0
+          JOIN nodes ON edges0.dst_url = nodes.url),
+    deg AS MATERIALIZED (SELECT src_url, count(*) AS deg FROM e GROUP BY src_url),
+    seeds AS MATERIALIZED (SELECT url FROM nodes ORDER BY url LIMIT 5),
+    sk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+    tp AS MATERIALIZED (SELECT nodes.url,
+            CASE WHEN s.url IS NOT NULL THEN 1.0 / (SELECT k FROM sk)
+                 ELSE 0.0 END AS t
+          FROM nodes LEFT JOIN seeds s ON nodes.url = s.url),
+    r0 AS MATERIALIZED (SELECT url, t AS rank FROM tp)"""
+    steps = []
+    for k in range(PAGERANK_ITERS):
+        steps.append(f""",
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS m FROM r{k} r
+             LEFT JOIN deg ON r.url = deg.src_url WHERE deg.src_url IS NULL),
+    r{k + 1} AS MATERIALIZED (SELECT tp.url,
+               (1 - {d}) * tp.t
+               + {d} * (coalesce(c.c, 0.0) + (SELECT m FROM d{k}) * tp.t) AS rank
+             FROM tp LEFT JOIN (
+               SELECT e.dst_url AS url, sum(r.rank / deg.deg) AS c
+               FROM e JOIN r{k} r ON e.src_url = r.url
+               JOIN deg ON deg.src_url = e.src_url
+               GROUP BY e.dst_url) c ON tp.url = c.url)""")
+    tail = f"""
+    SELECT url, CAST(round(rank * 1000000000) AS BIGINT) AS rank_e9
+    FROM r{PAGERANK_ITERS} ORDER BY url
+    """
+    return head + "".join(steps) + tail
+
+
 def _hits_oracle_sql() -> str:
     """Oracle for ``crawl_hits``: same edge/node CTEs as the pagerank
     oracle, then HITS_ITERS unrolled (authority, hub) half-iterations,
@@ -10128,6 +10223,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_links": _crawl_links_oracle_sql(),
         "crawl_anchor_terms": _anchor_terms_oracle_sql(),
         "crawl_pagerank": _pagerank_oracle_sql(),
+        "crawl_ppr": _ppr_oracle_sql(),
         "crawl_hits": _hits_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_bm25_anchor": _anchor_boost_oracle_sql(),

@@ -244,3 +244,47 @@ def test_link_jaccard_manual(ray_session):
     assert (got.doc_a[0], got.doc_b[0]) == (ha, hb)
     assert got.n_common_src[0] == 4
     assert got.jaccard_e6[0] == (1_000_000 * 4) // (4 + 5 - 4)
+
+
+def test_personalized_pagerank_numpy_golden(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        pagerank,
+    )
+
+    # chain a -> b -> c -> a plus dangling d; seed = {a}
+    urls = ["http://a/", "http://b/", "http://c/", "http://d/"]
+    edges = pa.table(
+        {
+            "src_url": pa.array(
+                ["http://a/", "http://b/", "http://c/", "http://a/"], pa.string()
+            ),
+            "dst_url": pa.array(
+                ["http://b/", "http://c/", "http://a/", "http://d/"], pa.string()
+            ),
+        }
+    )
+    t = pagerank(
+        rd.from_arrow(edges), urls, damping=0.85, iters=20, teleport_urls=["http://a/"]
+    )
+    got = dict(zip(t["url"].to_pylist(), t["rank"].to_pylist()))
+    # numpy replay
+    order = sorted(urls)
+    idx = {u: i for i, u in enumerate(order)}
+    deg = np.zeros(4)
+    for s in edges["src_url"].to_pylist():
+        deg[idx[s]] += 1
+    tele = np.zeros(4)
+    tele[idx["http://a/"]] = 1.0
+    r = tele.copy()
+    E = [(idx[s], idx[d]) for s, d in zip(edges["src_url"].to_pylist(), edges["dst_url"].to_pylist())]
+    for _ in range(20):
+        c = np.zeros(4)
+        for s, d in E:
+            c[d] += r[s] / deg[s]
+        dang = r[deg == 0].sum()
+        r = 0.15 * tele + 0.85 * (c + dang * tele)
+    for u in order:
+        assert abs(got[u] - r[idx[u]]) < 1e-12, u
+    # mass conserved, concentrated at/near the seed
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["http://a/"] == max(got.values())

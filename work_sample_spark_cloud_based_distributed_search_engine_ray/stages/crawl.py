@@ -323,6 +323,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     iters: int = 10,
+    teleport_urls: "list[str] | None" = None,
 ) -> pa.Table:
     """Iterative PageRank over a link-edge table — the consumer of the
     link graph the reference left vestigial (``search/Searcher.java:
@@ -357,6 +358,14 @@ def pagerank(
     PageRank.
 
     Returns (url, rank) sorted by url; ranks sum to 1 (mass conserved).
+
+    ``teleport_urls`` generalizes to PERSONALIZED PageRank (the
+    related-pages / TrustRank primitive): teleport and dangling mass
+    go to the seed set uniformly instead of all nodes —
+    r_{k+1}(v) = (1-d)*t(v) + d*(sum_{u->v} r_k(u)/deg(u) +
+    dangling_k * t(v)) with t uniform over the seeds, r_0 = t.
+    ``None`` keeps the classic uniform teleport (identical result to
+    before the parameter existed).
     """
     import ray
 
@@ -425,7 +434,19 @@ def pagerank(
         np.add.at(s, inv, w[si])
         return u_pos, s
 
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    if teleport_urls is not None:
+        seed_ids = np.asarray(sorted(set(hash64_array(sorted(set(teleport_urls))))))
+        pos = np.searchsorted(ids, seed_ids)
+        np.clip(pos, 0, n - 1, out=pos)
+        pos = pos[ids[pos] == seed_ids]
+        if pos.size == 0:
+            raise ValueError("no teleport url is in the node set")
+        teleport = np.zeros(n, dtype=np.float64)
+        teleport[pos] = 1.0 / pos.size
+        ranks = teleport.copy()
+    else:
+        teleport = None
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
     for _it in range(iters):
         w_ref = ray.put(ranks * inv_deg)
         parts = ray.get([block_contrib.remote(p, w_ref) for p in prep_refs])
@@ -433,7 +454,14 @@ def pagerank(
         for u_pos, s in parts:
             np.add.at(contrib, u_pos, s)
         dang = float(ranks[dangling_mask].sum())
-        ranks = (1.0 - damping) / n + damping * (contrib + dang / n)
+        if teleport is None:
+            # the classic uniform form, kept EXPRESSION-IDENTICAL to
+            # the hash-matched oracle ((1-d)/n, dang/n — not *(1/n))
+            ranks = (1.0 - damping) / n + damping * (contrib + dang / n)
+        else:
+            ranks = (1.0 - damping) * teleport + damping * (
+                contrib + dang * teleport
+            )
 
     by_url = sorted(range(n), key=lambda i: urls[i])
     return pa.table(
