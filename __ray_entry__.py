@@ -4889,6 +4889,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(quantize, batch_format="pyarrow")
         return grouped_spearman(ds, "l_returnflag", "x", "y")
 
+    def q_ab_test(sf_dir: str):
+        """A/B experiment readout: Welch t statistic of the event value
+        per event_type between the user_id-parity variants (a
+        deterministic traffic split both engines replay). One streaming
+        exact-moment pass; the only float arithmetic is the final t
+        expression, IEEE-order-mirrored by the twin
+        (stages/ops.grouped_welch_t)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_welch_t,
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "variant": pa.array(uid % 2),
+                    "x": pa.array(v),
+                }
+            )
+
+        ds = _tbl(sf_dir, "events", ["event_type", "user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+        return grouped_welch_t(ds, "event_type", "variant", "x")
+
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
         type pair — the co-occurrence matrix behind segment analysis.
@@ -6242,6 +6269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_corr": q_corr,
         "rel_linfit": q_linfit,
         "rel_spearman": q_spearman,
+        "rel_ab_test": q_ab_test,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -10801,6 +10829,29 @@ def oracle_sql() -> dict[str, str]:
                       / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
                 AS BIGINT) AS spearman_e6
     FROM d WHERE d1 > 0 AND d2 > 0
+    """,
+        # Welch t per event_type between user_id-parity variants — the
+        # exact-moment / one-IEEE-expression discipline of rel_corr
+        "rel_ab_test": """
+    WITH q AS (SELECT event_type, user_id % 2 AS variant,
+                      CAST(floor(value) AS BIGINT) AS x
+               FROM events),
+    s AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx
+          FROM q GROUP BY event_type, variant),
+    w AS (SELECT a.event_type,
+                 b.n AS n0, b.sx AS s0, b.n * b.sxx - b.sx * b.sx AS d0,
+                 a.n AS n1, a.sx AS s1, a.n * a.sxx - a.sx * a.sx AS d1
+          FROM s a JOIN s b ON a.event_type = b.event_type
+          WHERE a.variant = 1 AND b.variant = 0)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(floor(1000000.0 * (
+                 (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt(CAST(d1 AS DOUBLE) / CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
+                        + CAST(d0 AS DOUBLE) / CAST(n0 * n0 * (n0 - 1) AS DOUBLE))))
+                AS BIGINT) AS t_e6
+    FROM w WHERE n0 >= 2 AND n1 >= 2 AND d0 > 0 AND d1 > 0
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

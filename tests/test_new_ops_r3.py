@@ -776,3 +776,38 @@ def test_grouped_spearman_matches_naive():
         want = math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
         assert got["spearman_e6"][gi] == want
         assert got["spearman_e6"][gi] > 500_000  # planted monotone signal
+
+
+def test_grouped_welch_t_matches_naive():
+    import math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_welch_t,
+    )
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 2, 400).astype(np.int64)
+    v = rng.integers(0, 2, 400).astype(np.int64)
+    # variant 1 shifted up in group 0 only
+    x = (rng.integers(0, 50, 400) + np.where((g == 0) & (v == 1), 30, 0)).astype(
+        np.int64
+    )
+    tbl = pa.table({"g": pa.array(g), "variant": pa.array(v), "x": pa.array(x)})
+    got = _sorted(
+        grouped_welch_t(rd.from_arrow(tbl).repartition(5), "g", "variant", "x"), ["g"]
+    )
+    for gi, gv in enumerate(got["g"]):
+        stats = []
+        for vv in (0, 1):
+            m = (g == gv) & (v == vv)
+            n, s = int(m.sum()), int(x[m].sum())
+            ss = int((x[m].astype(object) ** 2).sum())
+            stats.append((n, s, n * ss - s * s))
+        (n0, s0, d0), (n1, s1, d1) = stats
+        t = (s1 / n1 - s0 / n0) / math.sqrt(
+            d1 / (n1 * n1 * (n1 - 1)) + d0 / (n0 * n0 * (n0 - 1))
+        )
+        assert got["t_e6"][gi] == math.floor(1_000_000.0 * t)
+    # planted lift shows up, null group doesn't
+    td = dict(zip(got["g"], got["t_e6"]))
+    assert td[0] > 5_000_000 and abs(td[1]) < 3_000_000

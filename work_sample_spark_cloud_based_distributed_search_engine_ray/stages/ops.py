@@ -2573,6 +2573,67 @@ def grouped_spearman(
     )
 
 
+def grouped_welch_t(
+    ds: rd.Dataset, key: str, variant: str, x: str
+) -> pa.Table:
+    """Welch two-sample t statistic per group between variants 0 and 1
+    — the A/B experiment readout. ``x`` integer-quantized by the
+    caller, ``variant`` in {0, 1}. One streaming pass emits exact
+    (n, sum, sumsq) partials per (group, variant) — the exchange is
+    groups x 2 x blocks tiny rows; the driver combines in Python
+    bigints, and the ONLY float arithmetic is the final t expression
+
+        t = (s1/n1 - s0/n0) / sqrt(d1/(n1^2 (n1-1)) + d0/(n0^2 (n0-1)))
+
+    with d = n*sumsq - sum^2 exact ints — evaluated in the identical
+    IEEE op order by the SQL twin, then floored to micros (floor is
+    toward -inf on both sides, so negative t values agree too). Groups
+    missing a variant or with n < 2 / zero variance in either arm are
+    dropped (the twin's WHERE guard)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({key: batch[key], variant: batch[variant]})
+        t = t.append_column("__x", pa.array(xv))
+        t = t.append_column("__xx", pa.array(xv * xv))
+        return t.group_by([key, variant]).aggregate(
+            [([], "count_all"), ("__x", "sum"), ("__xx", "sum")]
+        )
+
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault((r[key], r[variant]), [0, 0, 0])
+        a[0] += r["count_all"]
+        a[1] += r["__x_sum"]
+        a[2] += r["__xx_sum"]
+    out_g, out_n0, out_n1, out_t = [], [], [], []
+    for g in sorted({k for k, _v in acc}):
+        if (g, 0) not in acc or (g, 1) not in acc:
+            continue
+        n0, s0, ss0 = acc[(g, 0)]
+        n1, s1, ss1 = acc[(g, 1)]
+        d0 = n0 * ss0 - s0 * s0
+        d1 = n1 * ss1 - s1 * s1
+        if n0 < 2 or n1 < 2 or d0 <= 0 or d1 <= 0:
+            continue
+        t_val = (float(s1) / float(n1) - float(s0) / float(n0)) / math.sqrt(
+            float(d1) / float(n1 * n1 * (n1 - 1))
+            + float(d0) / float(n0 * n0 * (n0 - 1))
+        )
+        out_g.append(g)
+        out_n0.append(n0)
+        out_n1.append(n1)
+        out_t.append(math.floor(1_000_000.0 * t_val))
+    return pa.table(
+        {
+            key: pa.array(out_g),
+            "n_a": pa.array(out_n0, pa.int64()),
+            "n_b": pa.array(out_n1, pa.int64()),
+            "t_e6": pa.array(out_t, pa.int64()),
+        }
+    )
+
+
 def _moment_partials(
     ds: rd.Dataset, keys: list[str], x: str, y: str
 ) -> dict:
