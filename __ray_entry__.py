@@ -2207,6 +2207,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_lang_eval(sf_dir: str):
+        """Language-ID evaluation: the (label, prediction) confusion
+        matrix of the stopword-vote classifier against the corpus lang
+        column — the classifier-eval analog of knn_lsh_recall
+        (stages/textstats.LangEvalStage); one actor-pool pass + a
+        (langs^2)-bounded groupby count."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            LangEvalStage,
+        )
+
+        return (
+            _docs(sf_dir)
+            .map_batches(LangEvalStage, batch_format="pyarrow", concurrency=4)
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Count(alias_name="n_docs"))
+        )
+
     def q_quality(sf_dir: str):
         return _stats(sf_dir).map_batches(
             lambda t: t.select(
@@ -5135,6 +5152,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=LP_ROUNDS,
         )
 
+    def q_crawl_modularity(sf_dir: str):
+        """Newman modularity of the label-prop partition — one exact-
+        integer summary row Q = (4m*intra - sum_c d_c^2)/(4m^2) micros
+        (stages/crawl.label_prop_modularity); says whether the
+        communities are real structure (Q > 0) or noise."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            label_prop_modularity,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        return label_prop_modularity(
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
+            rounds=LP_ROUNDS,
+        )
+
     def q_crawl_triangles(sf_dir: str):
         """Exact triangle census of the undirected link graph (nodes,
         edges, wedges, triangles, global transitivity) — the clustering
@@ -6135,6 +6175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": q_doc_tfidf,
         "text_token_stats": q_token_stats,
         "text_lang_id": q_lang_id,
+        "text_lang_eval": q_lang_eval,
         "text_repetition": q_repetition,
         "text_collocations": q_collocations,
         "text_cooccurrence": q_cooccurrence,
@@ -6261,6 +6302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_graph": q_host_graph,
         "crawl_components": q_crawl_components,
         "crawl_label_prop": q_crawl_label_prop,
+        "crawl_modularity": q_crawl_modularity,
         "crawl_triangles": q_crawl_triangles,
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
@@ -9443,6 +9485,49 @@ def oracle_sql() -> dict[str, str]:
     SELECT node AS doc_id, lab AS community_id FROM p{LP_ROUNDS}
     """
 
+    # modularity of the label-prop partition: same CTE chain, then the
+    # exact-integer Q = (4m*intra - sum_c d_c^2) / (4m^2) in HUGEINT
+    # with the signed floor emulation (Q can be negative)
+    crawl_modularity_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS MATERIALIZED (SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+              FROM ids WHERE a <> b),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    p0 AS (SELECT DISTINCT src AS node, src AS lab FROM e){_lp_steps},
+    mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM pairs),
+    intra AS (SELECT CAST(count(*) AS HUGEINT) AS i FROM pairs
+              JOIN p{LP_ROUNDS} la ON la.node = pairs.doc_a
+              JOIN p{LP_ROUNDS} lb ON lb.node = pairs.doc_b
+              WHERE la.lab = lb.lab),
+    deg AS (SELECT x AS node, CAST(count(*) AS HUGEINT) AS d FROM
+             (SELECT doc_a AS x FROM pairs UNION ALL SELECT doc_b FROM pairs)
+            GROUP BY x),
+    dc AS (SELECT l.lab, sum(deg.d) AS dsum
+           FROM deg JOIN p{LP_ROUNDS} l ON l.node = deg.node GROUP BY l.lab),
+    s AS (SELECT (SELECT m FROM mm) AS m,
+                 (SELECT i FROM intra) AS i,
+                 (SELECT sum(dsum * dsum) FROM dc) AS sd,
+                 (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM p{LP_ROUNDS}) AS nc,
+                 (SELECT CAST(count(*) AS BIGINT) FROM p{LP_ROUNDS}) AS nn),
+    f AS (SELECT nn, nc, m, 1000000 * (4 * m * i - sd) AS a, 4 * m * m AS b FROM s)
+    SELECT CAST(nn AS BIGINT) AS n_nodes, CAST(m AS BIGINT) AS n_edges,
+           nc AS n_communities,
+           CAST((a - ((a % b) + b) % b) // b AS BIGINT) AS modularity_e6
+    FROM f
+    """
+
     # triangle census: the same edge replay up to the distinct (a<b)
     # pair set, then degrees / wedges / the one-orientation triangle
     # join (a<b, b<c closing a<c counts each triangle exactly once)
@@ -9907,6 +9992,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks GROUP BY doc_id"
         ),
         "text_lang_id": lang_id,
+        # confusion matrix of the same prediction rule vs the label
+        "text_lang_eval": f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    hits AS (SELECT doc_id,
+             len(list_filter(toks, x -> list_contains({EN_SQL}, x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains({DE_SQL}, x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains({FR_SQL}, x))) AS fr_hits
+             FROM t),
+    p AS (SELECT doc_id,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+          FROM hits)
+    SELECT d.lang, p.lang_pred, count(*) AS n_docs
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """,
         "text_repetition": repetition,
         "text_collocations": f"""
     WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
@@ -10242,6 +10343,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_graph": _host_graph_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_label_prop": crawl_label_prop_sql,
+        "crawl_modularity": crawl_modularity_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_kcore": crawl_kcore_sql,
         "crawl_path_depth": crawl_path_depth_sql,

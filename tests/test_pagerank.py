@@ -288,3 +288,32 @@ def test_personalized_pagerank_numpy_golden(ray_session):
     # mass conserved, concentrated at/near the seed
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["http://a/"] == max(got.values())
+
+
+def test_modularity_two_cliques(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        label_prop_modularity,
+    )
+
+    # two 5-cliques + one bridge: strong community structure, Q ~ 0.4
+    pairs = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append((base + i, base + j))
+    pairs.append((4, 10))
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    got = label_prop_modularity(rd.from_arrow(tbl).repartition(4), rounds=5)
+    assert got["n_nodes"][0].as_py() == 10
+    assert got["n_edges"][0].as_py() == 21
+    assert got["n_communities"][0].as_py() == 2
+    # exact replay: both cliques fully intra (intra=20), d_c = 21 each
+    m, intra, sum_dc2 = 21, 20, 21 * 21 * 2
+    assert got["modularity_e6"][0].as_py() == (
+        1_000_000 * (4 * m * intra - sum_dc2)
+    ) // (4 * m * m)

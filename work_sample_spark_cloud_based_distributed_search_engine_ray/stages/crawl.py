@@ -1445,3 +1445,94 @@ def link_jaccard_pairs(
         return t.append_column("jaccard_e6", pa.array(j.astype(np.int64)))
 
     return cc.map_batches(add_jaccard, batch_format="pyarrow")
+
+
+def label_prop_modularity(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
+    """Newman modularity of the :func:`label_prop_communities`
+    partition — the quality score that says whether the communities
+    are real structure or noise. EXACT integer arithmetic end-to-end:
+
+        Q = (4m * intra - sum_c d_c^2) / (4 m^2)
+
+    (m = distinct undirected edges, intra = edges inside a community,
+    d_c = total degree of community c), emitted as a floor-division
+    micro — replayed in HUGEINT by the SQL twin with the signed floor
+    emulation (Q can be negative).
+
+    Plan: the community labels are the node-bounded output of
+    label_prop_communities (broadcast once); ONE pass over the
+    globally-deduped edge set emits per-block (intra-count, per-node
+    degree partials); the driver folds degrees into per-community
+    sums. Returns one row (n_nodes, n_edges, n_communities,
+    modularity_e6)."""
+    import numpy as np
+
+    import ray
+
+    from .ops import distinct_on
+
+    lab_tbl = label_prop_communities(pairs, rounds=rounds)
+    nodes = lab_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    labs = lab_tbl["community_id"].to_numpy(zero_copy_only=False)
+    if nodes.size == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "n_communities": pa.array([0], pa.int64()),
+                "modularity_e6": pa.array([0], pa.int64()),
+            }
+        )
+    order = np.argsort(nodes)
+    nodes, labs = nodes[order], labs[order]
+    nodes_ref = ray.put(nodes)
+    labs_ref = ray.put(labs)
+
+    edges = distinct_on(pairs.select_columns(["doc_a", "doc_b"]), ["doc_a", "doc_b"])
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        lb = ray.get(labs_ref)
+        a = np.searchsorted(nd, t["doc_a"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nd, t["doc_b"].to_numpy(zero_copy_only=False))
+        intra = int((lb[a] == lb[b]).sum())
+        deg = np.zeros(nd.size, np.int64)
+        np.add.at(deg, a, 1)
+        np.add.at(deg, b, 1)
+        nz = np.flatnonzero(deg)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(([0], np.ones(nz.size, np.int64)))
+                ),
+                "pos": pa.array(np.concatenate(([intra], nz)).astype(np.int64)),
+                "val": pa.array(
+                    np.concatenate(([t.num_rows], deg[nz])).astype(np.int64)
+                ),
+            }
+        )
+
+    intra = 0
+    m = 0
+    deg = np.zeros(nodes.size, np.int64)
+    for r in edges.map_batches(block_stats, batch_format="pyarrow").take_all():
+        if r["kind"] == 0:
+            intra += r["pos"]
+            m += r["val"]
+        else:
+            deg[r["pos"]] += r["val"]
+    dc: dict = {}
+    for li, d in zip(labs, deg):
+        dc[li] = dc.get(li, 0) + int(d)
+    sum_dc2 = sum(v * v for v in dc.values())
+    q_e6 = (
+        (1_000_000 * (4 * m * intra - sum_dc2)) // (4 * m * m) if m else 0
+    )
+    return pa.table(
+        {
+            "n_nodes": pa.array([int(nodes.size)], pa.int64()),
+            "n_edges": pa.array([int(m)], pa.int64()),
+            "n_communities": pa.array([len(set(labs.tolist()))], pa.int64()),
+            "modularity_e6": pa.array([int(q_e6)], pa.int64()),
+        }
+    )

@@ -1428,3 +1428,18 @@ def textrank_keywords(
     return pa.table(
         {"term": pa.array(vocab, pa.string()), "rank_e6": pa.array(rank)}
     )
+
+
+class LangEvalStage(TextStatsStage):
+    """Language-ID quality evaluation: per input row, the stopword-vote
+    prediction (the :class:`TextStatsStage` rule, computed by the
+    parent kernel) paired with the corpus's ``lang`` label — the
+    confusion-matrix input (the classifier-eval analog of
+    ``knn_lsh_recall``). Row-aligned: the parent emits one output row
+    per input row in order."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        return pa.table(
+            {"lang": batch["lang"], "lang_pred": out["lang_pred"]}
+        )
