@@ -4933,6 +4933,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_welch_t(ds, "event_type", "variant", "x")
 
+    def q_chi2(sf_dir: str):
+        """Chi-squared independence screen: is event_type independent
+        of hour-of-day? EXACT integers end-to-end — the statistic is a
+        sum of per-cell floors, chi2q_e6 = sum_cells (1e6 * (O*N -
+        R*C)^2) // (N*R*C), so the cell-order-independent integer sum
+        replays exactly in HUGEINT (a float per-cell sum would be
+        order-sensitive). One bounded (types x 24) groupby; the fold is
+        driver-side Python bigints."""
+        counts = (
+            _tbl(sf_dir, "events", ["event_type", "ts"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "hour": pc.hour(t["ts"]).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        obs = {(r["event_type"], r["hour"]): r["n"] for r in counts}
+        rows = sorted({k[0] for k in obs})
+        cols = sorted({k[1] for k in obs})
+        R = {r: sum(obs.get((r, c), 0) for c in cols) for r in rows}
+        C = {c: sum(obs.get((r, c), 0) for r in rows) for c in cols}
+        N = sum(R.values())
+        chi2q = 0
+        for r in rows:
+            for c in cols:
+                o = obs.get((r, c), 0)
+                d = o * N - R[r] * C[c]
+                chi2q += (1_000_000 * d * d) // (N * R[r] * C[c])
+        return pa.table(
+            {
+                "n_total": pa.array([N], pa.int64()),
+                "n_cells": pa.array([len(rows) * len(cols)], pa.int64()),
+                "dof": pa.array([(len(rows) - 1) * (len(cols) - 1)], pa.int64()),
+                "chi2q_e6": pa.array([chi2q], pa.int64()),
+            }
+        )
+
     def q_audience_overlap(sf_dir: str):
         """Audience overlap: |users(a) AND users(b)| for every event-
         type pair — the co-occurrence matrix behind segment analysis.
@@ -6312,6 +6356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_linfit": q_linfit,
         "rel_spearman": q_spearman,
         "rel_ab_test": q_ab_test,
+        "rel_chi2": q_chi2,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -10954,6 +10999,28 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(d0 AS DOUBLE) / CAST(n0 * n0 * (n0 - 1) AS DOUBLE))))
                 AS BIGINT) AS t_e6
     FROM w WHERE n0 >= 2 AND n1 >= 2 AND d0 > 0 AND d1 > 0
+    """,
+        # chi-squared independence of event_type x hour-of-day: the
+        # statistic is a SUM OF PER-CELL INTEGER FLOORS (order-
+        # independent, unlike a float cell sum), zero cells included
+        "rel_chi2": """
+    WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h FROM events),
+    o AS (SELECT event_type, h, CAST(count(*) AS HUGEINT) AS n
+          FROM q GROUP BY event_type, h),
+    rr AS (SELECT event_type, sum(n) AS r FROM o GROUP BY event_type),
+    cc AS (SELECT h, sum(n) AS c FROM o GROUP BY h),
+    nn AS (SELECT sum(n) AS n FROM o),
+    cells AS (SELECT rr.event_type, cc.h, COALESCE(o.n, 0) AS obs, rr.r, cc.c
+              FROM rr CROSS JOIN cc
+              LEFT JOIN o ON o.event_type = rr.event_type AND o.h = cc.h),
+    t AS (SELECT obs * (SELECT n FROM nn) - r * c AS d, r, c FROM cells)
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+           ((SELECT CAST(count(*) AS BIGINT) FROM rr) - 1)
+             * ((SELECT CAST(count(*) AS BIGINT) FROM cc) - 1) AS dof,
+           CAST(sum((1000000 * d * d)
+                    // ((SELECT n FROM nn) * r * c)) AS BIGINT) AS chi2q_e6
+    FROM t
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

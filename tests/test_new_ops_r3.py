@@ -811,3 +811,28 @@ def test_grouped_welch_t_matches_naive():
     # planted lift shows up, null group doesn't
     td = dict(zip(got["g"], got["t_e6"]))
     assert td[0] > 5_000_000 and abs(td[1]) < 3_000_000
+
+
+def test_chi2_formula_manual():
+    # exact per-cell-floor chi-squared on a planted dependent table
+    obs = {("a", 0): 30, ("a", 1): 10, ("b", 0): 10, ("b", 1): 30}
+    rows, cols = ("a", "b"), (0, 1)
+    R = {r: sum(obs[(r, c)] for c in cols) for r in rows}
+    C = {c: sum(obs[(r, c)] for r in rows) for c in cols}
+    N = sum(R.values())
+    chi2q = sum(
+        (1_000_000 * (obs[(r, c)] * N - R[r] * C[c]) ** 2) // (N * R[r] * C[c])
+        for r in rows
+        for c in cols
+    )
+    # classic chi2 for this table is 20.0; per-cell floors lose < 4 ulp-micros
+    assert abs(chi2q - 20_000_000) <= 4
+    # and the engine's driver fold is the same expression — assert on
+    # the real sf0.001 events via the registered query
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    t = entry.queries()["rel_chi2"]("/root/testdata/sf0.001")
+    assert t["dof"][0].as_py() >= 1 and t["chi2q_e6"][0].as_py() > 0
