@@ -1425,6 +1425,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("lang")
 
+    def q_ingest_ipc(sf_dir: str) -> pa.Table:
+        """Arrow IPC (Feather-v2) ingestion parity: the corpus
+        round-tripped through sharded IPC files (file-parallel
+        read_binary_files + zero-copy pa.ipc decode — the WARC plan)
+        aggregates to the same per-lang byte totals as the canonical
+        parquet (sources/ingest.read_pages format='ipc')."""
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+            read_pages,
+            write_pages_ipc,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from ray.data.aggregate import Count, Sum
+
+        pages = pages_for_sf_dir(sf_dir)
+        out = "/tmp/wse_ingest_ipc_" + os.path.basename(pages).replace(".parquet", "")
+        if not os.path.isdir(out) or not os.listdir(out):
+            write_pages_ipc(pq.read_table(pages), out, shards=4)
+
+        def lens(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "text_bytes": pc.binary_length(t["text"]).cast(pa.int64()),
+                    "html_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+                }
+            )
+
+        got = (
+            read_pages(out, format="ipc")
+            .map_batches(lens, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(), Sum("text_bytes"), Sum("html_bytes"))
+            .take_all()
+        )
+        return pa.table(
+            {
+                "lang": pa.array([r["lang"] for r in got]),
+                "n_pages": pa.array([r["count()"] for r in got], pa.int64()),
+                "sum_text_bytes": pa.array(
+                    [r["sum(text_bytes)"] for r in got], pa.int64()
+                ),
+                "sum_html_bytes": pa.array(
+                    [r["sum(html_bytes)"] for r in got], pa.int64()
+                ),
+            }
+        ).sort_by("lang")
+
     def q_ingest_warc(sf_dir: str) -> pa.Table:
         """WARC ingestion parity: the corpus serialized into sharded
         per-record-gzipped WARC files (the Common Crawl layout) and
@@ -6213,6 +6264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_update_stats": q_index_update_stats,
         "index_delete_stats": q_index_delete_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
+        "ingest_ipc_pages": q_ingest_ipc,
         "ingest_warc_pages": q_ingest_warc,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
@@ -9919,6 +9971,7 @@ def oracle_sql() -> dict[str, str]:
         "index_update_stats": _index_update_oracle_sql(),
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
+        "ingest_ipc_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
         "text_compress_ratio": _compress_ratio_oracle_sql(),
         "text_stem_vocab": _stem_vocab_oracle_sql(),

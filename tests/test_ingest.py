@@ -247,3 +247,33 @@ def test_stage_warc_rerun_replaces_not_appends(tmp_path):
     staged = stage_warc_pages(str(tmp_path / "warc"), str(tmp_path / "staged"))
     n2 = pq.read_table(staged).num_rows
     assert n1 == n2 == 40
+
+
+def test_ipc_round_trip(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+        read_pages,
+        write_pages_ipc,
+    )
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+    )
+
+    pp = pages_parquet(50)
+    t = pq.read_table(pp)
+    paths = write_pages_ipc(t, str(tmp_path / "ipc"), shards=3)
+    assert len(paths) == 3
+    got = (
+        read_pages(str(tmp_path / "ipc"), format="ipc")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["url"] == want["url"]).all()
+    assert (got["html"] == want["html"]).all()
+    assert (got["warc_ts"] == want["warc_ts"]).all()

@@ -66,6 +66,22 @@ def read_pages(
         ds = rd.read_json(path)
     elif format == "csv":
         ds = rd.read_csv(path)
+    elif format == "ipc":
+        # Arrow IPC / Feather-v2: no native Ray reader, so files load
+        # file-parallel (the WARC pattern) and decode zero-copy per
+        # task — one pa.ipc.open_file per shard, rows stream on
+        def decode_ipc(batch: pa.Table) -> pa.Table:
+            tables = [
+                pa.ipc.open_file(pa.BufferReader(b)).read_all()
+                for b in batch["bytes"].to_pylist()
+            ]
+            if not tables:
+                return pa.table({})
+            return pa.concat_tables(tables, promote_options="default")
+
+        ds = rd.read_binary_files(path).map_batches(
+            decode_ipc, batch_format="pyarrow", batch_size=1
+        )
     else:
         raise ValueError(f"unsupported format: {format!r}")
     ds = ds.map_batches(_normalize, batch_format="pyarrow")
@@ -90,3 +106,25 @@ def write_pages_jsonl(table: pa.Table, path: str) -> None:
             if isinstance(html, (bytes, bytearray)):
                 row["html"] = html.decode("utf-8")
             f.write(json.dumps(row) + "\n")
+
+
+def write_pages_ipc(table: pa.Table, out_dir: str, *, shards: int = 4) -> list[str]:
+    """Test/fixture helper: write a pages table as ``shards`` Arrow IPC
+    (Feather-v2) files — the inverse of ``read_pages(format='ipc')``.
+    Row-range sharding, one ``pa.ipc.new_file`` per shard."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    per = max(1, (n + shards - 1) // shards)
+    paths = []
+    for i in range(0, shards):
+        lo = i * per
+        if lo >= n:
+            break
+        part = table.slice(lo, per)
+        p = os.path.join(out_dir, f"pages-{i:04d}.arrow")
+        with pa.ipc.new_file(p, part.schema) as w:
+            w.write_table(part)
+        paths.append(p)
+    return paths
