@@ -4984,6 +4984,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_welch_t(ds, "event_type", "variant", "x")
 
+    def q_gini(sf_dir: str):
+        """Gini inequality of the event value per event_type — exact
+        integers end-to-end from the bounded per-(group, value)
+        histogram, no per-group sort (stages/ops.grouped_gini). The
+        twin computes S = sum(i*x) with row_number(); tie order is
+        harmless since x is constant within a tie block."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_gini,
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            return pa.table({"event_type": t["event_type"], "x": pa.array(v)})
+
+        ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+        return grouped_gini(ds, "event_type", "x")
+
     def q_chi2(sf_dir: str):
         """Chi-squared independence screen: is event_type independent
         of hour-of-day? EXACT integers end-to-end — the statistic is a
@@ -6409,6 +6428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_spearman": q_spearman,
         "rel_ab_test": q_ab_test,
         "rel_chi2": q_chi2,
+        "rel_gini": q_gini,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -11074,6 +11094,26 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum((1000000 * d * d)
                     // ((SELECT n FROM nn) * r * c)) AS BIGINT) AS chi2q_e6
     FROM t
+    """,
+        # Gini per event_type: S = sum(i*x) over ascending ranks
+        # (row_number — tie order harmless, x constant within a tie),
+        # exact HUGEINT floor micros
+        "rel_gini": """
+    WITH q AS (SELECT event_type, CAST(floor(value) AS HUGEINT) AS x
+               FROM events),
+    r AS (SELECT event_type, x,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY x)
+                      AS HUGEINT) AS i
+          FROM q),
+    s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 sum(i * x) AS sr, sum(x) AS t
+          FROM r GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 1000000 * (2 * sr - (n + 1) * t) AS a, n * t AS b
+          FROM s WHERE t > 0)
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST((a - ((a % b) + b) % b) // b AS BIGINT) AS gini_e6
+    FROM f
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

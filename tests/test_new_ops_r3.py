@@ -836,3 +836,27 @@ def test_chi2_formula_manual():
 
     t = entry.queries()["rel_chi2"]("/root/testdata/sf0.001")
     assert t["dof"][0].as_py() >= 1 and t["chi2q_e6"][0].as_py() > 0
+
+
+def test_grouped_gini_matches_naive():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_gini,
+    )
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 2, 250).astype(np.int64)
+    # group 0 ~ uniform (moderate gini), group 1 nearly constant (low)
+    x = np.where(g == 0, rng.integers(0, 100, 250), 50 + rng.integers(0, 2, 250)).astype(
+        np.int64
+    )
+    tbl = pa.table({"g": pa.array(g), "x": pa.array(x)})
+    got = _sorted(grouped_gini(rd.from_arrow(tbl).repartition(6), "g", "x"), ["g"])
+    for gi, gv in enumerate(got["g"]):
+        vals = sorted(x[g == gv].tolist())
+        n = len(vals)
+        T = sum(vals)
+        S = sum((i + 1) * v for i, v in enumerate(vals))
+        want = (1_000_000 * (2 * S - (n + 1) * T)) // (n * T)
+        assert got["gini_e6"][gi] == want
+    gd = dict(zip(got["g"], got["gini_e6"]))
+    assert gd[0] > 200_000 and gd[1] < 50_000  # planted shapes

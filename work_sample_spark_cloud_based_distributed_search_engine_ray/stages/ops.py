@@ -2634,6 +2634,55 @@ def grouped_welch_t(
     )
 
 
+def grouped_gini(ds: rd.Dataset, key: str, x: str) -> pa.Table:
+    """Exact Gini inequality coefficient per group over a NON-NEGATIVE
+    integer-quantized column — G = (2*S - (n+1)*T) / (n*T) with
+    S = sum_i i*x_(i) (ranked ascending) and T = sum x, emitted as a
+    floor-division micro.
+
+    NO per-group sort: one streaming pass builds the bounded
+    per-(group, value) count histogram (the ``grouped_spearman``
+    discipline); on the driver each tie block of value v with count c
+    after m earlier items contributes v*(2*c*m + c*(c+1)) to 2S
+    exactly — Python bigints, zero float ops. The SQL twin computes S
+    with ``row_number()`` (arbitrary order within ties is harmless:
+    x is constant inside a tie block, so sum i*x depends only on the
+    rank SET). Groups with T == 0 are dropped."""
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], "v": batch[x]})
+        return t.group_by([key, "v"]).aggregate([([], "count_all")])
+
+    hist: dict = {}
+    for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        d = hist.setdefault(r[key], {})
+        d[r["v"]] = d.get(r["v"], 0) + r["count_all"]
+    out_g, out_n, out_gini = [], [], []
+    for g in sorted(hist):
+        d = hist[g]
+        n = sum(d.values())
+        T = sum(v * c for v, c in d.items())
+        if T <= 0:
+            continue
+        two_s = 0
+        m = 0
+        for v in sorted(d):
+            c = d[v]
+            two_s += v * (2 * c * m + c * (c + 1))
+            m += c
+        g_e6 = (1_000_000 * (two_s - (n + 1) * T)) // (n * T)
+        out_g.append(g)
+        out_n.append(n)
+        out_gini.append(g_e6)
+    return pa.table(
+        {
+            key: pa.array(out_g),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "gini_e6": pa.array(out_gini, pa.int64()),
+        }
+    )
+
+
 def _moment_partials(
     ds: rd.Dataset, keys: list[str], x: str, y: str
 ) -> dict:
