@@ -6187,6 +6187,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, iters=3
         )
 
+    def q_cluster_topics(sf_dir: str):
+        """Topic clustering without an embedding model: hashed
+        token-count features (the hashing trick, dim=8) through the
+        exact-integer k-means — the mixture-balancing primitive. The
+        twin re-derives the features in SQL and chains the shared
+        unrolled-CTE k-means replay
+        (stages/textstats.doc_hash_features + stages/ann.kmeans_assign)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            kmeans_assign,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            doc_hash_features,
+        )
+
+        feats = doc_hash_features(
+            _tbl(sf_dir, "documents", ["doc_id", "text"]), dim=8
+        )
+        out = kmeans_assign(feats, k=4, iters=2)
+        return out.map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster", "dist"]),
+            batch_format="pyarrow",
+        )
+
     def q_dedup_semantic(sf_dir: str):
         # SemDeDup (Abbas et al. 2023): exact-integer k-means clusters,
         # then within-cluster cosine keep-first dedup — one bounded
@@ -6334,6 +6357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
         "dedup_semantic": q_dedup_semantic,
+        "text_cluster_topics": q_cluster_topics,
         "knn_lsh_topk": q_knn_lsh,
         "knn_lsh_recall": q_knn_recall,
         "knn_ivf_topk": q_knn_ivf,
@@ -8415,11 +8439,16 @@ def _afp_dups_oracle_sql() -> str:
     """
 
 
-def _kmeans_cte_parts(k: int, iters: int) -> tuple[list, "object"]:
+def _kmeans_cte_parts(
+    k: int, iters: int, v_cte: str | None = None
+) -> tuple[list, "object"]:
     """The shared unrolled-CTE k-means replay (see
     :func:`_kmeans_oracle_sql`): returns the WITH-clause parts list and
     the dist-expression builder; ``c{iters}`` is the final centroid
-    CTE. Shared by the kmeans and semantic-dedup oracles."""
+    CTE. Shared by the kmeans, semantic-dedup, and topic-cluster
+    oracles. ``v_cte`` overrides the default micro-quantized
+    ``v(vec_id, e)`` source (must be a full ``WITH``-leading CTE
+    string ending at the v definition)."""
     hexpr = (
         "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT"
         " & 9223372036854775807::UBIGINT AS BIGINT)"
@@ -8431,10 +8460,14 @@ def _kmeans_cte_parts(k: int, iters: int) -> tuple[list, "object"]:
             " s -> (s[1] - s[2]) * (s[1] - s[2])))"
         )
 
+    if v_cte is None:
+        v_cte = (
+            "WITH v AS (SELECT vec_id, list_transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e"
+            " FROM embeddings)"
+        )
     parts = [
-        "WITH v AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e"
-        " FROM embeddings),\n"
+        v_cte + ",\n"
         f"c0 AS (SELECT row_number() OVER (ORDER BY {hexpr}, vec_id) - 1 AS c, e"
         f" FROM v QUALIFY row_number() OVER (ORDER BY {hexpr}, vec_id) <= {k})"
     ]
@@ -8471,6 +8504,40 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     parts, dist = _kmeans_cte_parts(k, iters)
     final = (
         "SELECT vec_id, c AS cluster, dist FROM (\n"
+        f"  SELECT v.vec_id, c{iters}.c,"
+        f" CAST({dist(f'c{iters}.e')} AS BIGINT) AS dist,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {dist(f'c{iters}.e')}, c{iters}.c) AS rn\n"
+        f"  FROM v CROSS JOIN c{iters}) t WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+def _topic_cluster_oracle_sql(k: int = 4, iters: int = 2, dim: int = 8) -> str:
+    """Oracle for ``text_cluster_topics``: re-derives the hashed
+    token-count features in SQL (md5-prefix hash64 per DISTINCT term,
+    mod ``dim``, occurrence counts densified over all docs x dims,
+    micros = c*1e6 — exactly the engine's quantization), then chains
+    the shared unrolled-CTE k-means replay."""
+    hterm = (
+        "CAST(('0x' || substr(md5(term), 1, 16))::UBIGINT"
+        " & 9223372036854775807::UBIGINT AS BIGINT)"
+    )
+    v_cte = f"""WITH t0 AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    flat AS (SELECT doc_id, unnest(l) AS term FROM t0),
+    hb AS (SELECT doc_id, {hterm} % {dim} AS d FROM flat),
+    cnt AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c
+            FROM hb GROUP BY doc_id, d),
+    dims AS (SELECT unnest(range(0, {dim})) AS d),
+    docs0 AS (SELECT DISTINCT doc_id FROM t0),
+    dense AS (SELECT docs0.doc_id, dims.d, COALESCE(cnt.c, 0) AS c
+              FROM docs0 CROSS JOIN dims
+              LEFT JOIN cnt ON cnt.doc_id = docs0.doc_id AND cnt.d = dims.d),
+    v AS (SELECT doc_id AS vec_id, list(c * 1000000 ORDER BY d) AS e
+          FROM dense GROUP BY doc_id)"""
+    parts, dist = _kmeans_cte_parts(k, iters, v_cte=v_cte)
+    final = (
+        "SELECT vec_id AS doc_id, c AS cluster, dist FROM (\n"
         f"  SELECT v.vec_id, c{iters}.c,"
         f" CAST({dist(f'c{iters}.e')} AS BIGINT) AS dist,\n"
         f"         row_number() OVER (PARTITION BY v.vec_id"
@@ -10445,6 +10512,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_topk": _ivfpq_oracle_sql(),
         "knn_kmeans_assign": _kmeans_oracle_sql(k=8, iters=3),
         "dedup_semantic": _semantic_dedup_oracle_sql(k=8, iters=3, threshold=0.42),
+        "text_cluster_topics": _topic_cluster_oracle_sql(k=4, iters=2, dim=8),
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_thumbs": _thumbs_oracle_sql(),
         "media_image_stats": _image_stats_oracle_sql(),

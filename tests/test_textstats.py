@@ -521,3 +521,37 @@ def test_textrank_integer_replay_and_hub():
         contrib = ((wq * r[:, None]) // 1_000_000).sum(axis=0)
         r = 150_000 + (85 * contrib) // 100
     assert [ranks[t] for t in vocab] == r.tolist()
+
+
+def test_doc_hash_features_manual():
+    import numpy as np
+    import pyarrow as pa
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        doc_hash_features,
+    )
+
+    texts = ["The quick brown fox", "the the THE", ""]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        doc_hash_features(rd.from_arrow(tbl), dim=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        want = np.zeros(4)
+        for tok in tokenize(txt):
+            want[hash64(tok) % 4] += 1
+        assert list(got.embedding[i]) == want.tolist(), txt

@@ -1443,3 +1443,39 @@ class LangEvalStage(TextStatsStage):
         return pa.table(
             {"lang": batch["lang"], "lang_pred": out["lang_pred"]}
         )
+
+
+def doc_hash_features(docs, *, dim: int = 8, text_col: str = "text"):
+    """Hashed token-count document features (the hashing trick,
+    Weinberger et al. 2009): feature d = number of token OCCURRENCES
+    whose hash64 lands in bin d — the cheap text vectorization that
+    feeds :func:`..ann.kmeans_assign` for TOPIC CLUSTERING (mixture
+    balancing) without an embedding model.
+
+    Vectorized per batch: one flat tokenize, one hash per DISTINCT
+    token (dictionary encode), one ``np.add.at`` into the (rows, dim)
+    count matrix. Output (doc_id, embedding: list<float> of exact
+    integer counts) — counts survive the kmeans micro-quantization
+    exactly (floor(c*1e6+0.5) == c*1e6)."""
+    from ..functions.hashing import hash64_array
+    from ..functions.tokenize import flat_tokens_batch
+
+    def feats(batch: pa.Table) -> pa.Table:
+        flat, parents, n_rows = flat_tokens_batch(batch[text_col])
+        m = np.zeros((n_rows, dim), np.float64)
+        if len(flat):
+            d = flat.dictionary_encode()
+            hd = hash64_array(d.dictionary.to_pylist()) % dim
+            bins = hd[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            np.add.at(m, (parents, bins), 1.0)
+        return pa.table(
+            {
+                "vec_id": batch["doc_id"],
+                "embedding": pa.array(
+                    [row.tolist() for row in m.astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow")
