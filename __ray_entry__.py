@@ -3582,6 +3582,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=64,
         )
 
+    def q_kmv_union(sf_dir: str):
+        """KMV sketch algebra: distinct-user estimates for every
+        event-type PAIR's union, computed from the per-type bottom-64
+        sketches alone (mergeability — the reason KMV distributes);
+        exact when both sides are unsaturated
+        (stages/ops.kmv_union_estimates)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            kmv_union_estimates,
+        )
+
+        return kmv_union_estimates(
+            _tbl(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+            k=64,
+        )
+
     def q_hll_registers(sf_dir: str):
         # HyperLogLog register table (2^8 buckets) for COUNT DISTINCT
         # user_id — the constant-memory cardinality sketch; registers
@@ -6401,6 +6418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": q_heavy_hitters,
         "dedup_substring": q_dedup_substring,
         "rel_approx_distinct_kmv": q_kmv_distinct,
+        "rel_kmv_union": q_kmv_union,
         "rel_hll_registers": q_hll_registers,
         "rel_unpivot": q_unpivot,
         "rel_zip_with_index": q_zip_with_index,
@@ -10966,6 +10984,36 @@ def oracle_sql() -> dict[str, str]:
                                    / max(CASE WHEN rn = 64 THEN hv END) + 0.5)
                         END AS BIGINT) AS est_distinct
             FROM r GROUP BY event_type
+        """,
+        # KMV union algebra: the pairwise union estimated from the two
+        # bottom-64 sketches alone (exact when both are unsaturated)
+        "rel_kmv_union": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                          & 9223372036854775807::UBIGINT AS BIGINT) AS hv
+              FROM events),
+            r AS (SELECT event_type, hv,
+                         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                  FROM h),
+            sk AS MATERIALIZED (SELECT event_type, hv FROM r WHERE rn <= 64),
+            sz AS (SELECT event_type, count(*) AS n FROM sk GROUP BY event_type),
+            tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM sz a JOIN sz b ON a.event_type < b.event_type),
+            mu AS (SELECT tp.ta, tp.tb, sk.hv FROM tp
+                   JOIN sk ON sk.event_type = tp.ta OR sk.event_type = tp.tb
+                   GROUP BY tp.ta, tp.tb, sk.hv),
+            mr AS (SELECT ta, tb, hv,
+                          row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+                   FROM mu)
+            SELECT mr.ta AS type_a, mr.tb AS type_b,
+                   CAST(CASE WHEN sa.n < 64 AND sb.n < 64 THEN max(mr.rn)
+                        ELSE floor(63.0 * 9223372036854775808.0
+                                   / max(CASE WHEN mr.rn = 64 THEN mr.hv END) + 0.5)
+                        END AS BIGINT) AS est_union
+            FROM mr JOIN sz sa ON sa.event_type = mr.ta
+                    JOIN sz sb ON sb.event_type = mr.tb
+            GROUP BY mr.ta, mr.tb, sa.n, sb.n
         """,
         "rel_zip_with_index": (
             "SELECT event_id, "

@@ -860,3 +860,27 @@ def test_grouped_gini_matches_naive():
         assert got["gini_e6"][gi] == want
     gd = dict(zip(got["g"], got["gini_e6"]))
     assert gd[0] > 200_000 and gd[1] < 50_000  # planted shapes
+
+
+def test_kmv_union_accuracy_and_exactness():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        kmv_union_estimates,
+    )
+
+    rng = np.random.default_rng(23)
+    # type A: users 0..999, type B: 500..1499 (union = 1500); type C: 10 users
+    rows_g, rows_v = [], []
+    for _ in range(3000):
+        rows_g.append("A"); rows_v.append(int(rng.integers(0, 1000)))
+        rows_g.append("B"); rows_v.append(int(rng.integers(500, 1500)))
+    for u in range(10):
+        rows_g.append("C"); rows_v.append(u)
+    tbl = pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v, pa.int64())})
+    got = kmv_union_estimates(
+        rd.from_arrow(tbl).repartition(6), "g", "v", k=64
+    ).to_pandas()
+    est = {(r.type_a, r.type_b): r.est_union for r in got.itertuples()}
+    # A∪B true 1500: KMV k=64 has ~12% relative error
+    assert abs(est[("A", "B")] - 1500) < 450
+    # C is unsaturated but A saturated -> estimator branch; magnitude sane
+    assert 600 < est[("A", "C")] < 1600

@@ -2634,6 +2634,82 @@ def grouped_welch_t(
     )
 
 
+def kmv_union_estimates(
+    ds: rd.Dataset, group_col: str, value_col: str, *, k: int = 64
+) -> pa.Table:
+    """KMV sketch ALGEBRA: approximate ``COUNT(DISTINCT value)`` of the
+    UNION of every group pair from the groups' bottom-k sketches alone
+    — the mergeability property that makes KMV a distributed sketch
+    (Bar-Yossef et al. 2002): union sketch = k smallest of the two
+    sketch sets; if BOTH sides are unsaturated (< k hashes) the merged
+    set is the exact distinct union, else
+    ``est = floor((k-1) * 2^63 / h_k + 0.5)``.
+
+    One streaming pass emits each block's per-group bottom-k DISTINCT
+    hashes (map-side combine: <= k x groups rows per block — the union
+    of block bottom-k sets contains the true global bottom-k); the
+    driver dedups, truncates to k per group, and evaluates every pair.
+    Deterministic md5 hash64, so the DuckDB twin re-derives identical
+    sketches and estimates from the raw rows."""
+    from ..functions.hashing import hash64
+
+    def local(batch: pa.Table) -> pa.Table:
+        tb = (
+            batch.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([])
+        )
+        hv = np.fromiter(
+            (hash64(str(v)) for v in tb[value_col].to_pylist()),
+            dtype=np.int64,
+            count=tb.num_rows,
+        )
+        t = pa.table({group_col: tb[group_col], "__hv": pa.array(hv)})
+        taken = t.take(
+            pc.sort_indices(
+                t, sort_keys=[(group_col, "ascending"), ("__hv", "ascending")]
+            )
+        )
+        g = (
+            taken[group_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        pos = np.arange(len(g))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        run_start = np.maximum.accumulate(np.where(first, pos, 0))
+        return taken.filter(pa.array(pos - run_start < k))
+
+    sketches: dict = {}
+    for r in ds.map_batches(local, batch_format="pyarrow").take_all():
+        sketches.setdefault(r[group_col], set()).add(r["__hv"])
+    for g in sketches:
+        sketches[g] = sorted(sketches[g])[:k]
+    out_a, out_b, out_e = [], [], []
+    m_range = float(1 << 63)
+    for a in sorted(sketches):
+        for b in sorted(sketches):
+            if not a < b:
+                continue
+            merged = sorted(set(sketches[a]) | set(sketches[b]))
+            if len(sketches[a]) < k and len(sketches[b]) < k:
+                est = len(merged)
+            else:
+                est = math.floor((k - 1) * m_range / merged[k - 1] + 0.5)
+            out_a.append(a)
+            out_b.append(b)
+            out_e.append(est)
+    return pa.table(
+        {
+            "type_a": pa.array(out_a),
+            "type_b": pa.array(out_b),
+            "est_union": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
 def grouped_gini(ds: rd.Dataset, key: str, x: str) -> pa.Table:
     """Exact Gini inequality coefficient per group over a NON-NEGATIVE
     integer-quantized column — G = (2*S - (n+1)*T) / (n*T) with
