@@ -1350,6 +1350,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_intitle(sf_dir: str) -> pa.Table:
+        """intitle:-restricted retrieval: within the e6 top-50 prefix
+        per reference query, docs whose TITLE tokens contain the
+        query's first token, prefix order, top 10
+        (`SearchIndex.bm25_intitle_topk`)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            for r, (d, s6) in enumerate(idx.bm25_intitle_topk(q, k=10)):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_boolean(sf_dir: str) -> pa.Table:
         """Strict conjunctive (AND) retrieval top-10 per reference
         query, ranked by summed term frequency
@@ -6312,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_anchor": q_search_anchor,
         "search_boolean_not": q_search_not,
         "search_site_filter": q_search_site,
+        "search_intitle": q_search_intitle,
         "search_bm25_collapsed": q_search_collapsed,
         "search_facets": q_search_facets,
         "search_recency_boost": q_search_recency,
@@ -6580,6 +6607,86 @@ def _title_boost_oracle_sql() -> str:
            doc_id, total_e6, base_e6, CAST(n_title_hits AS BIGINT) AS n_title_hits
     FROM tot
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
+    """
+
+
+def _intitle_oracle_sql() -> str:
+    """DuckDB twin of ``search_intitle``: the title-boost oracle's CTE
+    chain (flagship BM25 e6 scores + canonical title tokens), then the
+    field restriction — within the e6 top-50 prefix keep docs whose
+    title tokens contain the query's FIRST token (embedded per qid via
+    the same pure tokenizer), prefix order, top 10."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    first_rows = [
+        f"({qid}, '{tokenize_query(q)[0]}')"
+        for qid, q in reference_queries()
+        if tokenize_query(q)
+    ]
+    ttl_toks = TOKS.replace("(text,", "(title,")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text, html FROM (
+        SELECT url, text, html,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             text,
+             regexp_extract(decode(html), '<title[^>]*>(.*?)</title>', 1) AS title
+      FROM winners),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    ttoks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({ttl_toks}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    scores AS (
+      SELECT qb.qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score
+      FROM qb JOIN df USING (term) JOIN tf ON tf.term = qb.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY qb.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM scores),
+    pref AS (SELECT qid, doc_id, score_e6,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM e6
+             QUALIFY row_number() OVER (PARTITION BY qid
+                                        ORDER BY score_e6 DESC, doc_id) <= 50),
+    want(qid, term) AS (VALUES {', '.join(first_rows)}),
+    kept AS (SELECT p.qid, p.doc_id, p.score_e6, p.rn
+             FROM pref p
+             JOIN want w ON w.qid = p.qid
+             JOIN ttoks t ON t.doc_id = p.doc_id AND t.term = w.term)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY rn) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM kept
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rn) <= 10
     """
 
 
@@ -10563,6 +10670,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_anchor": _anchor_boost_oracle_sql(),
         "search_boolean_not": _boolean_not_oracle_sql(),
         "search_site_filter": _flagship_oracle_sql("bm25", variant="site"),
+        "search_intitle": _intitle_oracle_sql(),
         "search_prf_expand": _prf_oracle_sql(),
         "search_bm25_parallel": _flagship_oracle_sql("bm25"),
         "search_didyoumean": _didyoumean_oracle_sql(),

@@ -307,6 +307,22 @@ def test_query_language_parse_and_dispatch(served):
     assert idx.query_language(f"the tanel site:{host}", 10) == [
         (d, s) for d, s, _h in idx.bm25_site_topk(q, host=host, k=10)
     ]
+    # intitle restriction routes to the filtered kernel
+    p3 = parse_query("intitle:tanel the tanel")
+    assert p3.intitle == "tanel" and p3.terms == ["the", "tanel"]
+    assert idx.query_language("intitle:tanel the tanel", 10) == idx._intitle_filtered(
+        "the tanel", "tanel", 10
+    )
+    # and bm25_intitle_topk == the kernel with the first query token
+    assert idx.bm25_intitle_topk(q, k=10) == idx._intitle_filtered(q, "the", 10)
+    # every intitle hit actually has the term in its title
+    hits = idx.bm25_intitle_topk(q, k=10)
+    rows = idx.fetch_docs([d for d, _ in hits])
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize,
+    )
+
+    assert hits and all("the" in tokenize(rows[d]["title"]) for d, _ in hits)
     # plain terms: e6-quantized bm25
     got = idx.query_language(q, 10)
     want = sorted(

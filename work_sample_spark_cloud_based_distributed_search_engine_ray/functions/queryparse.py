@@ -7,6 +7,7 @@ operator surface on top. This parser recognizes, deterministically:
 - ``"a quoted phrase"``  -> exact-phrase constraint
 - ``-term``              -> exclusion (boolean minus)
 - ``site:host``          -> URL-host restriction
+- ``intitle:term``       -> title-field restriction
 - everything else        -> positive body terms
 
 Parsing is PURE string work (no index access), so it unit-tests
@@ -30,6 +31,7 @@ class ParsedQuery:
     excluded: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
     site: str | None = None
+    intitle: str | None = None
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -39,7 +41,8 @@ def parse_query(q: str) -> ParsedQuery:
     tokenization owns normalization):
     - quoted spans become phrases and are removed before token scan;
       an unterminated quote is treated as literal text
-    - ``site:`` takes the FIRST occurrence; later ones are dropped
+    - ``site:`` / ``intitle:`` take the FIRST occurrence; later ones
+      are dropped
     - ``-`` marks exclusion only as a token prefix (mid-token dashes
       pass through); a bare ``-`` is ignored
     """
@@ -58,6 +61,11 @@ def parse_query(q: str) -> ParsedQuery:
             host = tok[5:].strip().lower()
             if host and out.site is None:
                 out.site = host
+            continue
+        if low.startswith("intitle:"):
+            term = tok[8:].strip()
+            if term and out.intitle is None:
+                out.intitle = term
             continue
         if tok.startswith("-"):
             if len(tok) > 1:

@@ -1389,6 +1389,49 @@ class SearchIndex:
                     break
         return out
 
+    def bm25_intitle_topk(
+        self, query: str, k: int = 10, candidates: int = 50
+    ) -> list[tuple[int, int]]:
+        """``intitle:``-restricted retrieval: within the e6
+        top-``candidates`` prefix, keep only docs whose TITLE tokens
+        contain the query's FIRST token — the field-restriction
+        operator of web query languages. Same bounded contract as the
+        site/facets/recency family: ``candidates`` doc-store point
+        reads per query, prefix order preserved, cut to ``k``. Returns
+        [(doc_id, score_e6)]."""
+        from ..functions.tokenize import tokenize, tokenize_query
+
+        toks = tokenize_query(query)
+        if not toks:
+            return []
+        want = toks[0]
+        return self._intitle_filtered(query, want, k, candidates)
+
+    def _intitle_filtered(
+        self, query: str, want_raw: str, k: int, candidates: int = 50
+    ) -> list[tuple[int, int]]:
+        """The intitle restriction kernel: e6 prefix of ``query``
+        filtered to docs whose title tokens contain the canonical form
+        of ``want_raw``. Shared by :meth:`bm25_intitle_topk` (first
+        query token) and the ``intitle:term`` query-language route."""
+        from ..functions.tokenize import tokenize, tokenize_query
+
+        want_toks = tokenize_query(want_raw)
+        if not want_toks:
+            return []
+        want = want_toks[0]
+        e6 = self._e6_prefix(query, candidates)
+        if not e6:
+            return []
+        rows = self._store().lookup([d for _s, d in e6])
+        out: list[tuple[int, int]] = []
+        for s6, d in e6:
+            if want in tokenize(rows[d]["title"]):
+                out.append((d, s6))
+                if len(out) >= k:
+                    break
+        return out
+
     def correct_query(self, query: str) -> str:
         """Did-you-mean rewrite: every OOV query term is replaced by
         its minimum-edit-distance vocabulary term (ties by term — the
@@ -1426,7 +1469,8 @@ class SearchIndex:
         1. a quoted phrase     -> ``phrase_topk``   (score = n_occ)
         2. any ``-term``       -> ``bm25_not``      (score = score_e6)
         3. ``site:host``       -> ``bm25_site_topk``(score = score_e6)
-        4. plain terms         -> e6-quantized BM25 top-k
+        4. ``intitle:term``    -> ``_intitle_filtered`` (score_e6)
+        5. plain terms         -> e6-quantized BM25 top-k
 
         Returns [(doc_id, int score)] — all-integer like the primitives,
         so dispatch identity is exactly testable."""
@@ -1442,6 +1486,8 @@ class SearchIndex:
             return [
                 (d, s) for d, s, _h in self.bm25_site_topk(positives, host=p.site, k=k)
             ]
+        if p.intitle is not None:
+            return self._intitle_filtered(positives, p.intitle, k)
         # candidates widened to k so pagination (start+k) never caps at
         # the default 50-candidate prefix
         e6 = sorted(
