@@ -5027,6 +5027,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_welch_t(ds, "event_type", "variant", "x")
 
+    def q_changepoint(sf_dir: str):
+        """Change-point screen: per event_type, the CUSUM-style max
+        deviation of the daily-count series from a uniform rate —
+        D = max_i |m*S_i - i*n| over the ordered distinct days (S_i
+        cumulative events, m days, n events), with the earliest argmax
+        day. EXACT integers end-to-end; one bounded (type x day)
+        groupby, driver fold — the drift/monitoring primitive."""
+        counts = (
+            _tbl(sf_dir, "events", ["event_type", "ts"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "day": pc.cast(
+                            pc.floor(
+                                pc.divide(
+                                    pc.cast(t["ts"], pa.int64()), 86_400_000_000
+                                )
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["event_type", "day"])
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        per: dict = {}
+        for r in counts:
+            per.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+        out_t, out_m, out_n, out_d, out_day = [], [], [], [], []
+        for et in sorted(per):
+            days = sorted(per[et])
+            m = len(days)
+            n = sum(per[et].values())
+            s = 0
+            best, best_day = -1, days[0]
+            for i, d in enumerate(days, start=1):
+                s += per[et][d]
+                dev = abs(m * s - i * n)
+                if dev > best:
+                    best, best_day = dev, d
+            out_t.append(et)
+            out_m.append(m)
+            out_n.append(n)
+            out_d.append(best)
+            out_day.append(best_day)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t),
+                "n_days": pa.array(out_m, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "cusum_max": pa.array(out_d, pa.int64()),
+                "change_day": pa.array(out_day, pa.int64()),
+            }
+        )
+
     def q_gini(sf_dir: str):
         """Gini inequality of the event value per event_type — exact
         integers end-to-end from the bounded per-(group, value)
@@ -6498,6 +6557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ab_test": q_ab_test,
         "rel_chi2": q_chi2,
         "rel_gini": q_gini,
+        "rel_changepoint": q_changepoint,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -11338,6 +11398,32 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, CAST(n AS BIGINT) AS n_rows,
            CAST((a - ((a % b) + b) % b) // b AS BIGINT) AS gini_e6
     FROM f
+    """,
+        # CUSUM change-point screen: max |m*S_i - i*n| over the ordered
+        # daily-count series, earliest argmax day — exact integers
+        "rel_changepoint": """
+    WITH q AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY event_type, day),
+    w AS (SELECT event_type, day,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY day) AS s,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                 sum(n) OVER (PARTITION BY event_type) AS tot,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM c),
+    d AS (SELECT event_type, day, m, tot,
+                 abs(m * s - i * tot) AS dev
+          FROM w),
+    b AS (SELECT event_type, day, dev, m, tot,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dev DESC, day) AS rn
+          FROM d)
+    SELECT event_type, CAST(m AS BIGINT) AS n_days,
+           CAST(tot AS BIGINT) AS n_events,
+           CAST(dev AS BIGINT) AS cusum_max,
+           CAST(day AS BIGINT) AS change_day
+    FROM b WHERE rn = 1
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """

@@ -884,3 +884,24 @@ def test_kmv_union_accuracy_and_exactness():
     assert abs(est[("A", "B")] - 1500) < 450
     # C is unsaturated but A saturated -> estimator branch; magnitude sane
     assert 600 < est[("A", "C")] < 1600
+
+
+def test_changepoint_planted_shift():
+    # planted rate shift on day 50 must be the argmax deviation
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    days = list(range(100))
+    counts = {d: (10 if d < 50 else 30) for d in days}
+    m, n = len(days), sum(counts.values())
+    s, best, best_day = 0, -1, None
+    for i, d in enumerate(days, start=1):
+        s += counts[d]
+        dev = abs(m * s - i * n)
+        if dev > best:
+            best, best_day = dev, d
+    assert best_day == 49  # last low day — the boundary
+    import __ray_entry__ as entry
+
+    t = entry.queries()["rel_changepoint"]("/root/testdata/sf0.001")
+    assert t.num_rows >= 1 and all(v >= 0 for v in t["cusum_max"].to_pylist())
