@@ -5086,6 +5086,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_autocorr(sf_dir: str):
+        """Lag-1 autocorrelation of the daily event-count series per
+        event_type (days ordered, gaps ignored — the documented
+        contract): Pearson between (c_1..c_{m-1}) and (c_2..c_m) with
+        exact integer moments and ONE final IEEE expression (the
+        rel_corr discipline). The burstiness/seasonality screen."""
+        counts = (
+            _tbl(sf_dir, "events", ["event_type", "ts"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "day": pc.cast(
+                            pc.divide(
+                                pc.cast(t["ts"], pa.int64()), 86_400_000_000
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["event_type", "day"])
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        import math as _math
+
+        per: dict = {}
+        for r in counts:
+            per.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+        out_t, out_m, out_c = [], [], []
+        for et in sorted(per):
+            series = [per[et][d] for d in sorted(per[et])]
+            if len(series) < 3:
+                continue
+            xs, ys = series[:-1], series[1:]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(v * v for v in xs)
+            syy = sum(v * v for v in ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue
+            num = n * sxy - sx * sy
+            out_t.append(et)
+            out_m.append(n)
+            out_c.append(
+                _math.floor(
+                    1_000_000.0 * num / (_math.sqrt(d1) * _math.sqrt(d2))
+                )
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(out_t),
+                "n_pairs": pa.array(out_m, pa.int64()),
+                "autocorr_e6": pa.array(out_c, pa.int64()),
+            }
+        )
+
     def q_gini(sf_dir: str):
         """Gini inequality of the event value per event_type — exact
         integers end-to-end from the bounded per-(group, value)
@@ -6558,6 +6619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_chi2": q_chi2,
         "rel_gini": q_gini,
         "rel_changepoint": q_changepoint,
+        "rel_autocorr": q_autocorr,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -11424,6 +11486,32 @@ def oracle_sql() -> dict[str, str]:
            CAST(dev AS BIGINT) AS cusum_max,
            CAST(day AS BIGINT) AS change_day
     FROM b WHERE rn = 1
+    """,
+        # lag-1 autocorrelation of the ordered daily-count series —
+        # exact HUGEINT moments, one IEEE corr expression (rel_corr)
+        "rel_autocorr": """
+    WITH q AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT event_type, day, CAST(count(*) AS HUGEINT) AS n
+          FROM q GROUP BY event_type, day),
+    p AS (SELECT event_type, n AS x,
+                 lead(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+          FROM c),
+    s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM p WHERE y IS NOT NULL GROUP BY event_type),
+    d AS (SELECT event_type, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM s WHERE n >= 2)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                      / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+                AS BIGINT) AS autocorr_e6
+    FROM d WHERE d1 > 0 AND d2 > 0
     """,
         # audience overlap per event-type pair
         "rel_audience_overlap": """
