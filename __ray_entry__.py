@@ -3875,6 +3875,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_session_paths(sf_dir: str):
+        """Top-10 session PATHS (the clickstream journeys report): the
+        30-min gap sessions' ordered event-type sequences, truncated to
+        the first 8 events, '>'-joined, counted corpus-wide. Same
+        64-way user bucket + vectorized multi-user session assignment
+        as rel_sessionize; path strings assemble via one ListArray +
+        binary_join per bucket (no per-session Python), per-bucket
+        combine, then a tiny global count + bounded top-10."""
+        from ray.data.aggregate import Sum
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            topn_per_group,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        gap_us = 30 * 60 * 1_000_000
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def paths_of_bucket(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            if ts.size == 0:
+                return pa.table(
+                    {
+                        "path": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            new_sess = np.ones(ts.size, dtype=bool)
+            new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            starts = np.flatnonzero(new_sess)
+            counts = np.diff(np.append(starts, ts.size))
+            pos = np.arange(ts.size) - np.repeat(starts, counts)
+            keep = pos < 8
+            kept_counts = np.minimum(counts, 8)
+            offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+            types = g["event_type"].take(pa.array(np.flatnonzero(keep)))
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), types.combine_chunks()
+            )
+            t = pa.table({"path": pc.binary_join(la, ">")})
+            agg = t.group_by(["path"]).aggregate([([], "count_all")])
+            return pa.table(
+                {"path": agg["path"], "n": agg["count_all"].cast(pa.int64())}
+            )
+
+        partials = hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            paths_of_bucket,
+        )
+        totals = partials.groupby("path").aggregate(Sum("n", alias_name="n_sessions"))
+        tagged = totals.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        top = topn_per_group(
+            tagged, "g", 10, [("n_sessions", "descending"), ("path", "ascending")]
+        )
+        return top.map_batches(
+            lambda t: t.select(["path", "n_sessions"]), batch_format="pyarrow"
+        )
+
     def q_dense_hourly(sf_dir: str):
         """Dense zero-filled hourly counts per event type (the
         reporting/alerting primitive: a missing bucket must read 0, not
@@ -6571,6 +6650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
+        "rel_session_paths": q_session_paths,
         "rel_event_transitions": q_event_transitions,
         "rel_markov": q_markov,
         "rel_ntile": q_ntile,
@@ -11486,6 +11566,30 @@ def oracle_sql() -> dict[str, str]:
            CAST(dev AS BIGINT) AS cusum_max,
            CAST(day AS BIGINT) AS change_day
     FROM b WHERE rn = 1
+    """,
+        # top-10 session paths: the sessionize replay + per-session
+        # ordered event-type join, truncated to 8 events
+        "rel_session_paths": """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+               '>') AS path
+      FROM tagged GROUP BY user_id, sid)
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, path) <= 10
     """,
         # lag-1 autocorrelation of the ordered daily-count series —
         # exact HUGEINT moments, one IEEE corr expression (rel_corr)
