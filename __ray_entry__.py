@@ -5677,6 +5677,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
         partials = dedup.map_batches(hosts_partial, batch_format="pyarrow")
         return hash_map_groups(partials, "src_host", merge, num_partitions=8)
 
+    def q_inlink_concentration(sf_dir: str):
+        """Link-farm screen: per link target (>= 5 distinct in-links),
+        how concentrated are its in-links in one source HOST —
+        top_share_e6 = (1e6 * top-host links) // n_inlinks, exact
+        integer floor. A page endorsed overwhelmingly by a single host
+        is self-promotion, not authority (the TrustRank-era spam
+        signal). Plan: distinct page edges via the bounded-bucket
+        dedup, one vectorized host regex, map-side (dst, host) count
+        combine, ONE bounded dst-bucket exchange whose kernel finishes
+        the sum + per-dst argmax via sort + run detection — never
+        per-dst Python."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            _bucket_of,
+            distinct_on,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        dedup = distinct_on(edges, ["src_url", "dst_url"])
+
+        host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+
+        def partial(t: pa.Table) -> pa.Table:
+            sh = pc.utf8_lower(
+                pc.replace_substring_regex(t["src_url"], host_re + r".*$", r"\1")
+            )
+            agg = (
+                pa.table({"dst_url": t["dst_url"], "src_host": sh})
+                .group_by(["dst_url", "src_host"])
+                .aggregate([([], "count_all")])
+            )
+            agg = agg.rename_columns(["dst_url", "src_host", "n"])
+            return agg.append_column("__bucket", _bucket_of(agg["dst_url"], 64))
+
+        def screen_of_bucket(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__bucket"])
+            agg = t.group_by(["dst_url", "src_host"]).aggregate([("n", "sum")])
+            taken = agg.take(
+                pc.sort_indices(
+                    agg,
+                    sort_keys=[
+                        ("dst_url", "ascending"),
+                        ("n_sum", "descending"),
+                        ("src_host", "ascending"),
+                    ],
+                )
+            )
+            g = (
+                taken["dst_url"]
+                .combine_chunks()
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+            )
+            if len(g) == 0:
+                return pa.table(
+                    {
+                        "dst_url": pa.array([], pa.string()),
+                        "n_inlinks": pa.array([], pa.int64()),
+                        "n_hosts": pa.array([], pa.int64()),
+                        "top_host": pa.array([], pa.string()),
+                        "top_share_e6": pa.array([], pa.int64()),
+                    }
+                )
+            n = taken["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            first = np.ones(len(g), dtype=bool)
+            first[1:] = g[1:] != g[:-1]
+            starts = np.flatnonzero(first)
+            totals = np.add.reduceat(n, starts)
+            n_hosts = np.diff(np.append(starts, len(g)))
+            keep = totals >= 5
+            sel = pa.array(starts[keep])
+            return pa.table(
+                {
+                    "dst_url": taken["dst_url"].take(sel),
+                    "n_inlinks": pa.array(totals[keep]),
+                    "n_hosts": pa.array(n_hosts[keep].astype(np.int64)),
+                    "top_host": taken["src_host"].take(sel),
+                    "top_share_e6": pa.array(
+                        np.floor_divide(1_000_000 * n[starts][keep], totals[keep])
+                    ),
+                }
+            )
+
+        partials = dedup.map_batches(partial, batch_format="pyarrow")
+        return hash_map_groups(partials, "__bucket", screen_of_bucket)
+
     def q_debounce(sf_dir: str):
         """Debounce (burst collapse) of per-(user, type) event streams:
         keep an event only when it is the first of its key or more than
@@ -6651,6 +6747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
         "rel_session_paths": q_session_paths,
+        "crawl_inlink_concentration": q_inlink_concentration,
         "rel_event_transitions": q_event_transitions,
         "rel_markov": q_markov,
         "rel_ntile": q_ntile,
@@ -9290,6 +9387,45 @@ def _host_graph_oracle_sql() -> str:
     """
 
 
+def _inlink_concentration_oracle_sql(min_inlinks: int = 5) -> str:
+    """DuckDB twin of ``crawl_inlink_concentration``: the hash-matched
+    distinct edge replay, per-(target, source-host) counts, then per
+    target the total/host count/argmax host ((n desc, host) ties) and
+    the exact integer share floor."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges AS (SELECT DISTINCT
+                regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+                regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+              FROM hrefs),
+    c AS (SELECT d AS dst_url,
+                 lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)) AS src_host,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM edges GROUP BY 1, 2),
+    a AS (SELECT dst_url, sum(n) AS n_inlinks, count(*) AS n_hosts
+          FROM c GROUP BY dst_url),
+    t AS (SELECT dst_url, src_host, n,
+                 row_number() OVER (PARTITION BY dst_url
+                                    ORDER BY n DESC, src_host) AS rn
+          FROM c)
+    SELECT a.dst_url, CAST(a.n_inlinks AS BIGINT) AS n_inlinks,
+           CAST(a.n_hosts AS BIGINT) AS n_hosts,
+           t.src_host AS top_host,
+           CAST((1000000 * t.n) // a.n_inlinks AS BIGINT) AS top_share_e6
+    FROM a JOIN t ON t.dst_url = a.dst_url AND t.rn = 1
+    WHERE a.n_inlinks >= {min_inlinks}
+    """
+
+
 def _bib_coupling_oracle_sql(min_common: int = 3) -> str:
     """DuckDB twin of ``crawl_bib_coupling``: the same hashed edge
     replay as ``crawl_cocitation``, self-joined on the TARGET side —
@@ -10854,6 +10990,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_link_jaccard": _link_jaccard_oracle_sql(),
         "crawl_bib_coupling": _bib_coupling_oracle_sql(),
         "crawl_host_graph": _host_graph_oracle_sql(),
+        "crawl_inlink_concentration": _inlink_concentration_oracle_sql(),
         "crawl_components": crawl_components_sql,
         "crawl_label_prop": crawl_label_prop_sql,
         "crawl_modularity": crawl_modularity_sql,
