@@ -6106,6 +6106,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ImageStatsStage, batch_format="pyarrow", batch_size=32, concurrency=2
         )
 
+    def q_media_scene_cuts(sf_dir: str):
+        """Shot-boundary detection (pixel-difference method) over the
+        scene-structured synthetic video corpus: per clip, the number
+        of hard cuts — exact integer sum|a-b| > thr*n compare, every
+        frame really decoded. The oracle embeds the pure-function
+        replay per clip; pytest separately asserts the PLANTED scene
+        count is recovered (stages/multimodal.SceneCutStage)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            SceneCutStage,
+            synth_video_scenes,
+        )
+
+        ds = rd.from_arrow(synth_video_scenes(120))
+        return ds.map_batches(
+            SceneCutStage, batch_format="pyarrow", batch_size=16, concurrency=2
+        )
+
     def q_media_resample(sf_dir: str):
         """Audio decimation (factor-2 downsample) over the synthetic
         near-dup audio corpus; the oracle embeds source sample counts +
@@ -6819,6 +6838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_thumbs": q_media_thumbs,
         "media_image_stats": q_media_image_stats,
+        "media_scene_cuts": q_media_scene_cuts,
         "media_audio_resample": q_media_resample,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
@@ -8492,6 +8512,30 @@ def _image_stats_oracle_sql() -> str:
     FROM (VALUES {', '.join(rows)})
       AS t(media_id, decoded, width, height, mean_r_e4, mean_g_e4,
            mean_b_e4, min_luma, max_luma, n_dark, n_bright)
+    """
+
+
+def _scene_cuts_oracle_sql() -> str:
+    """Oracle for ``media_scene_cuts``: per-clip (n_frames, n_cuts)
+    from the pure :func:`scene_cut_count` replay over the generator's
+    payloads, embedded as VALUES — the distributed stage must recover
+    them by actually decoding every frame."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        scene_cut_count,
+        synth_video_scenes,
+    )
+
+    tbl = synth_video_scenes(120)
+    rows = []
+    for i, payload in enumerate(tbl["payload"].to_pylist()):
+        n, cuts = scene_cut_count(payload)
+        rows.append(f"({i}, true, {n}, {cuts})")
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, decoded,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_cuts AS BIGINT) AS n_cuts
+    FROM (VALUES {', '.join(rows)})
+      AS t(media_id, decoded, n_frames, n_cuts)
     """
 
 
@@ -10979,6 +11023,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_dups": _phash_dups_oracle_sql(),
         "media_thumbs": _thumbs_oracle_sql(),
         "media_image_stats": _image_stats_oracle_sql(),
+        "media_scene_cuts": _scene_cuts_oracle_sql(),
         "media_audio_resample": _audio_resample_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
         "media_video_dups": _vhash_dups_oracle_sql(),

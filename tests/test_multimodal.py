@@ -344,3 +344,41 @@ def test_image_stats_decode_inverts_encode():
         .sort_values("media_id")
     )
     assert out.decoded.tolist() == [True, False]
+
+
+def test_scene_cuts_recover_planted_scenes():
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        SceneCutStage,
+        scene_cut_count,
+        synth_video_scenes,
+    )
+
+    truth = []
+    tbl = synth_video_scenes(40, _truth=truth)
+    # pure function recovers every planted (n_frames, n_cuts)
+    for payload, want in zip(tbl["payload"].to_pylist(), truth):
+        assert scene_cut_count(payload) == want
+    # distributed stage matches the pure function
+    got = (
+        rd.from_arrow(tbl)
+        .map_batches(SceneCutStage, batch_format="pyarrow", concurrency=2, batch_size=8)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert got.decoded.all()
+    assert list(zip(got.n_frames, got.n_cuts)) == truth
+    # malformed payload path
+    import pyarrow as pa
+
+    bad = pa.table(
+        {"media_id": pa.array([0], pa.int64()), "payload": pa.array([b"xx"], pa.binary())}
+    )
+    out = (
+        rd.from_arrow(bad)
+        .map_batches(SceneCutStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert not out.decoded[0]
