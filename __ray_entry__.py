@@ -6125,6 +6125,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SceneCutStage, batch_format="pyarrow", batch_size=16, concurrency=2
         )
 
+    def q_media_audio_segments(sf_dir: str):
+        """Energy-based audio activity segmentation (the VAD primitive)
+        over the burst-structured synthetic corpus: per clip, active
+        windows and activity segments — exact integer
+        sum(x^2) > thr^2*n compare, real WAV decode. The oracle embeds
+        the pure-function replay; pytest asserts the PLANTED burst
+        count is recovered (stages/multimodal.AudioSegmentStage)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+            AudioSegmentStage,
+            synth_audio_segments,
+        )
+
+        ds = rd.from_arrow(synth_audio_segments(120))
+        return ds.map_batches(
+            AudioSegmentStage, batch_format="pyarrow", batch_size=16, concurrency=2
+        )
+
     def q_media_resample(sf_dir: str):
         """Audio decimation (factor-2 downsample) over the synthetic
         near-dup audio corpus; the oracle embeds source sample counts +
@@ -6839,6 +6858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbs": q_media_thumbs,
         "media_image_stats": q_media_image_stats,
         "media_scene_cuts": q_media_scene_cuts,
+        "media_audio_segments": q_media_audio_segments,
         "media_audio_resample": q_media_resample,
         "media_frames": q_media_frames,
         "media_phash_dups": q_phash_dups,
@@ -8536,6 +8556,31 @@ def _scene_cuts_oracle_sql() -> str:
            CAST(n_cuts AS BIGINT) AS n_cuts
     FROM (VALUES {', '.join(rows)})
       AS t(media_id, decoded, n_frames, n_cuts)
+    """
+
+
+def _audio_segments_oracle_sql() -> str:
+    """Oracle for ``media_audio_segments``: per-clip (n_windows,
+    n_active, n_segments) from the pure :func:`audio_segment_count`
+    replay, embedded as VALUES — the stage must recover them by
+    actually decoding the PCM."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        audio_segment_count,
+        synth_audio_segments,
+    )
+
+    tbl = synth_audio_segments(120)
+    rows = []
+    for i, payload in enumerate(tbl["payload"].to_pylist()):
+        w, a, s = audio_segment_count(payload)
+        rows.append(f"({i}, true, {w}, {a}, {s})")
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, decoded,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_segments AS BIGINT) AS n_segments
+    FROM (VALUES {', '.join(rows)})
+      AS t(media_id, decoded, n_windows, n_active, n_segments)
     """
 
 
@@ -11024,6 +11069,7 @@ def oracle_sql() -> dict[str, str]:
         "media_thumbs": _thumbs_oracle_sql(),
         "media_image_stats": _image_stats_oracle_sql(),
         "media_scene_cuts": _scene_cuts_oracle_sql(),
+        "media_audio_segments": _audio_segments_oracle_sql(),
         "media_audio_resample": _audio_resample_oracle_sql(),
         "media_audio_dups": _afp_dups_oracle_sql(),
         "media_video_dups": _vhash_dups_oracle_sql(),

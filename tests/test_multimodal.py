@@ -382,3 +382,28 @@ def test_scene_cuts_recover_planted_scenes():
         .to_pandas()
     )
     assert not out.decoded[0]
+
+
+def test_audio_segments_recover_planted_bursts():
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.multimodal import (
+        AudioSegmentStage,
+        audio_segment_count,
+        synth_audio_segments,
+    )
+
+    truth = []
+    tbl = synth_audio_segments(40, _truth=truth)
+    for payload, want in zip(tbl["payload"].to_pylist(), truth):
+        assert audio_segment_count(payload)[2] == want
+    got = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioSegmentStage, batch_format="pyarrow", concurrency=2, batch_size=8)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert got.decoded.all()
+    assert got.n_segments.tolist() == truth
+    assert (got.n_active < got.n_windows).all()  # silence really exists

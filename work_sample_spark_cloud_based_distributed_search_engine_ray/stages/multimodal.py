@@ -924,3 +924,93 @@ class SceneCutStage:
                 "n_cuts": pa.array(nc, pa.int64()),
             }
         )
+
+
+def synth_audio_segments(
+    n: int, seed: int = 47, *, rate: int = 8000, _truth: list | None = None
+) -> pa.Table:
+    """Deterministic audio corpus with planted ACTIVITY STRUCTURE: each
+    clip alternates 1-4 loud tone bursts (amplitude ~4000) with silence
+    gaps (tiny noise, amplitude ~10) of 100-300 ms each. ``_truth``
+    (optional out-param) collects the planted per-clip active-segment
+    count. Pure function of (n, seed)."""
+    from ..functions.media_codecs import encode_wav
+
+    rng = np.random.default_rng(seed)
+    payloads: list[bytes] = []
+    for i in range(n):
+        n_seg = int(rng.integers(1, 5))
+        parts = []
+        for s in range(n_seg):
+            gap = int(rng.integers(rate // 10, 3 * rate // 10))
+            parts.append(rng.normal(0.0, 10.0, gap))
+            burst = int(rng.integers(rate // 10, 3 * rate // 10))
+            f0 = float(rng.uniform(200.0, 2000.0))
+            tt = np.arange(burst) / rate
+            parts.append(4000.0 * np.sin(2 * np.pi * f0 * tt))
+        parts.append(rng.normal(0.0, 10.0, int(rng.integers(rate // 10, rate // 5))))
+        w = np.concatenate(parts)
+        if _truth is not None:
+            _truth.append(n_seg)
+        payloads.append(encode_wav(np.clip(w, -32768, 32767).astype(np.int16), rate))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def audio_segment_count(payload: bytes, *, win_ms: int = 50, thr: int = 500) -> tuple:
+    """Energy-based activity segmentation (the VAD primitive speech
+    pipelines gate on): the clip splits into ``win_ms`` windows; a
+    window is ACTIVE when its energy exceeds the threshold, compared as
+    the EXACT integer ``sum(x^2) > thr^2 * n_win_samples`` (no float,
+    no sqrt); segments = runs of consecutive active windows. Pure
+    function shared by the stage and the oracle replay. Returns
+    (n_windows, n_active_windows, n_segments)."""
+    from ..functions.media_codecs import decode_wav
+
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.int64)
+    w = max(1, rate * win_ms // 1000)
+    n_win = x.size // w
+    if n_win == 0:
+        return 0, 0, 0
+    e = (x[: n_win * w] * x[: n_win * w]).reshape(n_win, w).sum(axis=1)
+    active = e > thr * thr * w
+    segs = int(active[0]) + int((active[1:] & ~active[:-1]).sum())
+    return int(n_win), int(active.sum()), segs
+
+
+class AudioSegmentStage:
+    """payload batch -> (media_id, decoded, n_windows, n_active,
+    n_segments): real WAV decode + the exact-integer energy VAD kernel.
+    Actor-pool stage; malformed payloads emit decoded=false."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dec, nw, na, ns = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(int(mid))
+            try:
+                w, a, s = audio_segment_count(payload)
+                dec.append(True)
+                nw.append(w)
+                na.append(a)
+                ns.append(s)
+            except Exception:
+                dec.append(False)
+                nw.append(0)
+                na.append(0)
+                ns.append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "decoded": pa.array(dec, pa.bool_()),
+                "n_windows": pa.array(nw, pa.int64()),
+                "n_active": pa.array(na, pa.int64()),
+                "n_segments": pa.array(ns, pa.int64()),
+            }
+        )
