@@ -6601,6 +6601,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.42,
         )
 
+    def q_dedup_winnowing(sf_dir: str):
+        """Winnowing fingerprint pairs (Schleimer et al. 2003 — MOSS):
+        doc pairs sharing >= 2 window-min char-gram fingerprints — the
+        LOCALIZED copied-passage detector (MinHash sketches global
+        similarity; winnowing guarantees any shared substring of
+        length >= gram+window-1 yields a shared fingerprint)
+        (stages/dedup.winnowing_pairs)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            winnowing_pairs,
+        )
+
+        return winnowing_pairs(
+            _tbl(sf_dir, "documents", ["doc_id", "text"]),
+            gram_len=16,
+            window=8,
+            min_shared=2,
+        )
+
     def q_dedup_substring(sf_dir: str):
         # char-32-gram cross-doc duplicated-substring accounting — the
         # n-gram approximation of suffix-array substring dedup (Lee et
@@ -6777,6 +6795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_weighted_sample": q_weighted_sample,
         "text_heavy_hitters": q_heavy_hitters,
         "dedup_substring": q_dedup_substring,
+        "dedup_winnowing": q_dedup_winnowing,
         "rel_approx_distinct_kmv": q_kmv_distinct,
         "rel_kmv_union": q_kmv_union,
         "rel_hll_registers": q_hll_registers,
@@ -11034,6 +11053,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
+        # winnowing: 16-char-gram md5-hash64 sequence, sliding 8-window
+        # minima (full windows only), DISTINCT per doc, pair join
+        "dedup_winnowing": """
+            WITH pos AS (SELECT doc_id, text,
+                                unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS i
+                         FROM documents),
+            g AS (SELECT doc_id, i,
+                         CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 16)), 1, 16))::UBIGINT
+                              & 9223372036854775807::UBIGINT AS BIGINT) AS h
+                  FROM pos),
+            w AS (SELECT doc_id,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn,
+                         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cnt
+                  FROM g),
+            fp AS (SELECT DISTINCT doc_id, mn AS fp FROM w WHERE cnt = 8)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        """,
         "dedup_exact_losers": _dedup_losers_oracle_sql(),
         "dedup_ngram_jaccard": jaccard,
         # sketch quality eval: chain the exact-Jaccard and the

@@ -372,3 +372,46 @@ def test_chunk_dedup_stats_matches_python_reference():
     }
     assert got == expect
     assert sum(v[1] for v in expect.values()) > 0  # corpus has real dups
+
+
+def test_winnowing_guarantee_and_partitioning():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+        winnowing_pairs,
+    )
+
+    # docs 1 and 2 share a 40-char passage (>= gram+window-1 = 23), so
+    # the winnowing guarantee forces >= 1 shared fingerprint; doc 3 is
+    # unrelated filler of the same length
+    shared = "the quick brown fox jumps over the lazy dog"
+    t1 = "aaaa bbbb cccc " + shared + " dddd eeee ffff gggg hhhh"
+    t2 = "zzzz yyyy xxxx " + shared + " wwww vvvv uuuu tttt ssss"
+    t3 = "k" * len(t1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([t1, t2, t3], pa.string()),
+        }
+    )
+    got = (
+        winnowing_pairs(rd.from_arrow(tbl), gram_len=16, window=8, min_shared=1)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_fps for r in got.itertuples()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # partitioning invariance
+    got4 = (
+        winnowing_pairs(
+            rd.from_arrow(tbl).repartition(3), gram_len=16, window=8, min_shared=1
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(got4)

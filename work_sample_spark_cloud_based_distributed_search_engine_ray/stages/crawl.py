@@ -1051,11 +1051,8 @@ def cocitation_pairs(
     vectorized reduceat sums counts, keeping pairs co-cited by
     >= ``min_common`` distinct sources. No per-key Python, no edge
     self-join."""
-    import numpy as np
-
     from ..functions.hashing import hash64_array
     from .ops import bucket_mix
-    from .shuffle import packed_task_groups
 
     def to_ids(t: pa.Table) -> pa.Table:
         s = hash64_array(t["src_url"].to_pylist())
@@ -1067,6 +1064,29 @@ def cocitation_pairs(
                 "sbucket": pa.array(bucket_mix(s, num_buckets)),
             }
         )
+
+    return int_cooccurrence_pairs(
+        edges.map_batches(to_ids, batch_format="pyarrow"),
+        min_common=min_common,
+        num_buckets=num_buckets,
+    )
+
+
+def int_cooccurrence_pairs(
+    ids: "rd.Dataset", *, min_common: int = 4, num_buckets: int = 64
+) -> "rd.Dataset":
+    """The co-citation pair kernels on raw int columns: input batches
+    carry ``(s, d, sbucket)`` (key, value, bucket_mix(key)); output is
+    every value pair ``(doc_a < doc_b, n_common_src)`` sharing >=
+    ``min_common`` distinct keys. Two bounded bucket exchanges, triu
+    pair explosion by run-length class, vectorized count combines — no
+    per-key Python. Shared by :func:`cocitation_pairs` (keys = citing
+    pages), :func:`bib_coupling_pairs` (reversed) and
+    ``stages/dedup.winnowing_pairs`` (keys = fingerprints)."""
+    import numpy as np
+
+    from .ops import bucket_mix
+    from .shuffle import packed_task_groups
 
     empty_pairs = pa.table(
         {
@@ -1123,7 +1143,7 @@ def cocitation_pairs(
         )
 
     partials = packed_task_groups(
-        edges.map_batches(to_ids, batch_format="pyarrow"),
+        ids,
         "sbucket",
         pairs_of_bucket,
         num_buckets=num_buckets,

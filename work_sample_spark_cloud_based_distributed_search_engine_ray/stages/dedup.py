@@ -1225,3 +1225,92 @@ def substring_dedup_stats(
         Count(alias_name="n_distinct_grams"),
         Sum("is_dup", alias_name="n_dup_grams"),
     )
+
+
+def winnowing_pairs(
+    docs,
+    *,
+    gram_len: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS plagiarism detector): each doc's fingerprint set is the
+    DISTINCT minima of ``window``-sized sliding windows over its
+    ``gram_len``-char-gram hash sequence (full windows only); output is
+    every doc pair sharing >= ``min_shared`` fingerprints. The
+    winnowing guarantee: any shared substring of length >= gram_len +
+    window - 1 yields a shared fingerprint — local, position-robust
+    (unlike MinHash, which sketches GLOBAL similarity, winnowing
+    detects localized copied passages).
+
+    Gram hashes are md5-prefix ``hash64`` of the raw gram STRING (so
+    the DuckDB twin replays them exactly via substring+md5; at 100-TB
+    scale swap in ``char_gram_partial``'s polynomial kernel — identity
+    only, the plan is unchanged). Per batch: one hash64 pass over all
+    grams, one vectorized sliding-window min + distinct per doc; the
+    pair counting is the co-citation kernel pair
+    (``stages/crawl.int_cooccurrence_pairs`` with keys =
+    fingerprints). Output: (doc_a, doc_b, n_shared_fps).
+    """
+    from ..functions.hashing import hash64_array
+    from .crawl import int_cooccurrence_pairs
+    from .ops import bucket_mix
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks().to_pylist()
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        all_grams: list = []
+        spans: list = []
+        for txt in texts:
+            npos = max(len(txt) - gram_len + 1, 0)
+            spans.append(npos)
+            for i in range(npos):
+                all_grams.append(txt[i : i + gram_len])
+        empty = pa.table(
+            {
+                "s": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "sbucket": pa.array([], pa.int64()),
+            }
+        )
+        if not all_grams:
+            return empty
+        h = hash64_array(all_grams)
+        out_fp: list = []
+        out_doc: list = []
+        pos = 0
+        for did, npos in zip(ids, spans):
+            hd = h[pos : pos + npos]
+            pos += npos
+            if npos < window:
+                continue
+            mins = np.unique(
+                np.lib.stride_tricks.sliding_window_view(hd, window).min(axis=1)
+            )
+            out_fp.append(mins)
+            out_doc.append(np.full(mins.size, did, np.int64))
+        if not out_fp:
+            return empty
+        fp = np.concatenate(out_fp)
+        doc = np.concatenate(out_doc)
+        return pa.table(
+            {
+                "s": pa.array(fp),
+                "d": pa.array(doc),
+                "sbucket": pa.array(bucket_mix(fp, num_buckets)),
+            }
+        )
+
+    pairs = int_cooccurrence_pairs(
+        docs.map_batches(fingerprints, batch_format="pyarrow"),
+        min_common=min_shared,
+        num_buckets=num_buckets,
+    )
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "n_shared_fps"]),
+        batch_format="pyarrow",
+    )
