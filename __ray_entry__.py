@@ -5106,6 +5106,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_welch_t(ds, "event_type", "variant", "x")
 
+    def _two_sample_events(sf_dir: str):
+        """Shared prep of the two-sample tests (rel_ab_test /
+        rel_ks_test / rel_mannwhitney): event value floor-quantized,
+        user_id-parity traffic split."""
+
+        def prep(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "variant": pa.array(uid % 2),
+                    "x": pa.array(v),
+                }
+            )
+
+        return _tbl(sf_dir, "events", ["event_type", "user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+
+    def q_ks_test(sf_dir: str):
+        """Two-sample Kolmogorov-Smirnov D per event_type between the
+        user_id-parity variants — the distribution-SHIFT readout a mean
+        test misses. Exact integers end-to-end (sup of |n_b*cumA -
+        n_a*cumB| over the bounded value histogram, one floor division
+        to micros); see stages/ops.grouped_ks_test."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_ks_test,
+        )
+
+        return grouped_ks_test(
+            _two_sample_events(sf_dir), "event_type", "variant", "x"
+        )
+
+    def q_mannwhitney(sf_dir: str):
+        """Mann-Whitney U rank-sum test per event_type between the
+        user_id-parity variants — the nonparametric A/B readout. u2
+        (doubled U, half-ties exact) is a pure integer; the tie-
+        corrected z is ONE IEEE expression over exact bigint operands,
+        mirrored operand-for-operand by the SQL twin
+        (stages/ops.grouped_mannwhitney)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_mannwhitney,
+        )
+
+        return grouped_mannwhitney(
+            _two_sample_events(sf_dir), "event_type", "variant", "x"
+        )
+
     def q_changepoint(sf_dir: str):
         """Change-point screen: per event_type, the CUSUM-style max
         deviation of the daily-count series from a uniform rate —
@@ -5563,6 +5612,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"), ["doc_a", "doc_b"]
         )
         return triangle_stats(undirected)
+
+    def q_crawl_assortativity(sf_dir: str):
+        """Degree assortativity of the undirected link graph (Newman
+        2002) — one exact-integer row: with both edge orientations the
+        marginals coincide, so r is a single signed floor division of
+        bigint moments (no float anywhere; the twin uses the HUGEINT
+        floor emulation). Negative r = hubs link to leaves, the classic
+        web signature (stages/crawl.degree_assortativity)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            degree_assortativity,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        undirected = distinct_on(
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
+            ["doc_a", "doc_b"],
+        )
+        return degree_assortativity(undirected)
 
     def q_cocitation(sf_dir: str):
         """Co-citation pairs over the link graph: doc pairs cited
@@ -6842,6 +6920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_label_prop": q_crawl_label_prop,
         "crawl_modularity": q_crawl_modularity,
         "crawl_triangles": q_crawl_triangles,
+        "crawl_assortativity": q_crawl_assortativity,
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
@@ -6850,6 +6929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_linfit": q_linfit,
         "rel_spearman": q_spearman,
         "rel_ab_test": q_ab_test,
+        "rel_ks_test": q_ks_test,
+        "rel_mannwhitney": q_mannwhitney,
         "rel_chi2": q_chi2,
         "rel_gini": q_gini,
         "rel_changepoint": q_changepoint,
@@ -10322,6 +10403,47 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+    # degree assortativity: same edge replay + degree CTE as the
+    # triangle census; with both orientations the marginals coincide,
+    # so r is one signed HUGEINT floor division — no float anywhere
+    crawl_assortativity_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+        FROM ids WHERE a <> b),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS HUGEINT) AS deg FROM (
+              SELECT doc_a AS node FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+            GROUP BY node),
+    j AS (SELECT da.deg AS x, db.deg AS y FROM pairs
+          JOIN deg da ON da.node = pairs.doc_a
+          JOIN deg db ON db.node = pairs.doc_b),
+    s AS (SELECT CAST(2 AS HUGEINT) * (SELECT count(*) FROM pairs) AS mm,
+                 sum(x + y) AS sx,
+                 sum(x * x + y * y) AS sxx,
+                 2 * sum(x * y) AS sxy
+          FROM j),
+    f AS (SELECT mm, 1000000 * (mm * sxy - sx * sx) AS a,
+                 mm * sxx - sx * sx AS b
+          FROM s)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           CAST(CASE WHEN b = 0 THEN 0
+                ELSE (a - ((a % b) + b) % b) // b END AS BIGINT) AS assort_e6
+    FROM f
+    """
+
     # k-core: same edge replay, then CLUSTER_ROUNDS unrolled peels
     crawl_kcore_sql = f"""
     WITH pages AS (SELECT url, decode(html) AS doc
@@ -11127,6 +11249,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_label_prop": crawl_label_prop_sql,
         "crawl_modularity": crawl_modularity_sql,
         "crawl_triangles": crawl_triangles_sql,
+        "crawl_assortativity": crawl_assortativity_sql,
         "crawl_kcore": crawl_kcore_sql,
         "crawl_path_depth": crawl_path_depth_sql,
         "crawl_degree_dist": _degree_dist_oracle_sql(),
@@ -11767,6 +11890,67 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(d0 AS DOUBLE) / CAST(n0 * n0 * (n0 - 1) AS DOUBLE))))
                 AS BIGINT) AS t_e6
     FROM w WHERE n0 >= 2 AND n1 >= 2 AND d0 > 0 AND d1 > 0
+    """,
+        # two-sample Kolmogorov-Smirnov per event_type: sup |n_b*cumA -
+        # n_a*cumB| over the distinct-value histogram — exact integers,
+        # one window cumsum, one floor division to micros
+        "rel_ks_test": """
+    WITH q AS (SELECT event_type, user_id % 2 AS variant,
+                      CAST(floor(value) AS BIGINT) AS x
+               FROM events),
+    h AS (SELECT event_type, x,
+                 CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+          FROM q GROUP BY event_type, x),
+    n AS (SELECT event_type, sum(a) AS na, sum(b) AS nb
+          FROM h GROUP BY event_type),
+    c AS (SELECT event_type, x,
+                 sum(a) OVER (PARTITION BY event_type ORDER BY x) AS ca,
+                 sum(b) OVER (PARTITION BY event_type ORDER BY x) AS cb
+          FROM h)
+    SELECT c.event_type,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           CAST((1000000 * max(abs(n.nb * c.ca - n.na * c.cb)))
+                // (n.na * n.nb) AS BIGINT) AS ks_e6
+    FROM c JOIN n ON n.event_type = c.event_type
+    WHERE n.na > 0 AND n.nb > 0
+    GROUP BY c.event_type, n.na, n.nb
+    """,
+        # Mann-Whitney U per event_type: doubled U (half-ties exact)
+        # from the same histogram; tie-corrected z is the ONE float
+        # expression, operand-for-operand the engine's
+        # (stages/ops.grouped_mannwhitney)
+        "rel_mannwhitney": """
+    WITH q AS (SELECT event_type, user_id % 2 AS variant,
+                      CAST(floor(value) AS BIGINT) AS x
+               FROM events),
+    h AS (SELECT event_type, x,
+                 CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+          FROM q GROUP BY event_type, x),
+    n AS (SELECT event_type, sum(a) AS na, sum(b) AS nb
+          FROM h GROUP BY event_type),
+    c AS (SELECT event_type, x, a, b,
+                 COALESCE(sum(a) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca_lt
+          FROM h),
+    u AS (SELECT event_type,
+                 sum(b * (2 * ca_lt + a)) AS u2,
+                 sum((a + b) * (a + b) * (a + b) - (a + b)) AS t3
+          FROM c GROUP BY event_type),
+    f AS (SELECT n.event_type, n.na, n.nb, u.u2,
+                 u.u2 - n.na * n.nb AS num,
+                 n.na * n.nb * ((n.na + n.nb + 1) * (n.na + n.nb)
+                                * (n.na + n.nb - 1) - u.t3) AS sa,
+                 12 * (n.na + n.nb) * (n.na + n.nb - 1) AS sb
+          FROM n JOIN u ON u.event_type = n.event_type
+          WHERE n.na > 0 AND n.nb > 0)
+    SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(u2 AS BIGINT) AS u2,
+           CAST(floor(1000000.0 * (CAST(num AS DOUBLE)
+                / (2.0 * sqrt(CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE)))))
+                AS BIGINT) AS z_e6
+    FROM f WHERE sa > 0
     """,
         # chi-squared independence of event_type x hour-of-day: the
         # statistic is a SUM OF PER-CELL INTEGER FLOORS (order-

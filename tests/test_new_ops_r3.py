@@ -905,3 +905,110 @@ def test_changepoint_planted_shift():
 
     t = entry.queries()["rel_changepoint"]("/root/testdata/sf0.001")
     assert t.num_rows >= 1 and all(v >= 0 for v in t["cusum_max"].to_pylist())
+
+
+def test_grouped_ks_test_matches_naive():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_ks_test,
+    )
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 2, 500).astype(np.int64)
+    v = rng.integers(0, 2, 500).astype(np.int64)
+    # group 0: variant 1 drawn wider (same mean) — a pure shape shift
+    x = np.where(
+        (g == 0) & (v == 1),
+        rng.integers(0, 100, 500),
+        40 + rng.integers(0, 20, 500),
+    ).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g), "variant": pa.array(v), "x": pa.array(x)})
+    got = _sorted(
+        grouped_ks_test(rd.from_arrow(tbl).repartition(5), "g", "variant", "x"), ["g"]
+    )
+    for gi, gv in enumerate(got["g"]):
+        xa = np.sort(x[(g == gv) & (v == 0)])
+        xb = np.sort(x[(g == gv) & (v == 1)])
+        na, nb = len(xa), len(xb)
+        dnum = 0
+        for t in np.unique(np.concatenate([xa, xb])):
+            dnum = max(
+                dnum, abs(int(nb) * int((xa <= t).sum()) - int(na) * int((xb <= t).sum()))
+            )
+        assert got["n_a"][gi] == na and got["n_b"][gi] == nb
+        assert got["ks_e6"][gi] == (1_000_000 * dnum) // (na * nb)
+    kd = dict(zip(got["g"], got["ks_e6"]))
+    assert kd[0] > 200_000 and kd[1] < 150_000  # planted shape shift
+
+
+def test_grouped_mannwhitney_matches_naive():
+    import math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_mannwhitney,
+    )
+
+    rng = np.random.default_rng(29)
+    g = rng.integers(0, 2, 300).astype(np.int64)
+    v = rng.integers(0, 2, 300).astype(np.int64)
+    x = (rng.integers(0, 30, 300) + np.where((g == 0) & (v == 1), 10, 0)).astype(
+        np.int64
+    )
+    tbl = pa.table({"g": pa.array(g), "variant": pa.array(v), "x": pa.array(x)})
+    got = _sorted(
+        grouped_mannwhitney(rd.from_arrow(tbl).repartition(5), "g", "variant", "x"),
+        ["g"],
+    )
+    for gi, gv in enumerate(got["g"]):
+        xa = x[(g == gv) & (v == 0)].astype(object)
+        xb = x[(g == gv) & (v == 1)].astype(object)
+        na, nb = len(xa), len(xb)
+        # brute-force doubled U: 2*#(x1 > x0) + #(x1 == x0) over pairs
+        u2 = int(sum(2 * int((xa < b).sum()) + int((xa == b).sum()) for b in xb))
+        assert got["u2"][gi] == u2
+        nn = na + nb
+        t3 = sum(
+            int(c) ** 3 - int(c)
+            for c in np.unique(np.concatenate([xa, xb]), return_counts=True)[1]
+        )
+        sa = na * nb * ((nn + 1) * nn * (nn - 1) - t3)
+        sb = 12 * nn * (nn - 1)
+        z = float(u2 - na * nb) / (2.0 * math.sqrt(float(sa) / float(sb)))
+        assert got["z_e6"][gi] == math.floor(1_000_000.0 * z)
+    zd = dict(zip(got["g"], got["z_e6"]))
+    assert zd[0] > 3_000_000 and abs(zd[1]) < 3_000_000  # planted lift
+
+
+def test_degree_assortativity_known_graphs():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        degree_assortativity,
+    )
+
+    # star K1,5: every edge joins deg 5 to deg 1 -> r = -1 exactly
+    star = pa.table(
+        {
+            "doc_a": pa.array([0, 0, 0, 0, 0], pa.int64()),
+            "doc_b": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    t = degree_assortativity(rd.from_arrow(star))
+    assert t["n_nodes"][0].as_py() == 6 and t["n_edges"][0].as_py() == 5
+    assert t["assort_e6"][0].as_py() == -1_000_000
+
+    # path 0-1-2-3: exact r from the numpy moments on both orientations
+    path = pa.table(
+        {
+            "doc_a": pa.array([0, 1, 2], pa.int64()),
+            "doc_b": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    xs = []
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        xs += [(deg[a], deg[b]), (deg[b], deg[a])]
+    m = len(xs)
+    sx = sum(a for a, _ in xs)
+    sxx = sum(a * a for a, _ in xs)
+    sxy = sum(a * b for a, b in xs)
+    want = (1_000_000 * (m * sxy - sx * sx)) // (m * sxx - sx * sx)
+    t = degree_assortativity(rd.from_arrow(path))
+    assert t["assort_e6"][0].as_py() == want

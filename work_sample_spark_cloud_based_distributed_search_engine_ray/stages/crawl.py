@@ -1556,3 +1556,114 @@ def label_prop_modularity(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
             "modularity_e6": pa.array([int(q_e6)], pa.int64()),
         }
     )
+
+
+def degree_assortativity(edges: "rd.Dataset", *, num_buckets: int = 64) -> pa.Table:
+    """Degree assortativity coefficient of an undirected graph — the
+    Pearson correlation of the endpoint degrees over every edge, both
+    orientations (Newman 2002, "Assortative mixing in networks").
+    Positive r: hubs link to hubs (social graphs); negative r: hubs
+    link to leaves (the classic web/crawl signature, so this is the
+    one-row structural fingerprint of the link graph the reference
+    extracts edges for but never analyzes, ``Crawler.java:405-436``).
+
+    Input: Dataset of DISTINCT undirected edges ``(doc_a < doc_b)``.
+    Output: ONE row ``(n_nodes, n_edges, assort_e6)``.
+
+    With both orientations in the sample the x- and y-marginals are
+    identical, so r = (M*sxy - sx^2) / (M*sxx - sx^2) with M = 2m,
+    sx = sum(deg_a + deg_b), sxx = sum(deg_a^2 + deg_b^2),
+    sxy = 2*sum(deg_a*deg_b) — ALL integers, so ``assort_e6`` is one
+    exact signed floor division (no float anywhere; the SQL twin uses
+    the HUGEINT floor emulation).
+
+    Physical plan: the ``triangle_stats`` degree discipline — per-batch
+    partial (node, n) counts, ONE bounded node-bucket exchange, two
+    ``packed_join`` degree attaches, then tiny per-batch moment
+    partials the driver sums (Python bigints). Nothing driver-side
+    grows with nodes or edges.
+    """
+    import numpy as np
+    import ray.data as rd  # noqa: F401  (annotation)
+
+    from .ops import bucket_mix, packed_join
+    from .shuffle import packed_task_groups
+
+    edges = edges.materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                batch["doc_a"].to_numpy(zero_copy_only=False),
+                batch["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, counts = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+                "nbucket": pa.array(bucket_mix(uniq, num_buckets).astype(np.int64)),
+            }
+        )
+
+    def deg_of_bucket(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["node", "n"])
+            .group_by("node")
+            .aggregate([("n", "sum")])
+            .rename_columns(["node", "deg"])
+        )
+
+    degrees = packed_task_groups(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "nbucket",
+        deg_of_bucket,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    n_nodes = int(degrees.count())
+    n_edges = int(edges.count())
+
+    dega = degrees.map_batches(
+        lambda t: t.rename_columns(["doc_a", "deg_a"]), batch_format="pyarrow"
+    )
+    degb = degrees.map_batches(
+        lambda t: t.rename_columns(["doc_b", "deg_b"]), batch_format="pyarrow"
+    )
+    with_a = packed_join(
+        edges, dega, "doc_a", left_cols=["doc_b"], right_cols=["deg_a"],
+        num_buckets=num_buckets,
+    )
+    with_ab = packed_join(
+        with_a, degb, "doc_b", left_cols=["doc_a", "deg_a"], right_cols=["deg_b"],
+        num_buckets=num_buckets,
+    )
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        da = batch["deg_a"].to_numpy(zero_copy_only=False).astype(object)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                "sx": pa.array([int((da + db).sum())], pa.int64()),
+                "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+            }
+        )
+
+    sx = sxx = sxy = 0
+    for r in with_ab.map_batches(moment_partial, batch_format="pyarrow").take_all():
+        sx += r["sx"]
+        sxx += r["sxx"]
+        sxy += r["sxy"]
+    mm = 2 * n_edges
+    num = 1_000_000 * (mm * sxy - sx * sx)
+    den = mm * sxx - sx * sx
+    assort_e6 = num // den if den else 0  # Python // == SQL signed floor
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "assort_e6": pa.array([int(assort_e6)], pa.int64()),
+        }
+    )

@@ -2849,3 +2849,127 @@ def grouped_string_agg(
         per_bucket,
         num_buckets=num_buckets,
     )
+
+
+def _two_sample_hists(
+    ds: rd.Dataset, key: str, variant: str, x: str
+) -> dict:
+    """Shared streaming pass of :func:`grouped_ks_test` /
+    :func:`grouped_mannwhitney`: the bounded per-(group, value) count
+    histogram split by variant (the ``grouped_gini`` discipline — the
+    exchange is distinct (group, value) pairs x blocks, never rows).
+    Returns {group: {value: [count_variant0, count_variant1]}}."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch[key], "v": batch[x], "__var": batch[variant]}
+        )
+        return t.group_by([key, "v", "__var"]).aggregate([([], "count_all")])
+
+    hist: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        d = hist.setdefault(r[key], {})
+        c = d.setdefault(r["v"], [0, 0])
+        c[int(r["__var"])] += r["count_all"]
+    return hist
+
+
+def grouped_ks_test(
+    ds: rd.Dataset, key: str, variant: str, x: str
+) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov D per group between variants 0
+    and 1 — the distribution-shift readout that catches what a mean
+    test (Welch t) cannot: same-mean different-shape drift.
+
+    EXACT integers end-to-end: over the ascending distinct values of
+    the bounded (group, value, variant) histogram,
+    ``D_num = max |n_b*cumA - n_a*cumB|`` and
+    ``ks_e6 = (1e6 * D_num) // (n_a * n_b)`` (D = D_num/(n_a*n_b) is
+    the classic sup-distance between the two empirical CDFs). Groups
+    missing a variant are dropped (the twin's WHERE guard). The SQL
+    twin replays the same cumsums with one window function."""
+    hist = _two_sample_hists(ds, key, variant, x)
+    out_g, out_na, out_nb, out_ks = [], [], [], []
+    for g in sorted(hist):
+        d = hist[g]
+        na = sum(c[0] for c in d.values())
+        nb = sum(c[1] for c in d.values())
+        if na == 0 or nb == 0:
+            continue
+        ca = cb = 0
+        dnum = 0
+        for v in sorted(d):
+            ca += d[v][0]
+            cb += d[v][1]
+            dnum = max(dnum, abs(nb * ca - na * cb))
+        out_g.append(g)
+        out_na.append(na)
+        out_nb.append(nb)
+        out_ks.append((1_000_000 * dnum) // (na * nb))
+    return pa.table(
+        {
+            key: pa.array(out_g),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+            "ks_e6": pa.array(out_ks, pa.int64()),
+        }
+    )
+
+
+def grouped_mannwhitney(
+    ds: rd.Dataset, key: str, variant: str, x: str
+) -> pa.Table:
+    """Mann-Whitney U rank-sum test per group between variants 0 and 1
+    — the nonparametric A/B readout robust to the heavy-tailed value
+    distributions where Welch t misleads.
+
+    From the same bounded histogram as :func:`grouped_ks_test`:
+    ``u2 = 2*U_1 = sum_v c1(v) * (2*cumA(<v) + c0(v))`` (doubled so
+    half-ties stay integer — the ``grouped_spearman`` doubling trick),
+    and the tie-corrected normal approximation
+
+        z = (u2 - n_a*n_b) / (2 * sqrt(sa / sb))
+        sa = n_a*n_b*((N+1)*N*(N-1) - sum_t(t^3 - t)),  sb = 12*N*(N-1)
+
+    with sa/sb exact bigints and the ONE float expression mirrored
+    operand-for-operand by the SQL twin (the ``grouped_welch_t``
+    contract). Groups missing a variant or with sa <= 0 (all values
+    tied) are dropped."""
+    hist = _two_sample_hists(ds, key, variant, x)
+    out_g, out_na, out_nb, out_u2, out_z = [], [], [], [], []
+    for g in sorted(hist):
+        d = hist[g]
+        na = sum(c[0] for c in d.values())
+        nb = sum(c[1] for c in d.values())
+        if na == 0 or nb == 0:
+            continue
+        ca_lt = 0
+        u2 = 0
+        t3 = 0
+        for v in sorted(d):
+            c0, c1 = d[v]
+            u2 += c1 * (2 * ca_lt + c0)
+            ca_lt += c0
+            t = c0 + c1
+            t3 += t * t * t - t
+        nn = na + nb
+        sa = na * nb * ((nn + 1) * nn * (nn - 1) - t3)
+        sb = 12 * nn * (nn - 1)
+        if sa <= 0:
+            continue
+        num = u2 - na * nb
+        z = float(num) / (2.0 * math.sqrt(float(sa) / float(sb)))
+        out_g.append(g)
+        out_na.append(na)
+        out_nb.append(nb)
+        out_u2.append(u2)
+        out_z.append(math.floor(1_000_000.0 * z))
+    return pa.table(
+        {
+            key: pa.array(out_g),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+            "u2": pa.array(out_u2, pa.int64()),
+            "z_e6": pa.array(out_z, pa.int64()),
+        }
+    )
