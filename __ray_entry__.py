@@ -662,6 +662,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_map(sf_dir: str) -> pa.Table:
+        """Average precision @10 of the BM25 ranking against the MRR
+        relevance oracle (relevant = contains ALL distinct query terms
+        — any unindexed term empties the relevance set). EXACT
+        integers: lcm(1..10) = 2520 as the common rank denominator, so
+        the i-th relevant result at 0-based rank r contributes
+        i * (2520 // (r+1)) and ap_e6 = 1e6*ap_num //
+        (2520*min(n_rel,10)) — completing the NDCG/MRR/MAP eval triad
+        (Manning, Raghavan & Schuetze 2008 ch. 8)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, nrels, aps = [], [], []
+        for qid, q in reference_queries():
+            all_terms = sorted(set(tokenize_query(q)))
+            if not any(idx.has_term(t) for t in all_terms):
+                continue
+            rel: set[int] = set()
+            if all(idx.has_term(t) for t in all_terms):
+                rel = set(idx.postings(all_terms[0]).ids.tolist())
+                for t in all_terms[1:]:
+                    rel &= set(idx.postings(t).ids.tolist())
+            ranked = idx.bm25_topk(q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            hits = ap_num = 0
+            for r, (_s6, d) in enumerate(e6):
+                if d in rel:
+                    hits += 1
+                    ap_num += hits * (2520 // (r + 1))
+            n_rel = len(rel)
+            qids.append(qid)
+            nrels.append(n_rel)
+            aps.append(
+                (1_000_000 * ap_num) // (2520 * min(n_rel, 10)) if n_rel else 0
+            )
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "n_rel": pa.array(nrels, pa.int64()),
+                "ap_e6": pa.array(aps, pa.int64()),
+            }
+        )
+
     def q_index_export(sf_dir: str) -> pa.Table:
         """Export the built index to the reference's KVS ``index``
         acc-string format (term -> "doc:tf,doc:tf,..." —
@@ -891,6 +942,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "qid": pa.array(qids, pa.int64()),
                 "q": pa.array(qs, pa.string()),
                 "corrected": pa.array(cors, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_search_fuzzy(sf_dir: str) -> pa.Table:
+        """Fuzzy retrieval (the Lucene FuzzyQuery contract, max edits
+        1): every distinct query term expands to the <= 8 index-
+        vocabulary terms within UNIT edit distance, ranked by (cf desc,
+        term) — so typos still retrieve, and the cost stays bounded per
+        term — then the deduped expansion scores as a weight-1.0 BM25
+        OR via the PRF machinery (``bm25_weighted_topk``), top-10 e6.
+        The vocabulary is the build's term_stats table (read pruned);
+        the edit-distance DP is the vectorized all-terms lockstep pass
+        of ``search_didyoumean``, one call per distinct query term."""
+        import ray
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+            tokenize_query,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            _levenshtein_to_all,
+        )
+
+        out_dir = _cached_index_dir(sf_dir)
+        idx = _cached_index(sf_dir)
+        vt = pa.concat_tables(
+            ray.get(
+                rd.read_parquet(
+                    os.path.join(out_dir, "term_stats"), columns=["term", "cf"]
+                ).to_arrow_refs()
+            )
+        ).combine_chunks()
+        terms = np.array(vt["term"].to_pylist(), dtype=object)
+        cf = vt["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(t) for t in terms], dtype=np.int64)
+        L = int(lens.max()) if lens.size else 0
+        mat = np.zeros((len(terms), L), dtype=np.uint32)
+        for i, t in enumerate(terms):
+            mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            expanded: dict[str, float] = {}
+            for t in sorted(set(tokenize_query(q))):
+                dist = _levenshtein_to_all(t, mat, lens)
+                cand = np.flatnonzero(dist <= 1)
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((terms[cand], -cf[cand]))[:8]
+                for vterm in terms[cand][order]:
+                    expanded[str(vterm)] = 1.0
+            if not expanded:
+                continue
+            top = sorted(
+                (
+                    (int(round(s * 1_000_000)), d)
+                    for d, s in idx.bm25_weighted_topk(
+                        sorted(expanded.items()), k=50
+                    )
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(top):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
                 "rank": pa.array(ranks, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "score_e6": pa.array(scores, pa.int64()),
@@ -6744,6 +6871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_reference_tfidf": q_search_tfidf,
         "search_eval_ndcg": q_search_ndcg,
         "search_eval_mrr": q_search_mrr,
+        "search_eval_map": q_search_map,
         "search_bm25_stemmed": q_search_stemmed,
         # MaxScore dynamic pruning, same contract (and oracle) as WAND
         "search_bm25_maxscore": lambda sf_dir: _search_table(
@@ -6943,6 +7071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_term_complete": q_term_complete,
         "search_didyoumean": q_didyoumean,
         "search_wildcard": q_wildcard,
+        "search_fuzzy": q_search_fuzzy,
         "index_export_acc": q_index_export,
         "index_import_stats": q_index_import,
         "index_compact_stats": q_index_compact,
@@ -7705,6 +7834,42 @@ def _flagship_oracle_sql(
            CASE WHEN hit.first_rnk IS NULL THEN 0
                 ELSE 1000000 // (hit.first_rnk + 1) END AS rr_e6
     FROM nq LEFT JOIN hit ON hit.qid = nq.qid
+    WHERE nq.qid IN (SELECT DISTINCT qid FROM scores)"""
+    elif variant == "map":
+        # average precision @10 vs the MRR relevance oracle (doc
+        # contains ALL distinct query terms) — exact integers via the
+        # lcm(1..10)=2520 common denominator: the i-th relevant result
+        # at 0-based rank r contributes i * (2520 // (r+1)); ap_e6 =
+        # 1e6 * ap_num // (2520 * min(n_rel, 10)) — q_search_map
+        collapse_ctes = """,
+    top10 AS (SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score_e6 DESC, doc_id) - 1 AS rnk
+              FROM e6
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY score_e6 DESC, doc_id) <= 10),
+    nq AS (SELECT qid, count(DISTINCT term) AS n_terms FROM q GROUP BY qid),
+    rel AS (SELECT q.qid, tf.doc_id
+            FROM q JOIN tf ON tf.term = q.term JOIN nq ON nq.qid = q.qid
+            GROUP BY q.qid, tf.doc_id, nq.n_terms
+            HAVING count(DISTINCT q.term) = nq.n_terms),
+    nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+    hitpos AS (SELECT t.qid, t.rnk
+               FROM top10 t
+               JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id),
+    hiti AS (SELECT qid, rnk,
+                    row_number() OVER (PARTITION BY qid ORDER BY rnk) AS i
+             FROM hitpos),
+    apn AS (SELECT qid, CAST(sum(i * (2520 // (rnk + 1))) AS BIGINT) AS ap_num
+            FROM hiti GROUP BY qid)"""
+        final_select = """SELECT nq.qid,
+           COALESCE(nrel.n_rel, 0) AS n_rel,
+           CASE WHEN COALESCE(nrel.n_rel, 0) = 0 OR apn.ap_num IS NULL THEN 0
+                ELSE CAST(1000000 * apn.ap_num
+                          // (2520 * least(nrel.n_rel, 10)) AS BIGINT)
+           END AS ap_e6
+    FROM nq LEFT JOIN nrel ON nrel.qid = nq.qid
+            LEFT JOIN apn ON apn.qid = nq.qid
     WHERE nq.qid IN (SELECT DISTINCT qid FROM scores)"""
     elif variant == "conj":
         # strict-AND filter over the flagship ranking: a doc qualifies
@@ -8901,6 +9066,70 @@ def _stemmed_search_oracle_sql() -> str:
                        ORDER BY cf.c DESC, sm.term) AS rn
               FROM q JOIN sm ON sm.stem = q.qstem
                    JOIN cf ON cf.term = sm.term) WHERE rn <= 8),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM exp) GROUP BY term),
+    s AS (SELECT exp.qid, tf.doc_id, sum({bm25}) AS score
+          FROM exp JOIN df USING (term) JOIN tf ON tf.term = exp.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+          GROUP BY exp.qid, tf.doc_id),
+    e6 AS (SELECT qid, doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS score_e6
+           FROM s)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM e6
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10
+    """
+
+
+def _fuzzy_search_oracle_sql() -> str:
+    """DuckDB twin of ``search_fuzzy``: each distinct query term's
+    <= 8-term unit-edit-distance expansion over the dedup-winner
+    vocabulary is replayed with ``levenshtein`` + a (cf desc, term)
+    window rank (the engine ranks candidates the same way off
+    term_stats, whose parity with the winner tokenization the
+    flagship/compact oracles pin), then the deduped expansion scores
+    as weight-1.0 BM25 — the ``_stemmed_search_oracle_sql`` machinery
+    with the stem map swapped for the edit-distance join."""
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    q_rows = ", ".join(
+        f"({qid}, '{esc(t)}')"
+        for qid, q in reference_queries()
+        for t in sorted(set(tokenize_query(q)))
+    )
+    bm25 = (
+        "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+        " * (tf.tf * (1.2 + 1))"
+        " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+    )
+    return f"""{_docs_cte()},
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / (SELECT count(*) FROM docs) AS avgdl),
+    cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    qraw(qid, qterm) AS (VALUES {q_rows}),
+    q AS (SELECT DISTINCT qid, qterm FROM qraw),
+    exp AS (SELECT DISTINCT qid, term FROM (
+              SELECT q.qid, cf.term,
+                     row_number() OVER (PARTITION BY q.qid, q.qterm
+                       ORDER BY cf.c DESC, cf.term) AS rn
+              FROM q JOIN cf ON levenshtein(q.qterm, cf.term) <= 1)
+            WHERE rn <= 8),
     df AS (SELECT term, count(*) AS df FROM tf
            WHERE term IN (SELECT DISTINCT term FROM exp) GROUP BY term),
     s AS (SELECT exp.qid, tf.doc_id, sum({bm25}) AS score
@@ -10715,6 +10944,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": _flagship_oracle_sql("bm25", variant="facets"),
         "search_eval_ndcg": _flagship_oracle_sql("bm25", variant="ndcg"),
         "search_eval_mrr": _flagship_oracle_sql("bm25", variant="mrr"),
+        "search_eval_map": _flagship_oracle_sql("bm25", variant="map"),
         "search_bm25_stemmed": _stemmed_search_oracle_sql(),
         "search_bm25_maxscore": _flagship_oracle_sql("bm25"),
         "search_lm_dirichlet": _flagship_oracle_sql("lm"),
@@ -11270,6 +11500,7 @@ def oracle_sql() -> dict[str, str]:
         "search_didyoumean": _didyoumean_oracle_sql(),
         "crawl_robots_gate": _robots_gate_oracle_sql(),
         "search_wildcard": _wildcard_oracle_sql(),
+        "search_fuzzy": _fuzzy_search_oracle_sql(),
         # earliest-feasible politeness plan: rank within host by url
         "crawl_politeness_slots": f"""
             SELECT url,

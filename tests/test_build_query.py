@@ -779,3 +779,57 @@ def test_bm25f_matches_bruteforce(built):
         ]:
             moved += 1
     assert moved >= 1, "title field never changed a ranking — vacuous"
+
+
+def test_fuzzy_expansion_retrieves_typos(built):
+    # the search_fuzzy contract: a unit-edit typo of an indexed term
+    # expands back to (at least) that term, so the weighted-OR scores
+    # equal plain BM25 when the expansion is exactly the original term
+    import glob
+
+    import numpy as np
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq_mod
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+        _levenshtein_to_all,
+    )
+
+    _pages, paths, idx, _oracle = built
+    ts = pa_mod.concat_tables(
+        pq_mod.read_table(f, columns=["term", "cf"])
+        for f in glob.glob(paths.term_stats + "/*.parquet")
+    )
+    terms = np.array(ts["term"].to_pylist(), dtype=object)
+    cf = ts["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.array([len(t) for t in terms], dtype=np.int64)
+    L = int(lens.max())
+    mat = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+
+    # pick a long, rare-ish term: its unit-distance neighbourhood is
+    # usually just itself, making the parity assertion exact
+    elig = lens >= 8
+    orig = terms[elig][np.lexsort((terms[elig], cf[elig]))[0]]
+    typo = orig[0] + orig[2:]  # drop 2nd char: distance 1 from orig
+    dist = _levenshtein_to_all(typo, mat, lens)
+    cand = np.flatnonzero(dist <= 1)
+    assert any(terms[c] == orig for c in cand)
+    expansion = sorted((str(terms[c]), 1.0) for c in cand[np.lexsort((terms[cand], -cf[cand]))[:8]])
+    got = idx.bm25_weighted_topk(expansion, k=5)
+    assert len(got) > 0
+    if len(expansion) == 1:  # neighbourhood is only the original term
+        assert got == idx.bm25_topk(orig, k=5)
+
+
+def test_eval_map_formula_manual():
+    # AP@10 with the lcm(1..10)=2520 integer denominator: a ranking
+    # with relevant results at 0-based ranks 0 and 2 and n_rel=2 has
+    # AP = (1/1 + 2/3)/2 = 5/6 -> 833333 micros after the floor
+    ap_num = 1 * (2520 // 1) + 2 * (2520 // 3)
+    assert (1_000_000 * ap_num) // (2520 * 2) == 833_333
+    # and a perfect prefix ranking (all rel in the first n_rel slots)
+    # scores exactly 1.0
+    ap_num = sum(i * (2520 // i) for i in range(1, 4))
+    assert (1_000_000 * ap_num) // (2520 * 3) == 1_000_000
