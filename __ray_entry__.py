@@ -55,6 +55,8 @@ NEAR_DUP_BANDS = 8
 JACCARD_THR = 0.2
 CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
 LP_ROUNDS = 5  # label-propagation community rounds (engine == unrolled SQL)
+CLOSENESS_H = 6  # harmonic-closeness BFS horizon (engine == SQL depth cap)
+CLOSENESS_SEEDS = 4  # top-out-degree hubs scored by crawl_closeness
 KCORE_K = 12  # k-core peel threshold: non-trivial core at the gate (733/10k nodes)
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
@@ -1560,6 +1562,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         got = (
             read_pages(jp, format="jsonl")
+            .map_batches(lens, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(), Sum("text_bytes"), Sum("html_bytes"))
+            .take_all()
+        )
+        return pa.table(
+            {
+                "lang": pa.array([r["lang"] for r in got]),
+                "n_pages": pa.array([r["count()"] for r in got], pa.int64()),
+                "sum_text_bytes": pa.array(
+                    [r["sum(text_bytes)"] for r in got], pa.int64()
+                ),
+                "sum_html_bytes": pa.array(
+                    [r["sum(html_bytes)"] for r in got], pa.int64()
+                ),
+            }
+        ).sort_by("lang")
+
+    def q_ingest_csv(sf_dir: str) -> pa.Table:
+        """CSV ingestion parity: the corpus round-tripped through
+        sharded CSV files (quoted newlines force per-file sequential
+        parsing, so parallelism is file-sharding —
+        ``sources/ingest.write_pages_csv`` / ``read_pages
+        format='csv'``) aggregates to the same per-lang byte totals as
+        the canonical parquet (SQL side)."""
+        import pyarrow.parquet as pq
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+            read_pages,
+            write_pages_csv,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from ray.data.aggregate import Count, Sum
+
+        pages = pages_for_sf_dir(sf_dir)
+        out = "/tmp/wse_ingest_csv_" + os.path.basename(pages).replace(".parquet", "")
+        if not os.path.isdir(out) or not os.listdir(out):
+            write_pages_csv(pq.read_table(pages), out, shards=4)
+
+        def lens(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "text_bytes": pc.binary_length(t["text"]).cast(pa.int64()),
+                    "html_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+                }
+            )
+
+        got = (
+            read_pages(out, format="csv")
             .map_batches(lens, batch_format="pyarrow")
             .groupby("lang")
             .aggregate(Count(), Sum("text_bytes"), Sum("html_bytes"))
@@ -5341,6 +5395,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_seasonality(sf_dir: str):
+        """Day-of-week seasonality profile per event_type: event count
+        and exact-integer share micros per weekday (0 = Sunday, via the
+        epoch-day + 4 mod 7 rule — no timezone/locale dependence), all
+        7 weekdays emitted per type (zeros included) so profiles are
+        comparable. ONE bounded (type x dow) exchange — the 42-cell
+        driver fold is the rel_chi2 discipline."""
+        def dow_partial(t: pa.Table) -> pa.Table:
+            us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            dow = (us // 86_400_000_000 + 4) % 7
+            return (
+                pa.table({"event_type": t["event_type"], "dow": pa.array(dow)})
+                .group_by(["event_type", "dow"])
+                .aggregate([([], "count_all")])
+            )
+
+        counts = (
+            _tbl(sf_dir, "events", ["event_type", "ts"])
+            .map_batches(dow_partial, batch_format="pyarrow")
+            .take_all()
+        )
+        per: dict = {}
+        for r in counts:
+            k = (r["event_type"], r["dow"])
+            per[k] = per.get(k, 0) + r["count_all"]
+        types = sorted({t for t, _d in per})
+        out_t, out_d, out_n, out_s = [], [], [], []
+        for t in types:
+            total = sum(per.get((t, d), 0) for d in range(7))
+            for d in range(7):
+                n = per.get((t, d), 0)
+                out_t.append(t)
+                out_d.append(d)
+                out_n.append(n)
+                out_s.append((1_000_000 * n) // total if total else 0)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t),
+                "dow": pa.array(out_d, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "share_e6": pa.array(out_s, pa.int64()),
+            }
+        )
+
     def q_autocorr(sf_dir: str):
         """Lag-1 autocorrelation of the daily event-count series per
         event_type (days ordered, gaps ignored — the documented
@@ -6256,6 +6354,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return frontier_bfs(edges, seeds, max_depth=3)
 
+    def q_crawl_closeness(sf_dir: str):
+        """Harmonic closeness centrality (Boldi & Vigna 2014's
+        preferred closeness variant — sums reciprocals, so
+        disconnection needs no special case) of the top-4 out-degree
+        hub pages, directed out-BFS within a CLOSENESS_H-hop horizon:
+        harmonic_e6 = sum over reached urls of 1e6 // depth — exact
+        integer floors, so the row is hash-exact. Seeds are (out_deg
+        desc, url); the BFS reuses the broadcast-frontier machinery of
+        ``crawl_frontier_bfs`` (one edge materialization, seeds x H
+        bounded waves); out-degrees are a vectorized per-batch combine
+        + a src-bounded driver fold (the ``crawl_link_jaccard``
+        discipline)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            frontier_bfs,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        edges = (
+            rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(_canon80_src, batch_format="pyarrow")
+        )
+        ded = distinct_on(edges, ["src_url", "dst_url"]).materialize()
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["src_url"])
+                .group_by("src_url")
+                .aggregate([([], "count_all")])
+            )
+
+        deg: dict[str, int] = {}
+        for r in ded.map_batches(deg_partial, batch_format="pyarrow").take_all():
+            deg[r["src_url"]] = deg.get(r["src_url"], 0) + r["count_all"]
+        seeds = sorted(deg, key=lambda u: (-deg[u], u))[:CLOSENESS_SEEDS]
+
+        out_seed, out_deg, out_n, out_h = [], [], [], []
+        for seed in seeds:
+            reach = frontier_bfs(ded, [seed], max_depth=CLOSENESS_H)
+            depths = reach["depth"].to_numpy(zero_copy_only=False)
+            out_seed.append(seed)
+            out_deg.append(deg[seed])
+            out_n.append(int((depths > 0).sum()))
+            out_h.append(int(sum(1_000_000 // int(d) for d in depths if d > 0)))
+        return pa.table(
+            {
+                "seed": pa.array(out_seed, pa.string()),
+                "out_deg": pa.array(out_deg, pa.int64()),
+                "n_reached": pa.array(out_n, pa.int64()),
+                "harmonic_e6": pa.array(out_h, pa.int64()),
+            }
+        )
+
     def q_media_features(sf_dir: str):
         # rows-only: synthetic media corpus (no media in the sf tables).
         # REAL decode: BMP/WAV/WSMV payloads -> pixels/samples ->
@@ -6908,6 +7068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_delete_stats": q_index_delete_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "ingest_ipc_pages": q_ingest_ipc,
+        "ingest_csv_pages": q_ingest_csv,
         "ingest_warc_pages": q_ingest_warc,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25,
@@ -7063,6 +7224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_gini": q_gini,
         "rel_changepoint": q_changepoint,
         "rel_autocorr": q_autocorr,
+        "rel_seasonality": q_seasonality,
         "rel_debounce": q_debounce,
         "text_rank_frequency": q_rank_frequency,
         "crawl_orphans": q_orphans,
@@ -7083,6 +7245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_ppr": q_crawl_ppr,
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
+        "crawl_closeness": q_crawl_closeness,
         "media_features": q_media_features,
         "media_thumbs": q_media_thumbs,
         "media_image_stats": q_media_image_stats,
@@ -10024,6 +10187,47 @@ def _frontier_bfs_oracle_sql() -> str:
     """
 
 
+def _closeness_oracle_sql() -> str:
+    """Oracle for ``crawl_closeness``: the ``crawl_links`` edge replica
+    deduped, out-degrees per src, the top-CLOSENESS_SEEDS hubs by
+    (out_deg desc, url), then one recursive BFS CTE carrying the seed
+    column with the depth capped at CLOSENESS_H; harmonic_e6 is the
+    same per-url 1e6 // min-depth integer floor sum."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH RECURSIVE pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS MATERIALIZED (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    deg AS (SELECT src_url, count(*) AS out_deg FROM edges0 GROUP BY src_url),
+    seeds AS (SELECT src_url AS seed, out_deg FROM deg
+              ORDER BY out_deg DESC, src_url LIMIT {CLOSENESS_SEEDS}),
+    bfs(seed, url, depth) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT b.seed, e.dst_url, b.depth + 1
+      FROM bfs b JOIN edges0 e ON e.src_url = b.url
+      WHERE b.depth < {CLOSENESS_H}
+    ),
+    d AS (SELECT seed, url, min(depth) AS dist FROM bfs GROUP BY seed, url)
+    SELECT s.seed, CAST(s.out_deg AS BIGINT) AS out_deg,
+           CAST(sum(CASE WHEN d.dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN d.dist > 0 THEN 1000000 // d.dist ELSE 0 END)
+                AS BIGINT) AS harmonic_e6
+    FROM seeds s JOIN d ON d.seed = s.seed
+    GROUP BY s.seed, s.out_deg
+    """
+
+
 def _hash_split_oracle_sql() -> str:
     """Oracle for ``rel_hash_split``: the md5-prefix hash64 of the
     stringified key against the SAME floor(cum_frac * 2^63) integer
@@ -10982,6 +11186,7 @@ def oracle_sql() -> dict[str, str]:
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_ipc_pages": _ingest_oracle_sql(),
+        "ingest_csv_pages": _ingest_oracle_sql(),
         "ingest_warc_pages": _ingest_warc_oracle_sql(),
         "text_compress_ratio": _compress_ratio_oracle_sql(),
         "text_stem_vocab": _stem_vocab_oracle_sql(),
@@ -11542,6 +11747,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
+        "crawl_closeness": _closeness_oracle_sql(),
         "knn_cosine_topk": knn,
         "knn_range_search": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
@@ -12227,6 +12433,23 @@ def oracle_sql() -> dict[str, str]:
     """,
         # CUSUM change-point screen: max |m*S_i - i*n| over the ordered
         # daily-count series, earliest argmax day — exact integers
+        # day-of-week seasonality: epoch-day + 4 mod 7 (0 = Sunday, no
+        # timezone/locale dependence), all 7 dows per type zero-filled,
+        # exact share micros
+        "rel_seasonality": """
+    WITH q AS (SELECT event_type,
+                      (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events),
+    o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY event_type, dow),
+    tt AS (SELECT event_type, sum(n) AS total FROM o GROUP BY event_type),
+    dows(dow) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+    cells AS (SELECT tt.event_type, dows.dow, COALESCE(o.n, 0) AS n, tt.total
+              FROM tt CROSS JOIN dows
+              LEFT JOIN o ON o.event_type = tt.event_type AND o.dow = dows.dow)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * n) // total AS BIGINT) AS share_e6
+    FROM cells
+    """,
         "rel_changepoint": """
     WITH q AS (SELECT event_type,
                       epoch_us(ts) // 86400000000 AS day FROM events),

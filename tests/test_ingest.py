@@ -277,3 +277,26 @@ def test_ipc_round_trip(tmp_path):
     assert (got["url"] == want["url"]).all()
     assert (got["html"] == want["html"]).all()
     assert (got["warc_ts"] == want["warc_ts"]).all()
+
+
+def test_csv_shards_roundtrip_quoted_newlines(tmp_path):
+    # the REAL corpus html embeds newlines/quotes/commas in every row;
+    # the sharded CSV round-trip must be byte-lossless through Arrow's
+    # quoting + newlines_in_values parsing
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.ingest import (
+        write_pages_csv,
+    )
+
+    tbl = _fixture_table(120)
+    assert any(b"\n" in h for h in tbl["html"].to_pylist())
+    out = os.path.join(tmp_path, "csv_shards")
+    paths = write_pages_csv(tbl, out, shards=3)
+    assert len(paths) == 3
+    got = read_pages(out, format="csv").take_all()
+    got_t = pa.Table.from_pylist(got, schema=PAGES_SCHEMA).sort_by("url")
+    want = tbl.sort_by("url")
+    assert got_t.schema.equals(PAGES_SCHEMA)
+    assert got_t["url"].to_pylist() == want["url"].to_pylist()
+    assert got_t["warc_ts"].to_pylist() == want["warc_ts"].to_pylist()
+    assert got_t["html"].to_pylist() == want["html"].to_pylist()
+    assert got_t["text"].to_pylist() == want["text"].to_pylist()

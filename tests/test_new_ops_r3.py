@@ -1012,3 +1012,44 @@ def test_degree_assortativity_known_graphs():
     want = (1_000_000 * (m * sxy - sx * sx)) // (m * sxx - sx * sx)
     t = degree_assortativity(rd.from_arrow(path))
     assert t["assort_e6"][0].as_py() == want
+
+
+def test_harmonic_closeness_on_fixture_graph():
+    # directed 0->1->2->3 plus 0->2: from 0, depths are {1:1, 2:1, 3:2}
+    # -> harmonic = 1e6 + 1e6 + 500000; horizon cuts deeper nodes off
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        frontier_bfs,
+    )
+
+    edges = pa.table(
+        {
+            "src_url": pa.array(["u0", "u1", "u2", "u0"]),
+            "dst_url": pa.array(["u1", "u2", "u3", "u2"]),
+        }
+    )
+    reach = frontier_bfs(rd.from_arrow(edges), ["u0"], max_depth=6)
+    d = dict(zip(reach["url"].to_pylist(), reach["depth"].to_pylist()))
+    assert d == {"u0": 0, "u1": 1, "u2": 1, "u3": 2}
+    harmonic = sum(1_000_000 // v for v in d.values() if v > 0)
+    assert harmonic == 2_500_000
+    # horizon 1: node u3 unreached
+    reach1 = frontier_bfs(rd.from_arrow(edges), ["u0"], max_depth=1)
+    assert set(reach1["url"].to_pylist()) == {"u0", "u1", "u2"}
+
+
+def test_seasonality_share_is_exact_and_zero_filled():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    t = entry.queries()["rel_seasonality"]("/root/testdata/sf0.001")
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    # all 7 dows per type, shares sum to ~1e6 per type (floor slack < 7)
+    for et, g in df.groupby("event_type"):
+        assert sorted(g["dow"].tolist()) == list(range(7))
+        assert g["n"].sum() > 0
+        s = g["share_e6"].sum()
+        assert 1_000_000 - 6 <= s <= 1_000_000
+        for _i, row in g.iterrows():
+            assert row["share_e6"] == (1_000_000 * row["n"]) // g["n"].sum()

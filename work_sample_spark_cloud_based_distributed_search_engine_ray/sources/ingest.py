@@ -65,7 +65,15 @@ def read_pages(
     if format == "jsonl":
         ds = rd.read_json(path)
     elif format == "csv":
-        ds = rd.read_csv(path)
+        # web pages embed newlines inside quoted html fields, which
+        # kills Arrow's parallel block splitting WITHIN a file — so
+        # parallelism comes from sharded files (write_pages_csv), and
+        # each file parses sequentially with newlines_in_values on
+        from pyarrow import csv as pacsv
+
+        ds = rd.read_csv(
+            path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
+        )
     elif format == "ipc":
         # Arrow IPC / Feather-v2: no native Ray reader, so files load
         # file-parallel (the WARC pattern) and decode zero-copy per
@@ -106,6 +114,41 @@ def write_pages_jsonl(table: pa.Table, path: str) -> None:
             if isinstance(html, (bytes, bytearray)):
                 row["html"] = html.decode("utf-8")
             f.write(json.dumps(row) + "\n")
+
+
+def write_pages_csv(table: pa.Table, out_dir: str, *, shards: int = 4) -> list[str]:
+    """Test/fixture helper: write a pages table as ``shards`` CSV files
+    (timestamps as ISO-8601 strings, html as quoted utf-8 text) — the
+    inverse of ``read_pages(format='csv')``. Row-range sharding; the
+    quoting (embedded commas, quotes AND newlines) is Arrow's."""
+    import os
+
+    from pyarrow import csv as pacsv
+
+    as_str = pa.table(
+        {
+            "url": table["url"],
+            "warc_ts": pa.array(
+                [t.isoformat() for t in table["warc_ts"].to_pylist()],
+                pa.string(),
+            ),
+            "html": table["html"].cast(pa.string()),
+            "text": table["text"],
+            "lang": table["lang"],
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n = as_str.num_rows
+    per = max(1, (n + shards - 1) // shards)
+    paths = []
+    for i in range(shards):
+        lo = i * per
+        if lo >= n:
+            break
+        p = os.path.join(out_dir, f"pages-{i:04d}.csv")
+        pacsv.write_csv(as_str.slice(lo, per), p)
+        paths.append(p)
+    return paths
 
 
 def write_pages_ipc(table: pa.Table, out_dir: str, *, shards: int = 4) -> list[str]:
