@@ -57,6 +57,7 @@ CLUSTER_ROUNDS = 10  # min-label propagation rounds (engine == unrolled SQL)
 LP_ROUNDS = 5  # label-propagation community rounds (engine == unrolled SQL)
 CLOSENESS_H = 6  # harmonic-closeness BFS horizon (engine == SQL depth cap)
 CLOSENESS_SEEDS = 4  # top-out-degree hubs scored by crawl_closeness
+BOWTIE_H = 8  # bow-tie reachability horizon (engine == SQL depth cap)
 KCORE_K = 12  # k-core peel threshold: non-trivial core at the gate (733/10k nodes)
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PAGERANK_D = 0.85
@@ -5624,6 +5625,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_users"))
         )
 
+    def q_rel_lift(sf_dir: str):
+        """Association lift between event-type pairs (the market-basket
+        readout over user behaviour): lift = N * n_ab / (n_a * n_b)
+        over DISTINCT users, > 1 = the types co-occur more than
+        independence predicts. Pair supports ride the audience-overlap
+        kernel (bounded per-user pair expansion, never a user
+        cross-join); per-type supports and N are one more bounded
+        exchange; lift_e6 is an exact integer floor."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pair_rows = {
+            (r["type_a"], r["type_b"]): r["n_users"]
+            for r in q_audience_overlap(sf_dir).take_all()
+        }
+        ut = distinct_on(
+            _tbl(sf_dir, "events", ["user_id", "event_type"]),
+            ["user_id", "event_type"],
+        ).materialize()
+
+        def tcount(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["event_type"])
+                .group_by("event_type")
+                .aggregate([([], "count_all")])
+            )
+
+        n_of: dict[str, int] = {}
+        for r in ut.map_batches(tcount, batch_format="pyarrow").take_all():
+            n_of[r["event_type"]] = n_of.get(r["event_type"], 0) + r["count_all"]
+        n_users = int(
+            distinct_on(ut, ["user_id"]).count()
+        )
+        out_a, out_b, out_ab, out_na, out_nb, out_l = [], [], [], [], [], []
+        for (a, b) in sorted(pair_rows):
+            n_ab = pair_rows[(a, b)]
+            na, nb = n_of[a], n_of[b]
+            out_a.append(a)
+            out_b.append(b)
+            out_ab.append(n_ab)
+            out_na.append(na)
+            out_nb.append(nb)
+            out_l.append((1_000_000 * n_users * n_ab) // (na * nb))
+        return pa.table(
+            {
+                "type_a": pa.array(out_a),
+                "type_b": pa.array(out_b),
+                "n_ab": pa.array(out_ab, pa.int64()),
+                "n_a": pa.array(out_na, pa.int64()),
+                "n_b": pa.array(out_nb, pa.int64()),
+                "lift_e6": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    def q_rel_rate_test(sf_dir: str):
+        """Two-sample event-RATE test per event_type between the
+        user_id-parity variants (the count-based sibling of the
+        value-based Welch/KS/MW family): under a shared Poisson rate,
+        z = (n1 - n0) / sqrt(n1 + n0) — the numerator exact, the ONE
+        float expression mirrored operand-for-operand by the twin."""
+        import math as _math
+
+        def prep(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return (
+                pa.table(
+                    {"event_type": t["event_type"], "variant": pa.array(uid % 2)}
+                )
+                .group_by(["event_type", "variant"])
+                .aggregate([([], "count_all")])
+            )
+
+        acc: dict = {}
+        for r in (
+            _tbl(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .take_all()
+        ):
+            k = (r["event_type"], r["variant"])
+            acc[k] = acc.get(k, 0) + r["count_all"]
+        out_g, out_n0, out_n1, out_z = [], [], [], []
+        for g in sorted({k for k, _v in acc}):
+            n0 = acc.get((g, 0), 0)
+            n1 = acc.get((g, 1), 0)
+            if n0 + n1 == 0:
+                continue
+            z = float(n1 - n0) / _math.sqrt(float(n1 + n0))
+            out_g.append(g)
+            out_n0.append(n0)
+            out_n1.append(n1)
+            out_z.append(_math.floor(1_000_000.0 * z))
+        return pa.table(
+            {
+                "event_type": pa.array(out_g),
+                "n_a": pa.array(out_n0, pa.int64()),
+                "n_b": pa.array(out_n1, pa.int64()),
+                "z_e6": pa.array(out_z, pa.int64()),
+            }
+        )
+
     def q_orphans(sf_dir: str):
         """Crawl-graph health counts: pages with NO outlinks (PageRank
         dangling mass) and pages never linked to (orphans a pure
@@ -6413,6 +6515,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "out_deg": pa.array(out_deg, pa.int64()),
                 "n_reached": pa.array(out_n, pa.int64()),
                 "harmonic_e6": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def q_crawl_bowtie(sf_dir: str):
+        """Bow-tie decomposition of the directed link graph around its
+        strongest hub (Broder et al. 2000, "Graph structure in the
+        web"): pivot = max (out_deg, url asc); forward and backward
+        BFS within a BOWTIE_H-hop horizon give F = reachable-from and
+        B = reaching; CORE (the pivot's SCC, horizon-capped) = F AND B,
+        IN = B \\ CORE, OUT = F \\ CORE, OTHER = tendrils +
+        disconnected. ONE exact-count row. Both BFS runs reuse the
+        broadcast-frontier machinery (the backward walk is the same
+        kernel over column-swapped edges); the reach sets are
+        node-bounded driver state (the crawl_link_jaccard discipline)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            frontier_bfs,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        edges = (
+            rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(_canon80_src, batch_format="pyarrow")
+        )
+        ded = distinct_on(edges, ["src_url", "dst_url"]).materialize()
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["src_url"]).group_by("src_url").aggregate([([], "count_all")])
+            )
+
+        deg: dict[str, int] = {}
+        for r in ded.map_batches(deg_partial, batch_format="pyarrow").take_all():
+            deg[r["src_url"]] = deg.get(r["src_url"], 0) + r["count_all"]
+        pivot = sorted(deg, key=lambda u: (-deg[u], u))[0]
+
+        def node_partial(t: pa.Table) -> pa.Table:
+            u = pa.concat_arrays(
+                [t["src_url"].combine_chunks(), t["dst_url"].combine_chunks()]
+            )
+            return pa.table({"url": u.unique()})
+
+        nodes: set[str] = set()
+        for r in ded.map_batches(node_partial, batch_format="pyarrow").take_all():
+            nodes.add(r["url"])
+
+        fwd = set(
+            frontier_bfs(ded, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
+        )
+        rev = ded.map_batches(
+            lambda t: pa.table(
+                {"src_url": t["dst_url"], "dst_url": t["src_url"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        bwd = set(
+            frontier_bfs(rev, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
+        )
+        core = fwd & bwd
+        return pa.table(
+            {
+                "pivot": pa.array([pivot], pa.string()),
+                "n_nodes": pa.array([len(nodes)], pa.int64()),
+                "n_core": pa.array([len(core)], pa.int64()),
+                "n_in": pa.array([len(bwd) - len(core)], pa.int64()),
+                "n_out": pa.array([len(fwd) - len(core)], pa.int64()),
+                "n_other": pa.array(
+                    [len(nodes) - len(fwd | bwd)], pa.int64()
+                ),
             }
         )
 
@@ -7213,6 +7393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
         "rel_audience_overlap": q_audience_overlap,
+        "rel_lift": q_rel_lift,
+        "rel_rate_test": q_rel_rate_test,
         "rel_benford": q_benford,
         "rel_corr": q_corr,
         "rel_linfit": q_linfit,
@@ -7246,6 +7428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": q_crawl_hits,
         "crawl_frontier_bfs": q_frontier_bfs,
         "crawl_closeness": q_crawl_closeness,
+        "crawl_bowtie": q_crawl_bowtie,
         "media_features": q_media_features,
         "media_thumbs": q_media_thumbs,
         "media_image_stats": q_media_image_stats,
@@ -10228,6 +10411,57 @@ def _closeness_oracle_sql() -> str:
     """
 
 
+def _bowtie_oracle_sql() -> str:
+    """Oracle for ``crawl_bowtie``: the deduped edge replica, the
+    (out_deg desc, url) pivot, one forward and one backward recursive
+    BFS CTE capped at BOWTIE_H, then the four exact set-algebra counts
+    (core = F AND B; in/out by difference; other by complement)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    return f"""
+    WITH RECURSIVE pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS MATERIALIZED (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    deg AS (SELECT src_url, count(*) AS d FROM edges0 GROUP BY src_url),
+    piv AS (SELECT src_url AS p FROM deg ORDER BY d DESC, src_url LIMIT 1),
+    fwd(url, depth) AS (
+      SELECT p, 0 FROM piv
+      UNION
+      SELECT e.dst_url, f.depth + 1 FROM fwd f
+      JOIN edges0 e ON e.src_url = f.url WHERE f.depth < {BOWTIE_H}),
+    bwd(url, depth) AS (
+      SELECT p, 0 FROM piv
+      UNION
+      SELECT e.src_url, b.depth + 1 FROM bwd b
+      JOIN edges0 e ON e.dst_url = b.url WHERE b.depth < {BOWTIE_H}),
+    f AS (SELECT DISTINCT url FROM fwd),
+    b AS (SELECT DISTINCT url FROM bwd),
+    core AS (SELECT f.url FROM f JOIN b USING (url)),
+    nodes AS (SELECT DISTINCT url FROM (
+        SELECT src_url AS url FROM edges0
+        UNION ALL SELECT dst_url FROM edges0))
+    SELECT (SELECT p FROM piv) AS pivot,
+           (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+           (SELECT CAST(count(*) AS BIGINT) FROM b)
+             - (SELECT count(*) FROM core) AS n_in,
+           (SELECT CAST(count(*) AS BIGINT) FROM f)
+             - (SELECT count(*) FROM core) AS n_out,
+           (SELECT CAST(count(*) AS BIGINT) FROM nodes)
+             - ((SELECT count(*) FROM f) + (SELECT count(*) FROM b)
+                - (SELECT count(*) FROM core)) AS n_other
+    """
+
+
 def _hash_split_oracle_sql() -> str:
     """Oracle for ``rel_hash_split``: the md5-prefix hash64 of the
     stringified key against the SAME floor(cum_frac * 2^63) integer
@@ -11748,6 +11982,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_scatter": _flagship_oracle_sql("bm25"),
         "crawl_frontier_bfs": _frontier_bfs_oracle_sql(),
         "crawl_closeness": _closeness_oracle_sql(),
+        "crawl_bowtie": _bowtie_oracle_sql(),
         "knn_cosine_topk": knn,
         "knn_range_search": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
@@ -12532,6 +12767,37 @@ def oracle_sql() -> dict[str, str]:
     FROM ut a JOIN ut b ON a.user_id = b.user_id
                        AND a.event_type < b.event_type
     GROUP BY a.event_type, b.event_type
+    """,
+        # association lift over distinct users: N * n_ab / (n_a * n_b),
+        # exact integer floor micros
+        "rel_lift": """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+    c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ut GROUP BY event_type),
+    nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT p.type_a, p.type_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+           CAST((1000000 * (SELECT n FROM nn) * p.n_ab)
+                // (ca.n * cb.n) AS BIGINT) AS lift_e6
+    FROM p JOIN c ca ON ca.event_type = p.type_a
+           JOIN c cb ON cb.event_type = p.type_b
+    """,
+        # Poisson rate z between the parity variants: exact counts, ONE
+        # float expression mirrored operand-for-operand
+        "rel_rate_test": """
+    WITH q AS (SELECT event_type, user_id % 2 AS variant FROM events),
+    c AS (SELECT event_type,
+                 CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+          FROM q GROUP BY event_type)
+    SELECT event_type, n0 AS n_a, n1 AS n_b,
+           CAST(floor(1000000.0 * (CAST(n1 - n0 AS DOUBLE)
+                / sqrt(CAST(n1 + n0 AS DOUBLE)))) AS BIGINT) AS z_e6
+    FROM c WHERE n0 + n1 > 0
     """,
         # dense zero-filled hourly grid per type
         "rel_dense_hourly": """

@@ -1053,3 +1053,54 @@ def test_seasonality_share_is_exact_and_zero_filled():
         assert 1_000_000 - 6 <= s <= 1_000_000
         for _i, row in g.iterrows():
             assert row["share_e6"] == (1_000_000 * row["n"]) // g["n"].sum()
+
+
+def test_bowtie_on_fixture_graph():
+    # core cycle a<->b, in-node i->a, out-node b->o, disconnected x->y
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        frontier_bfs,
+    )
+
+    edges = pa.table(
+        {
+            "src_url": pa.array(["a", "b", "i", "b", "x"]),
+            "dst_url": pa.array(["b", "a", "a", "o", "y"]),
+        }
+    )
+    ds = rd.from_arrow(edges)
+    # pivot by (out_deg desc, url): b has out-degree 2
+    fwd = set(frontier_bfs(ds, ["b"], max_depth=8)["url"].to_pylist())
+    rev = rd.from_arrow(
+        pa.table({"src_url": edges["dst_url"], "dst_url": edges["src_url"]})
+    )
+    bwd = set(frontier_bfs(rev, ["b"], max_depth=8)["url"].to_pylist())
+    core = fwd & bwd
+    assert core == {"a", "b"}
+    assert bwd - core == {"i"} and fwd - core == {"o"}
+    nodes = {"a", "b", "i", "o", "x", "y"}
+    assert len(nodes) - len(fwd | bwd) == 2  # the x->y tendril pair
+
+
+def test_lift_and_rate_test_self_consistent():
+    import duckdb as _dd
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    lift = entry.queries()["rel_lift"](sf).to_pandas()
+    n_users = _dd.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    for _i, r in lift.iterrows():
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["lift_e6"] == (1_000_000 * n_users * r["n_ab"]) // (
+            r["n_a"] * r["n_b"]
+        )
+    rate = entry.queries()["rel_rate_test"](sf).to_pandas()
+    import math
+
+    for _i, r in rate.iterrows():
+        z = float(r["n_b"] - r["n_a"]) / math.sqrt(float(r["n_b"] + r["n_a"]))
+        assert r["z_e6"] == math.floor(1_000_000.0 * z)
