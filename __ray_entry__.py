@@ -1768,6 +1768,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_tfidf(sf_dir: str) -> pa.Table:
         return doc_tfidf_topk(_docs(sf_dir), TFIDF_QUERY, k=300, threshold=0.3)
 
+    def q_search_hybrid(sf_dir: str) -> pa.Table:
+        """Two-stage hybrid retrieval cascade (lexical nominate, dense
+        re-order — the standard RAG serving plan): BM25 top-50 over the
+        documents table, candidates re-ranked by embedding cosine vs
+        the query vector (embeddings row vec_id=0), top-10 kept. The
+        corpus-sized embeddings table streams through one vectorized
+        filter+matmul map_batches against the broadcast candidate set;
+        only candidate rows come back."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.doc_search import (
+            hybrid_rerank,
+        )
+
+        return hybrid_rerank(
+            _docs(sf_dir),
+            _tbl(sf_dir, "embeddings"),
+            BM25_QUERY,
+            query_vec_id=0,
+            n_candidates=50,
+            k=10,
+        )
+
     # ---------------- text analysis ----------------
 
     def _stats(sf_dir: str):
@@ -4055,6 +4076,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             "ubucket",
             sessions,
+        )
+
+    def q_scd2(sf_dir: str):
+        """Slowly-changing-dimension type-2 snapshot build: per user,
+        collapse consecutive runs of equal event_type (ordered by ts,
+        event_id) into validity intervals (valid_from inclusive,
+        valid_to = next run's start, NULL while current) with a
+        per-user version counter — the dimension-table construction
+        every warehouse load needs. Same 64-way user bucket + ONE
+        vectorized multi-user run detection as rel_sessionize; no
+        per-user Python."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.shuffle import (
+            hash_map_groups,
+        )
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("ubucket", pa.array((uid % 64).astype(np.int64)))
+
+        def scd2_of_bucket(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].combine_chunks().dictionary_encode()
+            code = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            if ts.size == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "version": pa.array([], pa.int64()),
+                        "event_type": pa.array([], pa.string()),
+                        "valid_from": pa.array([], pa.timestamp("us")),
+                        "valid_to": pa.array([], pa.timestamp("us")),
+                        "n_events": pa.array([], pa.int64()),
+                    }
+                )
+            brk = np.ones(ts.size, dtype=bool)
+            brk[1:] = (uid[1:] != uid[:-1]) | (code[1:] != code[:-1])
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], ts.size) - 1
+            n_events = (ends - starts + 1).astype(np.int64)
+            s_uid = uid[starts]
+            first_of_user = np.ones(starts.size, dtype=bool)
+            first_of_user[1:] = s_uid[1:] != s_uid[:-1]
+            version = np.arange(starts.size) - np.repeat(
+                np.flatnonzero(first_of_user),
+                np.diff(np.append(np.flatnonzero(first_of_user), starts.size)),
+            )
+            valid_from = ts[starts]
+            # next run's start within the same user; the idiomatic SCD-2
+            # far-future sentinel (9999-12-31) marks the current row —
+            # a NULL here would be hash-ambiguous across engines
+            sentinel_us = 253402214400000000  # 9999-12-31T00:00:00 epoch-us
+            nxt = np.full(starts.size, sentinel_us, dtype=np.int64)
+            if starts.size > 1:
+                nxt[:-1] = valid_from[1:]
+            same_user = np.zeros(starts.size, dtype=bool)
+            same_user[:-1] = s_uid[1:] == s_uid[:-1]
+            valid_to = pc.if_else(
+                pa.array(same_user), pa.array(nxt), pa.scalar(sentinel_us, pa.int64())
+            )
+            return pa.table(
+                {
+                    "user_id": pa.array(s_uid),
+                    "version": pa.array(version.astype(np.int64)),
+                    "event_type": et.dictionary.take(pa.array(code[starts])).cast(
+                        pa.string()
+                    ),
+                    "valid_from": pa.array(valid_from).cast(pa.timestamp("us")),
+                    "valid_to": valid_to.cast(pa.timestamp("us")),
+                    "n_events": pa.array(n_events),
+                }
+            )
+
+        return hash_map_groups(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]).map_batches(
+                add_bucket, batch_format="pyarrow", batch_size=None
+            ),
+            "ubucket",
+            scd2_of_bucket,
         )
 
     def q_session_paths(sf_dir: str):
@@ -6424,6 +6533,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pa.table(out)
 
+    def q_crawl_salsa(sf_dir: str):
+        """SALSA hubs/authorities (Lempel & Moran 2000) over the same
+        link graph — the degree-normalized stochastic cousin of HITS
+        (one mega-hub can't dominate every authority it touches). Same
+        block-prepped broadcast physical plan as pagerank/hits;
+        e9-quantized after the last iteration; oracle unrolls the
+        degree-divided half-iterations in SQL."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            salsa,
+        )
+
+        pages_path = pages_for_sf_dir(sf_dir)
+        edges = (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(
+                LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+            )
+            .map_batches(_canon80_src, batch_format="pyarrow")
+        )
+        urls = [
+            _canon80(u)
+            for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        ]
+        t = salsa(edges, urls, iters=HITS_ITERS)
+        out = {"url": t["url"]}
+        for c in ("auth", "hub"):
+            out[c + "_e9"] = pa.array(
+                np.round(t[c].to_numpy(zero_copy_only=False) * 1e9).astype(np.int64)
+            )
+        return pa.table(out)
+
     def q_frontier_bfs(sf_dir: str):
         # frontier-wave BFS over the extracted link graph (the
         # reference crawler's urlQueue loop, Crawler.java:47-213):
@@ -7350,7 +7497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
+        "rel_scd2": q_scd2,
         "rel_session_paths": q_session_paths,
+        "search_hybrid_rerank": q_search_hybrid,
+        "crawl_salsa": q_crawl_salsa,
         "crawl_inlink_concentration": q_inlink_concentration,
         "rel_event_transitions": q_event_transitions,
         "rel_markov": q_markov,
@@ -10641,6 +10791,63 @@ def _hits_oracle_sql() -> str:
     return head + "".join(steps) + tail
 
 
+def _salsa_oracle_sql() -> str:
+    """Oracle for ``crawl_salsa``: same edge/node CTEs as the HITS
+    oracle plus restricted out/in-degree tables; each half-iteration
+    divides the propagated score by the PROPAGATING node's degree
+    (h/outdeg forward, a/indeg backward) then L1-normalizes —
+    identical semantics to ``stages.crawl.salsa``; *_e9 quantized
+    after the final iteration."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    head = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{pages_path}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    edges0 AS (SELECT DISTINCT
+                      regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS src_url,
+                      regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+               FROM hrefs),
+    nodes AS (SELECT DISTINCT regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS url
+              FROM pages),
+    e AS MATERIALIZED (SELECT src_url, dst_url FROM edges0
+          JOIN nodes n1 ON edges0.dst_url = n1.url
+          JOIN nodes n2 ON edges0.src_url = n2.url),
+    od AS MATERIALIZED (SELECT src_url AS url, CAST(count(*) AS DOUBLE) AS d
+                        FROM e GROUP BY src_url),
+    ind AS MATERIALIZED (SELECT dst_url AS url, CAST(count(*) AS DOUBLE) AS d
+                         FROM e GROUP BY dst_url),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS s FROM nodes)"""
+    steps = []
+    for k in range(HITS_ITERS):
+        steps.append(f""",
+    ar{k} AS MATERIALIZED (SELECT nodes.url, coalesce(c.c, 0.0) AS s FROM nodes LEFT JOIN (
+        SELECT e.dst_url AS url, sum(h.s / od.d) AS c
+        FROM e JOIN h{k} h ON e.src_url = h.url JOIN od ON od.url = e.src_url
+        GROUP BY e.dst_url) c ON nodes.url = c.url),
+    a{k + 1} AS MATERIALIZED (SELECT url,
+        coalesce(s / nullif((SELECT sum(s) FROM ar{k}), 0), 0.0) AS s FROM ar{k}),
+    hr{k} AS MATERIALIZED (SELECT nodes.url, coalesce(c.c, 0.0) AS s FROM nodes LEFT JOIN (
+        SELECT e.src_url AS url, sum(a.s / ind.d) AS c
+        FROM e JOIN a{k + 1} a ON e.dst_url = a.url JOIN ind ON ind.url = e.dst_url
+        GROUP BY e.src_url) c ON nodes.url = c.url),
+    h{k + 1} AS MATERIALIZED (SELECT url,
+        coalesce(s / nullif((SELECT sum(s) FROM hr{k}), 0), 0.0) AS s FROM hr{k})""")
+    tail = f"""
+    SELECT a.url,
+           CAST(round(a.s * 1000000000) AS BIGINT) AS auth_e9,
+           CAST(round(h.s * 1000000000) AS BIGINT) AS hub_e9
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (url) ORDER BY a.url
+    """
+    return head + "".join(steps) + tail
+
+
 def _index_update_oracle_sql() -> str:
     """DuckDB twin of ``index_update_stats``: from-scratch (term, df, cf)
     over the whole synthetic corpus, with the incremental-update dedup
@@ -11524,6 +11731,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks GROUP BY term"
         ),
         "doc_bm25_topk": bm25,
+        # hybrid cascade: the SAME bm25 chain at LIMIT 50 nominates,
+        # embedding cosine vs the vec_id=0 query vector re-orders
+        "search_hybrid_rerank": f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             CAST((SELECT count(*) FROM toks) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    q AS (SELECT unnest({BM25_QUERY.split()!r}) AS term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN (SELECT term FROM q) GROUP BY term),
+    cand AS (
+      SELECT tf.doc_id AS doc_id,
+             CAST(round(sum(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))
+             ) * 1000000) AS BIGINT) AS bm25_e6
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+      ORDER BY bm25_e6 DESC, doc_id
+      LIMIT 50
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25_e6,
+           CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             (SELECT v FROM qv)) * 1000000) AS BIGINT)
+             AS cosine_e6
+    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+    ORDER BY cosine_e6 DESC, c.doc_id
+    LIMIT 10
+    """,
         "doc_tfidf_topk": tfidf,
         # exact heavy hitters: the MG pass is candidate generation only
         # (guaranteed superset); the recount is exact, so the oracle is
@@ -11929,6 +12171,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank": _pagerank_oracle_sql(),
         "crawl_ppr": _ppr_oracle_sql(),
         "crawl_hits": _hits_oracle_sql(),
+        "crawl_salsa": _salsa_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_bm25_anchor": _anchor_boost_oracle_sql(),
         "search_boolean_not": _boolean_not_oracle_sql(),
@@ -12945,6 +13188,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_seq
+        """,
+        # SCD-2 intervals: run breaks at event_type change per user
+        # (lag over the same total (ts, event_id) order as the engine's
+        # bucket sort), run_id by running sum, valid_to = next run's
+        # valid_from via lead() (NULL while current)
+        "rel_scd2": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS version
+              FROM e
+            ),
+            runs AS (
+              SELECT user_id, CAST(version AS BIGINT) AS version,
+                     min(event_type) AS event_type,
+                     min(ts) AS valid_from, count(*) AS n_events
+              FROM r GROUP BY user_id, version
+            )
+            SELECT user_id, version, event_type, valid_from,
+                   coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                            TIMESTAMP '9999-12-31') AS valid_to,
+                   n_events
+            FROM runs
         """,
         "rel_anti_join": (
             "SELECT DISTINCT c_custkey FROM customer "

@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyarrow.compute as pc
 import pyarrow as pa
 
 import ray
@@ -207,3 +208,91 @@ def doc_tfidf_topk(
         ["score_e6", "doc_id"], descending=[True, False]
     )
     return pa.Table.from_pandas(out.limit(k).to_pandas(), preserve_index=False)
+
+
+def hybrid_rerank(
+    docs: rd.Dataset,
+    embeddings: rd.Dataset,
+    query: str,
+    query_vec_id: int,
+    *,
+    n_candidates: int = 50,
+    k: int = 10,
+) -> pa.Table:
+    """Two-stage hybrid retrieval cascade (the standard lexical->vector
+    serving plan: a cheap sparse scorer nominates, a dense similarity
+    re-orders): BM25 top-``n_candidates`` over the documents table,
+    then the candidate set ONLY is re-ranked by cosine similarity
+    between each candidate's embedding and the query vector (the
+    embedding row at ``query_vec_id``), keeping the top ``k``.
+
+    Distribution: stage 1 is ``doc_bm25_topk`` (distributed partial
+    scores -> groupby sum -> bounded top-N). Stage 2 broadcasts the
+    N candidate ids + the one query vector and streams the embeddings
+    table through ONE vectorized filter+matmul ``map_batches`` — the
+    corpus-sized side never leaves its blocks; only candidate rows
+    (<= N per batch) come back. Cosines are e6-quantized int64 so the
+    rerank order is float-parity-proof against the SQL twin.
+
+    Output: (doc_id, bm25_e6, cosine_e6), top-k by (cosine_e6 desc,
+    doc_id asc).
+    """
+    cands = doc_bm25_topk(docs, query, k=n_candidates)
+    if cands.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bm25_e6": pa.array([], pa.int64()),
+                "cosine_e6": pa.array([], pa.int64()),
+            }
+        )
+    qvec_tbl = embeddings.filter(expr=f"vec_id == {query_vec_id}").take_all()
+    q = np.asarray(qvec_tbl[0]["embedding"], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    cand_ids = cands["doc_id"].to_numpy(zero_copy_only=False)
+    bm25_by_id = dict(
+        zip(cand_ids.tolist(), cands["score_e6"].to_numpy(zero_copy_only=False).tolist())
+    )
+    state = ray.put((np.sort(cand_ids), q))
+
+    def cosines(batch: pa.Table) -> pa.Table:
+        ids_sorted, qv = ray.get(state)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids_sorted, vid)
+        np.clip(pos, 0, ids_sorted.size - 1, out=pos)
+        keep = ids_sorted[pos] == vid
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cosine_e6": pa.array([], pa.int64())}
+            )
+        sub = batch.filter(pa.array(keep))
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sub["embedding"].to_pylist()]
+        )
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ qv
+        return pa.table(
+            {
+                "doc_id": sub["vec_id"].cast(pa.int64()),
+                "cosine_e6": pa.array(np.rint(cos * 1e6).astype(np.int64)),
+            }
+        )
+
+    # candidate-bounded result (<= n_candidates rows): collect is fine
+    got = pa.Table.from_pandas(
+        embeddings.map_batches(cosines, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    ).cast(pa.schema([("doc_id", pa.int64()), ("cosine_e6", pa.int64())]))
+    order = pc.sort_indices(
+        got, sort_keys=[("cosine_e6", "descending"), ("doc_id", "ascending")]
+    )[:k]
+    got = got.take(order)
+    return pa.table(
+        {
+            "doc_id": got["doc_id"],
+            "bm25_e6": pa.array(
+                [bm25_by_id[i] for i in got["doc_id"].to_pylist()], pa.int64()
+            ),
+            "cosine_e6": got["cosine_e6"],
+        }
+    )

@@ -595,6 +595,150 @@ def hits(
     )
 
 
+def salsa(
+    edges: "rd.Dataset",
+    node_urls: list[str],
+    *,
+    iters: int = 5,
+) -> pa.Table:
+    """SALSA hubs/authorities over the link-edge table (Lempel & Moran
+    2000, "The Stochastic Approach for Link-Structure Analysis") — the
+    third classic link-graph scorer next to ``pagerank`` and ``hits``.
+    Where HITS sums raw neighbor scores, SALSA walks the bipartite
+    hub/authority graph stochastically: each half-step divides the
+    propagated score by the PROPAGATING node's degree, so one massive
+    hub cannot dominate every authority it touches (the tight-knit-
+    community effect HITS suffers).
+
+    Semantics (mirrored exactly by the unrolled-CTE SQL oracle):
+    nodes = crawled page urls; edges restricted to endpoints in the
+    node set (DISTINCT, as extracted); out/in degree = restricted edge
+    counts. h_0 = 1/n; per iteration
+      a(v) = sum_{u->v} h(u) / outdeg(u), then a /= sum(a)
+      h(u) = sum_{u->v} a(v) / indeg(v),  then h /= sum(h).
+    The explicit L1 re-normalization makes the recurrence well-defined
+    on disconnected / dangling graphs (mass parked on zero-out-degree
+    nodes leaves the walk; re-normalizing keeps the scores a
+    distribution — the standard practical fix, and exactly what the
+    oracle replays).
+
+    Physical plan: identical to ``hits`` — each edge block integer-
+    encoded and unique/inverse-decomposed ONCE (object-store resident);
+    per half-iteration one plain Ray task per block returns node-
+    bounded partial sums against the broadcast degree-normalized score
+    vector. Same node-count bound / bucketed-join scale path as the
+    pagerank docstring.
+
+    Returns (url, auth, hub) sorted by url; each column L1-normalized.
+    """
+    import ray
+
+    import numpy as np
+
+    from ..functions.hashing import hash64_array
+
+    urls = sorted(set(node_urls))
+    ids = hash64_array(urls)
+    order = np.argsort(ids)
+    ids, urls = ids[order], [urls[i] for i in order]
+    n = len(urls)
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "auth": pa.array([], pa.float64()),
+                "hub": pa.array([], pa.float64()),
+            }
+        )
+    ids_ref = ray.put(ids)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        node_ids = ray.get(ids_ref)
+        out = {}
+        for col, name in (("src_url", "src_id"), ("dst_url", "dst_id")):
+            d = batch[col].combine_chunks().dictionary_encode()
+            h = hash64_array(d.dictionary.to_pylist())
+            out[name] = h[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        pos_s = np.searchsorted(node_ids, out["src_id"])
+        pos_d = np.searchsorted(node_ids, out["dst_id"])
+        np.clip(pos_s, 0, n - 1, out=pos_s)
+        np.clip(pos_d, 0, n - 1, out=pos_d)
+        keep = (node_ids[pos_s] == out["src_id"]) & (node_ids[pos_d] == out["dst_id"])
+        return pa.table(
+            {"src_id": pa.array(out["src_id"][keep]), "dst_id": pa.array(out["dst_id"][keep])}
+        )
+
+    edges_i = edges.map_batches(to_int, batch_format="pyarrow").materialize()
+
+    @ray.remote(num_returns=2)
+    def prep_block(block, node_ids_r):
+        if isinstance(block, pa.RecordBatch):
+            block = pa.Table.from_batches([block])
+        si = np.searchsorted(node_ids_r, block["src_id"].to_numpy(zero_copy_only=False))
+        di = np.searchsorted(node_ids_r, block["dst_id"].to_numpy(zero_copy_only=False))
+        su, sinv = np.unique(si, return_inverse=True)
+        du, dinv = np.unique(di, return_inverse=True)
+        deg_out = np.bincount(si, minlength=len(node_ids_r)).astype(np.int64)
+        deg_in = np.bincount(di, minlength=len(node_ids_r)).astype(np.int64)
+        prep = (
+            si.astype(np.int64),
+            di.astype(np.int64),
+            su.astype(np.int64),
+            sinv.astype(np.int64),
+            du.astype(np.int64),
+            dinv.astype(np.int64),
+        )
+        return prep, np.stack([deg_out, deg_in])
+
+    pairs = [prep_block.remote(r, ids_ref) for r in edges_i.to_arrow_refs()]
+    prep_refs = [p for p, _d in pairs]  # edge-sized: stay in the object store
+    deg_out = np.zeros(n, dtype=np.float64)
+    deg_in = np.zeros(n, dtype=np.float64)
+    for dl in ray.get([d for _p, d in pairs]):  # node-bounded: driver sums
+        deg_out += dl[0]
+        deg_in += dl[1]
+    inv_out = np.where(deg_out > 0, 1.0 / np.maximum(deg_out, 1.0), 0.0)
+    inv_in = np.where(deg_in > 0, 1.0 / np.maximum(deg_in, 1.0), 0.0)
+
+    @ray.remote
+    def fwd(prep, w):  # authority partials: gather w at src, sum per dst
+        si, _di, _su, _sinv, du, dinv = prep
+        s = np.zeros(du.size, dtype=np.float64)
+        np.add.at(s, dinv, w[si])
+        return du, s
+
+    @ray.remote
+    def bwd(prep, w):  # hub partials: gather w at dst, sum per src
+        _si, di, su, sinv, _du, _dinv = prep
+        s = np.zeros(su.size, dtype=np.float64)
+        np.add.at(s, sinv, w[di])
+        return su, s
+
+    def gather(task, weighted):
+        ref = ray.put(weighted)
+        out = np.zeros(n, dtype=np.float64)
+        for pos, s in ray.get([task.remote(p, ref) for p in prep_refs]):
+            np.add.at(out, pos, s)
+        tot = out.sum()
+        return out / tot if tot > 0 else out
+
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _it in range(iters):
+        auth = gather(fwd, hub * inv_out)
+        hub = gather(bwd, auth * inv_in)
+
+    by_url = sorted(range(n), key=lambda i: urls[i])
+    idx = np.array(by_url)
+    return pa.table(
+        {
+            "url": pa.array([urls[i] for i in by_url], pa.string()),
+            "auth": pa.array(auth[idx], pa.float64()),
+            "hub": pa.array(hub[idx], pa.float64()),
+        }
+    )
+
+
 def out_degree(links: "pa.Table") -> pa.Table:
     """Per-page out-degree from a link-edge table (vectorized)."""
     agg = links.group_by("src_url").aggregate([([], "count_all")])
