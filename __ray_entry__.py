@@ -448,7 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
         TextStatsStage,
     )
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     # ---------------- search engine ----------------
 
@@ -3053,6 +3053,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_grouping_sets(sf_dir: str):
+        """GROUP BY GROUPING SETS ((flag), (status)) — the generic
+        multi-set sibling of rollup/cube (neither hierarchical nor the
+        full power set): the two 1-D marginals only. Same physical
+        plan as q_cube: ONE distributed finest-level aggregation, both
+        requested sets re-aggregated locally from that group-count-
+        bounded result; absent grouping columns are NULL."""
+        ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
+        )
+
+        import pandas as pd
+
+        df = finest.to_pandas()
+        lvl_f = (
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            .sum()
+            .assign(l_linestatus=None)
+        )
+        lvl_s = (
+            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_raw"]]
+            .sum()
+            .assign(l_returnflag=None)
+        )
+        allv = pd.concat([lvl_f, lvl_s], ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
+                "n_rows": pa.array(allv["n_rows"].astype("int64")),
+                "sum_qty_e2": pa.array(
+                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
     def q_broadcast_join(sf_dir: str):
         import pyarrow.parquet as pq
 
@@ -4805,6 +4844,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_quantiles(
             _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+        )
+
+    def q_quantiles_cont(sf_dir: str):
+        # exact per-group CONTINUOUS (interpolated) quantiles: same
+        # ONE-histogram-shuffle plan as rel_quantiles, interpolation in
+        # exact rational arithmetic (stages/ops.py:grouped_quantiles_cont)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_quantiles_cont,
+        )
+
+        return grouped_quantiles_cont(
+            _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+        )
+
+    def q_rfm(sf_dir: str):
+        """RFM customer segmentation over the event stream: per user
+        recency (last event ts), frequency (event count), monetary
+        (exact e2 value sum) from ONE distributed groupby; the three
+        NTILE(4) scores are then assigned on the group-count-bounded
+        aggregate (descending metric, user_id tiebreak — DuckDB's
+        ntile bucket-size rule: first n%4 buckets take the extra row).
+        At 100 TB the aggregate is |users| rows — the bounded side; the
+        scale path for the score pass is the same bounded-histogram
+        threshold trick as percentile_rank."""
+        ds = _tbl(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts_us": t["ts"].cast(pa.int64()),
+                    "value_e2": pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(
+                Max("ts_us", alias_name="last_ts_us"),
+                Count(alias_name="n_events"),
+                Sum("value_e2", alias_name="monetary_e2"),
+            )
+        )
+        t = pa.concat_tables(
+            [b for b in agg.iter_batches(batch_format="pyarrow")]
+        ).combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
+
+        def ntile4_desc(metric: np.ndarray) -> np.ndarray:
+            # rank rows by (metric DESC, user_id ASC), then DuckDB's
+            # ntile fill: first n%4 buckets get ceil(n/4) rows
+            order = np.lexsort((uid, -metric))
+            base, rem = divmod(n, 4)
+            sizes = np.full(4, base, dtype=np.int64)
+            sizes[:rem] += 1
+            bucket_of_pos = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+            out = np.empty(n, dtype=np.int64)
+            out[order] = bucket_of_pos
+            return out
+
+        last = t["last_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        freq = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mon = t["monetary_e2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_ts_us": pa.array(last),
+                "n_events": pa.array(freq),
+                "monetary_e2": pa.array(mon),
+                "r_score": pa.array(ntile4_desc(last)),
+                "f_score": pa.array(ntile4_desc(freq)),
+                "m_score": pa.array(ntile4_desc(mon)),
+            }
         )
 
     def q_mad_outliers(sf_dir: str):
@@ -7519,7 +7636,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": q_rollup,
         "rel_pivot": q_pivot,
         "rel_cube": q_cube,
+        "rel_grouping_sets": q_grouping_sets,
         "rel_quantiles": q_quantiles,
+        "rel_quantiles_cont": q_quantiles_cont,
+        "rel_rfm": q_rfm,
         "rel_mad_outliers": q_mad_outliers,
         "rel_percentile_rank": q_percentile_rank,
         "rel_skyline": q_skyline,
@@ -13278,6 +13398,37 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000000)
                      AS BIGINT) AS ma3_e6
             FROM events
+        """,
+        "rel_grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        # continuous quantiles: h = q*(n-1) is EXACT in double for
+        # q in {.25,.5,.75} (binary-exact q times an integer), and the
+        # interpolated value*1e4 is integral (2500*dv), so the float
+        # round matches the kernel's exact-rational result
+        "rel_quantiles_cont": """
+            SELECT event_type,
+                   CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) * 10000) AS BIGINT) AS p25_e6,
+                   CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.50) * 10000) AS BIGINT) AS p50_e6,
+                   CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) * 10000) AS BIGINT) AS p75_e6
+            FROM events GROUP BY event_type
+        """,
+        # RFM: one grouped aggregate, then ntile(4) per dimension
+        # (metric DESC, user_id tiebreak)
+        "rel_rfm": """
+            WITH a AS (SELECT user_id,
+                              max(epoch_us(ts)) AS last_ts_us,
+                              count(*) AS n_events,
+                              sum(CAST(round(value * 100) AS BIGINT)) AS monetary_e2
+                       FROM events GROUP BY user_id)
+            SELECT user_id, last_ts_us, n_events, monetary_e2,
+                   CAST(ntile(4) OVER (ORDER BY last_ts_us DESC, user_id) AS BIGINT) AS r_score,
+                   CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_score,
+                   CAST(ntile(4) OVER (ORDER BY monetary_e2 DESC, user_id) AS BIGINT) AS m_score
+            FROM a
         """,
         # exact discrete quantiles; DuckDB's quantile_disc index rule is
         # max(0, ceil(q*n)-1) — the histogram kernel implements the same

@@ -803,6 +803,73 @@ def grouped_quantiles(
     return hash_map_groups(hist, group_col, pick)
 
 
+def grouped_quantiles_cont(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    *,
+    scale: int = 100,
+) -> rd.Dataset:
+    """Per-group CONTINUOUS (linearly interpolated) quantiles — the
+    ``quantile_cont`` twin of ``grouped_quantiles``. Same distributed
+    bounded histogram (map-side (group, value_q) combine, ONE narrow
+    shuffle of histogram rows, no data sort); the per-group kernel
+    applies the standard interpolation rule h = q*(n-1),
+    v[floor(h)] + frac*(v[floor(h)+1] - v[floor(h)]), evaluated in
+    EXACT rational arithmetic (``Fraction``) over the cumulative
+    counts — the binary-float h drifts below integer ranks for many
+    (q, n) pairs, which would pick the wrong bracket.
+
+    Output: one row per group with ``p{q*100:g}_e6`` int64 columns
+    (the interpolated value at the original unit, e6-quantized)."""
+
+    def _pname(q: float) -> str:
+        return f"p{q * 100:g}_e6".replace(".", "_")
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        )
+        qt = pa.table({group_col: t[group_col], "__vq": v.cast(pa.int64())})
+        agg = qt.group_by([group_col, "__vq"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "__vq", "__n"])
+
+    out_mult = 1_000_000 // scale  # vq (e.g. cents) -> e6 of the unit
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        idx = pc.sort_indices(g["__vq"])
+        vq = g["__vq"].to_numpy(zero_copy_only=False)[idx]
+        nn = g["__n"].to_numpy(zero_copy_only=False)[idx]
+        first = np.ones(vq.size, dtype=bool)
+        first[1:] = vq[1:] != vq[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(nn, starts)
+        vals = vq[starts]
+        cum = np.cumsum(sums)
+        n = int(cum[-1])
+        cols = {group_col: g.slice(0, 1)[group_col]}
+        for q in qs:
+            h = Fraction(str(q)) * (n - 1)
+            lo = int(h)  # floor for the non-negative h
+            frac = h - lo
+            j = int(np.searchsorted(cum, lo + 1, side="left"))
+            v_lo = int(vals[min(j, vals.size - 1)])
+            if frac == 0:
+                res = Fraction(v_lo)
+            else:
+                j2 = int(np.searchsorted(cum, lo + 2, side="left"))
+                v_hi = int(vals[min(j2, vals.size - 1)])
+                res = v_lo + frac * (v_hi - v_lo)
+            cols[_pname(q)] = pa.array([round(res * out_mult)], pa.int64())
+        return pa.table(cols)
+
+    hist = ds.map_batches(partial_hist, batch_format="pyarrow")
+    return hash_map_groups(hist, group_col, pick)
+
+
 def grouped_skyline_2d(
     ds: rd.Dataset,
     group_col: str,
