@@ -1297,6 +1297,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_mm(sf_dir: str) -> pa.Table:
+        """minimum_should_match retrieval (mm=2): docs matching >= 2
+        distinct query terms, flagship-BM25-ranked
+        (``SearchIndex.bm25_mm_topk``); e6 contract like the OR rows."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            ranked = idx.bm25_mm_topk(q, k=50, mm=2)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def q_search_dismax(sf_dir: str) -> pa.Table:
+        """DisMax retrieval (tie=0.3): per distinct term the flagship
+        BM25 clause score, doc score = max + tie*(sum-max)
+        (``SearchIndex.dismax_topk``)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            ranked = idx.dismax_topk(q, k=50, tie=0.3)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
     def q_search_explain(sf_dir: str) -> pa.Table:
         """Score EXPLAIN rows — per (top-3 doc, matched term): tf, df
         and the single-occurrence BM25 contribution in micros
@@ -7489,6 +7549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # page 1's last (score_e6, doc_id); no scroll state server-side)
         "search_page2": q_search_page2,
         "search_bm25_conjunctive": q_search_conj,
+        "search_bm25_mm": q_search_mm,
+        "search_dismax": q_search_dismax,
         "search_explain": q_search_explain,
         "search_bm25f": q_search_bm25f,
         "index_shard_stats": q_index_shard_stats,
@@ -8182,6 +8244,21 @@ def _flagship_oracle_sql(
             "JOIN dl ON tf.doc_id = dl.doc_id, stats"
         )
         having = ""
+    elif scorer == "dismax":
+        # DisMax over DISTINCT query terms: best clause + 0.3 * rest,
+        # each clause the flagship BM25 contribution
+        _term = (
+            "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+            " * (tf.tf * (1.2 + 1))"
+            " / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))"
+        )
+        score_expr = f"max({_term}) + 0.3 * (sum({_term}) - max({_term}))"
+        joins = (
+            "FROM (SELECT DISTINCT qid, term FROM q) q "
+            "JOIN df USING (term) JOIN tf ON tf.term = q.term "
+            "JOIN dl ON tf.doc_id = dl.doc_id, stats"
+        )
+        having = ""
     elif scorer == "lm":
         # query-likelihood with Dirichlet smoothing (SearchIndex.
         # lm_dirichlet_topk, mu=2000): matched-term sum
@@ -8504,6 +8581,24 @@ def _flagship_oracle_sql(
                 AS BIGINT) AS "rank",
            doc_id, score_e6
     FROM conj
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
+    elif variant == "mm":
+        # minimum_should_match (mm=2): a doc qualifies iff it matches
+        # >= least(2, #distinct query terms) DISTINCT terms — absent
+        # terms count as unmatched clauses, exactly like the engine
+        collapse_ctes = """,
+    nq AS (SELECT qid, count(DISTINCT term) AS m FROM q GROUP BY qid),
+    hits AS (SELECT q.qid, tf.doc_id, count(DISTINCT q.term) AS nm
+             FROM q JOIN tf ON tf.term = q.term GROUP BY q.qid, tf.doc_id),
+    mmok AS (SELECT e6.* FROM e6
+             JOIN hits ON hits.qid = e6.qid AND hits.doc_id = e6.doc_id
+             JOIN nq ON nq.qid = e6.qid
+             WHERE hits.nm >= least(2, nq.m))"""
+        final_select = """SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, score_e6
+    FROM mmok
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
     elif variant == "explain":
         # per-(top-3 doc, matched term) BM25 contribution breakdown;
@@ -11715,6 +11810,8 @@ def oracle_sql() -> dict[str, str]:
         "search_lm_dirichlet": _flagship_oracle_sql("lm"),
         "search_page2": _flagship_oracle_sql("bm25", variant="page2"),
         "search_bm25_conjunctive": _flagship_oracle_sql("bm25", variant="conj"),
+        "search_bm25_mm": _flagship_oracle_sql("bm25", variant="mm"),
+        "search_dismax": _flagship_oracle_sql("dismax"),
         "search_explain": _flagship_oracle_sql("bm25", variant="explain"),
         "search_bm25f": _bm25f_oracle_sql(),
         "index_shard_stats": _docs_cte()

@@ -833,3 +833,71 @@ def test_eval_map_formula_manual():
     # scores exactly 1.0
     ap_num = sum(i * (2520 // i) for i in range(1, 4))
     assert (1_000_000 * ap_num) // (2520 * 3) == 1_000_000
+
+
+def test_bm25_mm_topk(built):
+    _pages, _paths, idx, _oracle = built
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    nonempty = 0
+    for _qid, q in reference_queries():
+        got = idx.bm25_mm_topk(q, 10, mm=2)
+        exh = dict(idx.bm25_topk_exhaustive(q, 10**6))
+        terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+        required = min(2, len(set(tokenize_query(q))))
+        for d, s in got:
+            # mm results carry the flagship OR score ...
+            assert s == exh[d], q
+            # ... and match >= required distinct terms
+            nm = 0
+            for t in terms:
+                p = idx.postings(t)
+                i = int(np.searchsorted(p.ids, d))
+                nm += i < p.ids.size and p.ids[i] == d
+            assert nm >= required, (q, d)
+        if got:
+            nonempty += 1
+        # mm=1 degenerates to the flagship OR ranking
+        assert idx.bm25_mm_topk(q, 10, mm=1) == idx.bm25_topk_exhaustive(q, 10)
+        # mm = #terms degenerates to strict AND (same doc set)
+        if terms and len(terms) == len(set(tokenize_query(q))):
+            a = {d for d, _ in idx.bm25_mm_topk(q, 10**6, mm=len(terms))}
+            b = {d for d, _ in idx.bm25_conjunctive_topk(q, 10**6)}
+            assert a == b, q
+    assert nonempty >= 5
+    # one indexed term + mm=2 -> empty (absent term is an unmatched clause)
+    assert idx.bm25_mm_topk("the zzqxnothing", 10, mm=2) == []
+
+
+def test_dismax_topk(built):
+    _pages, _paths, idx, _oracle = built
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    checked = 0
+    for _qid, q in reference_queries():
+        got = idx.dismax_topk(q, 10, tie=0.3)
+        terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+        if not terms:
+            assert got == []
+            continue
+        # brute-force re-derivation: per-doc clause scores
+        clause = {}
+        for t in terms:
+            p = idx.postings(t)
+            contrib = idx.bm25_idf(p.df) * idx._bm25_tf_part(
+                p.tfs.astype(np.float64), p.dls.astype(np.float64)
+            )
+            for d, c in zip(p.ids.tolist(), contrib.tolist()):
+                clause.setdefault(d, []).append(c)
+        want = {d: max(cs) + 0.3 * (sum(cs) - max(cs)) for d, cs in clause.items()}
+        for d, s in got:
+            assert abs(s - want[d]) < 1e-12, (q, d)
+        # tie=1.0 degenerates to the distinct-term additive OR score
+        for d, s in idx.dismax_topk(q, 5, tie=1.0):
+            assert abs(s - sum(clause[d])) < 1e-12, (q, d)
+        checked += 1
+    assert checked >= 10

@@ -647,6 +647,67 @@ class SearchIndex:
             acc += self.bm25_idf(p.df) * self._bm25_tf_part(tfs, dls)
         return _topk(cand, acc, k)
 
+    def bm25_mm_topk(self, query: str, k: int = 10, mm: int = 2) -> list[tuple[int, float]]:
+        """minimum_should_match retrieval (Lucene's ``mm`` knob — the
+        middle ground between the reference's additive OR,
+        ``Searcher.java:139-150``, and strict AND): a doc qualifies iff
+        it matches at least ``min(mm, #distinct query terms)`` DISTINCT
+        query terms; qualifying docs are ranked by the flagship
+        duplicate-preserving BM25 sum (same kernels as
+        ``bm25_topk_exhaustive``). The required count clamps to the
+        clause count like Lucene, and counts terms absent from the
+        index as unmatched (so mm=2 with one indexed term = empty)."""
+        toks = tokenize_query(query)
+        required = min(mm, len(set(toks)))
+        q_terms = [t for t in toks if self.has_term(t)]
+        if required == 0 or not q_terms:
+            return []
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        nmatch = np.zeros(uniq.size, dtype=np.int64)
+        for t in set(q_terms):
+            p = self.postings(t)
+            nmatch[np.searchsorted(uniq, p.ids)] += 1
+        keep = nmatch >= required
+        return _topk(uniq[keep], acc[keep], k)
+
+    def dismax_topk(self, query: str, k: int = 10, tie: float = 0.3) -> list[tuple[int, float]]:
+        """Disjunction-max retrieval (Lucene DisMaxQuery): each DISTINCT
+        query term is one clause scored with the flagship BM25 kernel;
+        a doc's score is its best clause plus ``tie`` times the rest —
+        ``max + tie * (sum - max)`` — so a doc strong on ONE term beats
+        a doc mediocre on many (the additive-OR failure mode)."""
+        q_terms = sorted({t for t in tokenize_query(query) if self.has_term(t)})
+        if not q_terms:
+            return []
+        all_ids, all_scores = [], []
+        for t in q_terms:
+            p = self.postings(t)
+            all_ids.append(p.ids)
+            all_scores.append(
+                self.bm25_idf(p.df)
+                * self._bm25_tf_part(p.tfs.astype(np.float64), p.dls.astype(np.float64))
+            )
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        best = np.zeros(uniq.size, dtype=np.float64)
+        np.maximum.at(best, inv, scores)
+        return _topk(uniq, best + tie * (acc - best), k)
+
     def explain_topk(self, query: str, k: int = 3) -> list[dict]:
         """Score EXPLAIN for the e6 top-``k`` results: one row per
         (doc, matched distinct term) with the term's tf, df and its
