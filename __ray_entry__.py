@@ -2806,6 +2806,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def q_knn_matryoshka(sf_dir: str):
+        # Matryoshka retrieval: exact cosine top-k on the FIRST 16 of
+        # 64 components (stages/ann.py:knn_brute_force dims=16) — the
+        # MRL coarse-search pattern: 4x fewer FLOPs and bytes per probe
+        qids, qm = _query_matrix(sf_dir)
+        out = knn_brute_force(_tbl(sf_dir, "embeddings"), qm, k=KNN_K, dims=16)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = pc.take(pa.array(qids, pa.int64()), t["query_id"])
+            return t.set_column(t.schema.get_field_index("query_id"), "query_id", mapped)
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
+    def q_embedding_centroids(sf_dir: str):
+        # per-label exact integer centroid components (stages/ann.py:
+        # grouped_centroids — map-side reduceat combine, ONE narrow
+        # groupby over (label, dim) partials)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            grouped_centroids,
+        )
+
+        return grouped_centroids(
+            _tbl(sf_dir, "embeddings", ["label", "embedding"]), "label", "embedding"
+        )
+
     def q_knn_range(sf_dir: str):
         # cosine RANGE query (radius 0.30): shuffle-free per-block
         # threshold filter, no top-k merge (stages/ann.py:
@@ -7622,6 +7647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_eval": q_dedup_eval,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
+        "knn_matryoshka_topk": q_knn_matryoshka,
+        "embedding_centroids": q_embedding_centroids,
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -11736,6 +11763,27 @@ def oracle_sql() -> dict[str, str]:
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
     """
 
+    knn_matryoshka = f"""
+    WITH q AS (SELECT vec_id AS query_id, list_slice(embedding, 1, 16) AS embedding
+               FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+    s AS (SELECT q.query_id, e.vec_id,
+                 CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
+          FROM q CROSS JOIN embeddings e)
+    SELECT query_id, vec_id, cosine_e6 FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
+    """
+
+    embedding_centroids = """
+    WITH x AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS d
+               FROM embeddings)
+    SELECT label, CAST(d - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM x GROUP BY label, d
+    """
+
 
     lang_id = f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
@@ -12444,6 +12492,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_closeness": _closeness_oracle_sql(),
         "crawl_bowtie": _bowtie_oracle_sql(),
         "knn_cosine_topk": knn,
+        "knn_matryoshka_topk": knn_matryoshka,
+        "embedding_centroids": embedding_centroids,
         "knn_range_search": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
     s AS (SELECT q.query_id, e.vec_id,

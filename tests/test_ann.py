@@ -417,3 +417,48 @@ def test_semantic_dedup_matches_numpy_and_partitioning():
     # caught — and a healthy majority should share one (non-vacuous)
     caught = sum(1 for a, b in planted if want_dup.get(b) is not None)
     assert caught >= len(planted) * 0.5, caught
+
+
+def test_knn_matryoshka_truncates_correctly():
+    ids, m = _load()
+    d = 16
+    qn = _norm(m[:5, :d])
+    mn = _norm(m[:, :d])
+    sims = np.rint((qn @ mn.T) * 1e6).astype(np.int64)
+    ds = rd.read_parquet(EMB)
+    got = knn_brute_force(ds, m[:5], k=10, dims=d).to_pandas()
+    for qi in range(5):
+        row = sims[qi]
+        order = np.lexsort((ids, -row))[:10]
+        sub = got[got["query_id"] == qi].sort_values(
+            ["cosine_e6", "vec_id"], ascending=[False, True]
+        )
+        assert sub["vec_id"].tolist() == ids[order].tolist()
+        assert sub["cosine_e6"].tolist() == row[order].tolist()
+    # dims=None is exactly the full-width ranking
+    full = knn_brute_force(ds, m[:5], k=10).to_pandas()
+    trunc_none = knn_brute_force(ds, m[:5], k=10, dims=None).to_pandas()
+    assert full.equals(trunc_none)
+
+
+def test_grouped_centroids_exact_integers():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        grouped_centroids,
+    )
+
+    t = pq.read_table(EMB)
+    labs = t["label"].to_numpy()
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.copysign(np.floor(np.abs(m * 1e6) + 0.5), m).astype(np.int64)
+    got = (
+        grouped_centroids(rd.read_parquet(EMB), "label", "embedding")
+        .to_pandas()
+        .set_index(["label", "dim"])
+        .sort_index()
+    )
+    assert len(got) == len(set(labs.tolist())) * m.shape[1]
+    for lab in sorted(set(labs.tolist()))[:4]:
+        rows = q[labs == lab]
+        for dim in (0, 1, 63):
+            assert got.loc[(lab, dim), "sum_e6"] == rows[:, dim].sum()
+            assert got.loc[(lab, dim), "n_vecs"] == rows.shape[0]

@@ -58,6 +58,7 @@ def knn_brute_force(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> rd.Dataset:
     """Exact cosine top-k of every query vector against the dataset.
 
@@ -66,13 +67,19 @@ def knn_brute_force(
     deterministic tie-break (cosine desc, vec_id asc). Fixed-point
     integers pin cross-engine float parity (a float round() can differ
     by 1 ulp between engines; an integer cannot).
+
+    ``dims``: Matryoshka truncation — score on the first ``dims``
+    components only (MRL-style embeddings front-load information, so a
+    prefix is a cheap coarse index: 4x fewer FLOPs/bytes at dims=d/4).
+    Truncation happens inside the batch kernel on the zero-copy matrix
+    view; the stored column is never rewritten.
     """
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64)[:, :dims])
     q_ref = ray.put(qn)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q: np.ndarray = ray.get(q_ref)
-        m = _normalize(_mat(batch[vec_col]))
+        m = _normalize(_mat(batch[vec_col])[:, :dims])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sims = np.rint((q @ m.T) * 1e6).astype(np.int64)  # (Q, n) micros
         kk = min(k, sims.shape[1])
@@ -1169,4 +1176,61 @@ def semantic_dedup(
         "cluster",
         dedup_cluster,
         num_partitions=_merge_partitions(k),
+    )
+
+
+def grouped_centroids(
+    ds: rd.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Per-group embedding centroid as EXACT integers: one row per
+    (group, dim) with the e6-quantized component sum and the vector
+    count (mean = sum_e6 / n_vecs, derivable without float drift — the
+    clustering-prep primitive: class prototypes, topic centroids,
+    nearest-centroid routing).
+
+    Plan: each batch quantizes its matrix once (round-half-away, the
+    SQL round() rule) and reduces per local group via one lexsort +
+    ``np.add.reduceat`` — the map-side combine — emitting at most
+    |batch groups| x d narrow rows; ONE distributed groupby over the
+    (group, dim)-bounded partials finishes. The corpus never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _mat(batch[vec_col])
+        if m.size == 0:
+            empty_g = batch[group_col].combine_chunks().slice(0, 0)
+            return pa.table(
+                {
+                    group_col: empty_g,
+                    "dim": pa.array([], pa.int64()),
+                    "sum_e6": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        q = np.copysign(np.floor(np.abs(m * 1e6) + 0.5), m).astype(np.int64)
+        labs = batch[group_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(labs, kind="stable")
+        labs_s, q_s = labs[order], q[order]
+        first = np.ones(labs_s.size, dtype=bool)
+        first[1:] = labs_s[1:] != labs_s[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(q_s, starts, axis=0)  # (G, d)
+        counts = np.diff(np.append(starts, labs_s.size))
+        g, d = sums.shape
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(labs_s[starts], d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+                "sum_e6": pa.array(sums.ravel()),
+                "n_vecs": pa.array(np.repeat(counts.astype(np.int64), d)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n_vecs", alias_name="n_vecs"))
     )
