@@ -3732,6 +3732,146 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_tpch_q3(sf_dir: str):
+        # TPC-H Q3 shape (shipping-priority): small-side customer
+        # segment filter BROADCAST into the orders scan, big-big
+        # lineitem x orders on the shared orderkey bucket join, exact
+        # cents*percent integer revenue, distributed multi-key sort for
+        # the top 10 (o_orderpriority stands in for o_shippriority —
+        # the synthetic orders table carries priority, not shippriority)
+        import pyarrow.parquet as pq
+        import ray
+        from datetime import datetime
+
+        cut = datetime(1998, 7, 1)
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        keys_ref = ray.put(pa.array(sorted(keys.to_pylist()), pa.int64()))
+
+        def od_prep(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            t = t.filter(
+                pc.and_(
+                    pc.less(t["o_orderdate"], pa.scalar(cut)),
+                    pc.is_in(t["o_custkey"], value_set=ks),
+                )
+            )
+            return pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "o_date_us": t["o_orderdate"].cast(pa.int64()),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+
+        od = _tbl(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(od_prep, batch_format="pyarrow")
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+            ext = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            disc = np.rint(
+                (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {"orderkey": t["l_orderkey"], "rev_e4": pa.array(ext * disc)}
+            )
+
+        li = _tbl(
+            sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ).map_batches(li_prep, batch_format="pyarrow")
+
+        j = shuffle_join(
+            li, od, "orderkey", left_cols=["rev_e4"], right_cols=["o_date_us", "o_orderpriority"]
+        )
+        agg = j.groupby(["orderkey", "o_date_us", "o_orderpriority"]).aggregate(
+            Sum("rev_e4", alias_name="revenue_e4")
+        )
+        top = agg.sort(
+            ["revenue_e4", "o_date_us", "orderkey"], descending=[True, False, False]
+        ).limit(10)
+        t = pa.concat_tables([b for b in top.iter_batches(batch_format="pyarrow")])
+        return t.select(["orderkey", "revenue_e4", "o_date_us", "o_orderpriority"])
+
+    def q_tpch_q18(sf_dir: str):
+        # TPC-H Q18 shape (large-volume customers): distributed
+        # per-order quantity rollup, HAVING > 300 admits a tiny order
+        # set, ONE bucket join back to orders, customer names mapped
+        # from the broadcast dimension; whole qualifying set returned
+        # (no LIMIT — the threshold bounds it)
+        import pyarrow.parquet as pq
+        import ray
+
+        qty = (
+            _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "orderkey": t["l_orderkey"],
+                        "qty_e2": pc.round(
+                            pc.multiply(t["l_quantity"], 100.0),
+                            round_mode="half_towards_infinity",
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("orderkey")
+            .aggregate(Sum("qty_e2", alias_name="sum_qty_e2"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["sum_qty_e2"], 300 * 100)),
+                batch_format="pyarrow",
+            )
+        )
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+        )
+        cust_ref = ray.put(cust)
+
+        def od_prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "o_custkey": t["o_custkey"],
+                    "o_date_us": t["o_orderdate"].cast(pa.int64()),
+                    "totalprice_e2": pc.round(
+                        pc.multiply(t["o_totalprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        od = _tbl(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(od_prep, batch_format="pyarrow")
+
+        j = shuffle_join(
+            qty,
+            od,
+            "orderkey",
+            left_cols=["sum_qty_e2"],
+            right_cols=["o_custkey", "o_date_us", "totalprice_e2"],
+        )
+
+        def add_name(t: pa.Table) -> pa.Table:
+            c = ray.get(cust_ref)
+            pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
+            return t.append_column("c_name", pc.take(c["c_name"].combine_chunks(), pos))
+
+        out = j.map_batches(add_name, batch_format="pyarrow")
+        return pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")]
+        ).select(
+            ["c_name", "o_custkey", "orderkey", "o_date_us", "totalprice_e2", "sum_qty_e2"]
+        )
+
     def q_rel_star_q5(sf_dir: str):
         # TPC-H Q5 shape — the DEEP join chain (region -> nation ->
         # customer -> orders -> lineitem -> supplier): every dimension
@@ -5031,6 +5171,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return grouped_percentile_rank(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
+            "event_type",
+            "value",
+            "event_id",
+        )
+
+    def q_cume_dist(sf_dir: str):
+        # per-row cume_dist() within event_type WITHOUT a per-group
+        # data sort: same bounded-histogram broadcast as percent_rank,
+        # inclusive count / n (stages/ops.py:grouped_cume_dist)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_cume_dist,
+        )
+
+        return grouped_cume_dist(
             _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
             "event_type",
             "value",
@@ -7688,6 +7843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skew_join_agg": q_skew_join,
         "rel_star_topk": q_rel_star,
         "rel_star_q5": q_rel_star_q5,
+        "rel_tpch_q3": q_tpch_q3,
+        "rel_tpch_q18": q_tpch_q18,
         "rel_promo_share": q_promo_share,
         "rel_small_qty_share": q_small_qty_share,
         "rel_supplier_rank": q_supplier_rank,
@@ -7731,6 +7888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rfm": q_rfm,
         "rel_mad_outliers": q_mad_outliers,
         "rel_percentile_rank": q_percentile_rank,
+        "rel_cume_dist": q_cume_dist,
         "rel_skyline": q_skyline,
         "rel_interarrival": q_interarrival,
         "rel_winsorized_agg": q_winsorized,
@@ -12674,6 +12832,35 @@ def oracle_sql() -> dict[str, str]:
     WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.c < a.sq
     """,
         # TPC-H Q5 shape: local-supplier revenue per ASIA nation
+        "rel_tpch_q3": """
+            WITH li AS (SELECT l_orderkey,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_e4
+                        FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'),
+            od AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   WHERE c_mktsegment = 'BUILDING'
+                     AND o_orderdate < TIMESTAMP '1998-07-01')
+            SELECT li.l_orderkey AS orderkey,
+                   CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+                   o_date_us, o_orderpriority
+            FROM li JOIN od ON li.l_orderkey = od.o_orderkey
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_e4 DESC, o_date_us, orderkey
+            LIMIT 10
+        """,
+        "rel_tpch_q18": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey AS orderkey,
+                   epoch_us(o.o_orderdate) AS o_date_us,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_e2,
+                   q.sum_qty_e2
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
         "rel_star_q5": """
     SELECT n.n_name,
            CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -13621,6 +13808,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * (rank() OVER (PARTITION BY v.event_type ORDER BY v.vq) - 1)
                         // (n.n - 1) AS BIGINT) AS pr_e6
             FROM v JOIN n USING (event_type)
+        """,
+        # per-row cume_dist within event_type: inclusive peer count / n,
+        # integer-micros floor division matches Python //
+        "rel_cume_dist": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+            n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+            le AS (SELECT event_id, event_type, vq,
+                          count(*) OVER (PARTITION BY event_type ORDER BY vq
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+                   FROM v)
+            SELECT le.event_id, le.event_type, le.vq AS vq_e2,
+                   CAST(1000000 * le.n_le // n.n AS BIGINT) AS cd_e6
+            FROM le JOIN n USING (event_type)
         """,
         # robust MAD outlier screen: same quantize + quantile_disc
         # (lower-median) rules as rel_quantiles, deviations folded

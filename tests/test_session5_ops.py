@@ -75,3 +75,31 @@ def test_rfm_ntile_rule_matches_duckdb():
     top = t[t.r_score == 1]["last_ts_us"].min()
     rest = t[t.r_score > 1]["last_ts_us"].max()
     assert top >= rest
+
+
+def test_cume_dist_known_values():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_cume_dist,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "event_type": pa.array(["a"] * 4 + ["b"] * 2),
+                "value": pa.array([1.0, 2.0, 2.0, 3.0, 5.0, 5.0]),
+            }
+        )
+    )
+    out = (
+        grouped_cume_dist(ds, "event_type", "value", "event_id")
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # group a: 1.0 -> 1/4, the two 2.0 peers -> 3/4, 3.0 -> 4/4
+    assert out.loc[0, "cd_e6"] == 250_000
+    assert out.loc[1, "cd_e6"] == 750_000 and out.loc[2, "cd_e6"] == 750_000
+    assert out.loc[3, "cd_e6"] == 1_000_000
+    # group b: both are peers of the max -> 1.0
+    assert out.loc[4, "cd_e6"] == 1_000_000 and out.loc[5, "cd_e6"] == 1_000_000

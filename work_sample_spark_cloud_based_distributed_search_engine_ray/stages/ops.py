@@ -1054,6 +1054,77 @@ def grouped_percentile_rank(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def grouped_cume_dist(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    scale: int = 100,
+) -> rd.Dataset:
+    """EXACT per-row cumulative distribution within its group — SQL
+    ``cume_dist()`` (= (#rows with value <= this)/n, peers share) as
+    integer micros: ``cd_e6 = 1_000_000 * n_le // n``.
+
+    Same two-pass plan as ``grouped_percentile_rank`` (value-bounded
+    histogram broadcast, one searchsorted per batch, rows stream);
+    the only differences are the INCLUSIVE cumulative count and the
+    ``n`` divisor (a single-row group gets 1.0)."""
+    exp = len(str(scale)) - 1
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(t[value_col], float(scale)),
+            round_mode="half_towards_infinity",
+        )
+        qt = pa.table({group_col: t[group_col], "__vq": v.cast(pa.int64())})
+        agg = qt.group_by([group_col, "__vq"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "__vq", "__n"])
+
+    hist_rows = ds.map_batches(partial_hist, batch_format="pyarrow").take_all()
+    by_group: dict = {}
+    for r in hist_rows:
+        by_group.setdefault(r[group_col], {})
+        by_group[r[group_col]][r["__vq"]] = (
+            by_group[r[group_col]].get(r["__vq"], 0) + r["__n"]
+        )
+    lookup = {}
+    for g, hv in by_group.items():
+        vals = np.array(sorted(hv), np.int64)
+        counts = np.array([hv[v] for v in vals], np.int64)
+        lookup[g] = (vals, np.cumsum(counts), int(counts.sum()))
+    lookup_ref = ray.put(lookup)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        v = (
+            pc.round(
+                pc.multiply(t[value_col], float(scale)),
+                round_mode="half_towards_infinity",
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        groups = t[group_col].to_pylist()
+        cd = np.zeros(v.size, np.int64)
+        garr = np.asarray(groups, dtype=object)
+        for g in set(groups):
+            vals, cum_incl, n = lk[g]
+            m = garr == g
+            idx = np.searchsorted(vals, v[m], side="left")
+            cd[m] = 1_000_000 * cum_incl[idx] // n
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                f"vq_e{exp}": pa.array(v),
+                "cd_e6": pa.array(cd),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def grouped_mad_outliers(
     ds: rd.Dataset,
     group_col: str,
