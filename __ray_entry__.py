@@ -2831,6 +2831,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "embeddings", ["label", "embedding"]), "label", "embedding"
         )
 
+    def q_knn_filtered(sf_dir: str):
+        # metadata-filtered vector search: exact top-k among label==3
+        # vectors only (stages/ann.py:knn_filtered — pre-filter fused
+        # into the scan, recall 1.0 by construction)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            knn_filtered,
+        )
+
+        qids, qm = _query_matrix(sf_dir)
+        out = knn_filtered(
+            _tbl(sf_dir, "embeddings"), qm, k=KNN_K, filter_col="label", filter_value=3
+        )
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = pc.take(pa.array(qids, pa.int64()), t["query_id"])
+            return t.set_column(t.schema.get_field_index("query_id"), "query_id", mapped)
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
+    def q_basket_pairs(sf_dir: str):
+        # frequently-bought-together: top-20 part pairs by distinct-
+        # order support (stages/ops.py:grouped_cooccur_topk — bounded
+        # order-bucket shuffle, vectorized triu pair emission)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_cooccur_topk,
+        )
+
+        return grouped_cooccur_topk(
+            _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+            "l_orderkey",
+            "l_partkey",
+            k=20,
+        )
+
     def q_knn_range(sf_dir: str):
         # cosine RANGE query (radius 0.30): shuffle-free per-block
         # threshold filter, no top-k merge (stages/ann.py:
@@ -7803,6 +7837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine_topk": q_knn,
         "knn_matryoshka_topk": q_knn_matryoshka,
+        "knn_filtered_topk": q_knn_filtered,
+        "rel_basket_pairs": q_basket_pairs,
         "embedding_centroids": q_embedding_centroids,
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
@@ -11932,6 +11968,17 @@ def oracle_sql() -> dict[str, str]:
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
     """
 
+    knn_filtered = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+    s AS (SELECT q.query_id, c.vec_id,
+                 CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6
+          FROM q CROSS JOIN c)
+    SELECT query_id, vec_id, cosine_e6 FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id) <= {KNN_K}
+    """
+
     embedding_centroids = """
     WITH x AS (SELECT label, unnest(embedding) AS v,
                       generate_subscripts(embedding, 1) AS d
@@ -12651,6 +12698,17 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bowtie": _bowtie_oracle_sql(),
         "knn_cosine_topk": knn,
         "knn_matryoshka_topk": knn_matryoshka,
+        "knn_filtered_topk": knn_filtered,
+        "rel_basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS n_groups
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_groups DESC, item_a, item_b
+            LIMIT 20
+        """,
         "embedding_centroids": embedding_centroids,
         "knn_range_search": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),

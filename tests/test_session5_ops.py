@@ -103,3 +103,25 @@ def test_cume_dist_known_values():
     assert out.loc[3, "cd_e6"] == 1_000_000
     # group b: both are peers of the max -> 1.0
     assert out.loc[4, "cd_e6"] == 1_000_000 and out.loc[5, "cd_e6"] == 1_000_000
+
+
+def test_cooccur_topk_known_baskets():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+        grouped_cooccur_topk,
+    )
+
+    # baskets: {1,2,3}, {1,2}, {2,3}, {1,2} (dup row inside), {9}
+    g = [10, 10, 10, 11, 11, 12, 12, 13, 13, 13, 14]
+    it = [1, 2, 3, 1, 2, 2, 3, 1, 2, 2, 9]
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(g, pa.int64()), "item": pa.array(it, pa.int64())})
+    )
+    out = grouped_cooccur_topk(ds, "g", "item", k=10).to_pandas()
+    got = {
+        (a, b): n
+        for a, b, n in zip(out["item_a"], out["item_b"], out["n_groups"])
+    }
+    # (1,2) in baskets 10,11,13; (2,3) in 10,12; (1,3) in 10 only
+    assert got == {(1, 2): 3, (2, 3): 2, (1, 3): 1}
+    # ordering: support desc, then (a, b)
+    assert out["n_groups"].tolist() == sorted(out["n_groups"].tolist(), reverse=True)

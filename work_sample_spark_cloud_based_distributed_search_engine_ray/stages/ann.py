@@ -1234,3 +1234,31 @@ def grouped_centroids(
         .groupby([group_col, "dim"])
         .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n_vecs", alias_name="n_vecs"))
     )
+
+
+def knn_filtered(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    filter_col: str = "label",
+    filter_value=None,
+) -> rd.Dataset:
+    """FILTERED vector search: exact cosine top-k restricted to vectors
+    whose ``filter_col`` equals ``filter_value`` — the metadata-filtered
+    ANN pattern (per-tenant / per-language / per-license retrieval).
+    Pre-filtering is the exact strategy: the predicate runs as a
+    vectorized Arrow kernel INSIDE the scan pipeline (fused with the
+    read, so non-matching vectors never reach a matmul), then the
+    standard broadcast-queries + local-top-k + tiny merge plan. Recall
+    is 1.0 by construction — unlike post-filtering a top-k, which
+    starves when the filter is selective."""
+    import pyarrow.compute as pc
+
+    filt = ds.map_batches(
+        lambda t: t.filter(pc.equal(t[filter_col], filter_value)),
+        batch_format="pyarrow",
+    )
+    return knn_brute_force(filt, queries, k=k, vec_col=vec_col, id_col=id_col)

@@ -3111,3 +3111,101 @@ def grouped_mannwhitney(
             "z_e6": pa.array(out_z, pa.int64()),
         }
     )
+
+
+def grouped_cooccur_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 20,
+    max_group_items: int = 1024,
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Market-basket co-occurrence: the top-``k`` unordered item pairs
+    by the number of distinct groups containing both (support count) —
+    "frequently bought together" over (order, part)-shaped tables.
+
+    Plan (the ``ngram_jaccard_pairs`` bucket treatment, never a
+    per-group Python callback at group cardinality): local distinct
+    (group, item) per batch -> ONE hash shuffle on a BOUNDED bucket of
+    the group key (``num_buckets`` Python callbacks total) -> per
+    bucket: lexsort, cross-batch distinct by run detection, one
+    ``np.triu_indices`` per DISTINCT run length (items ascend within a
+    run, so pairs come out (a < b)) -> groupby(item_a, item_b) count ->
+    distributed multi-key sort + limit. ``max_group_items`` caps a
+    pathological group (keeps the lowest-item prefix; never binds on
+    basket-sized groups)."""
+    from .shuffle import hash_partitions, packed_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        it = t[item_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, g))
+        gs, is_ = g[order], it[order]
+        keep = np.ones(gs.size, dtype=bool)
+        keep[1:] = (np.diff(gs) != 0) | (np.diff(is_) != 0)
+        gs, is_ = gs[keep], is_[keep]
+        return pa.table(
+            {
+                "g": pa.array(gs),
+                "item": pa.array(is_),
+                "__bucket": _bucket_of(pa.array(gs), num_buckets),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {
+            "item_a": pa.array([], pa.int64()),
+            "item_b": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty_pairs
+        g = group["g"].to_numpy(zero_copy_only=False)
+        it = group["item"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, g))
+        gs, is_ = g[order], it[order]
+        keep = np.ones(m, dtype=bool)
+        keep[1:] = (np.diff(gs) != 0) | (np.diff(is_) != 0)
+        gs, is_ = gs[keep], is_[keep]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(gs)) + 1))
+        lens = np.diff(np.concatenate((starts, [gs.size])))
+        capped = np.minimum(lens, max_group_items)
+        out_a, out_b = [], []
+        for run_len in np.unique(capped):
+            if run_len < 2:
+                continue
+            run_starts = starts[capped == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            out_a.append((run_starts[:, None] + iu[None, :]).ravel())
+            out_b.append((run_starts[:, None] + ju[None, :]).ravel())
+        if not out_a:
+            return empty_pairs
+        a_idx = np.concatenate(out_a)
+        b_idx = np.concatenate(out_b)
+        return pa.table(
+            {
+                "item_a": pa.array(is_[a_idx]),
+                "item_b": pa.array(is_[b_idx]),
+                "one": pa.array(np.ones(a_idx.size, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = packed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "__bucket",
+        pairs_bucket,
+        num_partitions=min(hash_partitions(), num_buckets),
+        num_buckets=num_buckets,
+    )
+    cnt = pairs.groupby(["item_a", "item_b"]).aggregate(Sum("one", alias_name="n_groups"))
+    return cnt.sort(
+        ["n_groups", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(k)
