@@ -4287,6 +4287,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hop_s=3600,
         )
 
+    def q_late_events(sf_dir: str):
+        # streaming watermark audit: deterministic jittered arrival
+        # replay (seeded hash permutation), running event-time
+        # high-water mark via a metadata-only distributed prefix scan,
+        # per-type too-late counts under a 14-day watermark
+        # (stages/temporal.py:late_event_counts)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            late_event_counts,
+        )
+
+        return late_event_counts(
+            _tbl(sf_dir, "events", ["event_id", "event_type", "ts"])
+        )
+
     def q_epoch_shuffle(sf_dir: str):
         # deterministic seeded global shuffle (training-epoch document
         # order): a seeded md5 hash64 priority per doc, ONE
@@ -7874,6 +7888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_left_join": q_left_join,
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
+        "rel_late_events": q_late_events,
         "rel_hopping_window": q_hopping_window,
         "rel_profile": q_profile,
         "rel_skew_join_agg": q_skew_join,
@@ -13004,6 +13019,21 @@ def oracle_sql() -> dict[str, str]:
                               & 9223372036854775807::UBIGINT AS BIGINT),
                               doc_id) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # watermark audit: same md5-prefix arrival permutation as
+        # rel_epoch_shuffle; wm is NULL at the first arrival (not late)
+        "rel_late_events": """
+            WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                              CAST(('0x' || substr(md5('arrival:' || CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+                                   & 9223372036854775807::UBIGINT AS BIGINT) AS prio
+                       FROM events),
+            r AS (SELECT event_type, ts_us,
+                         max(ts_us) OVER (ORDER BY prio, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                  FROM e)
+            SELECT event_type, count(*) AS n_events,
+                   CAST(coalesce(sum(CASE WHEN ts_us < wm - 1209600000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+            FROM r GROUP BY event_type
         """,
         # exact ANALYZE statistics; doubles e2-quantized before
         # min/max/ndv on BOTH sides

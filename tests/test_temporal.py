@@ -207,3 +207,48 @@ def test_interarrival_quantiles_matches_duckdb():
             ).take_all()
         }
         assert got == want, nbuck
+
+
+def test_late_event_counts_single_block_truth():
+    """Late counts must be partitioning-invariant: the operator over a
+    multi-block dataset equals the single-pass numpy replay."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+        late_event_counts,
+    )
+
+    sf = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(sf, columns=["event_id", "event_type", "ts"])
+    ids = t["event_id"].to_numpy()
+    ts = t["ts"].cast("int64").to_numpy()
+    types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    prio = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(f"arrival:{i}".encode()).digest()[:8], "big")
+            & ((1 << 63) - 1)
+            for i in ids
+        ),
+        dtype=np.int64,
+    )
+    o = np.lexsort((ids, prio))
+    ts_o, ty_o = ts[o], types[o]
+    run = np.maximum.accumulate(
+        np.concatenate(([np.iinfo(np.int64).min], ts_o))
+    )[:-1]
+    late = (run != np.iinfo(np.int64).min) & (ts_o < run - 14 * 86400 * 1_000_000)
+
+    ds = rd.read_parquet(sf).repartition(7)
+    got = (
+        late_event_counts(ds)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    for ty in sorted(set(types.tolist())):
+        m = ty_o == ty
+        assert got.loc[ty, "n_events"] == int(m.sum())
+        assert got.loc[ty, "n_late"] == int(late[m].sum())

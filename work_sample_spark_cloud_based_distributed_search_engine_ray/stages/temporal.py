@@ -293,3 +293,112 @@ def interarrival_quantiles(
     ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
     hist = hash_map_groups(ev, "ubucket", gaps_hist)
     return hash_map_groups(hist, "event_type", pick, num_partitions=8)
+
+
+def late_event_counts(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark_s: int = 14 * 86400,
+    arrival_salt: str = "arrival",
+) -> rd.Dataset:
+    """Streaming watermark audit: replay the events in a deterministic
+    jittered ARRIVAL order (seeded md5 hash of the event id — the same
+    permutation trick as the epoch shuffle), maintain the running
+    event-time high-water mark, and count per type how many events
+    arrive more than ``watermark_s`` behind it — the rows a streaming
+    job with watermark W would drop as too-late.
+
+    Distributed prefix scan (the ``zip_with_index`` recipe): ONE
+    range-partitioning sort on the arrival key, then block METADATA
+    (one (first_key, max_ts, count) triple per block — never rows)
+    comes back to the driver to form each block's EXCLUSIVE prefix
+    max; one task per block folds that into its local exclusive
+    running max and emits per-type partial counts, which a tiny final
+    groupby sums. The event rows cross the wire exactly once (the
+    sort)."""
+    import ray
+
+    from ..functions.hashing import hash64
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        prio = np.fromiter(
+            (hash64(f"{arrival_salt}:{i}") for i in ids), dtype=np.int64, count=ids.size
+        )
+        return pa.table(
+            {
+                "prio": pa.array(prio),
+                id_col: t[id_col],
+                type_col: t[type_col],
+                "ts_us": t[ts_col].cast(pa.int64()),
+            }
+        )
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow").sort(["prio", id_col])
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(t):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        if t.num_rows == 0:
+            return 0, None, None
+        mx = int(pc.max(t["ts_us"]).as_py())
+        return t.num_rows, (t["prio"][0].as_py(), t[id_col][0].as_py()), mx
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    blocks = sorted(
+        (
+            (first, mx, ref)
+            for (count, first, mx), ref in zip(metas, refs)
+            if count > 0
+        ),
+        key=lambda b: b[0],
+    )
+    lo = np.iinfo(np.int64).min
+    prefix = lo
+    prefixes = []
+    for _first, mx, _ref in blocks:
+        prefixes.append(prefix)
+        prefix = max(prefix, mx)
+
+    wm_us = watermark_s * 1_000_000
+
+    @ray.remote
+    def count_block(t, pref: int):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        run_excl = np.maximum.accumulate(
+            np.concatenate(([pref], ts.astype(np.int64)))
+        )[:-1]
+        # int64-min prefix never triggers a late flag (wm subtraction
+        # would wrap): guard with a mask instead of arithmetic
+        armed = run_excl != lo
+        late = armed & (ts < run_excl - wm_us)
+        types = np.asarray(t[type_col].to_pylist(), dtype=object)
+        out_t, out_n, out_l = [], [], []
+        for ty in np.unique(types):
+            m = types == ty
+            out_t.append(str(ty))
+            out_n.append(int(m.sum()))
+            out_l.append(int(late[m].sum()))
+        return pa.table(
+            {
+                type_col: pa.array(out_t, pa.string()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "n_late": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = [count_block.remote(ref, p) for (_f, _m, ref), p in zip(blocks, prefixes)]
+    return (
+        rd.from_arrow_refs(parts)
+        .groupby(type_col)
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
+    )
