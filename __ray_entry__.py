@@ -2865,6 +2865,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=20,
         )
 
+    def q_embedding_dim_stats(sf_dir: str):
+        # per-dimension exact moments (feature-standardization inputs):
+        # one streaming pass, d-bounded groupby
+        # (stages/ann.py:embedding_dim_stats)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            embedding_dim_stats,
+        )
+
+        return embedding_dim_stats(_tbl(sf_dir, "embeddings", ["embedding"]))
+
     def q_knn_range(sf_dir: str):
         # cosine RANGE query (radius 0.30): shuffle-free per-block
         # threshold filter, no top-k merge (stages/ann.py:
@@ -7854,6 +7864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered_topk": q_knn_filtered,
         "rel_basket_pairs": q_basket_pairs,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -12725,6 +12736,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "embedding_centroids": embedding_centroids,
+        "embedding_dim_stats": """
+            WITH x AS (SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+                              generate_subscripts(embedding, 1) AS d
+                       FROM embeddings)
+            SELECT CAST(d - 1 AS BIGINT) AS dim, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_e6,
+                   CAST(sum(v * v) AS BIGINT) AS sumsq_e12
+            FROM x GROUP BY d
+        """,
         "knn_range_search": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {KNN_QUERIES}),
     s AS (SELECT q.query_id, e.vec_id,

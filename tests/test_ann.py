@@ -462,3 +462,17 @@ def test_grouped_centroids_exact_integers():
         for dim in (0, 1, 63):
             assert got.loc[(lab, dim), "sum_e6"] == rows[:, dim].sum()
             assert got.loc[(lab, dim), "n_vecs"] == rows.shape[0]
+
+
+def test_embedding_dim_stats_exact():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        embedding_dim_stats,
+    )
+
+    _ids, m = _load()
+    q = np.copysign(np.floor(np.abs(m * 1e6) + 0.5), m).astype(np.int64)
+    got = embedding_dim_stats(rd.read_parquet(EMB)).to_pandas().set_index("dim").sort_index()
+    assert len(got) == m.shape[1]
+    assert (got["n"] == m.shape[0]).all()
+    assert got["sum_e6"].to_numpy().tolist() == q.sum(axis=0).tolist()
+    assert got["sumsq_e12"].to_numpy().tolist() == (q * q).sum(axis=0).tolist()

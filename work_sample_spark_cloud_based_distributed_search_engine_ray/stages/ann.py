@@ -1262,3 +1262,53 @@ def knn_filtered(
         batch_format="pyarrow",
     )
     return knn_brute_force(filt, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_dim_stats(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Per-dimension EXACT first and second moments of the embedding
+    column — n, sum_e6, sumsq_e12 (both int64 over the e6-quantized
+    components) — the inputs of feature standardization (whitening,
+    per-dim z-scores) and of drift monitoring between corpus snapshots.
+
+    One streaming pass: each batch quantizes its matrix (round-half-
+    away, the SQL rule) and emits d partial rows (dim, n, sum, sumsq);
+    a d-bounded groupby closes. Overflow headroom: sumsq_e12 grows as
+    ~1e12 * n per dim, so int64 holds to ~9e6 rows per dim-partition at
+    |v| ~ 1; beyond that shard the pass by vector-id range and merge
+    the (also exactly additive) partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _mat(batch[vec_col])
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_e6": pa.array([], pa.int64()),
+                    "sumsq_e12": pa.array([], pa.int64()),
+                }
+            )
+        q = np.copysign(np.floor(np.abs(m * 1e6) + 0.5), m).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, q.shape[0], np.int64)),
+                "sum_e6": pa.array(q.sum(axis=0)),
+                "sumsq_e12": pa.array((q * q).sum(axis=0)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_e6", alias_name="sum_e6"),
+            Sum("sumsq_e12", alias_name="sumsq_e12"),
+        )
+    )
