@@ -2865,6 +2865,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=20,
         )
 
+    def q_mutual_knn(sf_dir: str):
+        # reciprocal nearest neighbours (k=5): the high-precision
+        # near-dup signal — block-pair candidate generation (no driver
+        # materialization), per-query merge, both-directions groupby
+        # (stages/ann.py:mutual_knn_pairs)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+            mutual_knn_pairs,
+        )
+
+        return mutual_knn_pairs(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5)
+
     def q_embedding_dim_stats(sf_dir: str):
         # per-dimension exact moments (feature-standardization inputs):
         # one streaming pass, d-bounded groupby
@@ -7865,6 +7876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_basket_pairs": q_basket_pairs,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "knn_mutual_pairs": q_mutual_knn,
         "knn_range_search": q_knn_range,
         "knn_kmeans_assign": q_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -12736,6 +12748,17 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "embedding_centroids": embedding_centroids,
+        "knn_mutual_pairs": """
+            WITH s AS (SELECT a.vec_id AS qa, b.vec_id AS vb,
+                              CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS c
+                       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            topk AS (SELECT qa, vb, c FROM s
+                     QUALIFY row_number() OVER (PARTITION BY qa ORDER BY c DESC, vb) <= 5)
+            SELECT t1.qa AS vec_a, t1.vb AS vec_b, t1.c AS cosine_e6
+            FROM topk t1 JOIN topk t2 ON t1.qa = t2.vb AND t1.vb = t2.qa
+            WHERE t1.qa < t1.vb
+        """,
         "embedding_dim_stats": """
             WITH x AS (SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
                               generate_subscripts(embedding, 1) AS d

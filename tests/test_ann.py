@@ -476,3 +476,34 @@ def test_embedding_dim_stats_exact():
     assert (got["n"] == m.shape[0]).all()
     assert got["sum_e6"].to_numpy().tolist() == q.sum(axis=0).tolist()
     assert got["sumsq_e12"].to_numpy().tolist() == (q * q).sum(axis=0).tolist()
+
+
+def test_mutual_knn_pairs_matches_numpy_and_partitioning():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ann import (
+        mutual_knn_pairs,
+    )
+
+    ids, m = _load()
+    mn = _norm(m)
+    sims = np.rint((mn @ mn.T) * 1e6).astype(np.int64)
+    k = 5
+    topk = {}
+    for r in range(len(ids)):
+        valid = np.arange(len(ids)) != r  # exclude self, no sentinel
+        idc, rv = ids[valid], sims[r][valid]
+        order = np.lexsort((idc, -rv))[:k]
+        topk[int(ids[r])] = set(idc[order].tolist())
+    want = {
+        (int(a), int(b))
+        for a in topk
+        for b in topk[a]
+        if a < b and a in topk[b]
+    }
+    for nparts in (1, 6):
+        ds = rd.read_parquet(EMB).repartition(nparts)
+        got = mutual_knn_pairs(ds, k=k).to_pandas()
+        pairs = set(zip(got["vec_a"].tolist(), got["vec_b"].tolist()))
+        assert pairs == want, nparts
+        for a, b, c in zip(got["vec_a"], got["vec_b"], got["cosine_e6"]):
+            ia, ib = int(np.where(ids == a)[0][0]), int(np.where(ids == b)[0][0])
+            assert c == sims[ia, ib]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -1311,4 +1312,114 @@ def embedding_dim_stats(
             Sum("sum_e6", alias_name="sum_e6"),
             Sum("sumsq_e12", alias_name="sumsq_e12"),
         )
+    )
+
+
+def mutual_knn_pairs(
+    ds: rd.Dataset,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Reciprocal nearest neighbours: pairs (a < b) where b is in a's
+    cosine top-``k`` AND a is in b's — the high-precision near-dup /
+    curation signal (a one-way neighbour in a dense region is weak
+    evidence; a mutual one is strong).
+
+    Plan: the corpus NEVER materializes on the driver — blocks stay in
+    the object store (``to_arrow_refs``) and the work list is the
+    unordered block pairs, as in ``embedding_near_dup_pairs``; each
+    task emits BOTH directions' per-(row, opposite-block) top-k
+    candidates from one matmul (its transpose serves the reverse
+    direction). A per-query merge then closes the global top-k — a
+    per-block top-k under the total order (cosine desc, id asc) is a
+    superset of the global one — and one groupby on the oriented pair
+    keeps pairs seen from both directions. Exact all-pairs at sandbox
+    scale; the 100-TB path replaces the block-pair list with
+    IVF/LSH-bucketed candidate generation, the merge and mutual stages
+    unchanged."""
+    blocks = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    blocks_ref = ray.put(blocks)
+    nb = len(blocks)
+    descs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    neg = np.iinfo(np.int64).min
+
+    def pair_candidates(batch: pa.Table) -> pa.Table:
+        blks = ray.get(blocks_ref)
+        out_q, out_v, out_c = [], [], []
+
+        def emit(ids_q, ids_c, sims):
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                # drop the self sentinel BEFORE the cut (negating
+                # int64-min overflows AND it must not consume a slot)
+                valid = row != neg
+                idc, rv = ids_c[valid], row[valid]
+                order = np.lexsort((idc, -rv))[: min(k, rv.size)]
+                out_q.append(np.full(order.size, ids_q[r], np.int64))
+                out_v.append(idc[order])
+                out_c.append(rv[order])
+
+        for bi, bj_ in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti = ray.get(blks[bi])
+            tj = ti if bj_ == bi else ray.get(blks[bj_])
+            ids_i = ti[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_j = tj[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mi = _normalize(_mat(ti[vec_col]))
+            mj = mi if bj_ == bi else _normalize(_mat(tj[vec_col]))
+            sims = np.rint((mi @ mj.T) * 1e6).astype(np.int64)
+            if bj_ == bi:
+                np.fill_diagonal(sims, neg)  # a vector is not its own neighbour
+                emit(ids_i, ids_j, sims)  # one pass covers every row as query
+            else:
+                emit(ids_i, ids_j, sims)
+                emit(ids_j, ids_i, sims.T.copy())
+        if not out_q:
+            return pa.table(
+                {
+                    "q": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(out_q)),
+                "v": pa.array(np.concatenate(out_v)),
+                "cosine_e6": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    cands = rd.from_items(descs).map_batches(
+        pair_candidates, batch_format="pyarrow", batch_size=1
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        c = group["cosine_e6"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c))[:k]
+        q = group["q"].to_numpy(zero_copy_only=False)[order]
+        a, b = np.minimum(q, v[order]), np.maximum(q, v[order])
+        return pa.table(
+            {
+                "vec_a": pa.array(a),
+                "vec_b": pa.array(b),
+                "cosine_e6": pa.array(c[order]),
+                "one": pa.array(np.ones(a.size, np.int64)),
+            }
+        )
+
+    oriented = hash_map_groups(cands, "q", merge_topk)
+
+    from ray.data.aggregate import Min, Sum
+
+    agreed = oriented.groupby(["vec_a", "vec_b"]).aggregate(
+        Sum("one", alias_name="n_dirs"), Min("cosine_e6", alias_name="cosine_e6")
+    )
+    return agreed.map_batches(
+        lambda t: t.filter(pc.equal(t["n_dirs"], 2)).select(
+            ["vec_a", "vec_b", "cosine_e6"]
+        ),
+        batch_format="pyarrow",
     )
