@@ -4308,6 +4308,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hop_s=3600,
         )
 
+    def q_range_window_sum(sf_dir: str):
+        # RANGE-frame windowed sum (1-day interval frame, all equal-ts
+        # peers included): packed-key searchsorted + exclusive prefix
+        # sum per user bucket (stages/temporal.py:range_window_sum)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+            range_window_sum,
+        )
+
+        return range_window_sum(
+            _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        )
+
     def q_late_events(sf_dir: str):
         # streaming watermark audit: deterministic jittered arrival
         # replay (seeded hash permutation), running event-time
@@ -7912,6 +7924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
         "rel_late_events": q_late_events,
+        "rel_range_window_sum": q_range_window_sum,
         "rel_hopping_window": q_hopping_window,
         "rel_profile": q_profile,
         "rel_skew_join_agg": q_skew_join,
@@ -13062,6 +13075,15 @@ def oracle_sql() -> dict[str, str]:
                               & 9223372036854775807::UBIGINT AS BIGINT),
                               doc_id) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # RANGE frame: a pure ts condition, equal-ts peers all in
+        "rel_range_window_sum": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS wsum_e2
+            FROM events
         """,
         # watermark audit: same md5-prefix arrival permutation as
         # rel_epoch_shuffle; wm is NULL at the first arrival (not late)

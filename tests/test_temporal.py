@@ -252,3 +252,46 @@ def test_late_event_counts_single_block_truth():
         m = ty_o == ty
         assert got.loc[ty, "n_events"] == int(m.sum())
         assert got.loc[ty, "n_late"] == int(late[m].sum())
+
+
+def test_range_window_sum_peers_and_bounds():
+    """RANGE frame includes ALL equal-ts peers (even later event_ids)
+    and exactly the [ts-W, ts] interval."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.temporal import (
+        range_window_sum,
+    )
+
+    us = 1_000_000
+    day = 86400 * us
+    rows = [
+        # user 1: two equal-ts peers + one just inside + one just outside
+        (0, 1, 0 * day, 1.00),
+        (1, 1, 2 * day, 2.00),          # exactly W before row 3 -> inside
+        (2, 1, 3 * day, 4.00),          # peer of row 3 (equal ts)
+        (3, 1, 3 * day, 8.00),
+        (4, 1, 3 * day + 1, 16.00),     # 1us after -> its own window
+        # user 2 isolated
+        (5, 2, 3 * day, 100.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = (
+        range_window_sum(rd.from_arrow(t), window_sec=86400)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[0, "wsum_e2"] == 100
+    assert out.loc[1, "wsum_e2"] == 200  # window [1d, 2d]: day-0 row excluded
+    # rows 2 and 3 are peers: both see 2.0 + 4.0 + 8.0 (row1 is exactly W back)
+    assert out.loc[2, "wsum_e2"] == 1400
+    assert out.loc[3, "wsum_e2"] == 1400
+    # row 4 is 1us later: row1 falls out, peers remain
+    assert out.loc[4, "wsum_e2"] == 2800
+    assert out.loc[5, "wsum_e2"] == 10000  # other user unaffected

@@ -402,3 +402,74 @@ def late_event_counts(
         .groupby(type_col)
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
     )
+
+
+def range_window_sum(
+    events: rd.Dataset,
+    *,
+    window_sec: int = 86400,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """RANGE-frame windowed sum — SQL ``sum(v) OVER (PARTITION BY user
+    ORDER BY ts RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW)``:
+    for every event, the exact e2-integer sum of the same user's values
+    with ``anchor.ts - W <= ts <= anchor.ts``. A RANGE frame is a pure
+    timestamp condition (ALL equal-ts peers are in — even ones later in
+    event_id order), unlike the ROWS-frame moving average.
+
+    Kernel (the ``range_count_after`` packing): per user-bucket, one
+    sort, pack (dense user rank, ts offset) into a single int64 key,
+    one exclusive prefix-sum of the quantized values, and two
+    ``np.searchsorted`` calls close every row's window — no per-user or
+    per-row Python. The packed span is padded by ``window_sec`` so a
+    lower bound that dips below a user's first event lands in the
+    previous user's (empty) padding zone, never on their rows."""
+    window_us = int(window_sec) * 1_000_000
+
+    def wsum(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=_SORT)
+        g = group.take(idx).combine_chunks()
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "wsum_e2": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = (
+            pc.round(pc.multiply(g["value"], 100.0), round_mode="half_towards_infinity")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        rank = np.cumsum(new_user) - 1
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + window_us + 2
+        n_users = int(rank[-1]) + 1
+        if span * n_users >= (1 << 63):
+            raise ValueError(
+                f"range_window_sum: {n_users} users x {span}us span "
+                "overflows the packed key; raise num_buckets"
+            )
+        key = rank * np.int64(span) + (ts - t0)
+        cum = np.concatenate(([0], np.cumsum(v)))  # exclusive prefix
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts),
+                "wsum_e2": pa.array(cum[hi] - cum[lo]),
+            }
+        )
+
+    ev = events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+    return hash_map_groups(ev, "ubucket", wsum)
