@@ -1357,6 +1357,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_search_qpp(sf_dir: str) -> pa.Table:
+        """Pre-retrieval query-performance prediction: per reference
+        query the distinct-term count, sum/max BM25 idf, and SCQ
+        (``SearchIndex.qpp_stats``) — router features computed from
+        term stats alone."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = _cached_index(sf_dir)
+        cols = {k: [] for k in ("qid", "n_terms", "sum_idf_e6", "max_idf_e6", "scq_e6")}
+        for qid, q in reference_queries():
+            st = idx.qpp_stats(q)
+            if st is None:
+                continue
+            cols["qid"].append(qid)
+            for c in ("n_terms", "sum_idf_e6", "max_idf_e6", "scq_e6"):
+                cols[c].append(st[c])
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
     def q_search_explain(sf_dir: str) -> pa.Table:
         """Score EXPLAIN rows — per (top-3 doc, matched term): tf, df
         and the single-occurrence BM25 contribution in micros
@@ -7812,6 +7832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_conjunctive": q_search_conj,
         "search_bm25_mm": q_search_mm,
         "search_dismax": q_search_dismax,
+        "search_qpp": q_search_qpp,
         "search_explain": q_search_explain,
         "search_bm25f": q_search_bm25f,
         "index_shard_stats": q_index_shard_stats,
@@ -8872,6 +8893,21 @@ def _flagship_oracle_sql(
            doc_id, score_e6
     FROM mmok
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) <= 10"""
+    elif variant == "qpp":
+        # pre-retrieval QPP features from term stats alone; the scores
+        # CTE goes unreferenced (DuckDB skips unmaterialized CTEs)
+        collapse_ctes = """,
+    qd AS (SELECT DISTINCT qid, term FROM q),
+    st AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term)"""
+        final_select = """SELECT qd.qid,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(round(sum(ln(1 + (stats.n - st.df + 0.5) / (st.df + 0.5))) * 1000000) AS BIGINT) AS sum_idf_e6,
+           CAST(round(max(ln(1 + (stats.n - st.df + 0.5) / (st.df + 0.5))) * 1000000) AS BIGINT) AS max_idf_e6,
+           CAST(round(sum((1 + ln(CAST(st.cf AS DOUBLE)))
+                          * ln(1 + (stats.n - st.df + 0.5) / (st.df + 0.5))) * 1000000) AS BIGINT) AS scq_e6
+    FROM qd JOIN st USING (term), stats
+    GROUP BY qd.qid"""
     elif variant == "explain":
         # per-(top-3 doc, matched term) BM25 contribution breakdown;
         # parenthesized exactly like the engine (idf * (tf_part))
@@ -12116,6 +12152,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_conjunctive": _flagship_oracle_sql("bm25", variant="conj"),
         "search_bm25_mm": _flagship_oracle_sql("bm25", variant="mm"),
         "search_dismax": _flagship_oracle_sql("dismax"),
+        "search_qpp": _flagship_oracle_sql("bm25", variant="qpp"),
         "search_explain": _flagship_oracle_sql("bm25", variant="explain"),
         "search_bm25f": _bm25f_oracle_sql(),
         "index_shard_stats": _docs_cte()

@@ -901,3 +901,31 @@ def test_dismax_topk(built):
             assert abs(s - sum(clause[d])) < 1e-12, (q, d)
         checked += 1
     assert checked >= 10
+
+
+def test_qpp_stats(built):
+    _pages, _paths, idx, _oracle = built
+    import math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+
+    checked = 0
+    for _qid, q in reference_queries():
+        st = idx.qpp_stats(q)
+        terms = sorted({t for t in tokenize_query(q) if idx.has_term(t)})
+        if not terms:
+            assert st is None
+            continue
+        assert st["n_terms"] == len(terms)
+        idfs = [idx.bm25_idf(idx.postings(t).df) for t in terms]
+        assert st["max_idf_e6"] == int(round(max(idfs) * 1e6))
+        scq = sum(
+            (1.0 + math.log(float(idx.postings(t).tfs.sum()))) * i
+            for t, i in zip(terms, idfs)
+        )
+        assert st["scq_e6"] == int(round(scq * 1e6))
+        checked += 1
+    assert checked >= 10
+    assert idx.qpp_stats("zzqx999nohit") is None

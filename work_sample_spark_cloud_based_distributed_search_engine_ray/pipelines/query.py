@@ -708,6 +708,31 @@ class SearchIndex:
         np.maximum.at(best, inv, scores)
         return _topk(uniq, best + tie * (acc - best), k)
 
+    def qpp_stats(self, query: str) -> dict | None:
+        """Pre-retrieval query-performance prediction features (no
+        postings traversal beyond per-term stats): per query the
+        distinct-indexed-term count, the summed and maximum BM25 idf,
+        and SCQ = sum over terms of (1 + ln(cf)) * idf (Zhao, Scholer
+        & Tsegay 2008's similarity-collection-query score) — the
+        signals a router uses to pick rank depth / rewrite strategy
+        BEFORE spending retrieval work. e6 integers; None when no term
+        is indexed."""
+        terms = sorted({t for t in tokenize_query(query) if self.has_term(t)})
+        if not terms:
+            return None
+        idfs, scq = [], 0.0
+        for t in terms:
+            p = self.postings(t)
+            idf = self.bm25_idf(p.df)
+            idfs.append(idf)
+            scq += (1.0 + math.log(float(p.tfs.sum()))) * idf
+        return {
+            "n_terms": len(terms),
+            "sum_idf_e6": int(round(sum(idfs) * 1_000_000)),
+            "max_idf_e6": int(round(max(idfs) * 1_000_000)),
+            "scq_e6": int(round(scq * 1_000_000)),
+        }
+
     def explain_topk(self, query: str, k: int = 3) -> list[dict]:
         """Score EXPLAIN for the e6 top-``k`` results: one row per
         (doc, matched distinct term) with the term's tf, df and its
