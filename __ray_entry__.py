@@ -6507,6 +6507,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return triangle_stats(undirected)
 
+    def q_crawl_edge_support(sf_dir: str):
+        """Top-20 most EMBEDDED link-graph edges (triangles through the
+        edge = common neighbours of its endpoints) — the tie-strength /
+        link-clique signal; the per-edge refinement of the triangle
+        census (``stages/crawl.edge_support_topk``, same degree-
+        oriented wedge plan with the wedge centre retained)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            edge_support_topk,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        undirected = distinct_on(
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
+            ["doc_a", "doc_b"],
+        )
+        return edge_support_topk(undirected, k=20)
+
     def q_crawl_assortativity(sf_dir: str):
         """Degree assortativity of the undirected link graph (Newman
         2002) — one exact-integer row: with both edge orientations the
@@ -8014,6 +8042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_label_prop": q_crawl_label_prop,
         "crawl_modularity": q_crawl_modularity,
         "crawl_triangles": q_crawl_triangles,
+        "crawl_edge_support": q_crawl_edge_support,
         "crawl_assortativity": q_crawl_assortativity,
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
@@ -11800,6 +11829,36 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+    # edge embeddedness: same edge replay; triangles enumerated once
+    # (x<y<z by construction) then attributed to all three edges
+    crawl_edge_support_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+        FROM ids WHERE a <> b),
+    tris AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+             FROM pairs e1
+             JOIN pairs e2 ON e2.doc_a = e1.doc_b
+             JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    attr AS (SELECT x AS a, y AS b FROM tris
+             UNION ALL SELECT x, z FROM tris
+             UNION ALL SELECT y, z FROM tris)
+    SELECT a AS doc_a, b AS doc_b, count(*) AS support
+    FROM attr GROUP BY a, b
+    ORDER BY support DESC, doc_a, doc_b
+    LIMIT 20
+    """
+
     # degree assortativity: same edge replay + degree CTE as the
     # triangle census; with both orientations the marginals coincide,
     # so r is one signed HUGEINT floor division — no float anywhere
@@ -12718,6 +12777,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_label_prop": crawl_label_prop_sql,
         "crawl_modularity": crawl_modularity_sql,
         "crawl_triangles": crawl_triangles_sql,
+        "crawl_edge_support": crawl_edge_support_sql,
         "crawl_assortativity": crawl_assortativity_sql,
         "crawl_kcore": crawl_kcore_sql,
         "crawl_path_depth": crawl_path_depth_sql,

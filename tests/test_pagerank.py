@@ -317,3 +317,38 @@ def test_modularity_two_cliques(ray_session):
     assert got["modularity_e6"][0].as_py() == (
         1_000_000 * (4 * m * intra - sum_dc2)
     ) // (4 * m * m)
+
+
+def test_edge_support_topk_known_graphs():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        edge_support_topk,
+    )
+
+    def _ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    # K4 + a pendant edge: every K4 edge has support 2; pendant has 0
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    out = edge_support_topk(_ds(k4), k=10).to_pandas()
+    assert len(out) == 6
+    assert (out["support"] == 2).all()
+    assert (5 != out["doc_b"]).all()
+
+    # wheel: hub 10 + 5-cycle: spokes support 2, rim edges support 1
+    rim = [(11, 12), (12, 13), (13, 14), (14, 15), (11, 15)]
+    spokes = [(10, i) for i in range(11, 16)]
+    out = edge_support_topk(_ds(rim + spokes), k=20).to_pandas()
+    sup = {(a, b): s for a, b, s in zip(out["doc_a"], out["doc_b"], out["support"])}
+    for a, b in spokes:
+        assert sup[(a, b)] == 2, (a, b)
+    for a, b in rim:
+        assert sup[(min(a, b), max(a, b))] == 1, (a, b)
+    # ordering: support desc then (doc_a, doc_b)
+    assert out["support"].tolist() == sorted(out["support"].tolist(), reverse=True)

@@ -1811,3 +1811,204 @@ def degree_assortativity(edges: "rd.Dataset", *, num_buckets: int = 64) -> pa.Ta
             "assort_e6": pa.array([int(assort_e6)], pa.int64()),
         }
     )
+
+
+def edge_support_topk(
+    edges: "rd.Dataset", *, k: int = 20, num_buckets: int = 64
+) -> "rd.Dataset":
+    """Edge EMBEDDEDNESS: for every undirected edge the number of
+    triangles through it (= common neighbours of its endpoints), top-k
+    by support — the tie-strength / spam-clique signal (Granovetter:
+    embedded edges are strong ties; a link farm's edges are maximally
+    embedded). The per-edge refinement of ``triangle_stats``'s census.
+
+    Same degree-oriented plan (Suri & Vassilvitskii): degrees → orient
+    low-(deg,id) → high → per-source wedge runs (keeping the wedge
+    CENTRE u, which the census combines away) → ONE (v,w)-bucket
+    exchange closing wedges against oriented edges — each triangle
+    matches exactly once and emits its THREE canonical edges → a
+    narrow groupby sums support → distributed multi-key top-k. Only
+    edges in at least one triangle appear."""
+    import numpy as np
+    import ray.data as rd  # noqa: F401
+
+    from ray.data.aggregate import Sum
+
+    from .ops import bucket_mix, packed_join
+    from .shuffle import packed_task_groups
+
+    edges = edges.materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                batch["doc_a"].to_numpy(zero_copy_only=False),
+                batch["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, counts = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+                "nbucket": pa.array(bucket_mix(uniq, num_buckets).astype(np.int64)),
+            }
+        )
+
+    def deg_of_bucket(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["node", "n"])
+            .group_by("node")
+            .aggregate([("n", "sum")])
+            .rename_columns(["node", "deg"])
+        )
+
+    degrees = packed_task_groups(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "nbucket",
+        deg_of_bucket,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    dega = degrees.map_batches(
+        lambda t: t.rename_columns(["doc_a", "deg_a"]), batch_format="pyarrow"
+    )
+    degb = degrees.map_batches(
+        lambda t: t.rename_columns(["doc_b", "deg_b"]), batch_format="pyarrow"
+    )
+    with_a = packed_join(
+        edges, dega, "doc_a", left_cols=["doc_b"], right_cols=["deg_a"],
+        num_buckets=num_buckets,
+    )
+    with_ab = packed_join(
+        with_a, degb, "doc_b", left_cols=["doc_a", "deg_a"], right_cols=["deg_b"],
+        num_buckets=num_buckets,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        da = batch["deg_a"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "dv": pa.array(dv.astype(np.int64)),
+                "ubucket": pa.array(bucket_mix(u, num_buckets).astype(np.int64)),
+            }
+        )
+
+    oriented = with_ab.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def _pb(vv: "np.ndarray", ww: "np.ndarray") -> "np.ndarray":
+        return bucket_mix(
+            (vv.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(np.int64) ^ ww,
+            num_buckets,
+        ).astype(np.int64)
+
+    empty_wedges = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "pbucket": pa.array([], pa.int64()),
+        }
+    )
+
+    def wedge_rows_of_bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty_wedges
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        dv = group["dv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dv, u))
+        u_s, v_s = u[order], v[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(u_s)) + 1))
+        lens = np.diff(np.concatenate((starts, [m])))
+        multi = lens > 1
+        starts, lens = starts[multi], lens[multi]
+        if starts.size == 0:
+            return empty_wedges
+        out_u, out_x, out_w = [], [], []
+        for run_len in np.unique(lens):
+            rs = starts[lens == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            src_i = (rs[:, None] + iu[None, :]).ravel()
+            src_j = (rs[:, None] + ju[None, :]).ravel()
+            out_u.append(u_s[src_i])
+            out_x.append(v_s[src_i])
+            out_w.append(v_s[src_j])
+        vv = np.concatenate(out_x)
+        ww = np.concatenate(out_w)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(out_u)),
+                "v": pa.array(vv),
+                "w": pa.array(ww),
+                "pbucket": pa.array(_pb(vv, ww)),
+            }
+        )
+
+    wedge_rows = packed_task_groups(
+        oriented, "ubucket", wedge_rows_of_bucket, num_buckets=num_buckets
+    )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        vv = batch["u"].to_numpy(zero_copy_only=False)
+        ww = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.full(len(vv), -1, np.int64)),  # edge marker
+                "v": batch["u"],
+                "w": batch["v"],
+                "pbucket": pa.array(_pb(vv, ww)),
+            }
+        )
+
+    tagged = wedge_rows.union(oriented.map_batches(edge_side, batch_format="pyarrow"))
+
+    empty_attr = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64()),
+        }
+    )
+
+    def attribute_of_bucket(group: pa.Table) -> pa.Table:
+        # node ids are 63-bit non-negative (functions/hashing.hash64),
+        # so u == -1 is an unambiguous edge marker
+        wr = group.filter(pc.field("u") >= 0).select(["u", "v", "w"])
+        er = group.filter(pc.field("u") < 0).select(["v", "w"])
+        if wr.num_rows == 0 or er.num_rows == 0:
+            return empty_attr
+        closed = wr.join(er, keys=["v", "w"], join_type="inner")
+        if closed.num_rows == 0:
+            return empty_attr
+        u = closed["u"].to_numpy(zero_copy_only=False)
+        v = closed["v"].to_numpy(zero_copy_only=False)
+        w = closed["w"].to_numpy(zero_copy_only=False)
+        # each closed wedge = one triangle {u, v, w}: all three edges
+        # ((v, w) is (deg, id)-oriented, not id-ordered — min/max all)
+        a = np.concatenate([np.minimum(u, v), np.minimum(u, w), np.minimum(v, w)])
+        b = np.concatenate([np.maximum(u, v), np.maximum(u, w), np.maximum(v, w)])
+        # local combine before the groupby shuffle
+        t = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+        agg = t.group_by(["doc_a", "doc_b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_a", "doc_b", "one"])
+
+    attrs = packed_task_groups(
+        tagged, "pbucket", attribute_of_bucket, num_buckets=num_buckets
+    )
+    support = attrs.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("one", alias_name="support")
+    )
+    return support.sort(
+        ["support", "doc_a", "doc_b"], descending=[True, False, False]
+    ).limit(k)
