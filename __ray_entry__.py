@@ -6535,6 +6535,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return edge_support_topk(undirected, k=20)
 
+    def q_crawl_ktruss(sf_dir: str):
+        """3-truss of the link graph (every surviving edge in >= 1
+        triangle of the subgraph itself) — iterative distributed
+        support-peel (``stages/crawl.ktruss_edges``), one COUNT to the
+        driver per round; the twin unrolls the same bounded rounds
+        (idempotent once converged)."""
+        import ray.data as rd
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+            ktruss_edges,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            distinct_on,
+        )
+
+        pages = rd.read_parquet(pages_for_sf_dir(sf_dir), columns=["url", "html"])
+        edges = pages.map_batches(
+            LinkExtractStage, batch_format="pyarrow", batch_size=512, concurrency=4
+        ).map_batches(_canon80_src, batch_format="pyarrow")
+        undirected = distinct_on(
+            edges.map_batches(_undirected_edge_ids, batch_format="pyarrow"),
+            ["doc_a", "doc_b"],
+        )
+        return ktruss_edges(undirected, k=3, max_rounds=4)
+
     def q_crawl_assortativity(sf_dir: str):
         """Degree assortativity of the undirected link graph (Newman
         2002) — one exact-integer row: with both edge orientations the
@@ -8043,6 +8071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_modularity": q_crawl_modularity,
         "crawl_triangles": q_crawl_triangles,
         "crawl_edge_support": q_crawl_edge_support,
+        "crawl_ktruss": q_crawl_ktruss,
         "crawl_assortativity": q_crawl_assortativity,
         "crawl_kcore": q_crawl_kcore,
         "crawl_degree_dist": q_degree_dist,
@@ -11859,6 +11888,39 @@ def oracle_sql() -> dict[str, str]:
     LIMIT 20
     """
 
+    # 3-truss: 4 unrolled support-peel rounds (converged rounds are
+    # idempotent, so the fixed unroll equals the loop-until-stable)
+    _truss_rounds = []
+    for _r in range(1, 5):
+        _truss_rounds.append(f""",
+    tris{_r} AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+                 FROM p{_r - 1} e1
+                 JOIN p{_r - 1} e2 ON e2.doc_a = e1.doc_b
+                 JOIN p{_r - 1} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    attr{_r} AS (SELECT x AS a, y AS b FROM tris{_r}
+                 UNION ALL SELECT x, z FROM tris{_r}
+                 UNION ALL SELECT y, z FROM tris{_r}),
+    sup{_r} AS MATERIALIZED (SELECT a, b, count(*) AS s FROM attr{_r} GROUP BY a, b),
+    p{_r} AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM sup{_r} WHERE s >= 1)""")
+    crawl_ktruss_sql = f"""
+    WITH pages AS (SELECT url, decode(html) AS doc
+                   FROM read_parquet('{_lg_pages}')),
+    hrefs AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '<a href="([^"]*)">', 1)) AS href
+              FROM pages),
+    ed AS (SELECT DISTINCT
+             regexp_replace(src_url, '^http://([^/]*)', 'http://\\1:80') AS s,
+             regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS d
+           FROM hrefs),
+    ids AS (SELECT {_id_of.format(u='s')} AS a, {_id_of.format(u='d')} AS b
+            FROM ed),
+    p0 AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+        FROM ids WHERE a <> b){''.join(_truss_rounds)}
+    SELECT a AS doc_a, b AS doc_b, CAST(s AS BIGINT) AS support
+    FROM sup4 WHERE s >= 1
+    """
+
     # degree assortativity: same edge replay + degree CTE as the
     # triangle census; with both orientations the marginals coincide,
     # so r is one signed HUGEINT floor division — no float anywhere
@@ -12778,6 +12840,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_modularity": crawl_modularity_sql,
         "crawl_triangles": crawl_triangles_sql,
         "crawl_edge_support": crawl_edge_support_sql,
+        "crawl_ktruss": crawl_ktruss_sql,
         "crawl_assortativity": crawl_assortativity_sql,
         "crawl_kcore": crawl_kcore_sql,
         "crawl_path_depth": crawl_path_depth_sql,

@@ -352,3 +352,46 @@ def test_edge_support_topk_known_graphs():
         assert sup[(min(a, b), max(a, b))] == 1, (a, b)
     # ordering: support desc then (doc_a, doc_b)
     assert out["support"].tolist() == sorted(out["support"].tolist(), reverse=True)
+
+
+def test_ktruss_known_graphs():
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        ktruss_edges,
+    )
+
+    def _ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    # triangle + a tail: 3-truss = the triangle, supports all 1
+    tri_tail = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    out = ktruss_edges(_ds(tri_tail), k=3).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2), (1, 3), (2, 3)}
+    assert (out["support"] == 1).all()
+
+    # two triangles sharing ONE VERTEX joined by a bridge: both survive
+    # at k=3; the bridge dies
+    two = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    out = ktruss_edges(_ds(two), k=3).to_pandas()
+    assert len(out) == 6 and (3, 4) not in set(zip(out["doc_a"], out["doc_b"]))
+
+    # k=4 on K4-plus-pendant-triangle: K4 survives (support 2), the
+    # pendant triangle peels (its edges only ever reach support 1)
+    g = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)]
+    out = ktruss_edges(_ds(g), k=4).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    assert (out["support"] == 2).all()
+
+    # cascade: a triangle chain where removing the weak edge re-peels
+    # everything (k=4 on a "diamond" = 2 triangles sharing an edge)
+    diamond = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    out = ktruss_edges(_ds(diamond), k=4).to_pandas()
+    assert len(out) == 0

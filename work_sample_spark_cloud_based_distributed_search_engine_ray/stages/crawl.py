@@ -1813,22 +1813,23 @@ def degree_assortativity(edges: "rd.Dataset", *, num_buckets: int = 64) -> pa.Ta
     )
 
 
-def edge_support_topk(
-    edges: "rd.Dataset", *, k: int = 20, num_buckets: int = 64
+def edge_support(
+    edges: "rd.Dataset", *, num_buckets: int = 64
 ) -> "rd.Dataset":
     """Edge EMBEDDEDNESS: for every undirected edge the number of
-    triangles through it (= common neighbours of its endpoints), top-k
-    by support — the tie-strength / spam-clique signal (Granovetter:
-    embedded edges are strong ties; a link farm's edges are maximally
-    embedded). The per-edge refinement of ``triangle_stats``'s census.
+    triangles through it (= common neighbours of its endpoints) — the
+    tie-strength / spam-clique signal (Granovetter: embedded edges are
+    strong ties; a link farm's edges are maximally embedded). The
+    per-edge refinement of ``triangle_stats``'s census; also the inner
+    loop of k-truss peeling (``ktruss_edges``).
 
     Same degree-oriented plan (Suri & Vassilvitskii): degrees → orient
     low-(deg,id) → high → per-source wedge runs (keeping the wedge
     CENTRE u, which the census combines away) → ONE (v,w)-bucket
     exchange closing wedges against oriented edges — each triangle
     matches exactly once and emits its THREE canonical edges → a
-    narrow groupby sums support → distributed multi-key top-k. Only
-    edges in at least one triangle appear."""
+    narrow groupby sums support. Only edges in at least one triangle
+    appear."""
     import numpy as np
     import ray.data as rd  # noqa: F401
 
@@ -2006,9 +2007,71 @@ def edge_support_topk(
     attrs = packed_task_groups(
         tagged, "pbucket", attribute_of_bucket, num_buckets=num_buckets
     )
-    support = attrs.groupby(["doc_a", "doc_b"]).aggregate(
+    return attrs.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("one", alias_name="support")
     )
-    return support.sort(
-        ["support", "doc_a", "doc_b"], descending=[True, False, False]
-    ).limit(k)
+
+
+def edge_support_topk(
+    edges: "rd.Dataset", *, k: int = 20, num_buckets: int = 64
+) -> "rd.Dataset":
+    """Top-``k`` most embedded edges (``edge_support`` + distributed
+    multi-key sort; ties broken (doc_a, doc_b))."""
+    return (
+        edge_support(edges, num_buckets=num_buckets)
+        .sort(["support", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def ktruss_edges(
+    edges: "rd.Dataset", *, k: int = 3, max_rounds: int = 8, num_buckets: int = 64
+) -> "rd.Dataset":
+    """The k-TRUSS of the undirected graph (Cohen 2008): the maximal
+    subgraph in which EVERY edge lies in at least ``k - 2`` triangles
+    of the subgraph itself — the standard dense-community / spam-core
+    extraction (stricter than k-core: degree can be faked with leaves,
+    triangles cannot).
+
+    Iterative peeling, driver-coordinated: each round runs ONE
+    distributed ``edge_support`` pass over the surviving edges and
+    drops those below ``k - 2``; peeling is monotone, so the loop stops
+    at the first round that removes nothing (the driver compares one
+    COUNT per round — never edge rows). Output: the truss's edges with
+    their within-truss support. ``max_rounds`` bounds the worst case
+    (a chain of length-R peels); the registered query's unrolled SQL
+    twin replays the same fixed bound, identical results because
+    converged rounds are idempotent."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "support": pa.array([], pa.int64()),
+        }
+    )
+    threshold = k - 2
+    cur = edges
+    prev_n = cur.count()
+    if prev_n == 0:
+        return rd.from_arrow(empty)
+    for _ in range(max_rounds):
+        sup = edge_support(cur, num_buckets=num_buckets).materialize()
+        surv = sup.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["support"], threshold)),
+            batch_format="pyarrow",
+        ).materialize()
+        n = surv.count()
+        if n == 0:
+            # a fully-peeled graph: return a SCHEMA-carrying empty set
+            # (an empty materialized Dataset drops its schema, which
+            # would break the next round's joins)
+            return rd.from_arrow(empty)
+        cur = surv.map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        )
+        if n == prev_n:
+            return surv
+        prev_n = n
+    return surv
