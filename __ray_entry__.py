@@ -2710,6 +2710,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_summary(_docs(sf_dir))
 
+    def q_dedup_source_report(sf_dir: str):
+        # per-source exact-dup curation report (stages/dedup.
+        # dedup_source_report — one md5-bucket exchange, per-source
+        # partial counts)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            dedup_source_report,
+        )
+
+        return dedup_source_report(
+            _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+        )
+
     def q_dedup_losers(sf_dir: str):
         # the reference's canonicalURL pointer column
         # (Crawler.java:183-185): (loser doc, canonical doc) pairs,
@@ -7952,6 +7964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_sequences": q_pack_sequences,
         "text_more_like_this": q_more_like_this,
         "dedup_exact": q_dedup_exact,
+        "dedup_source_report": q_dedup_source_report,
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_cluster_components": q_dedup_clusters,
@@ -12765,6 +12778,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
+        # per-source exact-dup rate: keep-first by doc_id within a hash
+        "dedup_source_report": """
+            WITH r AS (SELECT source,
+                              row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dups
+            FROM r GROUP BY source
+        """,
         # winnowing: 16-char-gram md5-hash64 sequence, sliding 8-window
         # minima (full windows only), DISTINCT per doc, pair join
         "dedup_winnowing": """

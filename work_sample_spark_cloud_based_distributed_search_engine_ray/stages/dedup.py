@@ -1314,3 +1314,70 @@ def winnowing_pairs(
         lambda t: t.rename_columns(["doc_a", "doc_b", "n_shared_fps"]),
         batch_format="pyarrow",
     )
+
+
+def dedup_source_report(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> rd.Dataset:
+    """Curation report: per corpus source, the document count and the
+    exact-duplicate count (keep-first by ``id_col`` within identical
+    text md5 — the ``contentSeen`` rule) — the "which feed is feeding
+    me copies" dashboard row a 100-TB ingest pipeline watches.
+
+    ONE bounded md5-bucket exchange (the ``exact_dup_losers`` plan with
+    the source column riding along): per bucket a single sort + run
+    detection marks losers, then per-source PARTIAL counts leave the
+    bucket (<= |sources| rows each); a tiny groupby sums them."""
+    num_buckets = 256
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
+        bucket = np.fromiter(
+            (int(m[:8], 16) % num_buckets for m in md5s), dtype=np.int64, count=len(md5s)
+        )
+        return pa.table(
+            {
+                "text_md5": pa.array(md5s, pa.string()),
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def report_of_bucket(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("text_md5", "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx).combine_chunks()
+        md5s = np.asarray(g["text_md5"].to_pylist(), dtype=object)
+        n = len(g)
+        is_dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            is_dup[1:] = md5s[1:] == md5s[:-1]
+        src = np.asarray(g[group_col].to_pylist(), dtype=object)
+        out_s, out_n, out_d = [], [], []
+        for s in np.unique(src):
+            m = src == s
+            out_s.append(str(s))
+            out_n.append(int(m.sum()))
+            out_d.append(int(is_dup[m].sum()))
+        return pa.table(
+            {
+                group_col: pa.array(out_s, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "n_dups": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = hash_map_groups(
+        ds.map_batches(hash_batch, batch_format="pyarrow"), "__bucket", report_of_bucket
+    )
+    return parts.groupby(group_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("n_dups", alias_name="n_dups")
+    )
