@@ -4455,6 +4455,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sessions,
         )
 
+    def q_bounce_rate(sf_dir: str):
+        # bounce rate by session-start hour: share of 30-min-gap
+        # sessions with exactly ONE event — composes the rel_sessionize
+        # kernel with a 24-bounded groupby (integer-micros rate)
+        sess = q_sessionize(sf_dir)
+
+        def to_hour(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "hour": pc.hour(t["session_start"]).cast(pa.int64()),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                    "bounce": pc.equal(t["n_events"], 1).cast(pa.int64()),
+                }
+            )
+
+        agg = (
+            sess.map_batches(to_hour, batch_format="pyarrow")
+            .groupby("hour")
+            .aggregate(
+                Sum("one", alias_name="n_sessions"),
+                Sum("bounce", alias_name="n_bounces"),
+            )
+        )
+        return agg.map_batches(
+            lambda t: t.append_column(
+                "bounce_e6",
+                pa.array(
+                    1_000_000
+                    * t["n_bounces"].to_numpy(zero_copy_only=False)
+                    // t["n_sessions"].to_numpy(zero_copy_only=False)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_scd2(sf_dir: str):
         """Slowly-changing-dimension type-2 snapshot build: per user,
         collapse consecutive runs of equal event_type (ordered by ts,
@@ -8037,6 +8072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zip_with_index": q_zip_with_index,
         "rel_hash_split": q_hash_split,
         "rel_sessionize": q_sessionize,
+        "rel_bounce_rate": q_bounce_rate,
         "rel_scd2": q_scd2,
         "rel_session_paths": q_session_paths,
         "search_hybrid_rerank": q_search_hybrid,
@@ -13978,6 +14014,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_seq
+        """,
+        # bounce rate by session-start hour: the sessionize CTEs + a
+        # 24-bounded rollup; integer-micros floor division
+        "rel_bounce_rate": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM ordered
+            ),
+            sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+                            min(ts) AS session_start
+                     FROM tagged GROUP BY user_id, session_seq)
+            SELECT CAST(hour(session_start) AS BIGINT) AS hour,
+                   count(*) AS n_sessions,
+                   CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bounces,
+                   CAST(1000000 * coalesce(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END), 0)
+                        // count(*) AS BIGINT) AS bounce_e6
+            FROM sess GROUP BY hour(session_start)
         """,
         # SCD-2 intervals: run breaks at event_type change per user
         # (lag over the same total (ts, event_id) order as the engine's
