@@ -2561,6 +2561,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_source_overlap(sf_dir: str):
+        # source-pair vocabulary Jaccard (corpus-mix diagnostic):
+        # distinct (source, token) -> bounded token-bucket pair kernel
+        # (stages/textstats.py:source_vocab_overlap)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.textstats import (
+            source_vocab_overlap,
+        )
+
+        return source_vocab_overlap(_tbl(sf_dir, "documents", ["text", "source"]))
+
     def q_lang_id(sf_dir: str):
         return _stats(sf_dir).map_batches(
             lambda t: t.select(["doc_id", "en_hits", "de_hits", "fr_hits", "lang_pred"]),
@@ -7966,6 +7976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": q_doc_tfidf,
         "text_token_stats": q_token_stats,
         "text_lang_id": q_lang_id,
+        "text_source_overlap": q_source_overlap,
         "text_lang_eval": q_lang_eval,
         "text_repetition": q_repetition,
         "text_collocations": q_collocations,
@@ -12495,6 +12506,22 @@ def oracle_sql() -> dict[str, str]:
     LIMIT 10
     """,
         "doc_tfidf_topk": tfidf,
+        # source-pair vocabulary Jaccard; ASCII source names, so the
+        # VARCHAR < matches the kernel's lexicographic pair orientation
+        "text_source_overlap": f"""
+            WITH t AS (SELECT source, {TOKS} AS tk FROM documents),
+            toks AS (SELECT DISTINCT source, unnest(tk) AS token FROM t),
+            sz AS (SELECT source, count(*) AS sz FROM toks GROUP BY source),
+            inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                             count(*) AS n_common
+                      FROM toks a JOIN toks b ON a.token = b.token
+                                            AND a.source < b.source
+                      GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+                   CAST(1000000 * n_common // (sa.sz + sb.sz - n_common) AS BIGINT) AS jaccard_e6
+            FROM inter JOIN sz sa ON sa.source = src_a
+                       JOIN sz sb ON sb.source = src_b
+        """,
         # exact heavy hitters: the MG pass is candidate generation only
         # (guaranteed superset); the recount is exact, so the oracle is
         # the plain GROUP BY ... HAVING

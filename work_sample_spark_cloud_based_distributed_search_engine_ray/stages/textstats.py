@@ -1479,3 +1479,128 @@ def doc_hash_features(docs, *, dim: int = 8, text_col: str = "text"):
         )
 
     return docs.map_batches(feats, batch_format="pyarrow")
+
+
+def source_vocab_overlap(ds, *, text_col: str = "text", group_col: str = "source"):
+    """Source-level VOCABULARY overlap: for every pair of corpus
+    sources, the distinct-token intersection and exact Jaccard — the
+    corpus-mix diagnostic ("are these two feeds the same distribution,
+    or do they add coverage?") that drives domain-mix weighting.
+
+    Plan: one vectorized tokenize + LOCAL distinct (source, token) per
+    batch (dictionary-encode + np.unique — the shingle-explode trick),
+    global distinct via the bounded-bucket `distinct_on`, then ONE
+    token-bucket exchange whose per-bucket kernel emits source pairs
+    per token run (runs are <= |sources| long — bounded by
+    construction) with a local pair-count combine; per-source set
+    sizes are a |sources|-bounded aggregate, broadcast for the final
+    jaccard. Output: src_a < src_b, n_common, jaccard_e6 (floor)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.tokenize import flat_tokens_batch
+    from .ops import _bucket_of, distinct_on
+    from .shuffle import hash_map_groups, hash_partitions
+
+    num_buckets = 256
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parents, n_docs = flat_tokens_batch(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                }
+            )
+        srcs = batch[group_col].combine_chunks() if isinstance(
+            batch[group_col], pa.ChunkedArray
+        ) else batch[group_col]
+        s_d = pc.take(srcs, pa.array(parents)).dictionary_encode()
+        t_d = flat.dictionary_encode()
+        sc = s_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = max(len(t_d.dictionary), 1)
+        uniq = np.unique(sc * nt + tc)
+        return pa.table(
+            {
+                group_col: s_d.dictionary.take(pa.array(uniq // nt)),
+                "token": t_d.dictionary.take(pa.array(uniq % nt)),
+            }
+        )
+
+    pairs_distinct = distinct_on(
+        ds.map_batches(explode, batch_format="pyarrow"), [group_col, "token"]
+    ).materialize()
+
+    sizes = {
+        r[group_col]: r["sz"]
+        for r in pairs_distinct.groupby(group_col)
+        .aggregate(Count(alias_name="sz"))
+        .take_all()
+    }
+    sizes_ref = ray.put(sizes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _bucket_of(batch["token"], num_buckets))
+
+    empty_pairs = pa.table(
+        {
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "one": pa.array([], pa.int64()),
+        }
+    )
+
+    def cooccur(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty_pairs
+        t_d = group["token"].combine_chunks().dictionary_encode()
+        codes = t_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = np.asarray(group[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((srcs, codes))
+        codes_s, srcs_s = codes[order], srcs[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+        lens = np.diff(np.concatenate((starts, [m])))
+        out_a, out_b = [], []
+        for run_len in np.unique(lens):
+            if run_len < 2:
+                continue
+            rs = starts[lens == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            out_a.append(srcs_s[(rs[:, None] + iu[None, :]).ravel()])
+            out_b.append(srcs_s[(rs[:, None] + ju[None, :]).ravel()])
+        if not out_a:
+            return empty_pairs
+        t = pa.table(
+            {
+                "src_a": pa.array(np.concatenate(out_a), pa.string()),
+                "src_b": pa.array(np.concatenate(out_b), pa.string()),
+            }
+        )
+        agg = t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["src_a", "src_b", "one"])
+
+    inter = hash_map_groups(
+        pairs_distinct.map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        cooccur,
+        num_partitions=min(hash_partitions(), num_buckets),
+    ).groupby(["src_a", "src_b"]).aggregate(Sum("one", alias_name="n_common"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = t["src_a"].to_pylist()
+        b = t["src_b"].to_pylist()
+        i = t["n_common"].to_numpy(zero_copy_only=False)
+        sa = np.array([sz[x] for x in a], np.int64)
+        sb = np.array([sz[x] for x in b], np.int64)
+        return t.append_column(
+            "jaccard_e6", pa.array(1_000_000 * i // (sa + sb - i))
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
