@@ -4362,6 +4362,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
         )
 
+    def q_new_vs_returning(sf_dir: str):
+        # daily new-vs-returning split: per-user first-day table (one
+        # groupby Min), ONE bucketed big-big join back onto the event
+        # stream, day-bounded rollup — the classic growth-analytics
+        # self-join without a self-join
+        def prep(t: pa.Table) -> pa.Table:
+            day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+            return pa.table({"user_id": t["user_id"], "day": day})
+
+        ev = _tbl(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+        first = (
+            ev.groupby("user_id")
+            .aggregate(Min("day", alias_name="first_day"))
+        )
+        j = shuffle_join(ev, first, "user_id", left_cols=["day"], right_cols=["first_day"])
+
+        def flags(t: pa.Table) -> pa.Table:
+            d = t["day"].to_numpy(zero_copy_only=False)
+            f = t["first_day"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "day": t["day"],
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                    "new": pa.array((d == f).astype(np.int64)),
+                    "ret": pa.array((d > f).astype(np.int64)),
+                }
+            )
+
+        return (
+            j.map_batches(flags, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(
+                Sum("one", alias_name="n_events"),
+                Sum("new", alias_name="n_new"),
+                Sum("ret", alias_name="n_returning"),
+            )
+        )
+
     def q_late_events(sf_dir: str):
         # streaming watermark audit: deterministic jittered arrival
         # replay (seeded hash permutation), running event-time
@@ -5228,6 +5268,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(
             _tbl(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
         )
+
+    def q_segment_order_median(sf_dir: str):
+        # median order value per customer market segment: broadcast
+        # customer->segment map into the orders scan (pc.index_in,
+        # vectorized), then the ONE-histogram-shuffle exact quantile
+        # kernel over the 5-bounded segment groups
+        import pyarrow.parquet as pq
+        import ray
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
+            grouped_quantiles,
+        )
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        cust_ref = ray.put(cust)
+
+        def seg(t: pa.Table) -> pa.Table:
+            c = ray.get(cust_ref)
+            pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
+            return pa.table(
+                {
+                    "c_mktsegment": pc.take(c["c_mktsegment"].combine_chunks(), pos),
+                    "value": t["o_totalprice"],
+                }
+            )
+
+        ds = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            seg, batch_format="pyarrow"
+        )
+        return grouped_quantiles(ds, "c_mktsegment", "value")
 
     def q_quantiles_cont(sf_dir: str):
         # exact per-group CONTINUOUS (interpolated) quantiles: same
@@ -8060,6 +8133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_total": q_running_total,
         "rel_epoch_shuffle": q_epoch_shuffle,
         "rel_late_events": q_late_events,
+        "rel_new_vs_returning": q_new_vs_returning,
         "rel_range_window_sum": q_range_window_sum,
         "rel_hopping_window": q_hopping_window,
         "rel_profile": q_profile,
@@ -8109,6 +8183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_grouping_sets": q_grouping_sets,
         "rel_quantiles": q_quantiles,
         "rel_quantiles_cont": q_quantiles_cont,
+        "rel_segment_order_median": q_segment_order_median,
         "rel_rfm": q_rfm,
         "rel_mad_outliers": q_mad_outliers,
         "rel_percentile_rank": q_percentile_rank,
@@ -13322,6 +13397,17 @@ def oracle_sql() -> dict[str, str]:
                               doc_id) - 1 AS BIGINT) AS pos
             FROM documents
         """,
+        # daily new-vs-returning: first day per user, epoch-day ints
+        "rel_new_vs_returning": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id)
+            SELECT day, count(*) AS n_events,
+                   CAST(coalesce(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_new,
+                   CAST(coalesce(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_returning
+            FROM e JOIN f USING (user_id) GROUP BY day
+        """,
         # RANGE frame: a pure ts condition, equal-ts peers all in
         "rel_range_window_sum": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -14163,6 +14249,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        # broadcast dim join + the rel_quantiles quantize/disc rules
+        "rel_segment_order_median": """
+            SELECT c_mktsegment,
+                   CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_e2,
+                   CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_e2,
+                   CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_e2
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
         """,
         # continuous quantiles: h = q*(n-1) is EXACT in double for
         # q in {.25,.5,.75} (binary-exact q times an integer), and the
