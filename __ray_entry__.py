@@ -3053,6 +3053,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_matryoshka_recall(sf_dir: str) -> pa.Table:
+        """Matryoshka trade-off evaluation: per query, recall@k of the
+        16-dim-prefix ranking against the full 64-dim exact top-k —
+        the number that tells you whether the 4x-cheaper prefix index
+        is good enough as the coarse stage. Both rankings are the
+        distributed op; the overlap runs on bounded (Q x k) outputs."""
+        qids, qm = _query_matrix(sf_dir)
+        full = knn_brute_force(_tbl(sf_dir, "embeddings"), qm, k=KNN_K).take_all()
+        trunc = knn_brute_force(
+            _tbl(sf_dir, "embeddings"), qm, k=KNN_K, dims=16
+        ).take_all()
+        fu: dict[int, set[int]] = {}
+        tr: dict[int, set[int]] = {}
+        for r in full:
+            fu.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        for r in trunc:
+            tr.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        out_q, out_h = [], []
+        for qi in sorted(fu):
+            out_q.append(int(qids[qi]))
+            out_h.append(len(fu[qi] & tr.get(qi, set())))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "n_hits": pa.array(out_h, pa.int64()),
+                "k": pa.array([KNN_K] * len(out_q), pa.int64()),
+            }
+        )
+
     # ---------------- relational (Flame operator inventory) ----------------
 
     def q_groupby_agg(sf_dir: str):
@@ -8104,6 +8133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_cluster_topics": q_cluster_topics,
         "knn_lsh_topk": q_knn_lsh,
         "knn_lsh_recall": q_knn_recall,
+        "knn_matryoshka_recall": q_matryoshka_recall,
         "knn_ivf_topk": q_knn_ivf,
         "knn_pq_topk": q_knn_pq,
         "knn_ivfpq_topk": q_knn_ivfpq,
@@ -12968,6 +12998,14 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_recall": f"""
     WITH e AS ({knn}),
     a AS ({_lsh_knn_oracle_sql()})
+    SELECT e.query_id, count(a.vec_id) AS n_hits,
+           CAST({KNN_K} AS BIGINT) AS k
+    FROM e LEFT JOIN a USING (query_id, vec_id)
+    GROUP BY e.query_id
+    """,
+        "knn_matryoshka_recall": f"""
+    WITH e AS ({knn}),
+    a AS ({knn_matryoshka})
     SELECT e.query_id, count(a.vec_id) AS n_hits,
            CAST({KNN_K} AS BIGINT) AS k
     FROM e LEFT JOIN a USING (query_id, vec_id)
