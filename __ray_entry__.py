@@ -2720,6 +2720,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_summary(_docs(sf_dir))
 
+    def q_shingle_coverage(sf_dir: str):
+        # per-doc duplicate-shingle coverage (near-dup mass): bounded
+        # shingle-bucket exchange, per-doc partials
+        # (stages/dedup.py:shingle_dup_coverage)
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.dedup import (
+            shingle_dup_coverage,
+        )
+
+        return shingle_dup_coverage(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_dedup_source_report(sf_dir: str):
         # per-source exact-dup curation report (stages/dedup.
         # dedup_source_report — one md5-bucket exchange, per-source
@@ -8113,6 +8123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_more_like_this": q_more_like_this,
         "dedup_exact": q_dedup_exact,
         "dedup_source_report": q_dedup_source_report,
+        "dedup_shingle_coverage": q_shingle_coverage,
         "dedup_exact_losers": q_dedup_losers,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_cluster_components": q_dedup_clusters,
@@ -12946,6 +12957,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
+        # per-doc duplicate-shingle coverage; same 3-gram shingle CTE
+        # as text_decontaminate; docs with < 3 tokens emit no shingles
+        "dedup_shingle_coverage": f"""
+            WITH toksl AS (SELECT doc_id, {TOKS} AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+                   FROM toksl WHERE len(t) >= 3),
+            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+            SELECT doc_id, count(*) AS n_shingles,
+                   CAST(coalesce(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared,
+                   CAST(1000000 * coalesce(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0)
+                        // count(*) AS BIGINT) AS shared_e6
+            FROM sh JOIN df USING (shingle) GROUP BY doc_id
+        """,
         # per-source exact-dup rate: keep-first by doc_id within a hash
         "dedup_source_report": """
             WITH r AS (SELECT source,

@@ -1381,3 +1381,102 @@ def dedup_source_report(
     return parts.groupby(group_col).aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("n_dups", alias_name="n_dups")
     )
+
+
+def shingle_dup_coverage(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Per-doc DUPLICATE-SHINGLE COVERAGE: the share of a document's
+    distinct word n-grams that occur in at least one OTHER document —
+    the "near-dup mass" curation metric (a doc at 0.9 is mostly
+    boilerplate/copies even if no single pair crosses a Jaccard
+    threshold; the corpus-level analysis behind suffix-array dedup).
+
+    Plan: distinct (doc, shingle) explode (the shared ``doc_shingles``
+    kernel) -> ONE bounded shingle-bucket exchange; per bucket, one
+    sort + run detection marks each row shared iff its shingle run
+    spans more than one doc, then per-DOC partial counts leave the
+    bucket -> a narrow groupby(doc) sum closes coverage as an exact
+    integer-micros floor share. Docs shorter than ``n`` tokens emit no
+    shingles and are absent (the SQL twin states the same rule)."""
+    from .ops import _bucket_of
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_shingles": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        up, sh = doc_shingles(batch[text_col], n=n)
+        if up.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.string()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids[up]),
+                "shingle": sh,
+                "__bucket": _bucket_of(sh, num_buckets),
+            }
+        )
+
+    def coverage_of_bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return empty
+        d = group["shingle"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        codes_s, ids_s = codes[order], ids[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+        lens = np.diff(np.concatenate((starts, [m])))
+        shared_run = lens > 1  # (doc, shingle) rows are distinct, so
+        # a >1 run means >1 distinct docs share the shingle
+        shared = np.repeat(shared_run, lens).astype(np.int64)
+        uniq_d, inv = np.unique(ids_s, return_inverse=True)
+        n_sh = np.bincount(inv)
+        n_shared = np.bincount(inv, weights=shared).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(uniq_d),
+                "n_shingles": pa.array(n_sh.astype(np.int64)),
+                "n_shared": pa.array(n_shared),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = hash_map_groups(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "__bucket",
+        coverage_of_bucket,
+    )
+    agg = parts.groupby(id_col).aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_shared", alias_name="n_shared"),
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "shared_e6",
+            pa.array(
+                1_000_000
+                * t["n_shared"].to_numpy(zero_copy_only=False)
+                // t["n_shingles"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
