@@ -3280,22 +3280,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         full power set): the two 1-D marginals only. Same physical
         plan as q_cube: ONE distributed finest-level aggregation, both
         requested sets re-aggregated locally from that group-count-
-        bounded result; absent grouping columns are NULL."""
+        bounded result; absent grouping columns are NULL. Quantities
+        are quantized to int64 cents BEFORE aggregation (per-row
+        half-away round of a single value — exact), so the distributed
+        sum is pure-integer and independent of float associativity /
+        rounding mode (same plan as rel_quantiles / rel_rfm)."""
         ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
-        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        finest = ds.map_batches(prep, batch_format="pyarrow").groupby(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate(Count(alias_name="n_rows"), Sum("qty_e2", alias_name="sum_qty_e2"))
 
         import pandas as pd
 
         df = finest.to_pandas()
         lvl_f = (
-            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_e2"]]
             .sum()
             .assign(l_linestatus=None)
         )
         lvl_s = (
-            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_raw"]]
+            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_e2"]]
             .sum()
             .assign(l_returnflag=None)
         )
@@ -3305,11 +3322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
                 "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
                 "n_rows": pa.array(allv["n_rows"].astype("int64")),
-                "sum_qty_e2": pa.array(
-                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
-                        np.int64
-                    )
-                ),
+                "sum_qty_e2": pa.array(allv["sum_qty_e2"].astype("int64")),
             }
         )
 
@@ -3998,6 +4011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def add_name(t: pa.Table) -> pa.Table:
             c = ray.get(cust_ref)
+            pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
+            # inner-join semantics: drop orders whose custkey has no
+            # customer row (dangling FK) instead of emitting NULL c_name
+            t = t.filter(pc.is_valid(pos))
             pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
             return t.append_column("c_name", pc.take(c["c_name"].combine_chunks(), pos))
 

@@ -31,9 +31,59 @@ def hash64(s: str | bytes) -> int:
     return int.from_bytes(hashlib.md5(s).digest()[:8], "big") & _MASK63
 
 
-def hash64_array(values: Iterable[str | bytes]) -> np.ndarray:
-    """Vectorized-ish hash64 over a column (md5 per value; C-speed digest)."""
+def _hash64_array_py(values: Iterable[str | bytes]) -> np.ndarray:
+    """Fallback: md5 per value in a Python loop (C-speed digest only)."""
     return np.fromiter((hash64(v) for v in values), dtype=np.int64)
+
+
+def hash64_array(values) -> np.ndarray:
+    """Vectorized hash64 over a column — ONE C-speed pass, no per-value
+    Python.
+
+    DuckDB's ``md5_number_upper`` computes the first 8 digest bytes of
+    md5 per row as a little-endian UBIGINT; a numpy ``byteswap`` turns
+    that into exactly ``int.from_bytes(digest[:8], 'big')``, so the
+    result is bit-identical to :func:`hash64` per value (asserted by
+    ``tests/test_hashing.py``) — doc ids and shard bytes are unchanged
+    vs the per-value path. Accepts a pyarrow (Chunked)Array, numpy
+    array, or any iterable of str/bytes.
+    """
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        vals = values if isinstance(values, (list, tuple, np.ndarray)) else list(values)
+        if len(vals) == 0:
+            return np.empty(0, dtype=np.int64)
+        arr = pa.array(vals)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - duckdb is baked into the env
+        return _hash64_array_py(arr.to_pylist())
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        # DuckDB's md5_number_* is VARCHAR-only; arbitrary bytes may not
+        # be valid UTF-8, so the bytes path keeps the per-value digest
+        # (rare: urls — the hot path — are always strings)
+        return _hash64_array_py(arr.to_pylist())
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    tbl = pa.table({"v": arr})  # noqa: F841 - referenced by duckdb SQL scope
+    global _DUCK
+    if _DUCK is None or _DUCK[0] != __import__("os").getpid():
+        _DUCK = (__import__("os").getpid(), duckdb.connect())
+    out = _DUCK[1].execute("select md5_number_upper(v) as h from tbl").fetch_arrow_table()
+    h = out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (h.byteswap() & np.uint64(_MASK63)).astype(np.int64)
+
+
+# per-process cached (pid, connection) — a forked Ray worker must not
+# reuse the parent's native connection handle
+_DUCK = None
 
 
 def sha1_hex(data: bytes | str) -> str:

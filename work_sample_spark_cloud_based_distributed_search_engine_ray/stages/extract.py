@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash64, sha1_hex
+from ..functions.hashing import hash64, hash64_array, sha1_hex
 from ..functions.tokenize import extract_html, tokenize_count_batch
 
 # Hot-term detection samples 1 in HOT_SAMPLE_MOD docs (deterministic by
@@ -87,13 +87,11 @@ class ExtractDocs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.seen_sha1 is not None and batch.num_rows:
+            ids = hash64_array(batch["url"])
             keep = pa.array(
                 [
-                    sha1_hex(h) not in self.seen_sha1
-                    and hash64(u) not in self.seen_ids
-                    for h, u in zip(
-                        batch["html"].to_pylist(), batch["url"].to_pylist()
-                    )
+                    sha1_hex(h) not in self.seen_sha1 and int(i) not in self.seen_ids
+                    for h, i in zip(batch["html"].to_pylist(), ids)
                 ]
             )
             batch = batch.filter(keep)
@@ -101,10 +99,13 @@ class ExtractDocs:
         htmls = batch["html"].to_pylist()
         ref_text = batch["text"].to_pylist() if self.verify and "text" in batch.column_names else None
 
-        # per-doc work is only the string-level extraction + C-speed
-        # hashing; tokenization/counting is one vectorized batch kernel
+        # doc ids: ONE vectorized md5 pass over the url column (no
+        # per-url Python hashing in phase A — bit-identical to
+        # hash64(url) per value, see functions/hashing.py)
         n = len(urls)
-        doc_ids = np.empty(n, dtype=np.int64)
+        doc_ids = hash64_array(batch["url"])
+        # per-doc work is only the string-level extraction + C-speed
+        # sha1; tokenization/counting is one vectorized batch kernel
         sha1s: list[str] = []
         titles: list[str] = []
         texts: list[str] = []
@@ -112,7 +113,6 @@ class ExtractDocs:
             title, text = extract_html(htmls[i])
             if ref_text is not None and text != ref_text[i]:
                 raise ValueError(f"extraction not byte-identical for url={urls[i]}")
-            doc_ids[i] = hash64(urls[i])
             sha1s.append(sha1_hex(htmls[i]))
             titles.append(title)
             texts.append(text)

@@ -3121,6 +3121,7 @@ def grouped_cooccur_topk(
     k: int = 20,
     max_group_items: int = 1024,
     num_buckets: int = 256,
+    truncate_oversize: bool = False,
 ) -> rd.Dataset:
     """Market-basket co-occurrence: the top-``k`` unordered item pairs
     by the number of distinct groups containing both (support count) —
@@ -3133,9 +3134,13 @@ def grouped_cooccur_topk(
     bucket: lexsort, cross-batch distinct by run detection, one
     ``np.triu_indices`` per DISTINCT run length (items ascend within a
     run, so pairs come out (a < b)) -> groupby(item_a, item_b) count ->
-    distributed multi-key sort + limit. ``max_group_items`` caps a
-    pathological group (keeps the lowest-item prefix; never binds on
-    basket-sized groups)."""
+    distributed multi-key sort + limit. ``max_group_items`` bounds a
+    pathological group's O(n^2) pair blowup; by default hitting the cap
+    RAISES (loud, so the SQL-oracle twin — which enumerates pairs
+    uncapped — can never silently diverge); pass
+    ``truncate_oversize=True`` to instead keep the lowest-item prefix
+    (documented approximation for genuinely adversarial corpora). The
+    cap never binds on basket-sized groups."""
     from .shuffle import hash_partitions, packed_map_groups
 
     def partial(t: pa.Table) -> pa.Table:
@@ -3175,6 +3180,14 @@ def grouped_cooccur_topk(
         gs, is_ = gs[keep], is_[keep]
         starts = np.concatenate(([0], np.flatnonzero(np.diff(gs)) + 1))
         lens = np.diff(np.concatenate((starts, [gs.size])))
+        if not truncate_oversize and lens.max(initial=0) > max_group_items:
+            raise ValueError(
+                f"grouped_cooccur_topk: a group has {int(lens.max())} distinct "
+                f"items > max_group_items={max_group_items}; pairs would be "
+                "silently truncated vs an uncapped oracle. Raise the cap or "
+                "pass truncate_oversize=True to accept the documented prefix "
+                "approximation."
+            )
         capped = np.minimum(lens, max_group_items)
         out_a, out_b = [], []
         for run_len in np.unique(capped):
