@@ -266,6 +266,8 @@ def frontier_bfs(
     seeds: list[str],
     *,
     max_depth: int = 3,
+    plan: str = "auto",
+    num_buckets: int = 16,
 ) -> pa.Table:
     """Frontier-wave BFS over a link-edge table — the Ray-native analog
     of the reference crawler's loop (``urlQueue = parallelize([seed]);
@@ -280,15 +282,53 @@ def frontier_bfs(
     broadcast-side of the join, not a shuffle. Returns (url, depth) for
     every reached url, depth = first-reach wave (seeds get depth 0);
     deterministic regardless of partitioning.
+
+    Cumulative ``visited`` state: a driver dict below
+    ``graph.graph_bucketed_limit()`` estimated reach; above it (or with
+    ``plan="bucketed"`` / env ``WSE_GRAPH_PLAN``) ``visited`` lives in
+    ``num_buckets`` hash-bucket ``graph.VisitedShard`` ACTORS — the
+    driver holds only the current wave's frontier (wave-bounded by
+    construction), and the (url, depth) output is assembled from the
+    shards. Identical output to the driver-dict plan (asserted by
+    tests/test_graph_bucketed.py).
     """
     import ray
+
+    from ..functions.hashing import hash64_array
+    from .graph import VisitedShard, resolve_plan
 
     # pin the edge blocks in the object store ONCE: the wave loop
     # re-reads them every iteration, and without this each wave would
     # re-execute the whole upstream plan (e.g. link extraction)
     edges = edges.materialize()
-    visited: dict[str, int] = {u: 0 for u in seeds}
-    frontier = sorted(set(seeds))
+    # reach is bounded by the node count, estimated by the edge count
+    bucketed = resolve_plan(plan, edges.count()) == "bucketed"
+    if bucketed:
+        shards = [VisitedShard.remote() for _ in range(num_buckets)]
+
+        def route_new(urls: list, depth: int) -> list:
+            """Partition candidate urls by hash bucket, ask each shard
+            actor for the not-yet-visited ones, return the new frontier
+            (sorted for determinism)."""
+            if not urls:
+                return []
+            buck = hash64_array(urls) % num_buckets
+            per = [[] for _ in range(num_buckets)]
+            for u, b in zip(urls, buck):
+                per[int(b)].append(u)
+            outs = ray.get(
+                [
+                    shards[b].add_new.remote(per[b], depth)
+                    for b in range(num_buckets)
+                    if per[b]
+                ]
+            )
+            return sorted(u for o in outs for u in o)
+
+        frontier = route_new(sorted(set(seeds)), 0)
+    else:
+        visited: dict[str, int] = {u: 0 for u in seeds}
+        frontier = sorted(set(seeds))
     for depth in range(1, max_depth + 1):
         if not frontier:
             break
@@ -305,9 +345,15 @@ def frontier_bfs(
             .to_arrow_refs()
         ):
             reached.update(ray.get(b)["dst_url"].to_pylist())
-        frontier = sorted(u for u in reached if u not in visited)
-        for u in frontier:
-            visited[u] = depth
+        if bucketed:
+            frontier = route_new(sorted(reached), depth)
+        else:
+            frontier = sorted(u for u in reached if u not in visited)
+            for u in frontier:
+                visited[u] = depth
+    if bucketed:
+        tables = ray.get([s.dump.remote() for s in shards])
+        return pa.concat_tables(tables).sort_by("url")
     urls = sorted(visited)
     return pa.table(
         {
@@ -324,6 +370,8 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     teleport_urls: "list[str] | None" = None,
+    plan: str = "auto",
+    num_buckets: int = 16,
 ) -> pa.Table:
     """Iterative PageRank over a link-edge table — the consumer of the
     link graph the reference left vestigial (``search/Searcher.java:
@@ -350,12 +398,15 @@ def pagerank(
     useful work at small scale). The rank vector and the per-block
     partials are node-count-bounded driver/worker state: fine up to
     ~10^8 nodes per the repo's broadcast-vs-shuffle convention
-    (``build_index.DRIVER_DEDUP_LIMIT``); at 10^12 pages swap the
-    broadcast for rank tables hash-bucketed by url alongside
-    equally-bucketed edges (same bucketed-join pattern as
-    ``stages.ops.shuffle_join``, with a tree-combine of the partials)
-    — one all-to-all per iteration is inherent to distributed
-    PageRank.
+    (``build_index.DRIVER_DEDUP_LIMIT``). Above
+    ``graph.graph_bucketed_limit()`` nodes (or with ``plan="bucketed"``
+    / env ``WSE_GRAPH_PLAN``) the job cuts over to
+    ``stages.graph.pagerank_bucketed``: vertex state hash-bucketed into
+    ``num_buckets`` object-store shards, edges co-partitioned by src
+    bucket once, each iteration one bucket-to-bucket partial-sum
+    exchange — no O(V) driver or broadcast state anywhere (ranks agree
+    to float64 roundoff; the registered rank_e9 contract is identical,
+    see tests/test_graph_bucketed.py).
 
     Returns (url, rank) sorted by url; ranks sum to 1 (mass conserved).
 
@@ -380,6 +431,42 @@ def pagerank(
     n = len(urls)
     if n == 0:
         return pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+
+    from .graph import pagerank_bucketed, resolve_plan
+
+    if resolve_plan(plan, n) == "bucketed":
+        # integer-encode WITHOUT the broadcast node-membership filter —
+        # membership is enforced per bucket shard inside the bucketed
+        # prep, so no O(V) array ships to every map task
+        def to_int_raw(batch: pa.Table) -> pa.Table:
+            out = {}
+            for col, name in (("src_url", "src_id"), ("dst_url", "dst_id")):
+                d = batch[col].combine_chunks().dictionary_encode()
+                h = hash64_array(d.dictionary)
+                out[name] = pa.array(
+                    h[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+                )
+            return pa.table(out)
+
+        edges_raw = edges.map_batches(to_int_raw, batch_format="pyarrow").materialize()
+        tel_ids = None
+        if teleport_urls is not None:
+            seed_ids = np.asarray(sorted(set(hash64_array(sorted(set(teleport_urls))))))
+            pos = np.searchsorted(ids, seed_ids)
+            np.clip(pos, 0, n - 1, out=pos)
+            tel_ids = seed_ids[ids[pos] == seed_ids]
+            if tel_ids.size == 0:
+                raise ValueError("no teleport url is in the node set")
+        return pagerank_bucketed(
+            edges_raw,
+            ids,
+            urls,
+            damping=damping,
+            iters=iters,
+            teleport_ids=tel_ids,
+            num_buckets=num_buckets,
+        )
+
     ids_ref = ray.put(ids)
 
     def to_int(batch: pa.Table) -> pa.Table:
@@ -1436,7 +1523,13 @@ def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
     )
 
 
-def label_prop_communities(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
+def label_prop_communities(
+    pairs: "rd.Dataset",
+    *,
+    rounds: int = 5,
+    plan: str = "auto",
+    num_buckets: int = 16,
+) -> pa.Table:
     """Synchronous label-propagation COMMUNITY detection (Raghavan et
     al. 2007) over an undirected (doc_a, doc_b) pair graph — the
     community counterpart of ``stages/dedup.dup_clusters``'s
@@ -1453,14 +1546,19 @@ def label_prop_communities(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
     per block returns its node-bounded per-(node, neighbour-label)
     partial counts; the driver folds counts and takes the per-node
     (count desc, label asc) argmax. Node/label state bounded by the
-    nodes appearing in pairs (the repo's broadcast convention — at
-    10^12 nodes swap for the bucketed-join variant, see ``pagerank``).
+    nodes appearing in pairs (the repo's broadcast convention); above
+    ``graph.graph_bucketed_limit()`` estimated nodes (or
+    ``plan="bucketed"`` / env ``WSE_GRAPH_PLAN``) the job cuts over to
+    ``stages.graph.label_prop_bucketed`` — bucketed label shards,
+    bucket-to-bucket (node, label, count) partials, no O(V) driver
+    state, BIT-IDENTICAL labels (integer counts, same winner rule).
     """
     import numpy as np
 
     import ray
     import ray.data as rd  # noqa: F401
 
+    from .graph import label_prop_bucketed, resolve_plan
     from .ops import distinct_on
 
     # mode-of-neighbours weights by multiplicity, so the pair set must
@@ -1469,6 +1567,10 @@ def label_prop_communities(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
     edges = distinct_on(
         pairs.select_columns(["doc_a", "doc_b"]), ["doc_a", "doc_b"]
     ).materialize()
+    if resolve_plan(plan, 2 * edges.count()) == "bucketed":
+        return label_prop_bucketed(
+            edges, rounds=rounds, num_buckets=num_buckets, label_name="community_id"
+        )
     refs = edges.to_arrow_refs()
 
     def _tbl_of(b):

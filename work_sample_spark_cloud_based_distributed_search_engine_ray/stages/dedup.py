@@ -881,7 +881,13 @@ def benchmark_shingle_set(
 # --------------------------------------------------------------------------
 
 
-def dup_clusters(pairs: rd.Dataset, *, rounds: int = 10) -> pa.Table:
+def dup_clusters(
+    pairs: rd.Dataset,
+    *,
+    rounds: int = 10,
+    plan: str = "auto",
+    num_buckets: int = 16,
+) -> pa.Table:
     """Connected-component clustering of near-dup PAIRS — the step that
     turns pairwise dedup output into keep-one-per-CLUSTER semantics (a
     pair list alone over-deletes when A~B and B~C but a pipeline drops
@@ -902,11 +908,23 @@ def dup_clusters(pairs: rd.Dataset, *, rounds: int = 10) -> pa.Table:
     Early-exits on fixpoint (a fixpoint is invariant under further
     rounds, so early exit cannot diverge from the unrolled oracle).
     Node/label state is bounded by the number of docs APPEARING IN
-    PAIRS — a small fraction of the corpus by construction.
+    PAIRS — a small fraction of the corpus by construction; above
+    ``graph.graph_bucketed_limit()`` estimated nodes (or with
+    ``plan="bucketed"`` / env ``WSE_GRAPH_PLAN``) the job cuts over to
+    ``stages.graph.components_bucketed`` — hash-bucketed label shards,
+    bucket-to-bucket min-message exchange, no O(V) driver state, and
+    BIT-IDENTICAL labels (integer minima are order-independent;
+    asserted by tests/test_graph_bucketed.py).
 
     Returns (doc_id, cluster_id) for every doc in >= 1 pair.
     """
+    from .graph import components_bucketed, resolve_plan
+
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    # estimated vertex count (<= 2x pair count) picks the plan without
+    # materializing the node set anywhere
+    if resolve_plan(plan, 2 * edges.count()) == "bucketed":
+        return components_bucketed(edges, rounds=rounds, num_buckets=num_buckets)
     refs = edges.to_arrow_refs()
 
     def _tbl_of(b):
