@@ -92,6 +92,18 @@ def test_maxscore_equals_exhaustive(built):
             ), (q, k)
 
 
+def test_scalar_daat_equals_vectorized(built):
+    """The retained scalar document-at-a-time reference loops agree
+    bit-for-bit with the vectorized block-max paths (and hence with the
+    exhaustive scorer) — the four-way A/B across every k."""
+    _pages, _paths, idx, _oracle = built
+    for k in (1, 3, 10, 50):
+        for _qid, q in reference_queries():
+            want = idx.bm25_topk_exhaustive(q, k)
+            assert idx.bm25_topk(q, k, method="wand_scalar") == want, (q, k)
+            assert idx.bm25_topk(q, k, method="maxscore_scalar") == want, (q, k)
+
+
 def test_reference_scorer_matches_oracle(built):
     _pages, _paths, idx, oracle = built
     for _qid, q in reference_queries():
