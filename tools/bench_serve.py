@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Concurrent-client latency of the serving tier (round-3 verdict #7).
+
+Starts ``SearchHTTPServer`` (ThreadingHTTPServer: thread per
+connection, like the reference's ``webserver/ServerWorker.java`` pool)
+over a built index and drives it with N concurrent closed-loop clients
+issuing the reference query set (cache-busted per request, so every hit
+does real scoring work), reporting the per-request latency distribution
+and aggregate throughput at each concurrency level.
+
+    python tools/bench_serve.py [index_dir] [--clients 1,8,32] [--seconds 10]
+
+Backend note: with the in-process ``SearchIndex`` backend the handler
+threads score under one GIL but the numpy kernels release it, so
+concurrency still overlaps; with ``--distributed`` the backend is the
+shard-actor tier (``DistributedSearch``) and scoring runs in actor
+processes — the multi-node serving shape.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import threading
+import time
+import urllib.parse
+import urllib.request
+
+
+def run_level(port: int, queries: list[str], n_clients: int, seconds: float):
+    stop = time.perf_counter() + seconds
+    lats: list[list[float]] = [[] for _ in range(n_clients)]
+    errors = [0] * n_clients
+
+    def client(ci: int) -> None:
+        i = ci  # stagger query streams per client
+        while time.perf_counter() < stop:
+            q = queries[i % len(queries)]
+            # cache-bust: unique suffix term per request (unknown terms
+            # don't change results but change the cache key)
+            qq = urllib.parse.quote(f"{q} zzcb{ci}x{i}")
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/search?query={qq}", timeout=30
+                ) as r:
+                    r.read()
+                lats[ci].append((time.perf_counter() - t0) * 1000)
+            except Exception:
+                errors[ci] += 1
+            i += n_clients
+
+    threads = [threading.Thread(target=client, args=(ci,)) for ci in range(n_clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    flat = sorted(x for l in lats for x in l)
+    if not flat:
+        return {"clients": n_clients, "requests": 0, "errors": sum(errors)}
+    return {
+        "clients": n_clients,
+        "requests": len(flat),
+        "errors": sum(errors),
+        "rps": round(len(flat) / wall, 1),
+        "p50_ms": round(statistics.median(flat), 2),
+        "p95_ms": round(flat[int(len(flat) * 0.95)], 2),
+        "p99_ms": round(flat[int(len(flat) * 0.99)], 2),
+        "max_ms": round(flat[-1], 2),
+    }
+
+
+def main() -> None:
+    import ray
+
+    sys.path.insert(0, ".")  # run from the repo root, like check_oracles
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    idx_dir = args[0] if args else "/tmp/wse_idx_sf01_daat"
+    levels = [1, 8, 32]
+    seconds = 10.0
+    distributed = "--distributed" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--clients"):
+            levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--seconds"):
+            seconds = float(a.split("=", 1)[1])
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        DistributedSearch,
+        SearchHTTPServer,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    backend = DistributedSearch(idx_dir) if distributed else SearchIndex.load(idx_dir)
+    queries = [q for _, q in reference_queries() if q.strip()]
+    srv = SearchHTTPServer(backend, port=0).start()
+    # warm the postings cache so levels measure serving, not first decode
+    run_level(srv.port, queries, 2, 2.0)
+    out = {
+        "backend": "distributed" if distributed else "in-process",
+        "n_docs": getattr(backend, "N", None),
+        "levels": [run_level(srv.port, queries, n, seconds) for n in levels],
+    }
+    srv.shutdown()
+    if distributed:
+        backend.shutdown()
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

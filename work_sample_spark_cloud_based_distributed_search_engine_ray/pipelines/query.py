@@ -53,9 +53,24 @@ class DocStore:
     Uses row-group min/max statistics to read only the row groups that
     can contain the requested ids — the scale path for assembling top-k
     results without scanning the store (contrast ``Searcher.java:44-57``).
+    The store is written with 2048-row groups (``write_docstore``) so a
+    point lookup decompresses ~2k bodies, not a 100k-row file; on top
+    of that a bounded per-doc LRU serves repeated hot docs without any
+    parquet read, and file handles (footer parses) are cached. Lookup
+    is thread-safe (the serving tier is a thread-per-connection HTTP
+    server) — parquet reads serialize on one lock per store, which at
+    scale is per shard ACTOR, so cross-shard reads still overlap.
     """
 
+    DOC_CACHE = 8192  # LRU entries (~8k bodies, a few tens of MB)
+
     def __init__(self, path: str):
+        import threading
+        from collections import OrderedDict
+
+        self._lock = threading.Lock()
+        self._pf: dict[str, "pq.ParquetFile"] = {}
+        self._docs: OrderedDict[int, dict] = OrderedDict()
         entries: list[tuple[str, int, int, int]] = []  # (file, rg, min_id, max_id)
         for f in _parquet_files(path):
             md = pq.ParquetFile(f).metadata
@@ -76,6 +91,19 @@ class DocStore:
         if not len(self.files):
             return out
         ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        # hot docs straight from the LRU; only misses touch parquet
+        with self._lock:
+            missing = []
+            for i in ids:
+                row = self._docs.get(int(i))
+                if row is not None:
+                    self._docs.move_to_end(int(i))
+                    out[int(i)] = row
+                else:
+                    missing.append(int(i))
+        if not missing:
+            return out
+        ids = np.asarray(missing, dtype=np.int64)
         if self._disjoint:
             # O(n_ids * log RG): locate each id's candidate row group
             pos = np.searchsorted(self._mins, ids, side="right") - 1
@@ -91,12 +119,20 @@ class DocStore:
                 s, e = np.searchsorted(ids, [lo, hi + 1])
                 if e > s:
                     groups.append((i, ids[s:e]))
-        for rg_i, hits in groups:
-            f, rg, _lo, _hi = self.files[rg_i]
-            t = pq.ParquetFile(f).read_row_group(rg)
-            mask = pc.is_in(t["doc_id"], value_set=pa.array(hits, pa.int64()))
-            for row in t.filter(mask).to_pylist():
-                out[row["doc_id"]] = row
+        with self._lock:
+            for rg_i, hits in groups:
+                f, rg, _lo, _hi = self.files[rg_i]
+                pf = self._pf.get(f)
+                if pf is None:
+                    pf = self._pf[f] = pq.ParquetFile(f)
+                t = pf.read_row_group(rg)
+                mask = pc.is_in(t["doc_id"], value_set=pa.array(hits, pa.int64()))
+                for row in t.filter(mask).to_pylist():
+                    out[row["doc_id"]] = row
+                    self._docs[row["doc_id"]] = row
+                    self._docs.move_to_end(row["doc_id"])
+            while len(self._docs) > self.DOC_CACHE:
+                self._docs.popitem(last=False)
         return out
 
 
