@@ -286,11 +286,43 @@ def run_bench() -> None:
     knn_brute_force(rd.read_parquet(emb_path), qm, k=10).count()
     queries["knn_bruteforce"] = round(time.time() - t0, 3)
 
+    # 6. incremental update: merge a +10% batch of NEW pages into the
+    # stage-1 index (round-3 verdict #6: at 100 TB the delta path IS
+    # the steady-state build, so it gets its own recorded bar). The
+    # delta corpus is the deterministic tail [n, 1.1n) of a larger
+    # synthetic corpus — urls are index-keyed, so the batch is disjoint
+    # from the base by construction.
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.update_index import (
+        update_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_parquet,
+        sf_to_n_docs,
+    )
+
+    n = sf_to_n_docs(_sf())
+    n_delta = int(n * 1.1) - n
+    delta_path = f"/tmp/wse_bench_delta_{n}.parquet"
+    if not os.path.exists(delta_path):
+        big = pq.read_table(pages_parquet(int(n * 1.1)))
+        pq.write_table(
+            big.slice(n), delta_path, row_group_size=max(256, n_delta // 16)
+        )
+    shutil.rmtree("/tmp/wse_bench_index_upd", ignore_errors=True)
+    shutil.rmtree("/tmp/wse_bench_index_upd.delta", ignore_errors=True)
+    t0 = time.time()
+    update_index(
+        delta_path, "/tmp/wse_bench_index", "/tmp/wse_bench_index_upd", num_partitions=8
+    )
+    upd_wall = time.time() - t0
+    queries["index_update_10pct"] = round(upd_wall, 3)
+    extras["update_docs_per_sec"] = round(n_delta / upd_wall, 1)
+
     total = time.time() - t_all
     print(
         json.dumps(
             {
-                "metric": "headline pipelines wall time (index build + BM25 query set + dedup + textstats + knn)",
+                "metric": "headline pipelines wall time (index build + BM25 query set + dedup + textstats + knn + 10% incremental update)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,
