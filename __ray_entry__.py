@@ -65,14 +65,16 @@ PAGERANK_ITERS = 10
 HITS_ITERS = 5
 
 
+_CANON80_RE = __import__("re").compile(r"^http://([^/]*)")
+
+
 def _canon80(u: str) -> str:
     """Canonical url form for graph joins: explicit :80 default port,
     matching what the link normalizer emits for dst urls. ONE rule —
     the PageRank/BFS node-edge matching silently breaks if the src and
-    dst conventions ever diverge."""
-    import re
-
-    return re.sub(r"^http://([^/]*)", r"http://\1:80", u)
+    dst conventions ever diverge. Pattern compiled once at module load
+    (round-3 verdict minor #4)."""
+    return _CANON80_RE.sub(r"http://\1:80", u)
 
 
 def _canon80_src(t: pa.Table) -> pa.Table:

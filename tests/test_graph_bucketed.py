@@ -154,6 +154,36 @@ def test_pagerank_env_forced_cutover(ray_session, monkeypatch):
     assert (np.round(ra * 1e9) == np.round(rb * 1e9)).all()
 
 
+def test_hits_ab(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        hits,
+    )
+
+    a = hits(_edges_ds(), URLS, iters=5, plan="broadcast")
+    b = hits(_edges_ds(), URLS, iters=5, plan="bucketed", num_buckets=8)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    for col in ("auth", "hub"):
+        ra = np.asarray(a[col].to_pylist())
+        rb = np.asarray(b[col].to_pylist())
+        assert (np.round(ra * 1e9) == np.round(rb * 1e9)).all(), col
+        np.testing.assert_allclose(ra, rb, rtol=1e-12, atol=1e-15)
+
+
+def test_salsa_ab(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        salsa,
+    )
+
+    a = salsa(_edges_ds(seed=9), URLS, iters=5, plan="broadcast")
+    b = salsa(_edges_ds(seed=9), URLS, iters=5, plan="bucketed", num_buckets=4)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    for col in ("auth", "hub"):
+        ra = np.asarray(a[col].to_pylist())
+        rb = np.asarray(b[col].to_pylist())
+        assert (np.round(ra * 1e9) == np.round(rb * 1e9)).all(), col
+        np.testing.assert_allclose(ra, rb, rtol=1e-12, atol=1e-15)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -278,8 +278,8 @@ def frontier_bfs(
 
     The frontier is BROADCAST per wave (``ray.put`` once, read by every
     map task) and the expansion is a vectorized ``is_in`` filter + local
-    dedup — a frontier is tiny relative to the edge set, so this is the
-    broadcast-side of the join, not a shuffle. Returns (url, depth) for
+    dedup — a frontier is tiny relative to the edge set, so this is
+    the broadcast side of the join, not a shuffle. Returns (url, depth) for
     every reached url, depth = first-reach wave (seeds get depth 0);
     deterministic regardless of partitioning.
 
@@ -564,6 +564,8 @@ def hits(
     node_urls: list[str],
     *,
     iters: int = 5,
+    plan: str = "auto",
+    num_buckets: int = 16,
 ) -> pa.Table:
     """HITS hubs/authorities over the link-edge table (Kleinberg 1999,
     "Authoritative Sources in a Hyperlinked Environment") — the second
@@ -603,6 +605,24 @@ def hits(
                 "auth": pa.array([], pa.float64()),
                 "hub": pa.array([], pa.float64()),
             }
+        )
+
+    from .graph import hits_salsa_bucketed, resolve_plan
+
+    if resolve_plan(plan, n) == "bucketed":
+        def to_int_raw(batch: pa.Table) -> pa.Table:
+            out = {}
+            for col, name in (("src_url", "src_id"), ("dst_url", "dst_id")):
+                d = batch[col].combine_chunks().dictionary_encode()
+                h = hash64_array(d.dictionary)
+                out[name] = pa.array(
+                    h[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+                )
+            return pa.table(out)
+
+        edges_raw = edges.map_batches(to_int_raw, batch_format="pyarrow").materialize()
+        return hits_salsa_bucketed(
+            edges_raw, ids, urls, iters=iters, stochastic=False, num_buckets=num_buckets
         )
     ids_ref = ray.put(ids)
 
@@ -687,6 +707,8 @@ def salsa(
     node_urls: list[str],
     *,
     iters: int = 5,
+    plan: str = "auto",
+    num_buckets: int = 16,
 ) -> pa.Table:
     """SALSA hubs/authorities over the link-edge table (Lempel & Moran
     2000, "The Stochastic Approach for Link-Structure Analysis") — the
@@ -736,6 +758,24 @@ def salsa(
                 "auth": pa.array([], pa.float64()),
                 "hub": pa.array([], pa.float64()),
             }
+        )
+
+    from .graph import hits_salsa_bucketed, resolve_plan
+
+    if resolve_plan(plan, n) == "bucketed":
+        def to_int_raw(batch: pa.Table) -> pa.Table:
+            out = {}
+            for col, name in (("src_url", "src_id"), ("dst_url", "dst_id")):
+                d = batch[col].combine_chunks().dictionary_encode()
+                h = hash64_array(d.dictionary)
+                out[name] = pa.array(
+                    h[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+                )
+            return pa.table(out)
+
+        edges_raw = edges.map_batches(to_int_raw, batch_format="pyarrow").materialize()
+        return hits_salsa_bucketed(
+            edges_raw, ids, urls, iters=iters, stochastic=True, num_buckets=num_buckets
         )
     ids_ref = ray.put(ids)
 

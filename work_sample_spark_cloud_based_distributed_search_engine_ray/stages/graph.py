@@ -524,6 +524,151 @@ def _pr_table(vurls, ranks):
     return pa.table({"url": pa.array(vurls, pa.string()), "rank": pa.array(ranks)})
 
 
+# ---------------------------------------------------------------------------
+# HITS / SALSA (bucketed bipartite propagation)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _bp_messages(prep, scores, divide_by_deg: bool, num_buckets: int):
+    """One half-step for one bucket: gather this bucket's score shard at
+    its edge endpoints (optionally divided by the endpoint's degree —
+    the SALSA stochastic walk; raw for HITS), segmented-SUM per
+    destination position. num_returns=B partials, worker-to-worker."""
+    topo, deg = prep
+    out = [None] * num_buckets
+    if scores is not None:
+        if divide_by_deg:
+            w = scores * np.where(deg == 0, 0.0, 1.0 / np.maximum(deg, 1))
+        else:
+            w = scores
+        for gamma, (ou, starts, mp) in topo.items():
+            out[gamma] = (ou, np.add.reduceat(w[mp], starts))
+    return tuple(out)
+
+
+@ray.remote
+def _bp_combine(nb: int, *partials):
+    """Fold incoming partial sums into this bucket's new (un-normalized)
+    score shard; returns (vector, local L1 mass)."""
+    if nb == 0:
+        return None, 0.0
+    contrib = np.zeros(nb, dtype=np.float64)
+    for p in partials:
+        if p is None:
+            continue
+        ou, s = p
+        np.add.at(contrib, ou, s)
+    return contrib, float(contrib.sum())
+
+
+@ray.remote
+def _bp_scale(vec, tot: float):
+    if vec is None:
+        return None
+    return vec / tot if tot > 0 else vec
+
+
+@ray.remote
+def _bp_table(vurls, auth, hub):
+    if vurls is None:
+        return None
+    return pa.table(
+        {
+            "url": pa.array(vurls, pa.string()),
+            "auth": pa.array(auth),
+            "hub": pa.array(hub),
+        }
+    )
+
+
+def hits_salsa_bucketed(
+    edges_i,
+    ids: np.ndarray,
+    urls: list,
+    *,
+    iters: int = 5,
+    stochastic: bool = False,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """HITS (``stochastic=False``) / SALSA (``stochastic=True``) with
+    bucketed vertex state. Two static topologies are prepped once —
+    edges partitioned by SRC bucket (forward: authority <- hub) and by
+    DST bucket (backward: hub <- authority), each with its local
+    degree vector (out-degree resp. in-degree, local by construction
+    since an endpoint lives in exactly one bucket). Each half-step is
+    one bucket-to-bucket partial-sum exchange + a global L1
+    normalization from B scalar masses. Scores agree with the
+    broadcast plan to float64 roundoff; the registered *_e9 contract is
+    identical (tests/test_graph_bucketed.py)."""
+    n = int(ids.size)
+    B = num_buckets
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "auth": pa.array([], pa.float64()),
+                "hub": pa.array([], pa.float64()),
+            }
+        )
+    buck = ids % B
+    order = np.argsort(buck, kind="stable")
+    ids_b, urls_b = ids[order], [urls[i] for i in order]
+    bounds = np.searchsorted(buck[order], np.arange(B + 1))
+    shard_refs, url_refs, sizes = [], [], []
+    for i in range(B):
+        lo, hi = bounds[i], bounds[i + 1]
+        sizes.append(int(hi - lo))
+        shard_refs.append(ray.put(ids_b[lo:hi] if hi > lo else None))
+        url_refs.append(ray.put(urls_b[lo:hi] if hi > lo else None))
+
+    refs = edges_i.to_arrow_refs()
+    splits_s = [
+        _split_directed.options(num_returns=B).remote(r, "src_id", "dst_id", B)
+        for r in refs
+    ]
+    splits_d = [
+        _split_directed.options(num_returns=B).remote(r, "dst_id", "src_id", B)
+        for r in refs
+    ]
+    preps_s = [
+        _pr_prep.remote([s[i] for s in splits_s], i, shard_refs, B) for i in range(B)
+    ]
+    preps_d = [
+        _pr_prep.remote([s[i] for s in splits_d], i, shard_refs, B) for i in range(B)
+    ]
+
+    def half_step(preps, score_refs):
+        outs = [
+            _bp_messages.options(num_returns=B).remote(
+                preps[i], score_refs[i], stochastic, B
+            )
+            for i in range(B)
+        ]
+        pairs = [
+            _bp_combine.options(num_returns=2).remote(
+                sizes[g], *[outs[i][g] for i in range(B)]
+            )
+            for g in range(B)
+        ]
+        tot = float(sum(ray.get([p[1] for p in pairs])))  # B scalars only
+        return [_bp_scale.remote(pairs[g][0], tot) for g in range(B)]
+
+    hub = [
+        ray.put(np.full(s, 1.0 / n, dtype=np.float64)) if s else ray.put(None)
+        for s in sizes
+    ]
+    auth = [ray.put(np.zeros(s, dtype=np.float64)) if s else ray.put(None) for s in sizes]
+    for _ in range(iters):
+        auth = half_step(preps_s, hub)
+        hub = half_step(preps_d, auth)
+    tables = ray.get(
+        [_bp_table.remote(url_refs[i], auth[i], hub[i]) for i in range(B)]
+    )
+    tables = [t for t in tables if t is not None]
+    return pa.concat_tables(tables).sort_by("url")
+
+
 def pagerank_bucketed(
     edges_i,
     ids: np.ndarray,
