@@ -154,6 +154,26 @@ def test_pagerank_env_forced_cutover(ray_session, monkeypatch):
     assert (np.round(ra * 1e9) == np.round(rb * 1e9)).all()
 
 
+def test_kcore_ab_bit_identity(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        kcore_flags,
+    )
+
+    # a 7-clique (6-core) + a chain hanging off it: peeling removes the
+    # chain over multiple rounds, exercising the fixpoint loop
+    clique = [(i + 1) * 101 for i in range(7)]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    chain = [clique[0]] + [(i + 1) * 90007 for i in range(5)]
+    edges += list(zip(chain[:-1], chain[1:]))
+    ds = _pairs_ds(edges)
+    a = kcore_flags(_pairs_ds(edges), k=6, plan="broadcast")
+    b = kcore_flags(ds, k=6, plan="bucketed", num_buckets=4)
+    assert a.equals(b)
+    got = dict(zip(b["doc_id"].to_pylist(), b["in_core"].to_pylist()))
+    assert all(got[c] for c in clique)
+    assert not any(got[c] for c in chain[1:])
+
+
 def test_hits_ab(ray_session):
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
         hits,

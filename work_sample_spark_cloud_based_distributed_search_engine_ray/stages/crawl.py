@@ -1479,7 +1479,14 @@ def bib_coupling_pairs(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
+def kcore_flags(
+    edges: "rd.Dataset",
+    *,
+    k: int,
+    rounds: int = 10,
+    plan: str = "auto",
+    num_buckets: int = 16,
+) -> pa.Table:
     """k-core decomposition of an undirected graph by iterative peeling
     (Seidman 1983) — the "dense nucleus" signal link-spam and
     community analyses run over a web graph: repeatedly drop nodes
@@ -1498,12 +1505,21 @@ def kcore_flags(edges: "rd.Dataset", *, k: int, rounds: int = 10) -> pa.Table:
     bitmap (1 bit-bool per node) is broadcast via ``ray.put`` and one
     task per block returns its node-bounded surviving-degree partials,
     which the driver folds with ``np.add.at``. Nothing corpus-sized
-    ever lands on the driver — state is O(nodes-in-edges)."""
+    ever lands on the driver — state is O(nodes-in-edges); above
+    ``graph.graph_bucketed_limit()`` estimated nodes (or
+    ``plan="bucketed"`` / env ``WSE_GRAPH_PLAN``) the job cuts over to
+    ``stages.graph.kcore_bucketed`` — bucketed alive shards,
+    bucket-to-bucket surviving-degree partials, BIT-IDENTICAL
+    membership (boolean/integer ops, same fixpoint round)."""
     import numpy as np
 
     import ray
 
+    from .graph import kcore_bucketed, resolve_plan
+
     edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+    if resolve_plan(plan, 2 * edges.count()) == "bucketed":
+        return kcore_bucketed(edges, k=k, rounds=rounds, num_buckets=num_buckets)
     refs = edges.to_arrow_refs()
 
     def _tbl_of(b):

@@ -324,6 +324,93 @@ def components_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _alive_ones(vshard):
+    return None if vshard is None else np.ones(vshard.size, dtype=bool)
+
+
+@ray.remote
+def _deg_messages(prep, alive, num_buckets: int):
+    """One bucket's peel round: per destination bucket, the segmented
+    COUNT of this bucket's still-alive endpoints per destination
+    position (an edge contributes to its far endpoint's surviving
+    degree only if the near endpoint is alive; the far endpoint's own
+    aliveness gates at the combine side)."""
+    out = [None] * num_buckets
+    if alive is None:
+        return out
+    live = alive.astype(np.int64)
+    for gamma, (ou, starts, mp) in prep.items():
+        out[gamma] = (ou, np.add.reduceat(live[mp], starts))
+    return out
+
+
+@ray.remote
+def _deg_combine(alive, k: int, *partials):
+    if alive is None:
+        return None, False
+    deg = np.zeros(alive.size, dtype=np.int64)
+    for p in partials:
+        if p is None:
+            continue
+        ou, c = p
+        np.add.at(deg, ou, c)
+    new = alive & (deg >= k)
+    return new, bool(not np.array_equal(new, alive))
+
+
+@ray.remote
+def _core_table(vshard, alive):
+    if vshard is None:
+        return None
+    return pa.table({"doc_id": pa.array(vshard), "in_core": pa.array(alive)})
+
+
+def kcore_bucketed(
+    edges, *, k: int, rounds: int = 10, num_buckets: int = 16
+) -> pa.Table:
+    """``kcore_flags`` semantics (iterative peel, early exit on global
+    fixpoint) with bucketed alive state — BIT-IDENTICAL membership to
+    the broadcast plan (boolean/integer ops; both plans stop after the
+    same round). Input: DISTINCT (doc_a < doc_b) edge Dataset."""
+    edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+    refs = edges.to_arrow_refs()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "in_core": pa.array([], pa.bool_())}
+    )
+    if not refs:
+        return empty
+    shard_refs, prep_refs, sizes = _build_incidence(refs, "doc_a", "doc_b", num_buckets)
+    if sum(sizes) == 0:
+        return empty
+    B = num_buckets
+    alive = [_alive_ones.remote(s) for s in shard_refs]
+    for _ in range(rounds):
+        msgs = [
+            _deg_messages.options(num_returns=B).remote(prep_refs[i], alive[i], B)
+            for i in range(B)
+        ]
+        outs = [
+            _deg_combine.options(num_returns=2).remote(
+                alive[g], k, *[msgs[i][g] for i in range(B)]
+            )
+            for g in range(B)
+        ]
+        alive = [o[0] for o in outs]
+        if not any(ray.get([o[1] for o in outs])):
+            break
+    tables = ray.get(
+        [_core_table.remote(shard_refs[i], alive[i]) for i in range(B)]
+    )
+    tables = [t for t in tables if t is not None]
+    return pa.concat_tables(tables).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Label propagation (mode-of-neighbours communities)
 # ---------------------------------------------------------------------------
 
