@@ -154,6 +154,24 @@ def test_pagerank_env_forced_cutover(ray_session, monkeypatch):
     assert (np.round(ra * 1e9) == np.round(rb * 1e9)).all()
 
 
+def test_modularity_ab_bit_identity(ray_session):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+        label_prop_modularity,
+    )
+
+    edges = _rand_graph(n_nodes=200, n_edges=500, seed=23)
+    # two cliques + bridge gives real community structure (Q > 0)
+    left = [(i + 1) * 13 for i in range(6)]
+    right = [(i + 1) * 2_000_003 for i in range(6)]
+    edges += [(x, y) for i, x in enumerate(left) for y in left[i + 1 :]]
+    edges += [(x, y) for i, x in enumerate(right) for y in right[i + 1 :]]
+    a = label_prop_modularity(_pairs_ds(edges), rounds=5, plan="broadcast")
+    b = label_prop_modularity(
+        _pairs_ds(edges), rounds=5, plan="bucketed", num_buckets=8
+    )
+    assert a.equals(b)  # exact integers: n_nodes/n_edges/n_comms/Q_e6
+
+
 def test_kcore_ab_bit_identity(ray_session):
     from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
         kcore_flags,

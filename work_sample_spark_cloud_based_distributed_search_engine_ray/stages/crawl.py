@@ -1769,7 +1769,13 @@ def link_jaccard_pairs(
     return cc.map_batches(add_jaccard, batch_format="pyarrow")
 
 
-def label_prop_modularity(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
+def label_prop_modularity(
+    pairs: "rd.Dataset",
+    *,
+    rounds: int = 5,
+    plan: str = "auto",
+    num_buckets: int = 16,
+) -> pa.Table:
     """Newman modularity of the :func:`label_prop_communities`
     partition — the quality score that says whether the communities
     are real structure or noise. EXACT integer arithmetic end-to-end:
@@ -1786,14 +1792,29 @@ def label_prop_modularity(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
     globally-deduped edge set emits per-block (intra-count, per-node
     degree partials); the driver folds degrees into per-community
     sums. Returns one row (n_nodes, n_edges, n_communities,
-    modularity_e6)."""
+    modularity_e6). Above ``graph.graph_bucketed_limit()`` estimated
+    nodes (or ``plan="bucketed"`` / env ``WSE_GRAPH_PLAN``) the job
+    runs ``stages.graph.modularity_bucketed``: labels stay SHARDED in
+    the object store, intra counts via one O(E) label exchange,
+    per-community degree sums via a community-keyed second exchange —
+    same exact integer result, no driver O(V) anywhere."""
     import numpy as np
 
     import ray
 
+    from .graph import modularity_bucketed, resolve_plan
     from .ops import distinct_on
 
-    lab_tbl = label_prop_communities(pairs, rounds=rounds)
+    # dedup ONCE up front (both plans need the distinct edge set; the
+    # upstream plan — e.g. link extraction — must not re-execute per
+    # consumer)
+    ded = distinct_on(
+        pairs.select_columns(["doc_a", "doc_b"]), ["doc_a", "doc_b"]
+    ).materialize()
+    if resolve_plan(plan, 2 * ded.count()) == "bucketed":
+        return modularity_bucketed(ded, rounds=rounds, num_buckets=num_buckets)
+
+    lab_tbl = label_prop_communities(ded, rounds=rounds)
     nodes = lab_tbl["doc_id"].to_numpy(zero_copy_only=False)
     labs = lab_tbl["community_id"].to_numpy(zero_copy_only=False)
     if nodes.size == 0:
@@ -1810,7 +1831,7 @@ def label_prop_modularity(pairs: "rd.Dataset", *, rounds: int = 5) -> pa.Table:
     nodes_ref = ray.put(nodes)
     labs_ref = ray.put(labs)
 
-    edges = distinct_on(pairs.select_columns(["doc_a", "doc_b"]), ["doc_a", "doc_b"])
+    edges = ded
 
     def block_stats(t: pa.Table) -> pa.Table:
         nd = ray.get(nodes_ref)

@@ -467,30 +467,19 @@ def _count_combine(labels, *partials):
     return new, bool(not np.array_equal(new, labels))
 
 
-def label_prop_bucketed(
-    pairs,
-    *,
-    rounds: int = 5,
-    num_buckets: int = 16,
-    id_name: str = "doc_id",
-    label_name: str = "community_id",
-) -> pa.Table:
-    """``label_prop_communities`` semantics (synchronous mode-of-
-    neighbours, tie -> smallest label, early exit on fixpoint) with
-    bucketed vertex state — BIT-IDENTICAL to the broadcast plan
-    (integer counts and the same (count desc, label asc) winner rule).
-    Input must already be globally distinct undirected pairs (the
-    wrapper dedups exactly as the broadcast path does)."""
+def _label_prop_shards(pairs, *, rounds: int, num_buckets: int):
+    """Shared core of the bucketed label-prop family: returns
+    (shard_refs, prep_refs, label_refs, sizes) with labels left AS
+    SHARDS in the object store — ``label_prop_bucketed`` collects them
+    into the API table, ``modularity_bucketed`` consumes them sharded.
+    Input must already be globally distinct undirected pairs."""
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
     refs = edges.to_arrow_refs()
-    empty = pa.table(
-        {id_name: pa.array([], pa.int64()), label_name: pa.array([], pa.int64())}
-    )
     if not refs:
-        return empty
+        return None
     shard_refs, prep_refs, sizes = _build_incidence(refs, "doc_a", "doc_b", num_buckets)
     if sum(sizes) == 0:
-        return empty
+        return None
     B = num_buckets
     labels = [_init_labels.remote(s) for s in shard_refs]
     for _ in range(rounds):
@@ -507,14 +496,180 @@ def label_prop_bucketed(
         labels = [o[0] for o in outs]
         if not any(ray.get([o[1] for o in outs])):
             break
+    return shard_refs, prep_refs, labels, sizes
+
+
+def label_prop_bucketed(
+    pairs,
+    *,
+    rounds: int = 5,
+    num_buckets: int = 16,
+    id_name: str = "doc_id",
+    label_name: str = "community_id",
+) -> pa.Table:
+    """``label_prop_communities`` semantics (synchronous mode-of-
+    neighbours, tie -> smallest label, early exit on fixpoint) with
+    bucketed vertex state — BIT-IDENTICAL to the broadcast plan
+    (integer counts and the same (count desc, label asc) winner rule).
+    Input must already be globally distinct undirected pairs (the
+    wrapper dedups exactly as the broadcast path does)."""
+    state = _label_prop_shards(pairs, rounds=rounds, num_buckets=num_buckets)
+    if state is None:
+        return pa.table(
+            {id_name: pa.array([], pa.int64()), label_name: pa.array([], pa.int64())}
+        )
+    shard_refs, _preps, labels, _sizes = state
     tables = ray.get(
         [
             _labels_table.remote(shard_refs[i], labels[i], id_name, label_name)
-            for i in range(B)
+            for i in range(num_buckets)
         ]
     )
     tables = [t for t in tables if t is not None]
     return pa.concat_tables(tables).sort_by(id_name)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-prop partition (fully sharded)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _mod_messages(prep, labels, num_buckets: int):
+    """Per destination bucket: (other_pos, my label) per incidence row
+    — the ONE O(E) exchange that lets the far side count intra-community
+    edges; plus this bucket's per-label degree partial rows and its
+    incidence-row count (== sum of degrees here)."""
+    out = [None] * num_buckets
+    deg_rows = (np.empty(0, np.int64), np.empty(0, np.int64))
+    n_inc = 0
+    if labels is not None:
+        nb = labels.size
+        deg = np.zeros(nb, dtype=np.int64)
+        for gamma, (ou, starts, mp) in prep.items():
+            deg += np.bincount(mp, minlength=nb)
+            n_inc += mp.size
+            # expand unique-dst segments back to per-row dst positions
+            seg = np.zeros(mp.size, dtype=np.int64)
+            seg[starts] = 1
+            dpos = ou[np.cumsum(seg) - 1]
+            out[gamma] = (dpos, labels[mp])
+        # per-label degree partial (label-sorted unique + sums)
+        order = np.argsort(labels, kind="stable")
+        ls, ds = labels[order], deg[order]
+        first = np.ones(ls.size, dtype=bool)
+        first[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(first)
+        deg_rows = (ls[starts], np.add.reduceat(ds, starts))
+    return (*out, deg_rows, n_inc)
+
+
+@ray.remote
+def _mod_intra(labels, *partials):
+    """Count incidence rows whose far label equals this bucket's label
+    (each undirected edge is seen twice across the exchange)."""
+    if labels is None:
+        return 0
+    n = 0
+    for p in partials:
+        if p is None:
+            continue
+        dpos, lab_me = p
+        n += int((labels[dpos] == lab_me).sum())
+    return n
+
+
+@ray.remote
+def _mod_deg_split(deg_rows, num_buckets: int):
+    """Route this bucket's per-label degree partials to the label's
+    OWN hash bucket (second, community-keyed exchange)."""
+    ls, ds = deg_rows
+    out = [None] * num_buckets
+    if ls.size:
+        buck = ls % num_buckets
+        order = np.argsort(buck, kind="stable")
+        ls, ds, buck = ls[order], ds[order], buck[order]
+        bounds = np.searchsorted(buck, np.arange(num_buckets + 1))
+        for i in range(num_buckets):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[i] = (ls[lo:hi], ds[lo:hi])
+    return out
+
+
+@ray.remote
+def _mod_dc2(*partials):
+    """One community bucket: fold per-label degree partials, return
+    (sum of d_c^2 as a Python bigint string-safe int, #communities)."""
+    ps = [p for p in partials if p is not None]
+    if not ps:
+        return 0, 0
+    ls = np.concatenate([p[0] for p in ps])
+    ds = np.concatenate([p[1] for p in ps])
+    order = np.argsort(ls, kind="stable")
+    ls, ds = ls[order], ds[order]
+    first = np.ones(ls.size, dtype=bool)
+    first[1:] = ls[1:] != ls[:-1]
+    starts = np.flatnonzero(first)
+    dc = np.add.reduceat(ds, starts)
+    # exact integer arithmetic (d_c^2 can exceed int64 at extreme skew)
+    return int(sum(int(d) * int(d) for d in dc)), int(dc.size)
+
+
+def modularity_bucketed(
+    pairs, *, rounds: int = 5, num_buckets: int = 16
+) -> pa.Table:
+    """``label_prop_modularity`` semantics with FULLY SHARDED state:
+    the community labels never leave the object store (no driver
+    O(V) vector, unlike the broadcast plan's collected label table).
+    Exact integer arithmetic end-to-end: intra-edge count via one O(E)
+    (other_pos, label) exchange (each edge seen twice -> halved),
+    per-community degree sums via a second community-keyed exchange of
+    label-bounded partial rows, sum d_c^2 in Python bigints, and the
+    same signed floor division as the broadcast plan and the HUGEINT
+    SQL twin. Input: globally distinct undirected pairs."""
+    B = num_buckets
+    state = _label_prop_shards(pairs, rounds=rounds, num_buckets=B)
+    empty = pa.table(
+        {
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "n_communities": pa.array([0], pa.int64()),
+            "modularity_e6": pa.array([0], pa.int64()),
+        }
+    )
+    if state is None:
+        return empty
+    _shards, preps, labels, sizes = state
+    outs = [
+        _mod_messages.options(num_returns=B + 2).remote(preps[i], labels[i], B)
+        for i in range(B)
+    ]
+    intra2 = sum(
+        ray.get(
+            [
+                _mod_intra.remote(labels[g], *[outs[i][g] for i in range(B)])
+                for g in range(B)
+            ]
+        )
+    )
+    m = sum(ray.get([o[B + 1] for o in outs])) // 2
+    intra = intra2 // 2
+    splits = [_mod_deg_split.options(num_returns=B).remote(o[B], B) for o in outs]
+    dc2_parts = ray.get(
+        [_mod_dc2.remote(*[splits[i][g] for i in range(B)]) for g in range(B)]
+    )
+    sum_dc2 = sum(p[0] for p in dc2_parts)
+    n_comms = sum(p[1] for p in dc2_parts)
+    q_e6 = (1_000_000 * (4 * m * intra - sum_dc2)) // (4 * m * m) if m else 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([int(sum(sizes))], pa.int64()),
+            "n_edges": pa.array([int(m)], pa.int64()),
+            "n_communities": pa.array([int(n_comms)], pa.int64()),
+            "modularity_e6": pa.array([int(q_e6)], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
