@@ -61,6 +61,13 @@ def hash64_array(values) -> np.ndarray:
         arr = pa.array(vals)
     if len(arr) == 0:
         return np.empty(0, dtype=np.int64)
+    if len(arr) < 2048:
+        # the vectorized path has ~1-3 ms of fixed per-call engine
+        # overhead; below ~2k values the C-digest loop is cheaper
+        # (measured: a 256-url batch costs 0.25 ms looped vs ~2 ms
+        # engined — at 1M docs / 256-row batches that fixed cost alone
+        # re-inflated phase A by ~15 s at 4 CPUs). Same bits either way.
+        return _hash64_array_py(arr.to_pylist())
     try:
         import duckdb
     except ImportError:  # pragma: no cover - duckdb is baked into the env
