@@ -7399,15 +7399,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         ded = distinct_on(edges, ["src_url", "dst_url"]).materialize()
 
+        # pivot = (max out-degree, url asc): a DISTRIBUTED aggregate +
+        # top-1, not a driver degree dict (the dict was O(nodes) driver
+        # state — the last graph-glue driver vector, removed round 4)
+        from ray.data.aggregate import Sum
+
         def deg_partial(t: pa.Table) -> pa.Table:
             return (
                 t.select(["src_url"]).group_by("src_url").aggregate([([], "count_all")])
             )
 
-        deg: dict[str, int] = {}
-        for r in ded.map_batches(deg_partial, batch_format="pyarrow").take_all():
-            deg[r["src_url"]] = deg.get(r["src_url"], 0) + r["count_all"]
-        pivot = sorted(deg, key=lambda u: (-deg[u], u))[0]
+        pivot_row = (
+            ded.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("src_url")
+            .aggregate(Sum("count_all", alias_name="deg"))
+            .sort(["deg", "src_url"], descending=[True, False])
+            .limit(1)
+            .take(1)
+        )
+        pivot = pivot_row[0]["src_url"]
 
         def node_partial(t: pa.Table) -> pa.Table:
             u = pa.concat_arrays(
@@ -7415,9 +7425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             return pa.table({"url": u.unique()})
 
-        nodes: set[str] = set()
-        for r in ded.map_batches(node_partial, batch_format="pyarrow").take_all():
-            nodes.add(r["url"])
+        n_nodes = distinct_on(
+            ded.map_batches(node_partial, batch_format="pyarrow"), ["url"]
+        ).count()
 
         fwd = set(
             frontier_bfs(ded, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
@@ -7435,12 +7445,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table(
             {
                 "pivot": pa.array([pivot], pa.string()),
-                "n_nodes": pa.array([len(nodes)], pa.int64()),
+                "n_nodes": pa.array([n_nodes], pa.int64()),
                 "n_core": pa.array([len(core)], pa.int64()),
                 "n_in": pa.array([len(bwd) - len(core)], pa.int64()),
                 "n_out": pa.array([len(fwd) - len(core)], pa.int64()),
                 "n_other": pa.array(
-                    [len(nodes) - len(fwd | bwd)], pa.int64()
+                    [n_nodes - len(fwd | bwd)], pa.int64()
                 ),
             }
         )
