@@ -306,10 +306,29 @@ def frontier_bfs(
     if bucketed:
         shards = [VisitedShard.remote() for _ in range(num_buckets)]
 
+        @ray.remote
+        def route_block(block, depth: int, *shard_handles):
+            """Bucket one expansion block's candidate urls and probe the
+            visited shards — the pre-dedup reached set never crosses the
+            driver; only the (wave-bounded, deduped) new frontier does."""
+            t = pa.Table.from_batches([block]) if isinstance(block, pa.RecordBatch) else block
+            urls = t["dst_url"].to_pylist()
+            if not urls:
+                return []
+            buck = hash64_array(urls) % len(shard_handles)
+            per = [[] for _ in shard_handles]
+            for u, b in zip(urls, buck):
+                per[int(b)].append(u)
+            outs = ray.get(
+                [
+                    shard_handles[b].add_new.remote(per[b], depth)
+                    for b in range(len(shard_handles))
+                    if per[b]
+                ]
+            )
+            return [u for o in outs for u in o]
+
         def route_new(urls: list, depth: int) -> list:
-            """Partition candidate urls by hash bucket, ask each shard
-            actor for the not-yet-visited ones, return the new frontier
-            (sorted for determinism)."""
             if not urls:
                 return []
             buck = hash64_array(urls) % num_buckets
@@ -339,15 +358,19 @@ def frontier_bfs(
             hit = batch.filter(pc.is_in(batch["src_url"], value_set=fr))
             return hit.select(["dst_url"]).group_by("dst_url").aggregate([])
 
-        reached = set()
-        for b in (
-            edges.map_batches(expand, batch_format="pyarrow", batch_size=None)
-            .to_arrow_refs()
-        ):
-            reached.update(ray.get(b)["dst_url"].to_pylist())
+        block_refs = edges.map_batches(
+            expand, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
         if bucketed:
-            frontier = route_new(sorted(reached), depth)
+            # per-block routing tasks call the shard actors directly;
+            # within a wave all new urls get the same depth, so
+            # cross-block arrival order cannot change the result
+            outs = ray.get([route_block.remote(b, depth, *shards) for b in block_refs])
+            frontier = sorted({u for o in outs for u in o})
         else:
+            reached = set()
+            for b in block_refs:
+                reached.update(ray.get(b)["dst_url"].to_pylist())
             frontier = sorted(u for u in reached if u not in visited)
             for u in frontier:
                 visited[u] = depth
