@@ -941,3 +941,41 @@ def test_qpp_stats(built):
         checked += 1
     assert checked >= 10
     assert idx.qpp_stats("zzqx999nohit") is None
+
+
+def test_docstore_concurrent_lookups_thread_safe(built):
+    """The serving front is thread-per-connection; DocStore's LRU +
+    cached file handles must survive concurrent lookups and keep
+    returning exactly the same rows as sequential access."""
+    import threading
+
+    _pages, paths, idx, _oracle = built
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import DocStore
+    import os
+    store = DocStore(os.path.join(str(paths.out_dir), "docstore"))
+    all_ids = []
+    for q in ("the", "of", "and"):
+        all_ids.extend(d for d, _ in idx.bm25_topk_exhaustive(q, 30))
+    all_ids = sorted(set(all_ids))
+    want = store.lookup(all_ids)
+    assert len(want) == len(all_ids)
+
+    errors: list = []
+
+    def hammer(off: int) -> None:
+        try:
+            for i in range(30):
+                ids = all_ids[(off + i) % len(all_ids) :][:7]
+                got = store.lookup(ids)
+                for d in ids:
+                    if got[d]["url"] != want[d]["url"] or got[d]["body"] != want[d]["body"]:
+                        raise AssertionError(f"row drift for {d}")
+        except Exception as e:  # surface across the thread boundary
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(k * 3,)) for k in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

@@ -86,3 +86,4 @@ def test_doc_tfidf_threshold_and_order():
     got = doc_tfidf_topk(rd.read_parquet(DOCS), q, k=300, threshold=0.3).to_pandas()
     assert (got["score_e6"] > 0.3e6 - 1).all()
     assert got["score_e6"].is_monotonic_decreasing or len(got) <= 1
+
