@@ -7429,29 +7429,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ded.map_batches(node_partial, batch_format="pyarrow"), ["url"]
         ).count()
 
-        fwd = set(
-            frontier_bfs(ded, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
-        )
         rev = ded.map_batches(
             lambda t: pa.table(
                 {"src_url": t["dst_url"], "dst_url": t["src_url"]}
             ),
             batch_format="pyarrow",
         ).materialize()
-        bwd = set(
-            frontier_bfs(rev, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.graph import (
+            resolve_plan,
         )
-        core = fwd & bwd
+
+        if resolve_plan("auto", n_nodes) == "bucketed":
+            # reach sets stay SHARDED in the BFS visited actors; the
+            # bow-tie sizes come from per-bucket set algebra (both runs
+            # bucket by the same url hash, so bucket b of F and bucket
+            # b of B hold the same key space) — no global reach set
+            # anywhere, only 4B counts cross the driver
+            import ray
+
+            from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.crawl import (
+                frontier_reach_shards,
+            )
+
+            BKT = 16
+            fsh = frontier_reach_shards(ded, [pivot], max_depth=BOWTIE_H, num_buckets=BKT)
+            bsh = frontier_reach_shards(rev, [pivot], max_depth=BOWTIE_H, num_buckets=BKT)
+
+            @ray.remote
+            def bucket_counts(fk, bk):
+                sf, sb = set(fk), set(bk)
+                return len(sf), len(sb), len(sf & sb), len(sf | sb)
+
+            parts = ray.get(
+                [
+                    bucket_counts.remote(fsh[b].keys.remote(), bsh[b].keys.remote())
+                    for b in range(BKT)
+                ]
+            )
+            n_fwd = sum(p[0] for p in parts)
+            n_bwd = sum(p[1] for p in parts)
+            n_core = sum(p[2] for p in parts)
+            n_union = sum(p[3] for p in parts)
+        else:
+            fwd = set(
+                frontier_bfs(ded, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
+            )
+            bwd = set(
+                frontier_bfs(rev, [pivot], max_depth=BOWTIE_H)["url"].to_pylist()
+            )
+            n_fwd, n_bwd = len(fwd), len(bwd)
+            n_core, n_union = len(fwd & bwd), len(fwd | bwd)
         return pa.table(
             {
                 "pivot": pa.array([pivot], pa.string()),
                 "n_nodes": pa.array([n_nodes], pa.int64()),
-                "n_core": pa.array([len(core)], pa.int64()),
-                "n_in": pa.array([len(bwd) - len(core)], pa.int64()),
-                "n_out": pa.array([len(fwd) - len(core)], pa.int64()),
-                "n_other": pa.array(
-                    [n_nodes - len(fwd | bwd)], pa.int64()
-                ),
+                "n_core": pa.array([n_core], pa.int64()),
+                "n_in": pa.array([n_bwd - n_core], pa.int64()),
+                "n_out": pa.array([n_fwd - n_core], pa.int64()),
+                "n_other": pa.array([n_nodes - n_union], pa.int64()),
             }
         )
 

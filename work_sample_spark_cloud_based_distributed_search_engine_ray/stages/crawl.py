@@ -294,60 +294,21 @@ def frontier_bfs(
     """
     import ray
 
-    from ..functions.hashing import hash64_array
-    from .graph import VisitedShard, resolve_plan
+    from .graph import resolve_plan
 
     # pin the edge blocks in the object store ONCE: the wave loop
     # re-reads them every iteration, and without this each wave would
     # re-execute the whole upstream plan (e.g. link extraction)
     edges = edges.materialize()
     # reach is bounded by the node count, estimated by the edge count
-    bucketed = resolve_plan(plan, edges.count()) == "bucketed"
-    if bucketed:
-        shards = [VisitedShard.remote() for _ in range(num_buckets)]
-
-        @ray.remote
-        def route_block(block, depth: int, *shard_handles):
-            """Bucket one expansion block's candidate urls and probe the
-            visited shards — the pre-dedup reached set never crosses the
-            driver; only the (wave-bounded, deduped) new frontier does."""
-            t = pa.Table.from_batches([block]) if isinstance(block, pa.RecordBatch) else block
-            urls = t["dst_url"].to_pylist()
-            if not urls:
-                return []
-            buck = hash64_array(urls) % len(shard_handles)
-            per = [[] for _ in shard_handles]
-            for u, b in zip(urls, buck):
-                per[int(b)].append(u)
-            outs = ray.get(
-                [
-                    shard_handles[b].add_new.remote(per[b], depth)
-                    for b in range(len(shard_handles))
-                    if per[b]
-                ]
-            )
-            return [u for o in outs for u in o]
-
-        def route_new(urls: list, depth: int) -> list:
-            if not urls:
-                return []
-            buck = hash64_array(urls) % num_buckets
-            per = [[] for _ in range(num_buckets)]
-            for u, b in zip(urls, buck):
-                per[int(b)].append(u)
-            outs = ray.get(
-                [
-                    shards[b].add_new.remote(per[b], depth)
-                    for b in range(num_buckets)
-                    if per[b]
-                ]
-            )
-            return sorted(u for o in outs for u in o)
-
-        frontier = route_new(sorted(set(seeds)), 0)
-    else:
-        visited: dict[str, int] = {u: 0 for u in seeds}
-        frontier = sorted(set(seeds))
+    if resolve_plan(plan, edges.count()) == "bucketed":
+        shards = _bfs_bucketed_shards(
+            edges, seeds, max_depth=max_depth, num_buckets=num_buckets
+        )
+        tables = ray.get([s.dump.remote() for s in shards])
+        return pa.concat_tables(tables).sort_by("url")
+    visited: dict[str, int] = {u: 0 for u in seeds}
+    frontier = sorted(set(seeds))
     for depth in range(1, max_depth + 1):
         if not frontier:
             break
@@ -358,31 +319,108 @@ def frontier_bfs(
             hit = batch.filter(pc.is_in(batch["src_url"], value_set=fr))
             return hit.select(["dst_url"]).group_by("dst_url").aggregate([])
 
-        block_refs = edges.map_batches(
-            expand, batch_format="pyarrow", batch_size=None
-        ).to_arrow_refs()
-        if bucketed:
-            # per-block routing tasks call the shard actors directly;
-            # within a wave all new urls get the same depth, so
-            # cross-block arrival order cannot change the result
-            outs = ray.get([route_block.remote(b, depth, *shards) for b in block_refs])
-            frontier = sorted({u for o in outs for u in o})
-        else:
-            reached = set()
-            for b in block_refs:
-                reached.update(ray.get(b)["dst_url"].to_pylist())
-            frontier = sorted(u for u in reached if u not in visited)
-            for u in frontier:
-                visited[u] = depth
-    if bucketed:
-        tables = ray.get([s.dump.remote() for s in shards])
-        return pa.concat_tables(tables).sort_by("url")
+        reached = set()
+        for b in (
+            edges.map_batches(expand, batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs()
+        ):
+            reached.update(ray.get(b)["dst_url"].to_pylist())
+        frontier = sorted(u for u in reached if u not in visited)
+        for u in frontier:
+            visited[u] = depth
     urls = sorted(visited)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "depth": pa.array([visited[u] for u in urls], pa.int64()),
         }
+    )
+
+
+def _bfs_bucketed_shards(
+    edges_mat, seeds: list[str], *, max_depth: int, num_buckets: int
+):
+    """The bucketed BFS wave loop, returning the ``VisitedShard`` actor
+    handles (bucket-sharded (url, first-reach depth) state). Shared by
+    ``frontier_bfs`` (which dumps the shards into the API table) and
+    reach-COUNT consumers like the bow-tie decomposition, which do
+    per-bucket set algebra on the shards and never assemble a global
+    reach set anywhere. ``edges_mat`` must already be materialized."""
+    import ray
+
+    from ..functions.hashing import hash64_array
+    from .graph import VisitedShard
+
+    shards = [VisitedShard.remote() for _ in range(num_buckets)]
+
+    @ray.remote
+    def route_block(block, depth: int, *shard_handles):
+        """Bucket one expansion block's candidate urls and probe the
+        visited shards — the pre-dedup reached set never crosses the
+        driver; only the (wave-bounded, deduped) new frontier does."""
+        t = pa.Table.from_batches([block]) if isinstance(block, pa.RecordBatch) else block
+        urls = t["dst_url"].to_pylist()
+        if not urls:
+            return []
+        buck = hash64_array(urls) % len(shard_handles)
+        per = [[] for _ in shard_handles]
+        for u, b in zip(urls, buck):
+            per[int(b)].append(u)
+        outs = ray.get(
+            [
+                shard_handles[b].add_new.remote(per[b], depth)
+                for b in range(len(shard_handles))
+                if per[b]
+            ]
+        )
+        return [u for o in outs for u in o]
+
+    def route_new(urls: list, depth: int) -> list:
+        if not urls:
+            return []
+        buck = hash64_array(urls) % num_buckets
+        per = [[] for _ in range(num_buckets)]
+        for u, b in zip(urls, buck):
+            per[int(b)].append(u)
+        outs = ray.get(
+            [
+                shards[b].add_new.remote(per[b], depth)
+                for b in range(num_buckets)
+                if per[b]
+            ]
+        )
+        return sorted(u for o in outs for u in o)
+
+    frontier = route_new(sorted(set(seeds)), 0)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(pa.array(frontier, pa.string()))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fr = ray.get(f_ref)
+            hit = batch.filter(pc.is_in(batch["src_url"], value_set=fr))
+            return hit.select(["dst_url"]).group_by("dst_url").aggregate([])
+
+        block_refs = edges_mat.map_batches(
+            expand, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+        # per-block routing tasks call the shard actors directly; within
+        # a wave all new urls get the same depth, so cross-block arrival
+        # order cannot change the result
+        outs = ray.get([route_block.remote(b, depth, *shards) for b in block_refs])
+        frontier = sorted({u for o in outs for u in o})
+    return shards
+
+
+def frontier_reach_shards(
+    edges: "rd.Dataset", seeds: list[str], *, max_depth: int = 3, num_buckets: int = 16
+):
+    """Public shard-returning BFS (always the bucketed plan): the
+    reach set stays bucket-sharded in actors for set-algebra consumers
+    (bow-tie CORE/IN/OUT counts)."""
+    return _bfs_bucketed_shards(
+        edges.materialize(), seeds, max_depth=max_depth, num_buckets=num_buckets
     )
 
 

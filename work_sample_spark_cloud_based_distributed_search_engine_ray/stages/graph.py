@@ -212,6 +212,15 @@ class VisitedShard:
             d[u] = depth
         return new
 
+    def keys(self) -> list:
+        """This bucket's reached urls (bucket-bounded) — consumed by
+        per-bucket set algebra (e.g. the bow-tie CORE/IN/OUT counts)
+        without ever assembling a global set anywhere."""
+        return list(self.depth)
+
+    def size(self) -> int:
+        return len(self.depth)
+
     def dump(self):
         items = sorted(self.depth.items())
         return pa.table(
