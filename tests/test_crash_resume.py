@@ -152,3 +152,97 @@ def test_sigkill_during_derived_phase_then_resume(ray_session, tmp_path):
 
     paths = build_index(pages, out_crash, **KW)
     assert _shard_table(IndexPaths(out_clean)).equals(_shard_table(paths))
+
+
+def test_sigkill_mid_update_leaves_base_intact_and_rerun_identical(
+    ray_session, tmp_path
+):
+    """Incremental update is crash-safe by construction (the base index
+    is never mutated): SIGKILL the update subprocess mid-flight, assert
+    the base tree is byte-for-byte untouched, then a rerun must produce
+    the same merged index an uninterrupted update produces."""
+    import hashlib
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.update_index import (
+        update_index,
+    )
+
+    base_pages = pages_parquet(1500, row_group_size=128)
+    delta_pages = pages_parquet(2000, row_group_size=128)  # superset corpus
+    base_dir = str(tmp_path / "base")
+    build_index(base_pages, base_dir, **KW)
+
+    def tree_digest(root: str) -> dict:
+        out = {}
+        for r, _d, names in os.walk(root):
+            for n in sorted(names):
+                p = os.path.join(r, n)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    base_before = tree_digest(base_dir)
+
+    # uninterrupted reference update
+    ref_out = str(tmp_path / "ref_upd")
+    update_index(delta_pages, base_dir, ref_out, num_partitions=2)
+
+    child = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.update_index import update_index
+update_index(sys.argv[1], sys.argv[2], sys.argv[3], num_partitions=2)
+"""
+    crash_out = str(tmp_path / "crash_upd")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child, delta_pages, base_dir, crash_out],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            # kill once the delta build has started writing anything
+            if os.path.isdir(crash_out + ".delta") and not os.path.exists(
+                os.path.join(crash_out, "meta.json")
+            ):
+                time.sleep(0.5)  # let it get mid-write
+                os.killpg(proc.pid, signal.SIGKILL)
+                break
+            time.sleep(0.05)
+    finally:
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        proc.wait(timeout=60)
+
+    assert tree_digest(base_dir) == base_before  # base never mutated
+
+    import shutil as _sh
+
+    _sh.rmtree(crash_out, ignore_errors=True)
+    _sh.rmtree(crash_out + ".delta", ignore_errors=True)
+    update_index(delta_pages, base_dir, crash_out, num_partitions=2)
+
+    def shard_tbl(d):
+        import pyarrow as pa
+
+        files = []
+        for r, _dd, names in os.walk(os.path.join(d, "shards")):
+            files.extend(os.path.join(r, n) for n in names if n.endswith(".parquet"))
+        return pa.concat_tables(
+            [
+                pq.read_table(f, columns=["term", "df", "cf", "doc_blob", "tf_blob"])
+                for f in sorted(files)
+            ]
+        ).sort_by("term")
+
+    assert shard_tbl(ref_out).equals(shard_tbl(crash_out))
