@@ -267,7 +267,7 @@ def frontier_bfs(
     *,
     max_depth: int = 3,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Frontier-wave BFS over a link-edge table — the Ray-native analog
     of the reference crawler's loop (``urlQueue = parallelize([seed]);
@@ -338,7 +338,7 @@ def frontier_bfs(
 
 
 def _bfs_bucketed_shards(
-    edges_mat, seeds: list[str], *, max_depth: int, num_buckets: int
+    edges_mat, seeds: list[str], *, max_depth: int, num_buckets: "int | None" = None
 ):
     """The bucketed BFS wave loop, returning the ``VisitedShard`` actor
     handles (bucket-sharded (url, first-reach depth) state). Shared by
@@ -349,8 +349,9 @@ def _bfs_bucketed_shards(
     import ray
 
     from ..functions.hashing import hash64_array
-    from .graph import VisitedShard
+    from .graph import VisitedShard, default_buckets
 
+    num_buckets = default_buckets(num_buckets)
     shards = [VisitedShard.remote() for _ in range(num_buckets)]
 
     @ray.remote
@@ -414,7 +415,7 @@ def _bfs_bucketed_shards(
 
 
 def frontier_reach_shards(
-    edges: "rd.Dataset", seeds: list[str], *, max_depth: int = 3, num_buckets: int = 16
+    edges: "rd.Dataset", seeds: list[str], *, max_depth: int = 3, num_buckets: "int | None" = None
 ):
     """Public shard-returning BFS (always the bucketed plan): the
     reach set stays bucket-sharded in actors for set-algebra consumers
@@ -432,7 +433,7 @@ def pagerank(
     iters: int = 10,
     teleport_urls: "list[str] | None" = None,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Iterative PageRank over a link-edge table — the consumer of the
     link graph the reference left vestigial (``search/Searcher.java:
@@ -626,7 +627,7 @@ def hits(
     *,
     iters: int = 5,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """HITS hubs/authorities over the link-edge table (Kleinberg 1999,
     "Authoritative Sources in a Hyperlinked Environment") — the second
@@ -769,7 +770,7 @@ def salsa(
     *,
     iters: int = 5,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """SALSA hubs/authorities over the link-edge table (Lempel & Moran
     2000, "The Stochastic Approach for Link-Structure Analysis") — the
@@ -1546,7 +1547,7 @@ def kcore_flags(
     k: int,
     rounds: int = 10,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """k-core decomposition of an undirected graph by iterative peeling
     (Seidman 1983) — the "dense nucleus" signal link-spam and
@@ -1645,7 +1646,7 @@ def label_prop_communities(
     *,
     rounds: int = 5,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Synchronous label-propagation COMMUNITY detection (Raghavan et
     al. 2007) over an undirected (doc_a, doc_b) pair graph — the
@@ -1835,7 +1836,7 @@ def label_prop_modularity(
     *,
     rounds: int = 5,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Newman modularity of the :func:`label_prop_communities`
     partition — the quality score that says whether the communities

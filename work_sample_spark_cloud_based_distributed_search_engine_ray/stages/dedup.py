@@ -886,7 +886,7 @@ def dup_clusters(
     *,
     rounds: int = 10,
     plan: str = "auto",
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Connected-component clustering of near-dup PAIRS — the step that
     turns pairwise dedup output into keep-one-per-CLUSTER semantics (a

@@ -61,6 +61,21 @@ def graph_bucketed_limit() -> int:
     return DRIVER_DEDUP_LIMIT
 
 
+def default_buckets(num_buckets: "int | None" = None) -> int:
+    """Vertex-shard count: explicit value wins; otherwise scale with
+    the cluster (one shard per CPU, clamped to [8, 256]) so a shard
+    stays ~V/CPUs and the per-round task fan-out matches the hardware.
+    B is a pure partitioning knob — results are identical at any B
+    (the A/B tests run several)."""
+    if num_buckets:
+        return int(num_buckets)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(8, min(256, cpus))
+
+
 def resolve_plan(plan: str, est_nodes: int) -> str:
     """auto -> broadcast/bucketed by estimated vertex count; the env
     override wins over everything (test-time both-sides forcing)."""
@@ -280,7 +295,7 @@ def components_bucketed(
     pairs,
     *,
     rounds: int = 10,
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
     id_name: str = "doc_id",
     label_name: str = "cluster_id",
     a_col: str = "doc_a",
@@ -296,6 +311,7 @@ def components_bucketed(
     id — driver-side only because the API returns a pa.Table; at full
     scale each shard writes its own parquet partition instead.
     """
+    num_buckets = default_buckets(num_buckets)
     edges = pairs.select_columns([a_col, b_col]).materialize()
     refs = edges.to_arrow_refs()
     empty = pa.table(
@@ -380,12 +396,13 @@ def _core_table(vshard, alive):
 
 
 def kcore_bucketed(
-    edges, *, k: int, rounds: int = 10, num_buckets: int = 16
+    edges, *, k: int, rounds: int = 10, num_buckets: "int | None" = None
 ) -> pa.Table:
     """``kcore_flags`` semantics (iterative peel, early exit on global
     fixpoint) with bucketed alive state — BIT-IDENTICAL membership to
     the broadcast plan (boolean/integer ops; both plans stop after the
     same round). Input: DISTINCT (doc_a < doc_b) edge Dataset."""
+    num_buckets = default_buckets(num_buckets)
     edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
     refs = edges.to_arrow_refs()
     empty = pa.table(
@@ -482,6 +499,7 @@ def _label_prop_shards(pairs, *, rounds: int, num_buckets: int):
     SHARDS in the object store — ``label_prop_bucketed`` collects them
     into the API table, ``modularity_bucketed`` consumes them sharded.
     Input must already be globally distinct undirected pairs."""
+    num_buckets = default_buckets(num_buckets)
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
     refs = edges.to_arrow_refs()
     if not refs:
@@ -512,7 +530,7 @@ def label_prop_bucketed(
     pairs,
     *,
     rounds: int = 5,
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
     id_name: str = "doc_id",
     label_name: str = "community_id",
 ) -> pa.Table:
@@ -522,6 +540,7 @@ def label_prop_bucketed(
     (integer counts and the same (count desc, label asc) winner rule).
     Input must already be globally distinct undirected pairs (the
     wrapper dedups exactly as the broadcast path does)."""
+    num_buckets = default_buckets(num_buckets)
     state = _label_prop_shards(pairs, rounds=rounds, num_buckets=num_buckets)
     if state is None:
         return pa.table(
@@ -626,7 +645,7 @@ def _mod_dc2(*partials):
 
 
 def modularity_bucketed(
-    pairs, *, rounds: int = 5, num_buckets: int = 16
+    pairs, *, rounds: int = 5, num_buckets: "int | None" = None
 ) -> pa.Table:
     """``label_prop_modularity`` semantics with FULLY SHARDED state:
     the community labels never leave the object store (no driver
@@ -637,6 +656,7 @@ def modularity_bucketed(
     label-bounded partial rows, sum d_c^2 in Python bigints, and the
     same signed floor division as the broadcast plan and the HUGEINT
     SQL twin. Input: globally distinct undirected pairs."""
+    num_buckets = default_buckets(num_buckets)
     B = num_buckets
     state = _label_prop_shards(pairs, rounds=rounds, num_buckets=B)
     empty = pa.table(
@@ -840,7 +860,7 @@ def hits_salsa_bucketed(
     *,
     iters: int = 5,
     stochastic: bool = False,
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """HITS (``stochastic=False``) / SALSA (``stochastic=True``) with
     bucketed vertex state. Two static topologies are prepped once —
@@ -852,6 +872,7 @@ def hits_salsa_bucketed(
     normalization from B scalar masses. Scores agree with the
     broadcast plan to float64 roundoff; the registered *_e9 contract is
     identical (tests/test_graph_bucketed.py)."""
+    num_buckets = default_buckets(num_buckets)
     n = int(ids.size)
     B = num_buckets
     if n == 0:
@@ -928,7 +949,7 @@ def pagerank_bucketed(
     damping: float = 0.85,
     iters: int = 10,
     teleport_ids: "np.ndarray | None" = None,
-    num_buckets: int = 16,
+    num_buckets: "int | None" = None,
 ) -> pa.Table:
     """Damped PageRank (uniform or personalized teleport, dangling mass
     redistributed to the teleport set) with bucketed vertex state.
@@ -946,6 +967,7 @@ def pagerank_bucketed(
     no driver pass) — the iteration itself never holds O(V) anywhere
     but the B object-store shards.
     """
+    num_buckets = default_buckets(num_buckets)
     n = int(ids.size)
     B = num_buckets
     if n == 0:
