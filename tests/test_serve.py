@@ -429,3 +429,25 @@ def test_http_explain_endpoint(served):
             assert e.code == 501
     finally:
         srv2.shutdown()
+
+
+def test_shard_actor_crash_recovers(served):
+    """Kill a shard actor mid-service (node-loss simulation): Ray must
+    reconstruct it from the index dir and transparently retry the
+    in-flight scoring calls — the same query returns the same result
+    across the crash."""
+    import ray
+
+    ds, idx = served
+    q = next(q for _qid, q in reference_queries() if idx.bm25_topk_exhaustive(q, 10))
+    want = ds.bm25_topk(q, 10)
+    assert want == idx.bm25_topk_exhaustive(q, 10)
+    # kill every actor WITH restart allowed (no_restart=False) — a full
+    # scatter-gather query must heal regardless of which shard owned
+    # the query's terms
+    for a in ds.actors:
+        ray.kill(a, no_restart=False)
+    assert ds.bm25_topk(q, 10) == want
+    # and the whole reference set still matches post-recovery
+    for _qid, qq in reference_queries():
+        assert ds.bm25_topk(qq, 10) == idx.bm25_topk_exhaustive(qq, 10), qq

@@ -36,9 +36,18 @@ from ..functions.hashing import hash64
 from ..functions.tokenize import tokenize, tokenize_query
 
 
-@ray.remote
+@ray.remote(max_restarts=4, max_task_retries=2)
 class ShardActor:
-    """Holds one shard's postings; scores its own terms only."""
+    """Holds one shard's postings; scores its own terms only.
+
+    Self-healing: on a fixed-size multi-node cluster a node loss kills
+    its shard actors; ``max_restarts`` lets Ray reconstruct the actor
+    (``__init__`` reloads the shard from the cluster-visible index dir)
+    and ``max_task_retries`` transparently retries the in-flight
+    ``partial_scores`` call against the reborn actor — a query spanning
+    a crash returns the SAME result, just slower (asserted by
+    tests/test_serve.py::test_shard_actor_crash_recovers). Scoring is
+    read-only/idempotent, so retries are always safe."""
 
     def __init__(self, out_dir: str, shard_id: int):
         import pyarrow.parquet as pq
