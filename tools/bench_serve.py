@@ -73,10 +73,58 @@ def run_level(port: int, queries: list[str], n_clients: int, seconds: float):
     }
 
 
+def run_scaling(idx_dir: str, levels=(4, 16), clients: int = 32, seconds: float = 8.0):
+    """Serving-side N-vs-4N evidence: run the shard-actor tier in FRESH
+    processes at each CPU level (same index, same client count) and
+    report throughput at both plus the ratio. Complements bench.py
+    --scaling (the build side of the north rule)."""
+    import subprocess
+
+    out = {"clients": clients, "levels": {}}
+    for n in levels:
+        env = dict(
+            __import__("os").environ,
+            WSE_SERVE_CPUS=str(n),
+        )
+        r = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                idx_dir,
+                f"--clients={clients}",
+                f"--seconds={seconds}",
+                "--distributed",
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out["levels"][str(n)] = json.loads(r.stdout.strip().splitlines()[-1])["levels"][0]
+    lo, hi = (str(levels[0]), str(levels[1]))
+    r_lo, r_hi = out["levels"][lo]["rps"], out["levels"][hi]["rps"]
+    out["rps_ratio"] = round(r_hi / r_lo, 3) if r_lo else None
+    print(json.dumps(out))
+
+
 def main() -> None:
+    import os as _os
+
     import ray
 
     sys.path.insert(0, ".")  # run from the repo root, like check_oracles
+    if "--scaling" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        run_scaling(args[0] if args else "/tmp/wse_idx_sf01_daat")
+        return
+    serve_cpus = _os.environ.get("WSE_SERVE_CPUS")
+    if serve_cpus and not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(serve_cpus),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     idx_dir = args[0] if args else "/tmp/wse_idx_sf01_daat"
