@@ -451,3 +451,30 @@ def test_shard_actor_crash_recovers(served):
     # and the whole reference set still matches post-recovery
     for _qid, qq in reference_queries():
         assert ds.bm25_topk(qq, 10) == idx.bm25_topk_exhaustive(qq, 10), qq
+
+
+def test_shared_actor_pool_across_routers(served, tmp_path_factory):
+    """Two router replicas with shared=True resolve the SAME named
+    shard actors (one index copy in memory, N stateless fronts); both
+    serve identical results, and one router's shutdown leaves the pool
+    alive for the other."""
+    import ray
+
+    ds, idx = served
+    out = ds.out_dir
+    r1 = DistributedSearch(out, shared=True)
+    r2 = DistributedSearch(out, shared=True)
+    try:
+        # same named actor behind both routers
+        assert r1.actors[0]._actor_id == r2.actors[0]._actor_id
+        q = next(q for _qid, q in reference_queries() if idx.bm25_topk_exhaustive(q, 5))
+        want = idx.bm25_topk_exhaustive(q, 5)
+        assert r1.bm25_topk(q, 5) == want
+        assert r2.bm25_topk(q, 5) == want
+        r1.shutdown()  # must NOT kill the shared pool
+        assert r2.bm25_topk(q, 5) == want
+    finally:
+        # explicit teardown of the named pool
+        for a in r2.actors:
+            ray.kill(a)
+        r2.actors = []

@@ -95,16 +95,42 @@ class ShardActor:
 
 
 class DistributedSearch:
-    """Scatter-gather router over the shard actor pool."""
+    """Scatter-gather router over the shard actor pool.
 
-    def __init__(self, out_dir: str):
+    ``shared=True`` resolves the pool as NAMED actors
+    (``get_if_exists``): N stateless router replicas — the measured
+    horizontal serving scale-out, BASELINE.md serving section — attach
+    to ONE actor pool instead of each loading its own copy of the
+    index (memory x replicas otherwise). The first router creates the
+    actors; later ones reuse them; ``shutdown()`` then leaves the
+    shared pool running for the other replicas (kill the named actors
+    explicitly to tear down)."""
+
+    def __init__(self, out_dir: str, *, shared: bool = False):
         with open(os.path.join(out_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.out_dir = out_dir
+        self.shared = shared
         self.num_shards = self.meta["num_shards"]
-        self.actors = [
-            ShardActor.remote(out_dir, s) for s in range(self.num_shards)
-        ]
+        if shared:
+            import hashlib as _hl
+
+            tag = _hl.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+            self.actors = [
+                ShardActor.options(
+                    name=f"wse_shard_{tag}_{s}",
+                    get_if_exists=True,
+                    # detached: the pool's lifetime is independent of any
+                    # one router's handles (name-resolved handles don't
+                    # hold lineage refs); teardown is an explicit kill
+                    lifetime="detached",
+                ).remote(out_dir, s)
+                for s in range(self.num_shards)
+            ]
+        else:
+            self.actors = [
+                ShardActor.remote(out_dir, s) for s in range(self.num_shards)
+            ]
         self._docstore = None
 
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -155,8 +181,9 @@ class DistributedSearch:
         ]
 
     def shutdown(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        if not self.shared:  # a shared pool outlives any one router
+            for a in self.actors:
+                ray.kill(a)
         self.actors = []
 
 
