@@ -131,6 +131,7 @@ def main() -> None:
     levels = [1, 8, 32]
     seconds = 10.0
     distributed = "--distributed" in sys.argv
+    shared = "--shared" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--clients"):
             levels = [int(x) for x in a.split("=", 1)[1].split(",")]
@@ -150,13 +151,17 @@ def main() -> None:
         reference_queries,
     )
 
-    backend = DistributedSearch(idx_dir) if distributed else SearchIndex.load(idx_dir)
+    backend = (
+        DistributedSearch(idx_dir, shared=shared)
+        if distributed
+        else SearchIndex.load(idx_dir)
+    )
     queries = [q for _, q in reference_queries() if q.strip()]
     srv = SearchHTTPServer(backend, port=0).start()
     # warm the postings cache so levels measure serving, not first decode
     run_level(srv.port, queries, 2, 2.0)
     out = {
-        "backend": "distributed" if distributed else "in-process",
+        "backend": ("shared-pool" if shared else "distributed") if distributed else "in-process",
         "n_docs": getattr(backend, "N", None),
         "levels": [run_level(srv.port, queries, n, seconds) for n in levels],
     }
