@@ -1781,17 +1781,19 @@ def link_jaccard_pairs(
     similar citation neighbourhoods" (the SimRank-lite signal).
 
     Plan: :func:`cocitation_pairs` unchanged (two bounded bucket
-    exchanges); in-degrees over globally-DISTINCT edges (one
-    ``distinct_on`` exchange + per-batch count partials folded on the
-    driver — node-bounded state, the graph family's broadcast
-    convention); one broadcast join adds the Jaccard column per batch.
+    exchanges); in-degrees over globally-DISTINCT edges as a
+    DISTRIBUTED (node, indeg) table (per-batch count partials ->
+    bounded node-bucket sum — ``triangle_stats``' degree discipline),
+    attached to the pair table with two ``packed_join`` exchanges (the
+    ``degree_assortativity`` pattern). Nothing node-sized on the
+    driver or in a broadcast — the round-3 deg-dict convention removed
+    in round 4.
     """
     import numpy as np
 
-    import ray
-
     from ..functions.hashing import hash64_array
-    from .ops import distinct_on
+    from .ops import bucket_mix, distinct_on, packed_join
+    from .shuffle import packed_task_groups
 
     def to_ids(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1805,30 +1807,64 @@ def link_jaccard_pairs(
     dd = distinct_on(ids, ["s", "d"], num_buckets=num_buckets)
 
     def deg_partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["d"]).aggregate([([], "count_all")])
+        uniq, counts = np.unique(t["d"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+                "nbucket": pa.array(bucket_mix(uniq, num_buckets).astype(np.int64)),
+            }
+        )
 
-    deg: dict = {}
-    for r in dd.map_batches(deg_partial, batch_format="pyarrow").take_all():
-        deg[r["d"]] = deg.get(r["d"], 0) + r["count_all"]
-    nodes = np.array(sorted(deg), dtype=np.int64)
-    degs = np.array([deg[k] for k in sorted(deg)], dtype=np.int64)
-    nodes_ref = ray.put(nodes)
-    degs_ref = ray.put(degs)
+    def deg_of_bucket(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["node", "n"])
+            .group_by("node")
+            .aggregate([("n", "sum")])
+            .rename_columns(["node", "deg"])
+        )
+
+    indeg = packed_task_groups(
+        dd.map_batches(deg_partial, batch_format="pyarrow"),
+        "nbucket",
+        deg_of_bucket,
+        num_buckets=num_buckets,
+    ).materialize()
 
     cc = cocitation_pairs(edges, min_common=min_common, num_buckets=num_buckets)
+    dega = indeg.map_batches(
+        lambda t: t.rename_columns(["doc_a", "indeg_a"]), batch_format="pyarrow"
+    )
+    degb = indeg.map_batches(
+        lambda t: t.rename_columns(["doc_b", "indeg_b"]), batch_format="pyarrow"
+    )
+    # inner joins never drop a pair: every co-cited page has indeg >= 1
+    with_a = packed_join(
+        cc, dega, "doc_a",
+        left_cols=["doc_b", "n_common_src"], right_cols=["indeg_a"],
+        num_buckets=num_buckets,
+    )
+    with_ab = packed_join(
+        with_a, degb, "doc_b",
+        left_cols=["doc_a", "n_common_src", "indeg_a"], right_cols=["indeg_b"],
+        num_buckets=num_buckets,
+    )
 
     def add_jaccard(t: pa.Table) -> pa.Table:
-        nd = ray.get(nodes_ref)
-        dg = ray.get(degs_ref)
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
         n = t["n_common_src"].to_numpy(zero_copy_only=False)
-        da = dg[np.clip(np.searchsorted(nd, a), 0, max(len(nd) - 1, 0))]
-        db = dg[np.clip(np.searchsorted(nd, b), 0, max(len(nd) - 1, 0))]
+        da = t["indeg_a"].to_numpy(zero_copy_only=False)
+        db = t["indeg_b"].to_numpy(zero_copy_only=False)
         j = np.floor_divide(1_000_000 * n, np.maximum(da + db - n, 1))
-        return t.append_column("jaccard_e6", pa.array(j.astype(np.int64)))
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "n_common_src": t["n_common_src"],
+                "jaccard_e6": pa.array(j.astype(np.int64)),
+            }
+        )
 
-    return cc.map_batches(add_jaccard, batch_format="pyarrow")
+    return with_ab.map_batches(add_jaccard, batch_format="pyarrow")
 
 
 def label_prop_modularity(
