@@ -52,3 +52,12 @@ def test_hash64_array_bytes_and_empty():
 def test_hash64_nonnegative_int63():
     vals = hash64_array(URLS)
     assert (vals >= 0).all()
+
+
+def test_hash64_array_rejects_nulls():
+    import pytest
+
+    for n in (10, 5000):  # both the loop and the engine path
+        arr = pa.array((["x"] * n) + [None], pa.string())
+        with pytest.raises(TypeError):
+            hash64_array(arr)

@@ -61,6 +61,10 @@ def hash64_array(values) -> np.ndarray:
         arr = pa.array(vals)
     if len(arr) == 0:
         return np.empty(0, dtype=np.int64)
+    if arr.null_count:
+        # the per-value path raises on None; the engine path would
+        # silently emit garbage for NULL rows — refuse identically
+        raise TypeError("hash64_array: input contains nulls")
     if len(arr) < 2048:
         # the vectorized path has ~1-3 ms of fixed per-call engine
         # overhead; below ~2k values the C-digest loop is cheaper
