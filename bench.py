@@ -302,9 +302,13 @@ def run_bench() -> None:
 
     n = sf_to_n_docs(_sf())
     n_delta = int(n * 1.1) - n
-    delta_path = f"/tmp/wse_bench_delta_{n}.parquet"
+    # cache key includes the generator's own cache filename (carries
+    # its _g* generation tag), so a generator change can never silently
+    # reuse a stale delta slice
+    big_path = pages_parquet(int(n * 1.1))
+    delta_path = f"/tmp/wse_bench_delta_{os.path.basename(big_path)}"
     if not os.path.exists(delta_path):
-        big = pq.read_table(pages_parquet(int(n * 1.1)))
+        big = pq.read_table(big_path)
         pq.write_table(
             big.slice(n), delta_path, row_group_size=max(256, n_delta // 16)
         )
