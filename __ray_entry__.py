@@ -3097,31 +3097,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---------------- relational (Flame operator inventory) ----------------
 
     def q_groupby_agg(sf_dir: str):
+        # fixed-point cents (int64) quantized per VALUE BEFORE the
+        # distributed Sum (half-away on a single 2-decimal value is
+        # exact), so the aggregate is pure-integer — no dependence on
+        # float summation order or the rint rounding mode (the
+        # grouping-sets advice pattern, applied across the family)
         ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Count(alias_name="n_rows"),
-            Sum("l_quantity", alias_name="sum_qty_raw"),
-            Sum("l_extendedprice", alias_name="sum_price_raw"),
-        )
 
-        def finish(t: pa.Table) -> pa.Table:
-            # fixed-point cents (int64): immune to cross-engine 1-ulp
-            # float round() divergence
+        def prep(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "l_returnflag": t["l_returnflag"],
                     "l_linestatus": t["l_linestatus"],
-                    "n_rows": t["n_rows"],
-                    "sum_qty_e2": pa.array(
-                        np.rint(t["sum_qty_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                    ),
-                    "sum_price_e2": pa.array(
-                        np.rint(t["sum_price_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                    ),
+                    "qty_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                    "price_e2": pc.round(
+                        pc.multiply(t["l_extendedprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
             )
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate(
+            Count(alias_name="n_rows"),
+            Sum("qty_e2", alias_name="sum_qty_e2"),
+            Sum("price_e2", alias_name="sum_price_e2"),
+        )
+        return agg.map_batches(
+            lambda t: t.select(
+                ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_e2", "sum_price_e2"]
+            ),
+            batch_format="pyarrow",
+        )
 
     def q_rollup(sf_dir: str):
         # GROUP BY ROLLUP(flag, status): ONE distributed aggregation at
@@ -3129,9 +3140,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # that tiny result locally (group-count-bounded), never from a
         # second scan — the scale plan for hierarchical totals
         ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
-        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE aggregation: integer
+            # sums all the way up the hierarchy (grouping-sets pattern)
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        finest = ds.map_batches(prep, batch_format="pyarrow").groupby(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate(Count(alias_name="n_rows"), Sum("qty_e2", alias_name="sum_qty_e2"))
 
         import pandas as pd
 
@@ -3139,7 +3165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local pass computes every coarser level
         df = finest.to_pandas()
         lvl1 = (
-            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_e2"]]
             .sum()
             .assign(l_linestatus=None)
         )
@@ -3148,7 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_returnflag": [None],
                 "l_linestatus": [None],
                 "n_rows": [df["n_rows"].sum()],
-                "sum_qty_raw": [df["sum_qty_raw"].sum()],
+                "sum_qty_e2": [df["sum_qty_e2"].sum()],
             }
         )
         allv = pd.concat([df, lvl1, lvl0], ignore_index=True)
@@ -3157,11 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
                 "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
                 "n_rows": pa.array(allv["n_rows"].astype("int64")),
-                "sum_qty_e2": pa.array(
-                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
-                        np.int64
-                    )
-                ),
+                "sum_qty_e2": pa.array(allv["sum_qty_e2"].astype("int64")),
             }
         )
 
@@ -3237,20 +3259,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregation at the finest level; all four grouping sets are
         # re-aggregated locally from that group-count-bounded result.
         ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        finest = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty_raw")
-        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE aggregation (the
+            # grouping-sets pattern): integer sums at every level
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        finest = ds.map_batches(prep, batch_format="pyarrow").groupby(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate(Count(alias_name="n_rows"), Sum("qty_e2", alias_name="sum_qty_e2"))
 
         import pandas as pd
 
         df = finest.to_pandas()
         lvl_f = (
-            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_raw"]]
+            df.groupby("l_returnflag", as_index=False)[["n_rows", "sum_qty_e2"]]
             .sum()
             .assign(l_linestatus=None)
         )
         lvl_s = (
-            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_raw"]]
+            df.groupby("l_linestatus", as_index=False)[["n_rows", "sum_qty_e2"]]
             .sum()
             .assign(l_returnflag=None)
         )
@@ -3259,7 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_returnflag": [None],
                 "l_linestatus": [None],
                 "n_rows": [df["n_rows"].sum()],
-                "sum_qty_raw": [df["sum_qty_raw"].sum()],
+                "sum_qty_e2": [df["sum_qty_e2"].sum()],
             }
         )
         allv = pd.concat([df, lvl_f, lvl_s, lvl0], ignore_index=True)
@@ -3268,11 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_returnflag": pa.array(allv["l_returnflag"], pa.string()),
                 "l_linestatus": pa.array(allv["l_linestatus"], pa.string()),
                 "n_rows": pa.array(allv["n_rows"].astype("int64")),
-                "sum_qty_e2": pa.array(
-                    np.rint(allv["sum_qty_raw"].to_numpy(dtype=float) * 100).astype(
-                        np.int64
-                    )
-                ),
+                "sum_qty_e2": pa.array(allv["sum_qty_e2"].astype("int64")),
             }
         )
 
@@ -3336,19 +3369,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
         ).rename_columns(["o_custkey", "c_mktsegment"])
         joined = broadcast_join(orders, cust, on="o_custkey")
-        agg = joined.groupby("c_mktsegment").aggregate(
-            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue_raw")
-        )
-        return agg.map_batches(
-            lambda t: pa.table(
+
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the Sum: integer revenue
+            return pa.table(
                 {
                     "c_mktsegment": t["c_mktsegment"],
-                    "n_orders": t["n_orders"],
-                    "revenue_e2": pa.array(
-                        np.rint(t["revenue_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                    ),
+                    "price_e2": pc.round(
+                        pc.multiply(t["o_totalprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
-            ),
+            )
+
+        agg = joined.map_batches(prep, batch_format="pyarrow").groupby(
+            "c_mktsegment"
+        ).aggregate(Count(alias_name="n_orders"), Sum("price_e2", alias_name="revenue_e2"))
+        return agg.map_batches(
+            lambda t: t.select(["c_mktsegment", "n_orders", "revenue_e2"]),
             batch_format="pyarrow",
         )
 
@@ -3423,25 +3461,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_window_hour(sf_dir: str):
         ds = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
 
-        def add_hour(t: pa.Table) -> pa.Table:
-            return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
-
-        agg = (
-            ds.map_batches(add_hour, batch_format="pyarrow")
-            .groupby(["event_type", "hour"])
-            .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
-        )
-        return agg.map_batches(
-            lambda t: pa.table(
+        def add_hour_e2(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the Sum: integer totals
+            return pa.table(
                 {
                     "event_type": t["event_type"],
-                    "hour": t["hour"],
-                    "n_events": t["n_events"],
-                    "sum_value_e2": pa.array(
-                        np.rint(t["sum_value_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                    ),
+                    "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                    "value_e2": pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
-            ),
+            )
+
+        agg = (
+            ds.map_batches(add_hour_e2, batch_format="pyarrow")
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events"), Sum("value_e2", alias_name="sum_value_e2"))
+        )
+        return agg.map_batches(
+            lambda t: t.select(["event_type", "hour", "n_events", "sum_value_e2"]),
             batch_format="pyarrow",
         )
 
@@ -3562,13 +3601,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global fold/aggregate (Flame fold, SURVEY §2.1 #13 — done with
         # a real partial+final combine instead of int-only addition)
         ds = _tbl(sf_dir, "lineitem", ["l_extendedprice"])
-        agg = ds.aggregate(Count(alias_name="n_rows"), Sum("l_extendedprice", alias_name="s"))
+
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the fold: integer total
+            return pa.table(
+                {
+                    "price_e2": pc.round(
+                        pc.multiply(t["l_extendedprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_rows"), Sum("price_e2", alias_name="s")
+        )
         return pa.table(
             {
                 "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
-                "sum_price_e2": pa.array(
-                    [int(np.rint(float(agg["s"]) * 100))], pa.int64()
-                ),
+                "sum_price_e2": pa.array([int(agg["s"])], pa.int64()),
             }
         )
 
@@ -3608,19 +3659,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         j = shuffle_join(
             li, od, "orderkey", left_cols=["l_extendedprice"], right_cols=["o_orderpriority"]
         )
-        agg = j.groupby("o_orderpriority").aggregate(
-            Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="rev_raw")
-        )
-        return agg.map_batches(
-            lambda t: pa.table(
+
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the Sum: integer revenue
+            return pa.table(
                 {
                     "o_orderpriority": t["o_orderpriority"],
-                    "n_items": t["n_items"],
-                    "rev_e2": pa.array(
-                        np.rint(t["rev_raw"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                    ),
+                    "price_e2": pc.round(
+                        pc.multiply(t["l_extendedprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
-            ),
+            )
+
+        agg = j.map_batches(prep, batch_format="pyarrow").groupby(
+            "o_orderpriority"
+        ).aggregate(Count(alias_name="n_items"), Sum("price_e2", alias_name="rev_e2"))
+        return agg.map_batches(
+            lambda t: t.select(["o_orderpriority", "n_items", "rev_e2"]),
             batch_format="pyarrow",
         )
 
@@ -4158,21 +4214,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_salts=4,
             hot_count_threshold=4,
         )
-        agg = j.groupby("o_orderstatus").aggregate(
-            Count(alias_name="n_items"), Sum("l_quantity", alias_name="qty_raw")
-        )
-        return agg.map_batches(
-            lambda t: pa.table(
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the Sum: integer totals
+            return pa.table(
                 {
                     "o_orderstatus": t["o_orderstatus"],
-                    "n_items": t["n_items"],
-                    "qty_e2": pa.array(
-                        np.rint(t["qty_raw"].to_numpy(zero_copy_only=False) * 100).astype(
-                            np.int64
-                        )
-                    ),
+                    "q_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
-            ),
+            )
+
+        agg = j.map_batches(prep, batch_format="pyarrow").groupby("o_orderstatus").aggregate(
+            Count(alias_name="n_items"), Sum("q_e2", alias_name="qty_e2")
+        )
+        return agg.map_batches(
+            lambda t: t.select(["o_orderstatus", "n_items", "qty_e2"]),
             batch_format="pyarrow",
         )
 
@@ -7661,21 +7719,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dim_cols=["o_orderpriority"],
             nbits=1 << 20,
         )
-        agg = j.groupby("o_orderpriority").aggregate(
-            Count(alias_name="n_items"), Sum("l_quantity", alias_name="qty_raw")
-        )
-        return agg.map_batches(
-            lambda t: pa.table(
+        def prep(t: pa.Table) -> pa.Table:
+            # per-value e2 quantization BEFORE the Sum: integer totals
+            return pa.table(
                 {
                     "o_orderpriority": t["o_orderpriority"],
-                    "n_items": t["n_items"],
-                    "qty_e2": pa.array(
-                        np.rint(
-                            t["qty_raw"].to_numpy(zero_copy_only=False) * 100
-                        ).astype(np.int64)
-                    ),
+                    "q_e2": pc.round(
+                        pc.multiply(t["l_quantity"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ).cast(pa.int64()),
                 }
-            ),
+            )
+
+        agg = j.map_batches(prep, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_items"), Sum("q_e2", alias_name="qty_e2")
+        )
+        return agg.map_batches(
+            lambda t: t.select(["o_orderpriority", "n_items", "qty_e2"]),
             batch_format="pyarrow",
         )
 
