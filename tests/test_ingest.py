@@ -300,3 +300,24 @@ def test_csv_shards_roundtrip_quoted_newlines(tmp_path):
     assert got_t["warc_ts"].to_pylist() == want["warc_ts"].to_pylist()
     assert got_t["html"].to_pylist() == want["html"].to_pylist()
     assert got_t["text"].to_pylist() == want["text"].to_pylist()
+
+
+def test_gzip_jsonl_ingest_matches_plain(tmp_path):
+    """Compressed JSONL (the .jsonl.gz shape real dumps arrive in)
+    ingests through the same reader — Arrow auto-detects gzip by
+    extension — and normalizes to the identical pages table."""
+    import gzip
+
+    tbl = _fixture_table()
+    plain = os.path.join(tmp_path, "pages.jsonl")
+    write_pages_jsonl(tbl, plain)
+    gz = os.path.join(tmp_path, "pages.jsonl.gz")
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    got_plain = pa.Table.from_pylist(
+        read_pages(plain, format="jsonl").take_all(), schema=PAGES_SCHEMA
+    ).sort_by("url")
+    got_gz = pa.Table.from_pylist(
+        read_pages(gz, format="jsonl").take_all(), schema=PAGES_SCHEMA
+    ).sort_by("url")
+    assert got_gz.equals(got_plain)
