@@ -2907,7 +2907,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_basket_pairs(sf_dir: str):
         # frequently-bought-together: top-20 part pairs by distinct-
         # order support (stages/ops.py:grouped_cooccur_topk — bounded
-        # order-bucket shuffle, vectorized triu pair emission)
+        # order-bucket shuffle, vectorized triu pair emission).
+        # Caller audit (round-5 advice): the default raise-on-oversize
+        # is correct here — TPC-H orders hold <= 7 line items, far under
+        # max_group_items, and the SQL twin is uncapped, so silent
+        # truncation would be an oracle mismatch, never intended.
         from work_sample_spark_cloud_based_distributed_search_engine_ray.stages.ops import (
             grouped_cooccur_topk,
         )
@@ -13302,13 +13306,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _near_dups_oracle_sql(),
         "rel_groupby_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
-            "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2, "
-            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2 "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2 "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "rel_broadcast_join_agg": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2 "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
         ),
@@ -13341,7 +13345,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_window_hour": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
-            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2 "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
         ),
         "rel_grouped_distinct": (
@@ -13415,7 +13419,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_fold": (
             "SELECT count(*) AS n_rows, "
-            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2 "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2 "
             "FROM lineitem"
         ),
         "rel_sample": (
@@ -13431,7 +13435,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_shuffle_join_agg": (
             "SELECT o_orderpriority, count(*) AS n_items, "
-            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS rev_e2 "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2 "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
@@ -13663,7 +13667,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle is the plain inner join + aggregate
         "rel_bloom_join_agg": (
             "SELECT o_orderpriority, count(*) AS n_items, "
-            "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_e2 "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2 "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
         ),
@@ -13680,7 +13684,7 @@ def oracle_sql() -> dict[str, str]:
         # salting is physical routing, invisible in the result
         "rel_skew_join_agg": (
             "SELECT o_orderstatus, count(*) AS n_items, "
-            "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_e2 "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2 "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderstatus"
         ),
@@ -14403,7 +14407,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         # conditional-aggregation pivot; the engine discovers the type
@@ -14422,7 +14426,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_cube": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "rel_moving_avg": """
@@ -14435,7 +14439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_grouping_sets": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,

@@ -91,14 +91,16 @@ class DocStore:
         if not len(self.files):
             return out
         ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-        # hot docs straight from the LRU; only misses touch parquet
+        # hot docs straight from the LRU; only misses touch parquet.
+        # Returned rows are SHALLOW COPIES: callers may attach fields
+        # (e.g. a snippet) without corrupting the shared cache entry.
         with self._lock:
             missing = []
             for i in ids:
                 row = self._docs.get(int(i))
                 if row is not None:
                     self._docs.move_to_end(int(i))
-                    out[int(i)] = row
+                    out[int(i)] = dict(row)
                 else:
                     missing.append(int(i))
         if not missing:
@@ -128,7 +130,7 @@ class DocStore:
                 t = pf.read_row_group(rg)
                 mask = pc.is_in(t["doc_id"], value_set=pa.array(hits, pa.int64()))
                 for row in t.filter(mask).to_pylist():
-                    out[row["doc_id"]] = row
+                    out[row["doc_id"]] = dict(row)
                     self._docs[row["doc_id"]] = row
                     self._docs.move_to_end(row["doc_id"])
             while len(self._docs) > self.DOC_CACHE:

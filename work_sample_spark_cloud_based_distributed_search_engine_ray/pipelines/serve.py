@@ -115,7 +115,19 @@ class DistributedSearch:
         if shared:
             import hashlib as _hl
 
-            tag = _hl.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+            # the pool name carries an INDEX-GENERATION token (meta.json
+            # mtime+size) alongside the path: shard actors load postings
+            # in __init__, so a router attaching by path alone after a
+            # rebuild/compaction at the same path would silently serve
+            # the OLD index from the still-alive detached actors. A new
+            # generation therefore resolves to a fresh actor name (the
+            # stale pool stays up until explicitly killed — teardown
+            # remains an explicit operation, as documented).
+            st = os.stat(os.path.join(out_dir, "meta.json"))
+            gen = f"{st.st_mtime_ns}_{st.st_size}"
+            tag = _hl.md5(
+                f"{os.path.abspath(out_dir)}|{gen}".encode()
+            ).hexdigest()[:10]
             self.actors = [
                 ShardActor.options(
                     name=f"wse_shard_{tag}_{s}",
