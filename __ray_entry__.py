@@ -356,6 +356,59 @@ def _cached_updated_index(sf_dir: str) -> str:
     return out
 
 
+def _cached_segmented_index(sf_dir: str) -> str:
+    """Segment-based incremental-update fixture (cached per corpus
+    size): the SAME parity split as ``_cached_updated_index`` — base
+    index over the even doc_id half, then the odd half lands as a NEW
+    immutable segment (``pipelines.segments.add_segment``: O(delta)
+    I/O, bloom+exact contentSeen gate) instead of the in-place shard
+    merge. First-indexed-wins across generations, so the oracle winner
+    rule is the same ``ORDER BY (doc_id % 2), warc_ts, url``."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.hashing import (
+        hash64,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        build_index,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.segments import (
+        add_segment,
+        create_segmented,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    pages = pages_for_sf_dir(sf_dir)
+    root = "/tmp/wse_segidx_" + os.path.basename(pages).replace(".parquet", "")
+    out = os.path.join(root, "segmented")
+    if not os.path.exists(os.path.join(out, "segments.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        tbl = pq.read_table(pages)
+        odd = pa.array([bool(hash64(u) & 1) for u in tbl["url"].to_pylist()])
+        even_p = os.path.join(root, "even.parquet")
+        odd_p = os.path.join(root, "odd.parquet")
+        pq.write_table(tbl.filter(pc.invert(odd)), even_p, row_group_size=2048)
+        pq.write_table(tbl.filter(odd), odd_p, row_group_size=2048)
+        build_index(even_p, os.path.join(root, "base"), num_partitions=4)
+        create_segmented(os.path.join(root, "base"), out)
+        add_segment(out, odd_p, num_partitions=4)
+    return out
+
+
+# winner rule of the parity-split update fixtures, inline (pages has no
+# doc_id column): even doc_id half was indexed first, so it wins dup ties
+_PARITY_WINNER_ORDER = (
+    "(CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT"
+    " & 9223372036854775807::UBIGINT AS BIGINT) % 2), warc_ts, url"
+)
+
+
 def _cached_deleted_index(sf_dir: str) -> str:
     """Deletion fixture (cached per corpus size): build the base index
     over the whole pages corpus, then ``delete_from_index`` every doc
@@ -1829,6 +1882,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _cached_updated_index(sf_dir)
         t = pq.read_table(os.path.join(out, "term_stats"))
         return t.select(["term", "df", "cf"]).sort_by("term")
+
+    def q_index_update_segment_stats(sf_dir: str) -> pa.Table:
+        """Full-vocabulary (term, df, cf) of a SEGMENT-updated index —
+        base over the even half, odd half landed as a NEW immutable
+        segment with O(delta) I/O (``pipelines/segments.add_segment``,
+        bloom+exact contentSeen gate) — must equal the same
+        from-scratch SQL replay as the in-place update path (segments
+        are doc-disjoint, so per-term df/cf sum exactly)."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+            SearchIndex,
+        )
+
+        return SearchIndex.load(_cached_segmented_index(sf_dir)).term_stats()
+
+    def q_search_segment_bm25(sf_dir: str) -> pa.Table:
+        """e6 top-10 BM25 per reference query served from the SEGMENT
+        UNION (``SegmentedIndex``: per-segment exhaustive scoring with
+        GLOBAL N/avgdl/df + exact top-k merge — each doc's whole score
+        lives in its one segment) — must hash-equal the from-scratch
+        SQL replay over the whole corpus with the parity winner rule."""
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+            SearchIndex,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            reference_queries,
+        )
+
+        idx = SearchIndex.load(_cached_segmented_index(sf_dir))
+        qids, ranks, doc_ids, scores = [], [], [], []
+        for qid, q in reference_queries():
+            ranked = idx.bm25_topk(q, k=50)
+            e6 = sorted(
+                ((int(round(s * 1_000_000)), d) for d, s in ranked),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            for r, (s6, d) in enumerate(e6):
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s6)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
 
     def q_index_delete_stats(sf_dir: str) -> pa.Table:
         """Full-vocabulary (term, df, cf) of an index after deleting
@@ -8207,6 +8308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippet": q_search_snippet,
         "search_proximity": q_search_proximity,
         "index_update_stats": q_index_update_stats,
+        "index_update_segment_stats": q_index_update_segment_stats,
+        "search_segment_bm25": q_search_segment_bm25,
         "index_delete_stats": q_index_delete_stats,
         "ingest_jsonl_pages": q_ingest_jsonl,
         "ingest_ipc_pages": q_ingest_ipc,
@@ -8853,7 +8956,10 @@ def _boolean_not_oracle_sql() -> str:
 
 
 def _flagship_oracle_sql(
-    scorer: str, host_collapse: int | None = None, variant: str | None = None
+    scorer: str,
+    host_collapse: int | None = None,
+    variant: str | None = None,
+    winner_order: str | None = None,
 ) -> str:
     """DuckDB twin of the FLAGSHIP index-built search queries.
 
@@ -9328,12 +9434,18 @@ def _flagship_oracle_sql(
     FROM coll
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rn) <= 10"""
 
+    # ``winner_order`` overrides the exact-dedup keep-first rule —
+    # the segmented/updated-index fixtures index the EVEN doc_id half
+    # first, so cross-generation dup ties resolve first-indexed-wins
+    # ("(doc_id % 2), warc_ts, url") instead of the fresh-build
+    # "warc_ts, url" (same convention as _index_update_oracle_sql)
+    order = winner_order or "warc_ts, url"
     return f"""
     WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
     winners AS MATERIALIZED (
       SELECT url, text, lang, warc_ts FROM (
         SELECT url, text, lang, warc_ts,
-               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+               row_number() OVER (PARTITION BY html ORDER BY {order}) AS rn
         FROM pages) WHERE rn = 1),
     docs AS (
       SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
@@ -12608,6 +12720,10 @@ def oracle_sql() -> dict[str, str]:
         "search_snippet": _snippet_oracle_sql(),
         "search_proximity": _proximity_oracle_sql(),
         "index_update_stats": _index_update_oracle_sql(),
+        "index_update_segment_stats": _index_update_oracle_sql(),
+        "search_segment_bm25": _flagship_oracle_sql(
+            "bm25", winner_order=_PARITY_WINNER_ORDER
+        ),
         "index_delete_stats": _index_delete_oracle_sql(),
         "ingest_jsonl_pages": _ingest_oracle_sql(),
         "ingest_ipc_pages": _ingest_oracle_sql(),

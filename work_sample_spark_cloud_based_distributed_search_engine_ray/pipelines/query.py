@@ -198,7 +198,14 @@ class SearchIndex:
     # ---------------- loading ----------------
 
     @classmethod
-    def load(cls, out_dir: str) -> "SearchIndex":
+    def load(cls, out_dir: str):
+        # a segmented index (pipelines.segments — the O(delta)
+        # incremental-update layout) loads as the segment-union reader;
+        # its BM25 surface is bit-identical to this class's
+        if os.path.exists(os.path.join(out_dir, "segments.json")):
+            from .segments import SegmentedIndex
+
+            return SegmentedIndex(out_dir)
         with open(os.path.join(out_dir, "meta.json")) as f:
             meta = json.load(f)
         shards_dir = os.path.join(out_dir, "shards")

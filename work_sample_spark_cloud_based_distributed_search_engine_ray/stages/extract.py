@@ -73,28 +73,42 @@ class ExtractDocs:
         self.store_positions = store_positions
         # incremental-update contentSeen (first-indexed wins): pages whose
         # content sha1 OR url hash is already in the BASE index are dropped
-        # at extraction, before any tokenize cost. The ref holds a
-        # (doc_id list, sha1 list) pair — resolved once per actor from the
-        # object store (broadcast, never re-shipped per batch).
+        # at extraction, before any tokenize cost. The ref resolves once
+        # per actor from the object store (broadcast, never re-shipped per
+        # batch) to either
+        #   - the legacy (doc_id list, sha1 list) pair -> frozenset gate
+        #     (O(corpus) per actor; kept for the in-place merge path), or
+        #   - a ``state.seenset.SeenGate`` (bloom + exact sidecar confirm;
+        #     bounded per-actor memory — the segmented-update scale path).
         if content_seen_ref is not None:
             import ray
 
-            seen_ids, seen_sha1 = ray.get(content_seen_ref)
-            self.seen_ids = frozenset(seen_ids)
-            self.seen_sha1 = frozenset(seen_sha1)
+            gate = ray.get(content_seen_ref)
+            if isinstance(gate, tuple):
+                seen_ids, seen_sha1 = gate
+                seen_ids, seen_sha1 = frozenset(seen_ids), frozenset(seen_sha1)
+
+                class _FrozensetGate:
+                    def is_seen(self, ids, sha1s):
+                        return np.array(
+                            [
+                                s in seen_sha1 or int(i) in seen_ids
+                                for i, s in zip(ids, sha1s)
+                            ],
+                            dtype=bool,
+                        )
+
+                self.gate = _FrozensetGate()
+            else:
+                self.gate = gate  # duck-typed: .is_seen(ids, sha1s)
         else:
-            self.seen_ids = self.seen_sha1 = None
+            self.gate = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.seen_sha1 is not None and batch.num_rows:
+        if self.gate is not None and batch.num_rows:
             ids = hash64_array(batch["url"])
-            keep = pa.array(
-                [
-                    sha1_hex(h) not in self.seen_sha1 and int(i) not in self.seen_ids
-                    for h, i in zip(batch["html"].to_pylist(), ids)
-                ]
-            )
-            batch = batch.filter(keep)
+            sha1s = [sha1_hex(h) for h in batch["html"].to_pylist()]
+            batch = batch.filter(pa.array(~self.gate.is_seen(ids, sha1s)))
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         ref_text = batch["text"].to_pylist() if self.verify and "text" in batch.column_names else None
