@@ -204,6 +204,7 @@ def encode_postings(
         deltas[starts] = doc_ids[starts]
     else:
         deltas = doc_ids
+        starts = np.empty(0, dtype=np.int64)
     # block metadata
     nblocks = (n + BLOCK - 1) // BLOCK
     last_ids = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK - 1, n - 1)] if n else doc_ids
@@ -217,14 +218,30 @@ def encode_postings(
         if n
         else dls
     )
+    # format 4: per-block byte offsets into each stream (the byte where
+    # the block's first varint starts) — with the delta restart above,
+    # any admitted block decodes from its own byte slice alone, so a
+    # cold query term's decode cost is proportional to ADMITTED blocks,
+    # not df (pipelines.query._wand_vec lazy path).
+    doc_buf, doc_len = varint_encode_with_lengths(deltas)
+    tf_buf, tf_len = varint_encode_with_lengths(tfs)
+    dl_buf, dl_len = varint_encode_with_lengths(dls)
+
+    def _offs(lens: np.ndarray) -> np.ndarray:
+        byte_starts = np.cumsum(lens) - lens
+        return byte_starts[starts] if n else np.empty(0, dtype=np.int64)
+
     out = {
         "n": n,
-        "doc_blob": varint_encode(deltas),
-        "tf_blob": varint_encode(tfs),
-        "dl_blob": varint_encode(dls),
+        "doc_blob": doc_buf,
+        "tf_blob": tf_buf,
+        "dl_blob": dl_buf,
         "block_last_id": last_ids,
         "block_max_tf": max_tf,
         "block_min_dl": min_dl,
+        "block_doc_off": _offs(doc_len),
+        "block_tf_off": _offs(tf_len),
+        "block_dl_off": _offs(dl_len),
     }
     if pos_flat is not None:
         out["pos_blob"] = encode_position_stream(pos_flat, tfs)[0]
@@ -397,6 +414,7 @@ def encode_postings_multi(
             "dl_blob_buf": b"", "dl_blob_offsets": np.zeros(1, np.int64),
             "block_last_id": e, "block_last_offsets": np.zeros(1, np.int64),
             "block_max_tf": e, "block_min_dl": e,
+            "block_doc_off": e, "block_tf_off": e, "block_dl_off": e,
         }
         if pos_flat is not None:
             out["pos_blob_buf"] = b""
@@ -446,6 +464,14 @@ def encode_postings_multi(
     block_min_dl = np.minimum.reduceat(d, bs)
     blocks_per_term = (counts + BLOCK - 1) // BLOCK
     block_last_offsets = np.concatenate(([0], np.cumsum(blocks_per_term)))
+    # format 4: per-block byte offsets (relative to the owning term's
+    # blob start) of each stream — block k of a term decodes from its
+    # own byte slice alone (delta restart at block starts), so the
+    # serving WAND path touches only admitted blocks' bytes.
+    term_of_block = np.repeat(np.arange(counts.size, dtype=np.int64), blocks_per_term)
+
+    def _block_offs(byte_ends: np.ndarray, lens: np.ndarray, term_blob_offs: np.ndarray) -> np.ndarray:
+        return (byte_ends[bs] - lens[bs]) - term_blob_offs[term_of_block]
 
     cf = np.add.reduceat(t, term_starts)
     pos_extra = {}
@@ -475,4 +501,7 @@ def encode_postings_multi(
         "block_last_offsets": block_last_offsets,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
+        "block_doc_off": _block_offs(doc_byte_ends, doc_len, doc_blob_offsets[:-1]),
+        "block_tf_off": _block_offs(tf_byte_ends, tf_len, tf_blob_offsets[:-1]),
+        "block_dl_off": _block_offs(dl_byte_ends, dl_len, dl_blob_offsets[:-1]),
     }

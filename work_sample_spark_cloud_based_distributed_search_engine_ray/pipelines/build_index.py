@@ -112,6 +112,12 @@ POSTING_SCHEMA = pa.schema(
         ("block_last_id", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int64())),
         ("block_min_dl", pa.list_(pa.int64())),
+        # format 4: per-block byte offsets into each blob (block k's
+        # first varint starts at byte off[k] of the term's blob) — the
+        # serving WAND path decodes ONLY admitted blocks' byte slices
+        ("block_doc_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        ("block_dl_off", pa.list_(pa.int64())),
     ]
 )
 
@@ -707,6 +713,18 @@ def _encoded_table(terms: pa.Array, enc: dict) -> pa.Table:
                 pa.array(enc["block_last_offsets"], pa.int32()),
                 pa.array(enc["block_min_dl"], pa.int64()),
             ),
+            "block_doc_off": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_doc_off"], pa.int64()),
+            ),
+            "block_tf_off": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_tf_off"], pa.int64()),
+            ),
+            "block_dl_off": pa.ListArray.from_arrays(
+                pa.array(enc["block_last_offsets"], pa.int32()),
+                pa.array(enc["block_dl_off"], pa.int64()),
+            ),
         }
     )
     if "pos_blob_buf" in enc:  # appended LAST: _posting_cols order
@@ -777,6 +795,9 @@ def _merge_term_runs(group: pa.Table) -> pa.Table:
             "block_last_id": pa.array([enc["block_last_id"].tolist()], pa.list_(pa.int64())),
             "block_max_tf": pa.array([enc["block_max_tf"].tolist()], pa.list_(pa.int64())),
             "block_min_dl": pa.array([enc["block_min_dl"].tolist()], pa.list_(pa.int64())),
+            "block_doc_off": pa.array([enc["block_doc_off"].tolist()], pa.list_(pa.int64())),
+            "block_tf_off": pa.array([enc["block_tf_off"].tolist()], pa.list_(pa.int64())),
+            "block_dl_off": pa.array([enc["block_dl_off"].tolist()], pa.list_(pa.int64())),
         }
     )
     if with_pos:

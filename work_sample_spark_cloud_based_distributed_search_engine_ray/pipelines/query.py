@@ -28,13 +28,19 @@ from __future__ import annotations
 import json
 import math
 import os
+from types import SimpleNamespace
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.codec import BLOCK, decode_position_stream, decode_postings
+from ..functions.codec import (
+    BLOCK,
+    decode_position_stream,
+    decode_postings,
+    decode_runs_concat,
+)
 from ..functions.tokenize import tokenize, tokenize_query
 
 INF = np.iinfo(np.int64).max
@@ -161,6 +167,126 @@ class _Postings:
         return self.pos_flat[self.pos_bounds[i] : self.pos_bounds[i + 1]]
 
 
+def _elem_view(arr: pa.Array, i: int) -> memoryview:
+    """Zero-copy view of element ``i`` of a single-chunk (large_)binary
+    array — no per-element bytes allocation, no blob copy."""
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    dt = np.int64 if wide else np.int32
+    off = np.frombuffer(
+        arr.buffers()[1], dtype=dt, count=len(arr) + 1, offset=arr.offset * dt(0).itemsize
+    )
+    data = arr.buffers()[2]
+    if data is None:
+        return memoryview(b"")
+    return memoryview(data)[int(off[i]) : int(off[i + 1])]
+
+
+class _LazyPostings:
+    """Block-grained lazy view of one term's postings (index format 4:
+    shard rows carry per-block BYTE offsets into each varint stream,
+    and the codec restarts the doc-id delta chain at every block start
+    — ``functions/codec.py:encode_postings_multi``). The vectorized
+    WAND path (`SearchIndex._wand_vec`) builds its interval grid and
+    upper bounds from block METADATA alone and materializes only
+    ADMITTED intervals' blocks, so a cold query term's decode cost is
+    proportional to the blocks that survive the theta bound, not df.
+
+    Falls back to wrapping an already-decoded `_Postings` (zero decode,
+    slicing views) when the term is warm or the index predates the
+    offset columns."""
+
+    __slots__ = (
+        "df", "block_last", "block_max_tf", "block_min_dl",
+        "_full", "_doc_mv", "_tf_mv", "_dl_mv",
+        "_doc_off", "_tf_off", "_dl_off", "_blocks", "decoded_blocks",
+    )
+
+    def __init__(self, df, block_last, block_max_tf, block_min_dl, *,
+                 full: "_Postings | None" = None,
+                 blob_views=None, block_offs=None):
+        self.df = df
+        self.block_last = block_last
+        self.block_max_tf = block_max_tf
+        self.block_min_dl = block_min_dl
+        self._full = full
+        if full is None:
+            self._doc_mv, self._tf_mv, self._dl_mv = blob_views
+            self._doc_off, self._tf_off, self._dl_off = block_offs
+        self._blocks: dict[int, tuple] = {}
+        self.decoded_blocks = 0  # instrumentation: blocks actually decoded
+
+    def _block_bytes(self, mv, offs, bi: int):
+        end = int(offs[bi + 1]) if bi + 1 < offs.size else len(mv)
+        return mv[int(offs[bi]) : end]
+
+    def ensure(self, bis: np.ndarray) -> None:
+        """Decode the given blocks if not yet cached — ONE batched
+        varint decode across all missing blocks (each block's delta
+        chain restarts at its start, so concatenated block slices
+        decode as independent runs). Once admission has touched half
+        the list, per-block batching has lost to the single big
+        vectorized decode — promote to a one-shot full decode (cost
+        bounded at ~the eager path; the ∝-admitted property holds
+        whenever pruning actually prunes)."""
+        if self._full is not None:
+            return
+        missing = [int(b) for b in bis if int(b) not in self._blocks]
+        if not missing:
+            return
+        nblocks = self.block_last.size
+        if len(self._blocks) + len(missing) > nblocks // 4:
+            ids, tfs, dls = decode_runs_concat(
+                self._doc_mv, self._tf_mv, self._dl_mv,
+                np.array([self.df], dtype=np.int64),
+            )
+            self._full = SimpleNamespace(ids=ids, tfs=tfs, dls=dls)
+            self._blocks.clear()
+            self.decoded_blocks = nblocks
+            return
+        ns = np.array(
+            [min(BLOCK, self.df - b * BLOCK) for b in missing], dtype=np.int64
+        )
+        doc_b = b"".join(self._block_bytes(self._doc_mv, self._doc_off, b) for b in missing)
+        tf_b = b"".join(self._block_bytes(self._tf_mv, self._tf_off, b) for b in missing)
+        dl_b = b"".join(self._block_bytes(self._dl_mv, self._dl_off, b) for b in missing)
+        ids, tfs, dls = decode_runs_concat(doc_b, tf_b, dl_b, ns)
+        starts = np.concatenate(([0], np.cumsum(ns)))
+        for j, b in enumerate(missing):
+            s, e = starts[j], starts[j + 1]
+            self._blocks[b] = (ids[s:e], tfs[s:e], dls[s:e])
+        self.decoded_blocks += len(missing)
+
+    def block(self, bi: int) -> tuple:
+        if self._full is not None:
+            p = self._full
+            s, e = bi * BLOCK, min((bi + 1) * BLOCK, self.df)
+            return p.ids[s:e], p.tfs[s:e], p.dls[s:e]
+        return self._blocks[bi]
+
+    def cat(self, ubis: np.ndarray) -> tuple:
+        """(ids, tfs, dls) of the given blocks concatenated in
+        ASCENDING block order — blocks are disjoint ascending doc-id
+        ranges, so the result is globally sorted and `searchsorted`
+        probes against it resolve interval slices in one vectorized
+        call. Warm wraps return the full arrays (same sorted-probe
+        semantics, zero copies)."""
+        if self._full is not None:
+            p = self._full
+            return p.ids, p.tfs, p.dls
+        self.ensure(ubis)
+        if self._full is not None:  # ensure() may promote to full decode
+            p = self._full
+            return p.ids, p.tfs, p.dls
+        if ubis.size == 1:
+            return self._blocks[int(ubis[0])]
+        parts = [self._blocks[int(b)] for b in ubis]
+        return (
+            np.concatenate([x[0] for x in parts]),
+            np.concatenate([x[1] for x in parts]),
+            np.concatenate([x[2] for x in parts]),
+        )
+
+
 class SearchIndex:
     """In-process reader over the built index.
 
@@ -215,10 +341,15 @@ class SearchIndex:
         ]
         if meta.get("positions"):
             cols.append("pos_blob")
+        files = _parquet_files(shards_dir)
+        if files:
+            # format 4 (lazy per-block byte offsets): present on any
+            # current build; older indexes load fine without them
+            # (eager full decode per term, the pre-format-4 behavior)
+            names = set(pq.read_schema(files[0]).names)
+            cols += [c for c in ("block_doc_off", "block_tf_off", "block_dl_off") if c in names]
         shard_table = (
-            pq.read_table(shards_dir, columns=cols).combine_chunks()
-            if _parquet_files(shards_dir)
-            else None
+            pq.read_table(shards_dir, columns=cols).combine_chunks() if files else None
         )
         return cls(meta, shard_table, os.path.join(out_dir, "docstore"))
 
@@ -266,6 +397,64 @@ class SearchIndex:
             )
             self._cache[term] = p
         return p
+
+    def term_df(self, term: str) -> int:
+        """df from shard-row METADATA — no posting decode (the DAAT
+        method dispatch sizes the query without touching blobs)."""
+        p = self._cache.get(term)
+        if p is not None:
+            return p.df
+        return self._shards["df"][self._term_row[term]].as_py()
+
+    def lazy_postings(self, term: str) -> _LazyPostings:
+        """Block-lazy postings view (format 4). Warm terms wrap the
+        decoded cache; cold terms expose zero-copy blob views + block
+        metadata and decode only the blocks the caller admits."""
+        full = self._cache.get(term)
+        if full is not None:
+            # warm: metadata and blocks come straight off the decoded
+            # cache — no shard-table touch (also keeps bare in-memory
+            # test indexes without ``_shards`` working)
+            return _LazyPostings(
+                full.df, full.block_last, full.block_max_tf, full.block_min_dl, full=full
+            )
+        lazy = getattr(self, "_lazy_cache", None)
+        if lazy is None:
+            lazy = self._lazy_cache = {}
+        cached = lazy.get(term)
+        if cached is not None:
+            return cached
+        i = self._term_row[term]
+        block_last = np.asarray(self._shards["block_last_id"][i].as_py(), dtype=np.int64)
+        block_max_tf = np.asarray(self._shards["block_max_tf"][i].as_py(), dtype=np.int64)
+        block_min_dl = np.asarray(self._shards["block_min_dl"][i].as_py(), dtype=np.int64)
+        df = self._shards["df"][i].as_py()
+        if "block_doc_off" in self._shards.column_names:
+            # the table is combine_chunks()'d at load: chunk(0) IS the
+            # column, zero-copy (ChunkedArray.combine_chunks would copy
+            # the whole blob column on every cold term — measured 21 ms)
+            chunk = lambda c: (
+                self._shards[c].chunk(0)
+                if self._shards[c].num_chunks == 1
+                else self._shards[c].combine_chunks()
+            )
+            p = _LazyPostings(
+                df, block_last, block_max_tf, block_min_dl,
+                blob_views=(
+                    _elem_view(chunk("doc_blob"), i),
+                    _elem_view(chunk("tf_blob"), i),
+                    _elem_view(chunk("dl_blob"), i),
+                ),
+                block_offs=(
+                    np.asarray(self._shards["block_doc_off"][i].as_py(), dtype=np.int64),
+                    np.asarray(self._shards["block_tf_off"][i].as_py(), dtype=np.int64),
+                    np.asarray(self._shards["block_dl_off"][i].as_py(), dtype=np.int64),
+                ),
+            )
+            lazy[term] = p  # decoded blocks persist across queries
+            return p
+        # warm term (or pre-format-4 index): wrap the full decode
+        return _LazyPostings(df, block_last, block_max_tf, block_min_dl, full=self.postings(term))
 
     # ---------------- BM25 ----------------
 
@@ -391,7 +580,9 @@ class SearchIndex:
         if not q_terms:
             return []
         if method not in ("wand", "maxscore", "wand_scalar", "maxscore_scalar"):
-            total = sum(self.postings(t).df for t in q_terms)
+            # metadata-only sizing: a cold query dispatches to WAND
+            # without decoding a single posting (format-4 lazy path)
+            total = sum(self.term_df(t) for t in q_terms)
             if method == "exhaustive" or total < self.WAND_MIN_POSTINGS:
                 return self.bm25_topk_exhaustive(query, k)
             method = "wand"
@@ -437,34 +628,24 @@ class SearchIndex:
             )
         return plist, idfs, blocks
 
-    def _score_slices(self, plist, idfs, slice_bounds):
-        """Exact scores for every doc covered by the given per-term
-        posting slices. ``slice_bounds[t]`` is a list of (start, end)
-        ranges into term t's posting arrays. The doc-range slices of
-        different terms cover the SAME doc intervals, so each covered
-        doc's postings are all present; concatenating per-term pieces
-        in query-term order makes ``np.add.at`` accumulate every doc's
-        contributions in term order — float-identical to
-        ``bm25_topk_exhaustive``."""
-        all_ids, all_scores = [], []
-        for p, idf, bounds in zip(plist, idfs, slice_bounds):
-            if not bounds:
-                continue
-            ids = np.concatenate([p.ids[s:e] for s, e in bounds])
-            if ids.size == 0:
-                continue
-            tfs = np.concatenate([p.tfs[s:e] for s, e in bounds]).astype(np.float64)
-            dls = np.concatenate([p.dls[s:e] for s, e in bounds]).astype(np.float64)
-            all_ids.append(ids)
-            all_scores.append(idf * self._bm25_tf_part(tfs, dls))
-        if not all_ids:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        ids = np.concatenate(all_ids)
-        scores = np.concatenate(all_scores)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, scores)
-        return uniq, acc
+    def _lazy_term_arrays(self, q_terms: list[str]):
+        """(lazy postings, idf, per-block ub) per query term — built
+        from shard-row METADATA only (df, block arrays); no posting
+        blob is decoded here."""
+        plist, idfs, blocks = [], [], []
+        for t in q_terms:
+            p = self.lazy_postings(t)
+            idf = self.bm25_idf(p.df)
+            plist.append(p)
+            idfs.append(idf)
+            blocks.append(
+                idf
+                * self._bm25_tf_part(
+                    p.block_max_tf.astype(np.float64),
+                    p.block_min_dl.astype(np.float64),
+                )
+            )
+        return plist, idfs, blocks
 
     def _wand_vec(
         self, q_terms: list[str], k: int, batch_intervals: int = 64
@@ -481,20 +662,26 @@ class SearchIndex:
         examined and final ties break by doc_id in ``_topk``, exactly
         like the exhaustive scorer. The per-posting Python of the
         scalar loop becomes ~1 numpy slice per (term x admitted
-        interval) — block-at-a-time, as the round-3 verdict
-        prescribed."""
-        plist, idfs, blocks = self._term_arrays(q_terms)
+        interval) — block-at-a-time, as the round-3 verdict prescribed.
+
+        Format 4 (round-5): the grid and every upper bound come from
+        block METADATA; posting bytes are decoded per ADMITTED block
+        only (``_LazyPostings.ensure`` — batched varint decode over the
+        admitted blocks' byte slices, possible because the delta chain
+        restarts at each block start and shard rows store per-block
+        byte offsets). Decode cost is therefore proportional to the
+        blocks that survive the theta bound, not to df; warm terms
+        reuse the full decoded cache. Bit-identical to the exhaustive
+        scorer at every k (tests assert it): the admitted slices are
+        the same id-ranges the eager path sliced, concatenated in the
+        same (batch, query-term) order."""
+        plist, idfs, blocks = self._lazy_term_arrays(q_terms)
         # interval grid: union of block-last boundaries; interval j is
         # (bnds[j-1], bnds[j]] in doc-id space
         bnds = np.unique(np.concatenate([p.block_last for p in plist]))
         n_int = bnds.size
         ub = np.zeros(n_int, dtype=np.float64)
-        # per-term posting positions of each boundary (slice ends);
-        # slice starts are the previous boundary's position
-        term_pos = []
         for p, bub in zip(plist, blocks):
-            pos = np.searchsorted(p.ids, bnds, side="right")
-            term_pos.append(pos)
             bi = np.searchsorted(p.block_last, bnds, side="left")
             valid = bi < bub.size
             ub[valid] += bub[bi[valid]]
@@ -514,13 +701,43 @@ class SearchIndex:
             i += batch_intervals
             if batch.size == 0:
                 continue
-            slice_bounds = []
-            for pos in term_pos:
-                ends = pos[batch]
-                starts = np.where(batch > 0, pos[np.maximum(batch - 1, 0)], 0)
-                sel = ends > starts
-                slice_bounds.append(list(zip(starts[sel], ends[sel])))
-            uniq, acc = self._score_slices(plist, idfs, slice_bounds)
+            # interval j spans (bnds[j-1], bnds[j]]; within one term it
+            # lies inside exactly one block (the grid contains every
+            # term's block boundaries), so probing the ADMITTED blocks'
+            # concatenation (globally sorted: blocks are disjoint
+            # ascending ranges) resolves every slice in two vectorized
+            # searchsorted calls + one gather — no per-interval Python
+            his = bnds[batch]
+            los = np.where(batch > 0, bnds[np.maximum(batch - 1, 0)], np.int64(-1))
+            all_ids, all_scores = [], []
+            for p, idf in zip(plist, idfs):
+                bis = np.searchsorted(p.block_last, his, side="left")
+                vm = bis < p.block_last.size
+                if not vm.any():
+                    continue
+                cat_ids, cat_tfs, cat_dls = p.cat(np.unique(bis[vm]))
+                s = np.searchsorted(cat_ids, los[vm], side="right")
+                e = np.searchsorted(cat_ids, his[vm], side="right")
+                lens = e - s
+                nz = lens > 0
+                if not nz.any():
+                    continue
+                s, lens = s[nz], lens[nz]
+                total = int(lens.sum())
+                starts = np.cumsum(lens) - lens
+                idxs = np.repeat(s - starts, lens) + np.arange(total, dtype=np.int64)
+                ids = cat_ids[idxs]
+                tfs = cat_tfs[idxs].astype(np.float64)
+                dls = cat_dls[idxs].astype(np.float64)
+                all_ids.append(ids)
+                all_scores.append(idf * self._bm25_tf_part(tfs, dls))
+            if not all_ids:
+                continue
+            cat_ids = np.concatenate(all_ids)
+            cat_scores = np.concatenate(all_scores)
+            uniq, inv = np.unique(cat_ids, return_inverse=True)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, inv, cat_scores)
             if uniq.size == 0:
                 continue
             pool_ids.append(uniq)
@@ -533,6 +750,13 @@ class SearchIndex:
                 keep = s >= theta  # equal-score docs stay for tie-break
                 pool_ids, pool_scores = [d[keep]], [s[keep]]
                 pool_n = int(keep.sum())
+        # instrumentation: blocks actually decoded vs total (cold lazy
+        # terms only count decodes; warm wraps report 0) — read by the
+        # lazy-decode tests and the cold-query bench
+        self.last_wand_blocks = (
+            sum(p.decoded_blocks for p in plist),
+            sum(int(p.block_last.size) for p in plist),
+        )
         if not pool_ids:
             return []
         return _topk(np.concatenate(pool_ids), np.concatenate(pool_scores), k)
