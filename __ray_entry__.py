@@ -1558,6 +1558,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 cols["n_anchor_hits"].append(h)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
+    def q_search_anchor_field(sf_dir: str) -> pa.Table:
+        """Anchor text as a REAL index field (round-5): anchor postings
+        built through the packed term shuffle
+        (`pipelines/anchor_field.build_anchor_field` — actor-pool
+        extraction with map-side combine, bucketed target-url join
+        against the canonical doc store, doc-bucketed tf/length finish,
+        canonical bucket merge), then BM25F over body+anchor
+        (`bm25f_anchor_topk`, w=2.0): tf' = tf_body + w*tf_anchor,
+        dl' = dl_body + w*anchor_len, avgdl' = (C_body + w*C_anchor)/N,
+        body idf. Unlike `search_bm25_anchor`'s flat boost, an
+        anchor-only match ENTERS the candidate set. All-integer e6
+        output, (score desc, doc_id) ties."""
+        import os as _os
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+            AnchorField,
+            bm25f_anchor_topk,
+            build_anchor_field,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+            reference_queries,
+        )
+
+        idx_dir = _cached_index_dir(sf_dir)
+        if not _os.path.exists(_os.path.join(idx_dir, "anchor_meta.json")):
+            build_anchor_field(pages_for_sf_dir(sf_dir), idx_dir, num_shards=4)
+        idx = _cached_index(sf_dir)
+        af = AnchorField(idx_dir)
+        cols = {k: [] for k in ("qid", "rank", "doc_id", "bm25f_e6")}
+        for qid, q in reference_queries():
+            for r, (d, e6) in enumerate(bm25f_anchor_topk(idx, af, q, 10, w=2.0)):
+                cols["qid"].append(qid)
+                cols["rank"].append(r)
+                cols["doc_id"].append(d)
+                cols["bm25f_e6"].append(e6)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
     def q_search_not(sf_dir: str) -> pa.Table:
         """Exclusion (NOT) retrieval: BM25 top-10 per reference query
         among docs containing NONE of the NEXT reference query's terms
@@ -8296,6 +8334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean_and": q_search_boolean,
         "search_bm25_title": q_search_title,
         "search_bm25_anchor": q_search_anchor,
+        "search_bm25_anchor_field": q_search_anchor_field,
         "search_boolean_not": q_search_not,
         "search_site_filter": q_search_site,
         "search_intitle": q_search_intitle,
@@ -8879,6 +8918,101 @@ def _anchor_boost_oracle_sql() -> str:
            doc_id, total_e6, base_e6, CAST(n_anchor_hits AS BIGINT) AS n_anchor_hits
     FROM tot
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY total_e6 DESC, doc_id) <= 10
+    """
+
+
+def _anchor_field_oracle_sql(w: float = 2.0) -> str:
+    """DuckDB twin of ``search_bm25_anchor_field``: the anchor field
+    derived from the corpus — ``<a href>(text)</a>`` elements from ALL
+    pages (losers endorse too), inner text tokenized per-occurrence
+    (COUNTS, not distinct — field tf), targets resolved by normalized
+    href against normalized WINNER urls (losers/off-corpus targets get
+    no postings), doc_id = hash64(raw winner url); per-doc anchor
+    length = total inbound anchor tokens. BM25F fold: tf' = tf_body +
+    w*tf_anchor, dl' = dl_body + w*alen, avgdl' = (C_body +
+    w*C_anchor)/N, body idf, candidates = body OR anchor matches of
+    body-present query terms. All-integer e6; (score desc, doc_id)."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    toks_anchor = TOKS.replace("text", "anchor")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text FROM (
+        SELECT url, text,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             url, text
+      FROM winners),
+    anchors AS (SELECT
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+      FROM pages),
+    atoks AS (SELECT
+        regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url,
+        unnest({toks_anchor}) AS term
+      FROM anchors),
+    docnorm AS (SELECT doc_id,
+        regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+      FROM docs),
+    atf AS MATERIALIZED (SELECT d.doc_id, a.term, count(*) AS tf
+      FROM atoks a JOIN docnorm d USING (dst_url)
+      GROUP BY d.doc_id, a.term),
+    alen AS MATERIALIZED (SELECT doc_id, sum(tf) AS al FROM atf GROUP BY doc_id),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     (CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                      + {w} * CAST((SELECT COALESCE(sum(tf), 0) FROM atf) AS DOUBLE))
+                       / (SELECT count(*) FROM docs) AS avgdlf),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    cand AS MATERIALIZED (SELECT DISTINCT qb.qid, x.doc_id
+      FROM qb JOIN (SELECT term, doc_id FROM tf
+                    UNION SELECT term, doc_id FROM atf) x USING (term)),
+    folded AS (SELECT c.qid, c.doc_id, qb.term,
+                      COALESCE(tf.tf, 0) + {w} * COALESCE(atf.tf, 0) AS tfp
+               FROM cand c
+               JOIN qb ON qb.qid = c.qid
+               LEFT JOIN tf ON tf.term = qb.term AND tf.doc_id = c.doc_id
+               LEFT JOIN atf ON atf.term = qb.term AND atf.doc_id = c.doc_id
+               WHERE COALESCE(tf.tf, 0) + COALESCE(atf.tf, 0) > 0),
+    scored AS (
+      SELECT f.qid, f.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * ((f.tfp * (1.2 + 1))
+                    / (f.tfp + 1.2 * ((1 - 0.75)
+                       + 0.75 * (COALESCE(dl.dl, 0) + {w} * COALESCE(alen.al, 0))
+                         / stats.avgdlf)))) AS s
+      FROM folded f
+      JOIN df USING (term)
+      LEFT JOIN dl ON dl.doc_id = f.doc_id
+      LEFT JOIN alen ON alen.doc_id = f.doc_id, stats
+      GROUP BY f.qid, f.doc_id)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, bm25f_e6
+    FROM (SELECT qid, doc_id, CAST(round(s * 1000000) AS BIGINT) AS bm25f_e6 FROM scored)
+    WHERE bm25f_e6 > 0
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) <= 10
     """
 
 
@@ -13325,6 +13459,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_salsa": _salsa_oracle_sql(),
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_bm25_anchor": _anchor_boost_oracle_sql(),
+        "search_bm25_anchor_field": _anchor_field_oracle_sql(),
         "search_boolean_not": _boolean_not_oracle_sql(),
         "search_site_filter": _flagship_oracle_sql("bm25", variant="site"),
         "search_intitle": _intitle_oracle_sql(),

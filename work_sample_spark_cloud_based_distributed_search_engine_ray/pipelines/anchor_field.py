@@ -1,0 +1,306 @@
+"""Anchor text as a REAL index field (round-4 verdict #4).
+
+The reference's crawler extracts ``<a href>(text)</a>`` elements
+(``crawler/Crawler.java:421-434``) but its scorer never consumes them
+(body-only tf-idf, ``search/Searcher.java:139-150``). The round-3/4
+serving-tier form (``SearchIndex.bm25_anchor_boost``) bounded the
+endorsement set by the query vocabulary at query time; this module
+promotes anchors to a first-class index FIELD built through the same
+packed term shuffle as the body index:
+
+1. actor-pool anchor extraction with map-side (dst_url, term, n)
+   combine (``stages/crawl.AnchorTermsStage`` — counts, not distinct:
+   an anchor field's tf is the number of inbound occurrences);
+2. ONE bucketed string join of the normalized targets against the
+   canonical doc store urls (off-corpus targets and dedup losers drop
+   out — anchor postings exist only for canonical docs);
+3. a doc-bucketed pass that finishes the (doc, term) counts and
+   computes each doc's anchor-field LENGTH (total inbound anchor
+   tokens — the BM25F length-normalization denominator);
+4. the term shuffle: per-block ``encode_postings_multi`` pre-encode
+   (packed runs), one ``packed_task_groups`` bucket merge
+   (``build_index._encode_bucket`` — canonical decode/merge/re-encode,
+   so final rows are bit-identical under any partitioning), shard
+   parquet + a doc_id-keyed ``anchor_len`` sidecar + ``anchor_meta``.
+
+Query side: ``bm25f_anchor_topk`` scores BM25F (Robertson, Zaragoza &
+Taylor 2004) over body+anchor with the anchor field read from its OWN
+postings — unlike the boost, an anchor-only match enters the candidate
+set; tf' = tf_body + w*tf_anchor, dl' = dl_body + w*anchor_len,
+avgdl' = (C_body + w*C_anchor)/N, idf = body idf (anchor-only terms
+contribute nothing — the SQL-twin contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.codec import decode_postings
+from ..functions.hashing import hash64
+from ..functions.tokenize import tokenize_query
+from ..functions.urls import normalize_seed
+from ..stages.crawl import AnchorTermsStage
+from ..stages.ops import _bucket_of, shuffle_join
+from ..stages.shuffle import hash_map_groups, packed_task_groups
+from .build_index import _encode_bucket, _encoded_table, _fresh_dir, _posting_cols
+from .query import SearchIndex, _parquet_files
+
+
+def _doc_bucket_finish(group: pa.Table) -> pa.Table:
+    """One doc_id bucket of partially-combined (doc_id, term, n) rows
+    -> finished posting rows (term, doc_id, tf, dl=anchor_len). A doc's
+    rows all live in one bucket, so both the (doc, term) sum and the
+    per-doc length are exact here — vectorized group_by, no per-doc
+    Python."""
+    g = group.drop_columns(["__bucket"]) if "__bucket" in group.column_names else group
+    tf = g.group_by(["doc_id", "term"]).aggregate([("n", "sum")])
+    alen = tf.group_by(["doc_id"]).aggregate([("n_sum", "sum")])
+    al = pc.take(
+        alen["n_sum_sum"],
+        pc.index_in(tf["doc_id"], value_set=alen["doc_id"].combine_chunks()),
+    )
+    return pa.table(
+        {
+            "term": tf["term"],
+            "doc_id": tf["doc_id"],
+            "tf": tf["n_sum"].combine_chunks().cast(pa.int64()),
+            "dl": al.cast(pa.int64()),
+        }
+    )
+
+
+def build_anchor_field(
+    pages_path: str,
+    index_dir: str,
+    *,
+    num_shards: int = 4,
+    num_buckets: int | None = None,
+) -> dict:
+    """Build the anchor-field postings under ``index_dir/anchor_shards``
+    (+ ``anchor_len`` sidecar + ``anchor_meta.json``). Requires the
+    body index (its doc store provides the canonical url -> doc_id
+    table). Returns the written meta."""
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+    # canonical doc table with the engine's normalized-url join key
+    # (normalize_seed — the rule inbound_anchor_query_terms pinned)
+    def add_norm(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_canonical"])
+        norm = [normalize_seed(u) or "" for u in t["url"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "dst_url": pa.array(norm, pa.string())}
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "url", "is_canonical"]
+    ).map_batches(add_norm, batch_format="pyarrow")
+
+    # extraction with map-side combine -> (dst_url, term, n) partials
+    anchors = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        AnchorTermsStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    # bucketed string join: targets resolve to canonical doc_ids;
+    # off-corpus / loser targets drop out (inner join)
+    joined = shuffle_join(
+        anchors, docs, "dst_url",
+        left_cols=["term", "n"], right_cols=["doc_id"],
+        num_buckets=num_buckets,
+    )
+
+    # doc-bucketed finish: exact (doc, term) tf + per-doc anchor length
+    bucketed = joined.map_batches(
+        lambda t: t.append_column("__bucket", _bucket_of(t["doc_id"], num_buckets)),
+        batch_format="pyarrow",
+    )
+    resolved = hash_map_groups(bucketed, "__bucket", _doc_bucket_finish).materialize()
+
+    # the term shuffle: per-block packed pre-encode, then the canonical
+    # bucket merge (same kernels as the body build — no salting: anchor
+    # lists are orders of magnitude shorter than body postings; if a
+    # target ever became hot enough to matter, build_shards' salt plan
+    # applies unchanged)
+    from ..functions.codec import encode_postings_multi
+
+    def pre_encode(batch: pa.Table) -> pa.Table:
+        d = batch["term"].combine_chunks().dictionary_encode()
+        uniq = d.dictionary
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = encode_postings_multi(
+            codes,
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["tf"].to_numpy(zero_copy_only=False),
+            batch["dl"].to_numpy(zero_copy_only=False),
+        )
+        terms_out = pc.take(uniq, pa.array(enc["codes_out"]))
+        hs = np.fromiter(
+            (hash64(t) for t in terms_out.to_pylist()), dtype=np.uint64, count=len(terms_out)
+        )
+        tbl = _encoded_table(terms_out, enc)
+        return tbl.append_column(
+            "bucket", pa.array((hs % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    pre = resolved.map_batches(pre_encode, batch_format="pyarrow", batch_size=65536)
+    runs = packed_task_groups(pre.materialize(), "bucket", _encode_bucket, num_buckets=num_buckets)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pa.array(
+            [hash64(t) % num_shards for t in batch["term"].to_pylist()], pa.int64()
+        )
+        return batch.append_column("shard", shard).select(_posting_cols(False) + ["shard"])
+
+    final = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
+    shards_dir = os.path.join(index_dir, "anchor_shards")
+    _fresh_dir(shards_dir)
+    final.write_parquet(shards_dir, partition_cols=["shard"])
+
+    # doc_id -> anchor length sidecar (every posting of a doc carries
+    # the same dl, and a doc's postings were finished in ONE bucket, so
+    # a per-block distinct after the materialized shuffle is exact...
+    # except blocks may split a bucket group — go through the tiny
+    # (doc_id, dl) distinct shuffle instead, which is cheap and safe)
+    from ..stages.ops import distinct_on
+
+    alen_ds = distinct_on(
+        resolved.map_batches(
+            lambda t: t.select(["doc_id", "dl"]), batch_format="pyarrow"
+        ),
+        ["doc_id", "dl"],  # dl is constant per doc -> one row per doc
+        num_buckets=max(8, num_buckets // 4),
+    )
+    alen_dir = os.path.join(index_dir, "anchor_len")
+    _fresh_dir(alen_dir)
+    alen_ds.write_parquet(alen_dir)
+
+    c_anchor = int(resolved.sum("tf") or 0)
+    n_docs = pq.read_table(alen_dir, columns=["doc_id"]).num_rows
+    meta = {"c_anchor": c_anchor, "n_anchor_docs": n_docs, "num_shards": num_shards}
+    with open(os.path.join(index_dir, "anchor_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class AnchorField:
+    """Reader over the anchor-field postings + length sidecar."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "anchor_meta.json")) as f:
+            self.meta = json.load(f)
+        self.c_anchor = self.meta["c_anchor"]
+        shards_dir = os.path.join(index_dir, "anchor_shards")
+        cols = ["term", "df", "cf", "doc_blob", "tf_blob", "dl_blob"]
+        files = _parquet_files(shards_dir)
+        self._t = pq.read_table(shards_dir, columns=cols).combine_chunks() if files else None
+        self._row = (
+            {} if self._t is None else {t: i for i, t in enumerate(self._t["term"].to_pylist())}
+        )
+        self._cache: dict[str, tuple] = {}
+        lt = pq.read_table(os.path.join(index_dir, "anchor_len"))
+        ids = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lt["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        self._len_ids, self._len_vals = ids[order], vals[order]
+
+    def has_term(self, term: str) -> bool:
+        return term in self._row
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids ascending, anchor tfs) — decode-on-demand, cached."""
+        p = self._cache.get(term)
+        if p is None:
+            i = self._row[term]
+            ids, tfs, _dls = decode_postings(
+                self._t["doc_blob"][i].as_py(),
+                self._t["tf_blob"][i].as_py(),
+                self._t["dl_blob"][i].as_py(),
+                self._t["df"][i].as_py(),
+            )
+            p = (ids, tfs)
+            self._cache[term] = p
+        return p
+
+    def alen(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Anchor-field length per doc (0 for docs with no inbound
+        anchors) — one searchsorted over the sorted sidecar."""
+        if self._len_ids.size == 0:
+            return np.zeros(doc_ids.size, dtype=np.int64)
+        pos = np.searchsorted(self._len_ids, doc_ids)
+        pos_c = np.minimum(pos, self._len_ids.size - 1)
+        hit = self._len_ids[pos_c] == doc_ids
+        return np.where(hit, self._len_vals[pos_c], 0)
+
+
+def bm25f_anchor_topk(
+    idx: SearchIndex, af: AnchorField, query: str, k: int = 10, *, w: float = 2.0
+) -> list[tuple[int, int]]:
+    """BM25F over body + the indexed anchor field. Candidates = docs
+    matching >= 1 body-present query term in EITHER field (an
+    anchor-only match enters — the point of a real field vs the flat
+    boost). All-float kernel e6-quantized at the end; ties (e6 desc,
+    doc_id asc). Returns [(doc_id, bm25f_e6)]."""
+    q_terms = sorted({t for t in tokenize_query(query) if idx.has_term(t)})
+    if not q_terms:
+        return []
+    parts = []
+    for t in q_terms:
+        parts.append(idx.postings(t).ids)
+        if af.has_term(t):
+            parts.append(af.postings(t)[0])
+    cand = np.unique(np.concatenate(parts))
+    # body dl per candidate: from any body-posting hit; anchor-only
+    # candidates fall back to the doc store's doc_len (bounded point
+    # reads — at corpus scale a doc-range-sharded dl table)
+    dlb = np.full(cand.size, -1, dtype=np.int64)
+    for t in q_terms:
+        p = idx.postings(t)
+        pos = np.minimum(np.searchsorted(p.ids, cand), p.ids.size - 1)
+        hit = p.ids[pos] == cand
+        dlb[hit] = p.dls[pos[hit]]
+    miss = np.flatnonzero(dlb < 0)
+    if miss.size:
+        rows = idx._store().lookup([int(cand[i]) for i in miss])
+        for i in miss:
+            r = rows.get(int(cand[i]))
+            dlb[i] = int(r["doc_len"]) if r is not None else 0
+    al = af.alen(cand)
+    avgdlf = (float(idx.meta["total_len"]) + w * float(af.c_anchor)) / float(idx.N)
+    dlf = dlb.astype(np.float64) + w * al.astype(np.float64)
+    k1, b = idx.k1, idx.b
+    score = np.zeros(cand.size, np.float64)
+    for t in q_terms:
+        p = idx.postings(t)
+        pos = np.minimum(np.searchsorted(p.ids, cand), p.ids.size - 1)
+        hit = p.ids[pos] == cand
+        tfb = np.where(hit, p.tfs[pos], 0).astype(np.float64)
+        tfa = np.zeros(cand.size, np.float64)
+        if af.has_term(t):
+            a_ids, a_tfs = af.postings(t)
+            apos = np.minimum(np.searchsorted(a_ids, cand), a_ids.size - 1)
+            ahit = a_ids[apos] == cand
+            tfa[ahit] = a_tfs[apos[ahit]]
+        tfp = tfb + w * tfa
+        idf = idx.bm25_idf(p.df)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            contrib = np.where(
+                tfp > 0,
+                idf * ((tfp * (k1 + 1.0)) / (tfp + k1 * ((1.0 - b) + b * dlf / avgdlf))),
+                0.0,
+            )
+        score += contrib
+    e6 = np.rint(score * 1e6).astype(np.int64)
+    keep = e6 > 0
+    cand, e6 = cand[keep], e6[keep]
+    order = np.lexsort((cand, -e6))[:k]
+    return [(int(cand[i]), int(e6[i])) for i in order]
