@@ -245,6 +245,22 @@ class VisitedShard:
             }
         )
 
+    def dump_parquet(self, path: str) -> int:
+        """Write THIS bucket's (url, depth) slice as its own parquet
+        file — the per-shard dump of the BFS output (each shard writes
+        only its bucket; the driver never assembles the reach set, and
+        a failed run can re-dump just the missing buckets). Atomic via
+        tmp+rename. Returns rows written."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = self.dump()
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
 
 # ---------------------------------------------------------------------------
 # Connected components (min-label propagation)
