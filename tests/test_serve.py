@@ -478,3 +478,54 @@ def test_shared_actor_pool_across_routers(served, tmp_path_factory):
         for a in r2.actors:
             ray.kill(a)
         r2.actors = []
+
+
+def test_reuseport_single_endpoint(served):
+    """Two SearchHTTPServer instances bind the SAME port via
+    SO_REUSEPORT (the single-endpoint router scale-out, round-5): both
+    accept on one endpoint, results identical to in-process; an
+    ephemeral port (0) is rejected in reuse mode."""
+    import socket
+    import urllib.request
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _ds, idx = served
+    with pytest.raises(ValueError):
+        SearchHTTPServer(idx, port=0, reuse_port=True)
+    # pick a free port, then bind it twice in reuse mode
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    srv1 = SearchHTTPServer(idx, port=port, reuse_port=True).start()
+    srv2 = SearchHTTPServer(idx, port=port, reuse_port=True).start()
+    try:
+        q = next(q for _qid, q in reference_queries() if idx.bm25_topk_exhaustive(q, 3))
+        want = idx.search(q, 3)
+        import json as _json
+        from urllib.parse import quote
+
+        got = _json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query={quote(q)}&k=3", timeout=10
+            ).read()
+        )
+        assert [r["url"] for r in got] == [r["url"] for r in want]
+        # both listeners are alive on the same port (kernel balances
+        # connections; shutting one down must leave the endpoint up)
+        srv1.shutdown()
+        got2 = _json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query={quote(q)}&k=3", timeout=10
+            ).read()
+        )
+        assert [r["url"] for r in got2] == [r["url"] for r in want]
+    finally:
+        for s_ in (srv1, srv2):
+            try:
+                s_.shutdown()
+            except Exception:
+                pass

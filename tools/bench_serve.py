@@ -107,6 +107,91 @@ def run_scaling(idx_dir: str, levels=(4, 16), clients: int = 32, seconds: float 
     print(json.dumps(out))
 
 
+def run_reuseport(
+    idx_dir: str, n_routers_levels=(1, 2, 4), clients: int = 32, seconds: float = 8.0,
+    port: int = 18923,
+) -> None:
+    """Single-ENDPOINT router scale-out (round-4 verdict #8): N router
+    PROCESSES bind the SAME port via SO_REUSEPORT (kernel-level
+    connection balancing — no user-space proxy hop), all sharing ONE
+    named shard-actor pool (index memory 1x). Reports one-endpoint rps
+    + latency at each router count; the done-bar is >=2x the 1-router
+    rps at p95 <= 50 ms."""
+    import os as _os
+    import subprocess
+
+    import ray
+
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    sys.path.insert(0, ".")
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        DistributedSearch,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        reference_queries,
+    )
+
+    # create the shared pool once; workers attach by name
+    pool_owner = DistributedSearch(idx_dir, shared=True)
+    queries = [q for _, q in reference_queries() if q.strip()]
+    out = {"mode": "reuseport-single-endpoint", "clients": clients, "port": port, "levels": {}}
+    env = dict(_os.environ, RAY_ADDRESS="auto")
+    for n in n_routers_levels:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, idx_dir, f"--worker-port={port}"],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for _ in range(n)
+        ]
+        try:
+            # wait for at least one router to answer
+            for _ in range(120):
+                try:
+                    urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/stats", timeout=1
+                    ).read()
+                    break
+                except Exception:
+                    time.sleep(0.5)
+            time.sleep(1.5)  # let the rest bind
+            run_level(port, queries, 4, 2.0)  # warm actor-side caches
+            out["levels"][str(n)] = run_level(port, queries, clients, seconds)
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.wait(timeout=10)
+    r1 = out["levels"].get("1", {}).get("rps")
+    rmax = max(v.get("rps", 0) for v in out["levels"].values())
+    out["speedup_vs_1_router"] = round(rmax / r1, 2) if r1 else None
+    # leave the shared pool for inspection? no - explicit teardown
+    for a in pool_owner.actors:
+        ray.kill(a)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_worker(idx_dir: str, port: int) -> None:
+    """One reuse-port router process: join the existing Ray instance,
+    attach to the shared named shard-actor pool, serve until killed."""
+    import ray
+
+    ray.init(address="auto", include_dashboard=False, logging_level="ERROR")
+    sys.path.insert(0, ".")
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        DistributedSearch,
+        SearchHTTPServer,
+    )
+
+    backend = DistributedSearch(idx_dir, shared=True)
+    SearchHTTPServer(backend, port=port, reuse_port=True).start()
+    while True:
+        time.sleep(3600)
+
+
 def main() -> None:
     import os as _os
 
@@ -116,6 +201,22 @@ def main() -> None:
     if "--scaling" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         run_scaling(args[0] if args else "/tmp/wse_idx_sf01_daat")
+        return
+    for a in sys.argv[1:]:
+        if a.startswith("--worker-port"):
+            args = [x for x in sys.argv[1:] if not x.startswith("--")]
+            run_worker(args[0], int(a.split("=", 1)[1]))
+            return
+    if "--reuseport" in sys.argv or any(a.startswith("--reuseport=") for a in sys.argv):
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        levels = (1, 2, 4)
+        clients = 32
+        for a in sys.argv[1:]:
+            if a.startswith("--reuseport="):
+                levels = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+            if a.startswith("--clients"):
+                clients = int(a.split("=", 1)[1])
+        run_reuseport(args[0] if args else "/tmp/wse_idx_sf01_daat", levels, clients=clients)
         return
     serve_cpus = _os.environ.get("WSE_SERVE_CPUS")
     if serve_cpus and not ray.is_initialized():

@@ -242,7 +242,13 @@ class SearchHTTPServer:
     """
 
     def __init__(
-        self, backend, *, host: str = "127.0.0.1", port: int = 8080, cache_size: int = 256
+        self,
+        backend,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        cache_size: int = 256,
+        reuse_port: bool = False,
     ):
         import threading
         from collections import OrderedDict
@@ -404,7 +410,22 @@ class SearchHTTPServer:
                         outer._cache.popitem(last=False)
                 self._reply(200, out)
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        if reuse_port:
+            # SO_REUSEPORT single-endpoint scale-out: N router PROCESSES
+            # (each its own GIL) bind the SAME port and the kernel
+            # load-balances accepted connections across them — one
+            # endpoint, no user-space proxy hop. Routers share the
+            # named shard-actor pool (DistributedSearch shared=True), so
+            # index memory stays 1x. Requires an explicit port.
+            if port == 0:
+                raise ValueError("reuse_port requires an explicit port")
+
+            class ReusePortServer(ThreadingHTTPServer):
+                allow_reuse_port = True
+
+            self.httpd = ReusePortServer((host, port), Handler)
+        else:
+            self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
 
