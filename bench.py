@@ -261,6 +261,17 @@ def run_bench() -> None:
     queries["bm25_query_set"] = round(float(lat_arr.sum()), 3)
     extras["bm25_p50_ms"] = round(float(np.percentile(lat_arr, 50)) * 1000, 2)
     extras["bm25_p95_ms"] = round(float(np.percentile(lat_arr, 95)) * 1000, 2)
+    # format-4 lazy decode instrumentation: fraction of cold terms'
+    # posting blocks the WAND admission actually decoded (1.0 = no
+    # pruning benefit at this corpus scale; << 1 once theta bites)
+    lazy = getattr(idx, "_lazy_cache", {})
+    if lazy:
+        tot_blocks = sum(int(p.block_last.size) for p in lazy.values())
+        dec_blocks = sum(
+            min(p.decoded_blocks, int(p.block_last.size)) for p in lazy.values()
+        )
+        extras["wand_lazy_terms"] = len(lazy)
+        extras["wand_decoded_block_frac"] = round(dec_blocks / max(1, tot_blocks), 3)
 
     # 3. minhash-LSH dedup over the driver documents table
     docs_path = os.path.join(SF_DIR, "documents.parquet")
