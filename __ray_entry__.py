@@ -1596,6 +1596,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 cols["bm25f_e6"].append(e6)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
+    def q_search_bm25f_all_fields(sf_dir: str) -> pa.Table:
+        """Three-source BM25F over REAL indexed fields (round-5): body
+        + title field (w=3, `build_title_field` — title postings
+        through the term shuffle, no doc-store fetch at scoring time)
+        + anchor field (w=2). tf' = tf_b + 3*tf_t + 2*tf_a, dl' =
+        dl_b + 3*title_len + 2*anchor_len, avgdl' =
+        (C_body + 3*C_title + 2*C_anchor)/N, body idf; title-only and
+        anchor-only matches ENTER the candidate set
+        (`bm25f_fields_topk`). All-integer e6 output."""
+        import os as _os
+
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+            AnchorField,
+            TitleField,
+            bm25f_fields_topk,
+            build_anchor_field,
+            build_title_field,
+        )
+        from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+            pages_for_sf_dir,
+            reference_queries,
+        )
+
+        idx_dir = _cached_index_dir(sf_dir)
+        if not _os.path.exists(_os.path.join(idx_dir, "anchor_meta.json")):
+            build_anchor_field(pages_for_sf_dir(sf_dir), idx_dir, num_shards=4)
+        if not _os.path.exists(_os.path.join(idx_dir, "title_meta.json")):
+            build_title_field(idx_dir, num_shards=4)
+        idx = _cached_index(sf_dir)
+        fields = [(TitleField(idx_dir), 3.0), (AnchorField(idx_dir), 2.0)]
+        cols = {k: [] for k in ("qid", "rank", "doc_id", "bm25f_e6")}
+        for qid, q in reference_queries():
+            for r, (d, e6) in enumerate(bm25f_fields_topk(idx, fields, q, 10)):
+                cols["qid"].append(qid)
+                cols["rank"].append(r)
+                cols["doc_id"].append(d)
+                cols["bm25f_e6"].append(e6)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
     def q_search_not(sf_dir: str) -> pa.Table:
         """Exclusion (NOT) retrieval: BM25 top-10 per reference query
         among docs containing NONE of the NEXT reference query's terms
@@ -8335,6 +8374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_title": q_search_title,
         "search_bm25_anchor": q_search_anchor,
         "search_bm25_anchor_field": q_search_anchor_field,
+        "search_bm25f_all_fields": q_search_bm25f_all_fields,
         "search_boolean_not": q_search_not,
         "search_site_filter": q_search_site,
         "search_intitle": q_search_intitle,
@@ -9004,6 +9044,111 @@ def _anchor_field_oracle_sql(w: float = 2.0) -> str:
       FROM folded f
       JOIN df USING (term)
       LEFT JOIN dl ON dl.doc_id = f.doc_id
+      LEFT JOIN alen ON alen.doc_id = f.doc_id, stats
+      GROUP BY f.qid, f.doc_id)
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) - 1
+                AS BIGINT) AS "rank",
+           doc_id, bm25f_e6
+    FROM (SELECT qid, doc_id, CAST(round(s * 1000000) AS BIGINT) AS bm25f_e6 FROM scored)
+    WHERE bm25f_e6 > 0
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY bm25f_e6 DESC, doc_id) <= 10
+    """
+
+
+def _bm25f_all_fields_oracle_sql(w_t: float = 3.0, w_a: float = 2.0) -> str:
+    """DuckDB twin of ``search_bm25f_all_fields``: both fields derived
+    from the corpus — the title via the reference's <title> regex over
+    winner html (the docstore's title rule), the anchor field via
+    per-occurrence <a href>(text)</a> token counts from ALL pages
+    joined to normalized winner urls. Candidates = body OR title OR
+    anchor matches of body-present query terms; folded BM25F with
+    tf' = tf + w_t*ttf + w_a*atf and dl' = dl + w_t*tl + w_a*al;
+    avgdl' = (C_body + w_t*C_title + w_a*C_anchor)/N; body idf.
+    All-integer e6; (score desc, doc_id) order, top 10."""
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.tokenize import (
+        tokenize_query,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+        reference_queries,
+    )
+
+    pages_path = pages_for_sf_dir(_oracle_sf_dir())
+    q_rows = [
+        f"({qid}, '{t}')" for qid, q in reference_queries() for t in tokenize_query(q)
+    ]
+    toks_anchor = TOKS.replace("text", "anchor")
+    toks_title = TOKS.replace("(text,", "(title,")
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pages_path}')),
+    winners AS (
+      SELECT url, text, html FROM (
+        SELECT url, text, html,
+               row_number() OVER (PARTITION BY html ORDER BY warc_ts, url) AS rn
+        FROM pages) WHERE rn = 1),
+    docs AS (
+      SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                  & 9223372036854775807::UBIGINT AS BIGINT) AS doc_id,
+             url, text,
+             regexp_extract(decode(html), '<title[^>]*>(.*?)</title>', 1) AS title
+      FROM winners),
+    anchors AS (SELECT
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+        unnest(regexp_extract_all(decode(html), '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+      FROM pages),
+    atoks AS (SELECT
+        regexp_replace(href, '^http://([^/]*)', 'http://\\1:80') AS dst_url,
+        unnest({toks_anchor}) AS term
+      FROM anchors),
+    docnorm AS (SELECT doc_id,
+        regexp_replace(url, '^http://([^/]*)', 'http://\\1:80') AS dst_url
+      FROM docs),
+    atf AS MATERIALIZED (SELECT d.doc_id, a.term, count(*) AS tf
+      FROM atoks a JOIN docnorm d USING (dst_url)
+      GROUP BY d.doc_id, a.term),
+    alen AS MATERIALIZED (SELECT doc_id, sum(tf) AS al FROM atf GROUP BY doc_id),
+    ttoks AS MATERIALIZED (SELECT doc_id, unnest({toks_title}) AS term FROM docs),
+    ttf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+    tlen AS MATERIALIZED (SELECT doc_id, count(*) AS tl FROM ttoks GROUP BY doc_id),
+    toks AS MATERIALIZED (SELECT doc_id, unnest({TOKS}) AS term FROM docs),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT (SELECT count(*) FROM docs) AS n,
+                     (CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                      + {w_t} * CAST((SELECT count(*) FROM ttoks) AS DOUBLE)
+                      + {w_a} * CAST((SELECT COALESCE(sum(tf), 0) FROM atf) AS DOUBLE))
+                       / (SELECT count(*) FROM docs) AS avgdlf),
+    q(qid, term) AS (VALUES {', '.join(q_rows)}),
+    qb AS MATERIALIZED (SELECT DISTINCT qid, term FROM q
+           WHERE term IN (SELECT DISTINCT term FROM tf)),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY term),
+    cand AS MATERIALIZED (SELECT DISTINCT qb.qid, x.doc_id
+      FROM qb JOIN (SELECT term, doc_id FROM tf
+                    UNION SELECT term, doc_id FROM ttf
+                    UNION SELECT term, doc_id FROM atf) x USING (term)),
+    folded AS (SELECT c.qid, c.doc_id, qb.term,
+                      COALESCE(tf.tf, 0) + {w_t} * COALESCE(ttf.tf, 0)
+                        + {w_a} * COALESCE(atf.tf, 0) AS tfp
+               FROM cand c
+               JOIN qb ON qb.qid = c.qid
+               LEFT JOIN tf ON tf.term = qb.term AND tf.doc_id = c.doc_id
+               LEFT JOIN ttf ON ttf.term = qb.term AND ttf.doc_id = c.doc_id
+               LEFT JOIN atf ON atf.term = qb.term AND atf.doc_id = c.doc_id
+               WHERE COALESCE(tf.tf, 0) + COALESCE(ttf.tf, 0) + COALESCE(atf.tf, 0) > 0),
+    scored AS (
+      SELECT f.qid, f.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * ((f.tfp * (1.2 + 1))
+                    / (f.tfp + 1.2 * ((1 - 0.75)
+                       + 0.75 * (COALESCE(dl.dl, 0) + {w_t} * COALESCE(tlen.tl, 0)
+                                 + {w_a} * COALESCE(alen.al, 0))
+                         / stats.avgdlf)))) AS s
+      FROM folded f
+      JOIN df USING (term)
+      LEFT JOIN dl ON dl.doc_id = f.doc_id
+      LEFT JOIN tlen ON tlen.doc_id = f.doc_id
       LEFT JOIN alen ON alen.doc_id = f.doc_id, stats
       GROUP BY f.qid, f.doc_id)
     SELECT qid,
@@ -13460,6 +13605,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_title": _title_boost_oracle_sql(),
         "search_bm25_anchor": _anchor_boost_oracle_sql(),
         "search_bm25_anchor_field": _anchor_field_oracle_sql(),
+        "search_bm25f_all_fields": _bm25f_all_fields_oracle_sql(),
         "search_boolean_not": _boolean_not_oracle_sql(),
         "search_site_filter": _flagship_oracle_sql("bm25", variant="site"),
         "search_intitle": _intitle_oracle_sql(),

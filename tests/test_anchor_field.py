@@ -193,3 +193,131 @@ def test_anchor_only_match_enters(built):
     d, t = found
     res = bm25f_anchor_topk(idx, af, t, k=10**6)
     assert d in [x for x, _ in res]
+
+
+@pytest.fixture(scope="module")
+def titled(built):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+        TitleField,
+        build_title_field,
+    )
+
+    pages, out, idx, af = built
+    build_title_field(out, num_shards=4)
+    return pages, out, idx, af, TitleField(out)
+
+
+def test_title_field_postings_match_docstore(titled):
+    """Title postings == per-doc Counter(tokenize(title)) over the
+    canonical doc store; lengths and C_title exact."""
+    from collections import Counter
+
+    _pages, out, idx, _af, tf = titled
+    store = pq.read_table(out + "/docstore", columns=["doc_id", "title", "is_canonical"])
+    store = store.filter(store["is_canonical"])
+    want: dict[tuple, int] = {}
+    tlen: dict[int, int] = {}
+    for d, title in zip(store["doc_id"].to_pylist(), store["title"].to_pylist()):
+        c = Counter(tokenize(title))
+        for t, n in c.items():
+            want[(d, t)] = n
+        if c:
+            tlen[d] = sum(c.values())
+    got: dict[tuple, int] = {}
+    for t in {t for _d, t in want}:
+        assert tf.has_term(t), t
+        ids, tfs = tf.postings(t)
+        for d, f in zip(ids.tolist(), tfs.tolist()):
+            got[(d, t)] = f
+    assert got == want
+    assert tf.c_total == sum(tlen.values())
+    docs = np.array(sorted(tlen), dtype=np.int64)
+    assert np.array_equal(tf.alen(docs), np.array([tlen[d] for d in docs.tolist()]))
+
+
+def test_bm25f_all_fields_matches_python(titled):
+    """Three-source BM25F (body + title w=3 + anchor w=2) vs a
+    brute-force Python scorer; title-only and anchor-only matches
+    enter."""
+    import math as _math
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+        bm25f_fields_topk,
+    )
+
+    pages, out, idx, af, tfld = titled
+    atf, alen, c_anchor = _python_anchor_field(pages)
+    from collections import Counter
+
+    store = pq.read_table(out + "/docstore", columns=["doc_id", "title", "is_canonical", "doc_len"])
+    store = store.filter(store["is_canonical"])
+    ttf: dict[int, Counter] = {
+        d: Counter(tokenize(title))
+        for d, title in zip(store["doc_id"].to_pylist(), store["title"].to_pylist())
+    }
+    dlen = dict(zip(store["doc_id"].to_pylist(), store["doc_len"].to_pylist()))
+    w_t, w_a = 3.0, 2.0
+    c_title = sum(sum(c.values()) for c in ttf.values())
+    avgdlf = (float(idx.meta["total_len"]) + w_t * c_title + w_a * c_anchor) / idx.N
+    k1, b = idx.k1, idx.b
+
+    def py_topk(query, k=10):
+        q_terms = sorted({t for t in tokenize_query(query) if idx.has_term(t)})
+        if not q_terms:
+            return []
+        cand = set()
+        body = {}
+        for t in q_terms:
+            p = idx.postings(t)
+            body[t] = dict(zip(p.ids.tolist(), zip(p.tfs.tolist(), p.dls.tolist())))
+            cand.update(p.ids.tolist())
+            cand.update(d for d, c in atf.items() if t in c)
+            cand.update(d for d, c in ttf.items() if t in c)
+        out_scores = {}
+        for d in cand:
+            dlb = next((body[t][d][1] for t in q_terms if d in body[t]), None)
+            if dlb is None:
+                dlb = dlen.get(d, 0)
+            dlf = dlb + w_t * sum(ttf.get(d, {}).values()) + w_a * alen.get(d, 0)
+            s = 0.0
+            for t in q_terms:
+                tfp = (
+                    (body[t][d][0] if d in body[t] else 0)
+                    + w_t * ttf.get(d, Counter()).get(t, 0)
+                    + w_a * atf.get(d, {}).get(t, 0)
+                )
+                if tfp <= 0:
+                    continue
+                df = idx.postings(t).df
+                idf = _math.log(1.0 + (idx.N - df + 0.5) / (df + 0.5))
+                s += idf * (tfp * (k1 + 1.0)) / (tfp + k1 * ((1.0 - b) + b * dlf / avgdlf))
+            e6 = int(round(s * 1e6))
+            if e6 > 0:
+                out_scores[d] = e6
+        return sorted(out_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for _qid, q in reference_queries():
+        got = bm25f_fields_topk(idx, [(tfld, w_t), (af, w_a)], q, 10)
+        assert got == py_topk(q, 10), q
+
+
+def test_title_field_build_invariance(titled, tmp_path):
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+        build_title_field,
+    )
+
+    _pages, out, _idx, _af, _tf = titled
+    import os
+    out2 = str(tmp_path / "alt_title")
+    os.makedirs(out2)
+    shutil.copytree(os.path.join(out, "docstore"), os.path.join(out2, "docstore"))
+    build_title_field(out2, num_shards=2, num_buckets=8)
+
+    def rows(d):
+        t = pq.read_table(
+            os.path.join(d, "title_shards"),
+            columns=["term", "df", "cf", "doc_blob", "tf_blob", "dl_blob"],
+        )
+        return sorted(t.to_pylist(), key=lambda r: r["term"])
+
+    assert rows(out) == rows(out2)

@@ -126,11 +126,33 @@ def build_anchor_field(
     )
     resolved = hash_map_groups(bucketed, "__bucket", _doc_bucket_finish).materialize()
 
-    # the term shuffle: per-block packed pre-encode, then the canonical
-    # bucket merge (same kernels as the body build — no salting: anchor
-    # lists are orders of magnitude shorter than body postings; if a
-    # target ever became hot enough to matter, build_shards' salt plan
-    # applies unchanged)
+    return _write_field_shards(
+        resolved, index_dir, "anchor",
+        num_shards=num_shards, num_buckets=num_buckets,
+        extra_meta_key="c_anchor",
+    )
+
+
+def _write_field_shards(
+    resolved,
+    index_dir: str,
+    prefix: str,
+    *,
+    num_shards: int,
+    num_buckets: int,
+    extra_meta_key: str | None = None,
+) -> dict:
+    """Shared tail of every FIELD index build: (term, doc_id, tf,
+    dl=field_len) rows -> per-block packed pre-encode
+    (``encode_postings_multi``), ONE ``packed_task_groups`` bucket
+    merge (the body build's canonical decode/merge/re-encode — final
+    rows bit-identical under any partitioning), shard parquet under
+    ``<index_dir>/<prefix>_shards`` + a doc_id-keyed
+    ``<prefix>_len`` sidecar + ``<prefix>_meta.json``. No salting: a
+    field's lists are orders of magnitude shorter than body postings;
+    if one ever ran hot, ``build_shards``' salt plan applies
+    unchanged."""
+
     from ..functions.codec import encode_postings_multi
 
     def pre_encode(batch: pa.Table) -> pa.Table:
@@ -162,44 +184,106 @@ def build_anchor_field(
         return batch.append_column("shard", shard).select(_posting_cols(False) + ["shard"])
 
     final = runs.map_batches(add_shard, batch_format="pyarrow").materialize()
-    shards_dir = os.path.join(index_dir, "anchor_shards")
+    shards_dir = os.path.join(index_dir, f"{prefix}_shards")
     _fresh_dir(shards_dir)
     final.write_parquet(shards_dir, partition_cols=["shard"])
 
-    # doc_id -> anchor length sidecar (every posting of a doc carries
-    # the same dl, and a doc's postings were finished in ONE bucket, so
+    # doc_id -> field length sidecar (every posting of a doc carries
+    # the same dl, and a doc's postings were finished in ONE task, so
     # a per-block distinct after the materialized shuffle is exact...
-    # except blocks may split a bucket group — go through the tiny
+    # except blocks may split a group — go through the tiny
     # (doc_id, dl) distinct shuffle instead, which is cheap and safe)
     from ..stages.ops import distinct_on
 
-    alen_ds = distinct_on(
+    len_ds = distinct_on(
         resolved.map_batches(
             lambda t: t.select(["doc_id", "dl"]), batch_format="pyarrow"
         ),
         ["doc_id", "dl"],  # dl is constant per doc -> one row per doc
         num_buckets=max(8, num_buckets // 4),
     )
-    alen_dir = os.path.join(index_dir, "anchor_len")
-    _fresh_dir(alen_dir)
-    alen_ds.write_parquet(alen_dir)
+    len_dir = os.path.join(index_dir, f"{prefix}_len")
+    _fresh_dir(len_dir)
+    len_ds.write_parquet(len_dir)
 
-    c_anchor = int(resolved.sum("tf") or 0)
-    n_docs = pq.read_table(alen_dir, columns=["doc_id"]).num_rows
-    meta = {"c_anchor": c_anchor, "n_anchor_docs": n_docs, "num_shards": num_shards}
-    with open(os.path.join(index_dir, "anchor_meta.json"), "w") as f:
+    c_total = int(resolved.sum("tf") or 0)
+    n_docs = pq.read_table(len_dir, columns=["doc_id"]).num_rows
+    meta = {
+        "c_total": c_total,
+        "n_field_docs": n_docs,
+        "num_shards": num_shards,
+        "field": prefix,
+    }
+    if extra_meta_key:
+        meta[extra_meta_key] = c_total  # legacy alias (anchor_meta.c_anchor)
+    with open(os.path.join(index_dir, f"{prefix}_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
 
 
-class AnchorField:
-    """Reader over the anchor-field postings + length sidecar."""
+def build_title_field(
+    index_dir: str,
+    *,
+    num_shards: int = 4,
+    num_buckets: int | None = None,
+) -> dict:
+    """Build a REAL title postings field under
+    ``<index_dir>/title_shards`` — closing the documented limitation of
+    ``SearchIndex.bm25f_topk`` ('a dedicated title-postings index is
+    the corpus-scale form'): with it, a TITLE-ONLY match can enter the
+    candidate set and no doc-store fetch happens at scoring time.
 
-    def __init__(self, index_dir: str):
-        with open(os.path.join(index_dir, "anchor_meta.json")) as f:
+    No join and no doc-bucket pass are needed: the doc store holds one
+    row per doc, so one vectorized ``tokenize_count_batch`` per batch
+    produces exact (term, doc_id, tf, dl=title_len) rows directly —
+    the term shuffle is the only exchange."""
+    import ray
+
+    from ..functions.tokenize import tokenize_count_batch
+
+    if num_buckets is None:
+        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+    def title_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_canonical"])
+        terms_list, tfs_list, doc_lens = tokenize_count_batch(
+            t["title"].combine_chunks()
+        )
+        parents = pc.list_parent_indices(terms_list)
+        return pa.table(
+            {
+                "term": terms_list.flatten(),
+                "doc_id": pc.take(t["doc_id"], parents),
+                "tf": tfs_list.flatten().cast(pa.int64()),
+                "dl": pc.take(
+                    pa.array(np.asarray(doc_lens, dtype=np.int64)), parents
+                ),
+            }
+        )
+
+    resolved = (
+        rd.read_parquet(
+            os.path.join(index_dir, "docstore"),
+            columns=["doc_id", "title", "is_canonical"],
+        )
+        .map_batches(title_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    return _write_field_shards(
+        resolved, index_dir, "title", num_shards=num_shards, num_buckets=num_buckets
+    )
+
+
+class FieldReader:
+    """Reader over ONE field's postings + length sidecar (anchor,
+    title, or any future field built by ``_write_field_shards``)."""
+
+    def __init__(self, index_dir: str, prefix: str):
+        self.prefix = prefix
+        with open(os.path.join(index_dir, f"{prefix}_meta.json")) as f:
             self.meta = json.load(f)
-        self.c_anchor = self.meta["c_anchor"]
-        shards_dir = os.path.join(index_dir, "anchor_shards")
+        self.c_total = self.meta.get("c_total", self.meta.get("c_anchor", 0))
+        shards_dir = os.path.join(index_dir, f"{prefix}_shards")
         cols = ["term", "df", "cf", "doc_blob", "tf_blob", "dl_blob"]
         files = _parquet_files(shards_dir)
         self._t = pq.read_table(shards_dir, columns=cols).combine_chunks() if files else None
@@ -207,7 +291,7 @@ class AnchorField:
             {} if self._t is None else {t: i for i, t in enumerate(self._t["term"].to_pylist())}
         )
         self._cache: dict[str, tuple] = {}
-        lt = pq.read_table(os.path.join(index_dir, "anchor_len"))
+        lt = pq.read_table(os.path.join(index_dir, f"{prefix}_len"))
         ids = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         vals = lt["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)
@@ -217,7 +301,7 @@ class AnchorField:
         return term in self._row
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids ascending, anchor tfs) — decode-on-demand, cached."""
+        """(doc_ids ascending, field tfs) — decode-on-demand, cached."""
         p = self._cache.get(term)
         if p is None:
             i = self._row[term]
@@ -232,8 +316,8 @@ class AnchorField:
         return p
 
     def alen(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Anchor-field length per doc (0 for docs with no inbound
-        anchors) — one searchsorted over the sorted sidecar."""
+        """Field length per doc (0 for docs without the field) — one
+        searchsorted over the sorted sidecar."""
         if self._len_ids.size == 0:
             return np.zeros(doc_ids.size, dtype=np.int64)
         pos = np.searchsorted(self._len_ids, doc_ids)
@@ -242,24 +326,50 @@ class AnchorField:
         return np.where(hit, self._len_vals[pos_c], 0)
 
 
-def bm25f_anchor_topk(
-    idx: SearchIndex, af: AnchorField, query: str, k: int = 10, *, w: float = 2.0
+class AnchorField(FieldReader):
+    """Anchor-field reader (back-compat name + ``c_anchor`` alias)."""
+
+    def __init__(self, index_dir: str):
+        super().__init__(index_dir, "anchor")
+        self.c_anchor = self.c_total
+
+
+class TitleField(FieldReader):
+    def __init__(self, index_dir: str):
+        super().__init__(index_dir, "title")
+
+
+def bm25f_fields_topk(
+    idx: SearchIndex,
+    fields: "list[tuple[FieldReader, float]]",
+    query: str,
+    k: int = 10,
 ) -> list[tuple[int, int]]:
-    """BM25F over body + the indexed anchor field. Candidates = docs
-    matching >= 1 body-present query term in EITHER field (an
-    anchor-only match enters — the point of a real field vs the flat
-    boost). All-float kernel e6-quantized at the end; ties (e6 desc,
-    doc_id asc). Returns [(doc_id, bm25f_e6)]."""
+    """Multi-field BM25F (Robertson, Zaragoza & Taylor 2004) over the
+    body plus any number of INDEXED fields:
+
+        tf'  = tf_body + sum_i w_i * tf_field_i
+        dl'  = dl_body + sum_i w_i * len_field_i
+        avg' = (C_body + sum_i w_i * C_field_i) / N
+        score = sum_t idf_body(t) * tf'*(k1+1) / (tf' + k1*((1-b) + b*dl'/avg'))
+
+    Candidates = docs matching >= 1 body-present query term in the
+    body OR any field (a field-only match enters — the point of real
+    field postings vs query-time boosts/re-ranks). Field-only
+    candidates' body dl comes from bounded DocStore point reads.
+    All-float kernel e6-quantized at the end; ties (e6 desc, doc_id
+    asc). Returns [(doc_id, bm25f_e6)]."""
     q_terms = sorted({t for t in tokenize_query(query) if idx.has_term(t)})
     if not q_terms:
         return []
     parts = []
     for t in q_terms:
         parts.append(idx.postings(t).ids)
-        if af.has_term(t):
-            parts.append(af.postings(t)[0])
+        for fr, _w in fields:
+            if fr.has_term(t):
+                parts.append(fr.postings(t)[0])
     cand = np.unique(np.concatenate(parts))
-    # body dl per candidate: from any body-posting hit; anchor-only
+    # body dl per candidate: from any body-posting hit; field-only
     # candidates fall back to the doc store's doc_len (bounded point
     # reads — at corpus scale a doc-range-sharded dl table)
     dlb = np.full(cand.size, -1, dtype=np.int64)
@@ -274,23 +384,28 @@ def bm25f_anchor_topk(
         for i in miss:
             r = rows.get(int(cand[i]))
             dlb[i] = int(r["doc_len"]) if r is not None else 0
-    al = af.alen(cand)
-    avgdlf = (float(idx.meta["total_len"]) + w * float(af.c_anchor)) / float(idx.N)
-    dlf = dlb.astype(np.float64) + w * al.astype(np.float64)
+    avgdlf = (
+        float(idx.meta["total_len"])
+        + sum(w * float(fr.c_total) for fr, w in fields)
+    ) / float(idx.N)
+    dlf = dlb.astype(np.float64)
+    for fr, w in fields:
+        dlf = dlf + w * fr.alen(cand).astype(np.float64)
     k1, b = idx.k1, idx.b
     score = np.zeros(cand.size, np.float64)
     for t in q_terms:
         p = idx.postings(t)
         pos = np.minimum(np.searchsorted(p.ids, cand), p.ids.size - 1)
         hit = p.ids[pos] == cand
-        tfb = np.where(hit, p.tfs[pos], 0).astype(np.float64)
-        tfa = np.zeros(cand.size, np.float64)
-        if af.has_term(t):
-            a_ids, a_tfs = af.postings(t)
-            apos = np.minimum(np.searchsorted(a_ids, cand), a_ids.size - 1)
-            ahit = a_ids[apos] == cand
-            tfa[ahit] = a_tfs[apos[ahit]]
-        tfp = tfb + w * tfa
+        tfp = np.where(hit, p.tfs[pos], 0).astype(np.float64)
+        for fr, w in fields:
+            if fr.has_term(t):
+                f_ids, f_tfs = fr.postings(t)
+                fpos = np.minimum(np.searchsorted(f_ids, cand), f_ids.size - 1)
+                fhit = f_ids[fpos] == cand
+                tff = np.zeros(cand.size, np.float64)
+                tff[fhit] = f_tfs[fpos[fhit]]
+                tfp = tfp + w * tff
         idf = idx.bm25_idf(p.df)
         with np.errstate(invalid="ignore", divide="ignore"):
             contrib = np.where(
@@ -304,3 +419,11 @@ def bm25f_anchor_topk(
     cand, e6 = cand[keep], e6[keep]
     order = np.lexsort((cand, -e6))[:k]
     return [(int(cand[i]), int(e6[i])) for i in order]
+
+
+def bm25f_anchor_topk(
+    idx: SearchIndex, af: "FieldReader", query: str, k: int = 10, *, w: float = 2.0
+) -> list[tuple[int, int]]:
+    """BM25F over body + the indexed anchor field (single-field case of
+    ``bm25f_fields_topk`` — identical float kernel and op order)."""
+    return bm25f_fields_topk(idx, [(af, w)], query, k)
