@@ -333,6 +333,39 @@ def run_bench() -> None:
     queries["index_update_10pct"] = round(upd_wall, 3)
     extras["update_docs_per_sec"] = round(n_delta / upd_wall, 1)
 
+    # 6b. SEGMENT update (round-5): the same +10% delta landed as a new
+    # immutable segment — the O(delta)-I/O steady-state path; the
+    # recorded write ratio vs base is the asymptote evidence
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.segments import (
+        add_segment,
+        create_segmented,
+    )
+
+    seg_root = "/tmp/wse_bench_index_seg"
+    shutil.rmtree(seg_root, ignore_errors=True)
+    create_segmented("/tmp/wse_bench_index", seg_root)
+    t0 = time.time()
+    seg_metrics = add_segment(seg_root, delta_path, num_partitions=8)
+    seg_wall = time.time() - t0
+    queries["index_update_segment_10pct"] = round(seg_wall, 3)
+    extras["segment_write_ratio_vs_base"] = seg_metrics.get("write_ratio_vs_base")
+
+    # 7. field indexes (round-5): anchor postings (extraction + bucketed
+    # url join + term shuffle) and title postings (doc-store pass + term
+    # shuffle) over the stage-1 index
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+        build_anchor_field,
+        build_title_field,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.sources.pages import (
+        pages_for_sf_dir,
+    )
+
+    t0 = time.time()
+    build_anchor_field(pages_for_sf_dir(SF_DIR), "/tmp/wse_bench_index")
+    build_title_field("/tmp/wse_bench_index")
+    queries["field_index_build"] = round(time.time() - t0, 3)
+
     total = time.time() - t_all
     print(
         json.dumps(

@@ -48,26 +48,33 @@ from ..functions.hashing import hash64
 from ..functions.tokenize import tokenize_query
 from ..functions.urls import normalize_seed
 from ..stages.crawl import AnchorTermsStage
-from ..stages.ops import _bucket_of, shuffle_join
+from ..stages.ops import _bucket_of, tag_union
 from ..stages.shuffle import hash_map_groups, packed_task_groups
 from .build_index import _encode_bucket, _encoded_table, _fresh_dir, _posting_cols
 from .query import SearchIndex, _parquet_files
 
 
-def _doc_bucket_finish(group: pa.Table) -> pa.Table:
-    """One doc_id bucket of partially-combined (doc_id, term, n) rows
-    -> finished posting rows (term, doc_id, tf, dl=anchor_len). A doc's
-    rows all live in one bucket, so both the (doc, term) sum and the
-    per-doc length are exact here — vectorized group_by, no per-doc
-    Python."""
-    g = group.drop_columns(["__bucket"]) if "__bucket" in group.column_names else group
+def _join_and_finish(group: pa.Table) -> pa.Table:
+    """One dst_url bucket of the tagged union (anchors side 0:
+    (dst_url, term, n) partials; docs side 1: (dst_url, doc_id)) ->
+    finished posting rows (term, doc_id, tf, dl=anchor_len) PLUS one
+    term=NULL row per doc carrying its field length (the sidecar rides
+    the same exchange — split by a per-block filter downstream, no
+    extra shuffle). dst_url <-> doc_id is 1:1 and the bucket key is
+    dst_url, so a doc's rows are all HERE: both the (doc, term) sum
+    and the per-doc length are exact — vectorized Arrow join +
+    group_by, no per-doc Python."""
+    side = group["__side"]
+    left = group.filter(pc.equal(side, 0)).select(["dst_url", "term", "n"])
+    right = group.filter(pc.equal(side, 1)).select(["dst_url", "doc_id"])
+    g = left.join(right, keys="dst_url", join_type="inner")
     tf = g.group_by(["doc_id", "term"]).aggregate([("n", "sum")])
     alen = tf.group_by(["doc_id"]).aggregate([("n_sum", "sum")])
     al = pc.take(
         alen["n_sum_sum"],
         pc.index_in(tf["doc_id"], value_set=alen["doc_id"].combine_chunks()),
     )
-    return pa.table(
+    postings = pa.table(
         {
             "term": tf["term"],
             "doc_id": tf["doc_id"],
@@ -75,6 +82,15 @@ def _doc_bucket_finish(group: pa.Table) -> pa.Table:
             "dl": al.cast(pa.int64()),
         }
     )
+    lens = pa.table(
+        {
+            "term": pa.nulls(alen.num_rows, pa.string()),
+            "doc_id": alen["doc_id"],
+            "tf": pa.nulls(alen.num_rows, pa.int64()),
+            "dl": alen["n_sum_sum"].combine_chunks().cast(pa.int64()),
+        }
+    )
+    return pa.concat_tables([postings, lens])
 
 
 def build_anchor_field(
@@ -111,25 +127,29 @@ def build_anchor_field(
         AnchorTermsStage, batch_format="pyarrow", concurrency=(1, 8)
     )
 
-    # bucketed string join: targets resolve to canonical doc_ids;
-    # off-corpus / loser targets drop out (inner join)
-    joined = shuffle_join(
-        anchors, docs, "dst_url",
-        left_cols=["term", "n"], right_cols=["doc_id"],
-        num_buckets=num_buckets,
-    )
-
-    # doc-bucketed finish: exact (doc, term) tf + per-doc anchor length
-    bucketed = joined.map_batches(
-        lambda t: t.append_column("__bucket", _bucket_of(t["doc_id"], num_buckets)),
+    # ONE bucketed exchange does join + finish: targets resolve to
+    # canonical doc_ids (off-corpus / loser targets drop out at the
+    # inner join), (doc, term) sums and per-doc lengths complete inside
+    # the bucket (dst_url <-> doc_id is 1:1, so bucketing by dst_url
+    # co-locates a doc's rows), and the length sidecar rides the same
+    # exchange as term=NULL rows
+    tagged = tag_union(anchors, docs, "dst_url").map_batches(
+        lambda t: t.append_column("__bucket", _bucket_of(t["dst_url"], num_buckets)),
         batch_format="pyarrow",
     )
-    resolved = hash_map_groups(bucketed, "__bucket", _doc_bucket_finish).materialize()
+    both = hash_map_groups(tagged, "__bucket", _join_and_finish).materialize()
+    resolved = both.map_batches(
+        lambda t: t.filter(pc.is_valid(t["term"])), batch_format="pyarrow"
+    )
+    len_ds = both.map_batches(
+        lambda t: t.filter(pc.is_null(t["term"])).select(["doc_id", "dl"]),
+        batch_format="pyarrow",
+    )
 
     return _write_field_shards(
         resolved, index_dir, "anchor",
         num_shards=num_shards, num_buckets=num_buckets,
-        extra_meta_key="c_anchor",
+        extra_meta_key="c_anchor", len_ds=len_ds,
     )
 
 
@@ -141,6 +161,7 @@ def _write_field_shards(
     num_shards: int,
     num_buckets: int,
     extra_meta_key: str | None = None,
+    len_ds=None,
 ) -> dict:
     """Shared tail of every FIELD index build: (term, doc_id, tf,
     dl=field_len) rows -> per-block packed pre-encode
@@ -188,20 +209,21 @@ def _write_field_shards(
     _fresh_dir(shards_dir)
     final.write_parquet(shards_dir, partition_cols=["shard"])
 
-    # doc_id -> field length sidecar (every posting of a doc carries
-    # the same dl, and a doc's postings were finished in ONE task, so
-    # a per-block distinct after the materialized shuffle is exact...
-    # except blocks may split a group — go through the tiny
-    # (doc_id, dl) distinct shuffle instead, which is cheap and safe)
-    from ..stages.ops import distinct_on
+    # doc_id -> field length sidecar. Callers that already produce one
+    # exact (doc_id, dl) row per doc pass it as ``len_ds`` (the anchor
+    # build emits it from the same join exchange; the title build per
+    # batch — the doc store holds one row per doc); otherwise a tiny
+    # (doc_id, dl) distinct shuffle derives it from the posting rows.
+    if len_ds is None:
+        from ..stages.ops import distinct_on
 
-    len_ds = distinct_on(
-        resolved.map_batches(
-            lambda t: t.select(["doc_id", "dl"]), batch_format="pyarrow"
-        ),
-        ["doc_id", "dl"],  # dl is constant per doc -> one row per doc
-        num_buckets=max(8, num_buckets // 4),
-    )
+        len_ds = distinct_on(
+            resolved.map_batches(
+                lambda t: t.select(["doc_id", "dl"]), batch_format="pyarrow"
+            ),
+            ["doc_id", "dl"],  # dl is constant per doc -> one row per doc
+            num_buckets=max(8, num_buckets // 4),
+        )
     len_dir = os.path.join(index_dir, f"{prefix}_len")
     _fresh_dir(len_dir)
     len_ds.write_parquet(len_dir)
@@ -250,18 +272,30 @@ def build_title_field(
             t["title"].combine_chunks()
         )
         parents = pc.list_parent_indices(terms_list)
-        return pa.table(
+        lens64 = pa.array(np.asarray(doc_lens, dtype=np.int64))
+        postings = pa.table(
             {
                 "term": terms_list.flatten(),
                 "doc_id": pc.take(t["doc_id"], parents),
                 "tf": tfs_list.flatten().cast(pa.int64()),
-                "dl": pc.take(
-                    pa.array(np.asarray(doc_lens, dtype=np.int64)), parents
-                ),
+                "dl": pc.take(lens64, parents),
             }
         )
+        # the doc store holds one row per doc, so per-batch len rows
+        # are globally exact (term=NULL marker, split downstream)
+        keep = pc.greater(lens64, 0)
+        n_len = int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+        lens_tbl = pa.table(
+            {
+                "term": pa.nulls(n_len, pa.string()),
+                "doc_id": pc.filter(t["doc_id"].combine_chunks(), keep),
+                "tf": pa.nulls(n_len, pa.int64()),
+                "dl": pc.filter(lens64, keep),
+            }
+        )
+        return pa.concat_tables([postings, lens_tbl])
 
-    resolved = (
+    both = (
         rd.read_parquet(
             os.path.join(index_dir, "docstore"),
             columns=["doc_id", "title", "is_canonical"],
@@ -269,8 +303,16 @@ def build_title_field(
         .map_batches(title_rows, batch_format="pyarrow")
         .materialize()
     )
+    resolved = both.map_batches(
+        lambda t: t.filter(pc.is_valid(t["term"])), batch_format="pyarrow"
+    )
+    len_ds = both.map_batches(
+        lambda t: t.filter(pc.is_null(t["term"])).select(["doc_id", "dl"]),
+        batch_format="pyarrow",
+    )
     return _write_field_shards(
-        resolved, index_dir, "title", num_shards=num_shards, num_buckets=num_buckets
+        resolved, index_dir, "title",
+        num_shards=num_shards, num_buckets=num_buckets, len_ds=len_ds,
     )
 
 
