@@ -106,8 +106,13 @@ def build_anchor_field(
     table). Returns the written meta."""
     import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_buckets is None:
-        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        # one group per CPU: the exchange's per-group fixed cost (task +
+        # Arrow join setup) dominates past that at sandbox scale, and a
+        # bucket is ~|anchors|/num_buckets rows — raise with corpus
+        # size so a bucket fits a worker's heap
+        num_buckets = max(16, cpus)
 
     # canonical doc table with the engine's normalized-url join key
     # (normalize_seed — the rule inbound_anchor_query_terms pinned)
@@ -122,10 +127,18 @@ def build_anchor_field(
         os.path.join(index_dir, "docstore"), columns=["doc_id", "url", "is_canonical"]
     ).map_batches(add_norm, batch_format="pyarrow")
 
-    # extraction with map-side combine -> (dst_url, term, n) partials
-    anchors = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
-        AnchorTermsStage, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    # extraction with map-side combine -> (dst_url, term, n) partials.
+    # AnchorTermsStage holds NO state (module-level compiled regexes),
+    # so run it as plain TASKS — an actor pool here would pay ~3-4 s of
+    # spin-up for zero reuse benefit (measured: half the build wall)
+    # override_num_blocks: the pages corpus is often ONE parquet file
+    # with few row groups -> few read tasks -> the fused extraction
+    # runs near-serial; force ~2 blocks/CPU (measured 6.0 -> 3.8 s for
+    # read+extract at sf0.1/32)
+    extract = AnchorTermsStage()
+    anchors = rd.read_parquet(
+        pages_path, columns=["url", "html"], override_num_blocks=cpus * 2
+    ).map_batches(lambda t: extract(t), batch_format="pyarrow")
 
     # ONE bucketed exchange does join + finish: targets resolve to
     # canonical doc_ids (off-corpus / loser targets drop out at the
@@ -133,11 +146,21 @@ def build_anchor_field(
     # the bucket (dst_url <-> doc_id is 1:1, so bucketing by dst_url
     # co-locates a doc's rows), and the length sidecar rides the same
     # exchange as term=NULL rows
-    tagged = tag_union(anchors, docs, "dst_url").map_batches(
-        lambda t: t.append_column("__bucket", _bucket_of(t["dst_url"], num_buckets)),
-        batch_format="pyarrow",
+    tagged = (
+        tag_union(anchors, docs, "dst_url")
+        .map_batches(
+            lambda t: t.append_column("__bucket", _bucket_of(t["dst_url"], num_buckets)),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    both = hash_map_groups(tagged, "__bucket", _join_and_finish).materialize()
+    # task-based packed exchange over the materialized partials (the
+    # body build's bucket-merge plan) — plain Ray tasks over
+    # range-owned buckets, no aggregator-actor spin-up or per-row
+    # routing (measured 13.5 -> ~7 s for the whole exchange at sf0.1)
+    both = packed_task_groups(
+        tagged, "__bucket", _join_and_finish, num_buckets=num_buckets
+    ).materialize()
     resolved = both.map_batches(
         lambda t: t.filter(pc.is_valid(t["term"])), batch_format="pyarrow"
     )
