@@ -86,7 +86,17 @@ def hash64_array(values) -> np.ndarray:
     tbl = pa.table({"v": arr})  # noqa: F841 - referenced by duckdb SQL scope
     global _DUCK
     if _DUCK is None or _DUCK[0] != __import__("os").getpid():
-        _DUCK = (__import__("os").getpid(), duckdb.connect())
+        conn = duckdb.connect()
+        # honest CPU accounting inside Ray workers: DuckDB defaults its
+        # pool to ALL physical cores, so a 1-CPU-booked task would
+        # silently fan the md5 pass across the node (overstating
+        # low-parallelism runs and thrashing high-parallelism ones —
+        # N workers x 32 threads). One thread per booked CPU.
+        try:
+            conn.execute("SET threads TO 1")
+        except Exception:
+            pass
+        _DUCK = (__import__("os").getpid(), conn)
     out = _DUCK[1].execute("select md5_number_upper(v) as h from tbl").fetch_arrow_table()
     h = out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
     return (h.byteswap() & np.uint64(_MASK63)).astype(np.int64)

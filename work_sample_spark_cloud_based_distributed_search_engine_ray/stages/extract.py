@@ -66,6 +66,9 @@ class ExtractDocs:
         content_seen_ref=None,
         store_positions: bool = False,
     ):
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()  # honest per-booked-CPU Arrow pool in workers
         self.verify = verify_extraction
         self.hot_sample_mod = hot_sample_mod
         # index format 3: also emit per-doc token POSITIONS (grouped by

@@ -200,6 +200,9 @@ def packed_task_groups(
 
     @ray.remote(num_returns=P + 1)
     def split_block(block: pa.Table):
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()
         empty = pa.table(
             {key: pa.array([], pa.int64()), "__payload": pa.array([], pa.large_binary())}
         )
@@ -228,6 +231,9 @@ def packed_task_groups(
 
     @ray.remote
     def reduce_part(*pieces: pa.Table) -> pa.Table:
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()
         t = pa.concat_tables(
             [p for p in pieces if p.num_rows], promote_options="default"
         ).combine_chunks()
