@@ -321,3 +321,50 @@ def test_title_field_build_invariance(titled, tmp_path):
         return sorted(t.to_pylist(), key=lambda r: r["term"])
 
     assert rows(out) == rows(out2)
+
+
+def test_search_fields_http_route(titled):
+    """/search?rank=fields serves multi-field BM25F end-to-end; the
+    rows match bm25f_fields_topk + doc-store assembly; default rank
+    unchanged; bad rank rejected."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.anchor_field import (
+        bm25f_fields_topk,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.serve import (
+        SearchHTTPServer,
+    )
+
+    _pages, out, _idx, _af, _tf = titled
+    idx = SearchIndex.load(out)  # fresh instance discovers field dirs
+    fields = idx.field_readers()
+    assert [f.prefix for f, _w in fields] == ["title", "anchor"]
+    srv = SearchHTTPServer(idx, port=0).start()
+    try:
+        q = next(q for _qid, q in reference_queries() if idx.bm25_topk_exhaustive(q, 3))
+        want = bm25f_fields_topk(idx, fields, q, 5)
+        got = _json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/search?query={quote(q)}&k=5&rank=fields",
+                timeout=10,
+            ).read()
+        )
+        assert [r["rank_score"] for r in got] == [s for _d, s in want]
+        # default rank still plain BM25 (different scores, same shape)
+        got_plain = _json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/search?query={quote(q)}&k=5", timeout=10
+            ).read()
+        )
+        assert set(got_plain[0]) == {"url", "rank_score", "title", "body"}
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/search?query=x&rank=bogus", timeout=10
+            )
+    finally:
+        srv.shutdown()

@@ -2115,6 +2115,48 @@ class SearchIndex:
             for d, s in ranked
         ]
 
+    def field_readers(self) -> list[tuple]:
+        """(FieldReader, weight) pairs for the field indexes built next
+        to this index (title w=3.0, anchor w=2.0 — the BM25F convention
+        of the registered queries); empty list when none were built.
+        Lazily constructed and cached for the index's lifetime."""
+        cached = getattr(self, "_field_readers", None)
+        if cached is None:
+            from .anchor_field import FieldReader
+
+            base = os.path.dirname(self._docstore_path)
+            cached = [
+                (FieldReader(base, prefix), w)
+                for prefix, w in (("title", 3.0), ("anchor", 2.0))
+                if os.path.exists(os.path.join(base, f"{prefix}_meta.json"))
+            ]
+            self._field_readers = cached
+        return cached
+
+    def search_fields(self, query: str, k: int = 10) -> list[dict]:
+        """Multi-field BM25F retrieval with doc-store-assembled rows —
+        the ``/search?rank=fields`` serving route. Scores with every
+        field index present (``anchor_field.bm25f_fields_topk``:
+        field-only matches enter); with no field indexes built it IS
+        plain BM25 search. ``rank_score`` is the integer bm25f_e6."""
+        fields = self.field_readers()
+        if not fields:
+            return self.search(query, k)
+        from .anchor_field import bm25f_fields_topk
+
+        ranked = bm25f_fields_topk(self, fields, query, k)
+        rows = self.fetch_docs([d for d, _ in ranked])
+        return [
+            {
+                "doc_id": d,
+                "url": rows[d]["url"],
+                "rank_score": s,
+                "title": rows[d]["title"],
+                "body": rows[d]["body"],
+            }
+            for d, s in ranked
+        ]
+
 
 class _TermMap:
     """Dict-like lazy view over a SearchIndex's vocabulary: membership

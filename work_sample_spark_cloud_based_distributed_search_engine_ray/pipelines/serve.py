@@ -360,7 +360,21 @@ class SearchHTTPServer:
                 if want_ql and not hasattr(backend, "query_language"):
                     self._reply(501, {"error": "backend has no query language"})
                     return
-                key = (query, k, start, want_snippet, want_ql)
+                # &rank=fields: multi-field BM25F over the built title/
+                # anchor field indexes (round-5; 501 for backends
+                # without them); default rank is plain body BM25
+                rank = (q.get("rank") or ["bm25"])[0]
+                if rank not in ("bm25", "fields"):
+                    self._reply(400, {"error": "bad rank"})
+                    return
+                if rank == "fields":
+                    if want_ql:
+                        self._reply(400, {"error": "rank=fields and ql are exclusive"})
+                        return
+                    if not hasattr(backend, "search_fields"):
+                        self._reply(501, {"error": "backend has no field ranking"})
+                        return
+                key = (query, k, start, want_snippet, want_ql, rank)
                 with outer._cache_lock:
                     cached = outer._cache.get(key)
                     if cached is not None:
@@ -381,6 +395,8 @@ class SearchHTTPServer:
                         }
                         for d, s in ranked
                     ]
+                elif rank == "fields":
+                    rows = backend.search_fields(query, start + k)[start:]
                 else:
                     rows = backend.search(query, start + k)[start:]
                 # exact reference JSON shape (Searcher.java:186-195);
