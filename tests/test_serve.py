@@ -529,3 +529,43 @@ def test_reuseport_single_endpoint(served):
                 s_.shutdown()
             except Exception:
                 pass
+
+
+def test_distributed_segmented_equals_inprocess(served, tmp_path_factory):
+    """Shard-actor serving over a SEGMENTED index (the O(delta) update
+    layout): per-(segment, shard) actors + global-stats scatter-gather
+    == the in-process SegmentedIndex union, bit-identical; /search rows
+    assemble from the per-segment doc stores."""
+    import pyarrow.parquet as pq
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.segments import (
+        add_segment,
+        create_segmented,
+    )
+
+    ds, _idx = served
+    base = ds.out_dir
+    root = str(tmp_path_factory.mktemp("seg_serve"))
+    import os
+    root = os.path.join(root, "seg")
+    create_segmented(base, root)
+    # a +20% disjoint delta as a second segment
+    big = pages_parquet(600)
+    delta = str(tmp_path_factory.mktemp("delta") / "delta.parquet")
+    pq.write_table(pq.read_table(big).slice(500), delta)
+    add_segment(root, delta, num_partitions=2)
+
+    seg_idx = SearchIndex.load(root)  # -> SegmentedIndex
+    dist = DistributedSearch(root)
+    try:
+        assert dist.segmented and len(dist.seg_actors) == 2
+        for _qid, q in reference_queries():
+            assert dist.bm25_topk(q, 10) == seg_idx.bm25_topk(q, 10), q
+        assert dist.bm25_topk("zzqx42nohit", 10) == []
+        q = next(q for _qid, q in reference_queries() if seg_idx.bm25_topk(q, 3))
+        want = seg_idx.search(q, 3)
+        got = dist.search(q, 3)
+        assert [r["url"] for r in got] == [r["url"] for r in want]
+        assert [r["rank_score"] for r in got] == [r["rank_score"] for r in want]
+    finally:
+        dist.shutdown()

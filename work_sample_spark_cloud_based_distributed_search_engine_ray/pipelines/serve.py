@@ -93,6 +93,43 @@ class ShardActor:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(all_ids), np.concatenate(all_scores)
 
+    def term_dfs(self, terms: list[str]) -> dict:
+        """df for the OWNED terms among ``terms`` — shard-row metadata
+        only, no posting decode (format 4). The segmented router's
+        first round-trip (global df = sum over segments)."""
+        return {t: self.idx.term_df(t) for t in terms if self.idx.has_term(t)}
+
+    def partial_scores_global(
+        self,
+        terms: list[str],
+        n_global: int,
+        avgdl_global: float,
+        dfs: dict,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc partial BM25 sums with GLOBAL statistics — the
+        segmented serving kernel: float-identical to
+        ``SearchIndex.bm25_topk_global``'s per-term expressions, so the
+        router's per-segment accumulation reproduces ``SegmentedIndex``
+        bit-for-bit."""
+        import math
+
+        k1, b = self.idx.k1, self.idx.b
+        all_ids, all_scores = [], []
+        for t in terms:
+            if not self.idx.has_term(t):
+                continue
+            p = self.idx.postings(t)
+            df = dfs.get(t, p.df)
+            idf = math.log(1.0 + (n_global - df + 0.5) / (df + 0.5))
+            tfs = p.tfs.astype(np.float64)
+            dls = p.dls.astype(np.float64)
+            part = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl_global))
+            all_ids.append(p.ids)
+            all_scores.append(idf * part)
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(all_ids), np.concatenate(all_scores)
+
 
 class DistributedSearch:
     """Scatter-gather router over the shard actor pool.
@@ -107,10 +144,14 @@ class DistributedSearch:
     explicitly to tear down)."""
 
     def __init__(self, out_dir: str, *, shared: bool = False):
-        with open(os.path.join(out_dir, "meta.json")) as f:
-            self.meta = json.load(f)
         self.out_dir = out_dir
         self.shared = shared
+        self.segmented = os.path.exists(os.path.join(out_dir, "segments.json"))
+        if self.segmented:
+            self._init_segmented(out_dir, shared)
+            return
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
         self.num_shards = self.meta["num_shards"]
         if shared:
             import hashlib as _hl
@@ -145,9 +186,104 @@ class DistributedSearch:
             ]
         self._docstore = None
 
+    def _init_segmented(self, out_dir: str, shared: bool) -> None:
+        """Shard-actor tier over a SEGMENTED index (the steady-state
+        O(delta)-update layout, `pipelines/segments.py`): one actor per
+        (segment, shard) — exactly the '(segment x shard) actors, one
+        exact merge' composition the SegmentedIndex docstring names.
+        Per query: one metadata round-trip sums global df across
+        segments, then per-(segment, term) scoring futures with GLOBAL
+        stats; the router accumulates per segment in query-term order
+        and merges exactly — bit-identical to the in-process
+        `SegmentedIndex` (asserted by tests)."""
+        with open(os.path.join(out_dir, "segments.json")) as f:
+            man = json.load(f)
+        self.manifest = man
+        self.meta = {**man, "segmented": True}
+        self.N = int(man["N"])
+        self.avgdl = float(man["avgdl"]) or 1.0
+        self.seg_names = list(man["segments"])
+        self.seg_actors: list[list] = []
+        self.seg_num_shards: list[int] = []
+        tag = None
+        if shared:
+            import hashlib as _hl
+
+            st = os.stat(os.path.join(out_dir, "segments.json"))
+            gen = f"{st.st_mtime_ns}_{st.st_size}"
+            tag = _hl.md5(f"{os.path.abspath(out_dir)}|{gen}".encode()).hexdigest()[:10]
+        for name in self.seg_names:
+            seg_dir = os.path.join(out_dir, name)
+            with open(os.path.join(seg_dir, "meta.json")) as f:
+                ns = json.load(f)["num_shards"]
+            self.seg_num_shards.append(ns)
+            if shared:
+                actors = [
+                    ShardActor.options(
+                        name=f"wse_seg_{tag}_{name}_{s}",
+                        get_if_exists=True,
+                        lifetime="detached",
+                    ).remote(seg_dir, s)
+                    for s in range(ns)
+                ]
+            else:
+                actors = [ShardActor.remote(seg_dir, s) for s in range(ns)]
+            self.seg_actors.append(actors)
+        self.actors = [a for seg in self.seg_actors for a in seg]  # for shutdown
+        self._docstores = None
+
+    def _bm25_topk_segmented(self, query: str, k: int) -> list[tuple[int, float]]:
+        from .query import _topk
+
+        uniq_terms = list(dict.fromkeys(tokenize_query(query)))
+        if not uniq_terms:
+            return []
+        # RT1: global df — group terms by owning shard per segment,
+        # one metadata future per touched (segment, shard)
+        df_futs = []
+        for gi, actors in enumerate(self.seg_actors):
+            by_shard: dict[int, list[str]] = {}
+            for t in uniq_terms:
+                by_shard.setdefault(hash64(t) % self.seg_num_shards[gi], []).append(t)
+            for s, ts in by_shard.items():
+                df_futs.append(actors[s].term_dfs.remote(ts))
+        dfg: dict[str, int] = {}
+        for d in ray.get(df_futs):
+            for t, df in d.items():
+                dfg[t] = dfg.get(t, 0) + df
+        q_terms = [t for t in tokenize_query(query) if dfg.get(t, 0) > 0]
+        if not q_terms:
+            return []
+        # RT2: per (segment, term) partials with GLOBAL stats, futures
+        # issued in query-term order per segment so concatenation keeps
+        # SegmentedIndex's float association
+        cands: list[tuple[int, float]] = []
+        for gi, actors in enumerate(self.seg_actors):
+            futs = [
+                actors[hash64(t) % self.seg_num_shards[gi]].partial_scores_global.remote(
+                    [t], self.N, self.avgdl, dfg
+                )
+                for t in q_terms
+            ]
+            parts = ray.get(futs)
+            ids = [p[0] for p in parts if p[0].size]
+            scores = [p[1] for p in parts if p[0].size]
+            if not ids:
+                continue
+            all_ids = np.concatenate(ids)
+            all_scores = np.concatenate(scores)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, inv, all_scores)
+            cands.extend(_topk(uniq, acc, k))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        return cands[:k]
+
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         from .query import _topk
 
+        if self.segmented:
+            return self._bm25_topk_segmented(query, k)
         q_terms = tokenize_query(query)
         if not q_terms:
             return []
@@ -173,15 +309,34 @@ class DistributedSearch:
         np.add.at(acc, inv, all_scores)
         return _topk(uniq, acc, k)
 
+    def _fetch_docs(self, doc_ids: list[int]) -> dict[int, dict]:
+        from .query import DocStore
+
+        if not self.segmented:
+            if self._docstore is None:
+                self._docstore = DocStore(os.path.join(self.out_dir, "docstore"))
+            return self._docstore.lookup(doc_ids)
+        # segments hold disjoint docs: probe stores in order, each id
+        # resolves in exactly one (same rule as SegmentedIndex)
+        if self._docstores is None:
+            self._docstores = [
+                DocStore(os.path.join(self.out_dir, n, "docstore"))
+                for n in self.seg_names
+            ]
+        out: dict[int, dict] = {}
+        want = list(doc_ids)
+        for ds in self._docstores:
+            if not want:
+                break
+            out.update(ds.lookup(want))
+            want = [d for d in want if d not in out]
+        return out
+
     def search(self, query: str, k: int = 10) -> list[dict]:
         """Top-k with url/title/body assembled from the doc store —
         the reference's JSON result shape (``Searcher.java:186-195``)."""
-        from .query import DocStore
-
         ranked = self.bm25_topk(query, k)
-        if self._docstore is None:
-            self._docstore = DocStore(os.path.join(self.out_dir, "docstore"))
-        rows = self._docstore.lookup([d for d, _ in ranked])
+        rows = self._fetch_docs([d for d, _ in ranked])
         return [
             {
                 "url": rows[d]["url"],
