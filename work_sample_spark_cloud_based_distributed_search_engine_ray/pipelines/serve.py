@@ -186,6 +186,16 @@ class DistributedSearch:
             ]
         self._docstore = None
 
+    @property
+    def N(self) -> int | None:
+        """Corpus N (plain meta or segmented manifest) — also feeds the
+        /stats endpoint's ``n_docs``."""
+        return self.meta.get("N")
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.meta.get("avgdl") or 1.0)
+
     def _init_segmented(self, out_dir: str, shared: bool) -> None:
         """Shard-actor tier over a SEGMENTED index (the steady-state
         O(delta)-update layout, `pipelines/segments.py`): one actor per
@@ -200,8 +210,6 @@ class DistributedSearch:
             man = json.load(f)
         self.manifest = man
         self.meta = {**man, "segmented": True}
-        self.N = int(man["N"])
-        self.avgdl = float(man["avgdl"]) or 1.0
         self.seg_names = list(man["segments"])
         self.seg_actors: list[list] = []
         self.seg_num_shards: list[int] = []
