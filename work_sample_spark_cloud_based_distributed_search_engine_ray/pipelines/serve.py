@@ -105,18 +105,21 @@ class ShardActor:
         n_global: int,
         avgdl_global: float,
         dfs: dict,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Per-doc partial BM25 sums with GLOBAL statistics — the
-        segmented serving kernel: float-identical to
-        ``SearchIndex.bm25_topk_global``'s per-term expressions, so the
-        router's per-segment accumulation reproduces ``SegmentedIndex``
-        bit-for-bit."""
+    ) -> list:
+        """PER-TERM (doc_ids, scores) pairs with GLOBAL statistics —
+        the segmented serving kernel, ONE RPC per (segment, shard) for
+        however many query terms the shard owns. Returning per-term
+        arrays (None for unowned terms) lets the router reassemble the
+        concatenation in QUERY-TERM order across shards — the float
+        association that makes results bit-identical to
+        ``SegmentedIndex`` / ``SearchIndex.bm25_topk_global``."""
         import math
 
         k1, b = self.idx.k1, self.idx.b
-        all_ids, all_scores = [], []
+        out = []
         for t in terms:
             if not self.idx.has_term(t):
+                out.append(None)
                 continue
             p = self.idx.postings(t)
             df = dfs.get(t, p.df)
@@ -124,11 +127,8 @@ class ShardActor:
             tfs = p.tfs.astype(np.float64)
             dls = p.dls.astype(np.float64)
             part = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl_global))
-            all_ids.append(p.ids)
-            all_scores.append(idf * part)
-        if not all_ids:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        return np.concatenate(all_ids), np.concatenate(all_scores)
+            out.append((p.ids, idf * part))
+        return out
 
 
 class DistributedSearch:
@@ -246,36 +246,54 @@ class DistributedSearch:
         uniq_terms = list(dict.fromkeys(tokenize_query(query)))
         if not uniq_terms:
             return []
-        # RT1: global df — group terms by owning shard per segment,
-        # one metadata future per touched (segment, shard)
-        df_futs = []
-        for gi, actors in enumerate(self.seg_actors):
-            by_shard: dict[int, list[str]] = {}
-            for t in uniq_terms:
-                by_shard.setdefault(hash64(t) % self.seg_num_shards[gi], []).append(t)
-            for s, ts in by_shard.items():
-                df_futs.append(actors[s].term_dfs.remote(ts))
-        dfg: dict[str, int] = {}
-        for d in ray.get(df_futs):
-            for t, df in d.items():
-                dfg[t] = dfg.get(t, 0) + df
+        # RT1: global df — router-side cache (df is immutable for a
+        # pool's index generation), misses grouped into one metadata
+        # future per touched (segment, shard)
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = [t for t in uniq_terms if t not in cache]
+        if missing:
+            df_futs = []
+            for gi, actors in enumerate(self.seg_actors):
+                by_shard: dict[int, list[str]] = {}
+                for t in missing:
+                    by_shard.setdefault(hash64(t) % self.seg_num_shards[gi], []).append(t)
+                for s, ts in by_shard.items():
+                    df_futs.append(actors[s].term_dfs.remote(ts))
+            fresh: dict[str, int] = {t: 0 for t in missing}
+            for d in ray.get(df_futs):
+                for t, df in d.items():
+                    fresh[t] += df
+            cache.update(fresh)
+        dfg = {t: cache[t] for t in uniq_terms if cache[t] > 0}
         q_terms = [t for t in tokenize_query(query) if dfg.get(t, 0) > 0]
         if not q_terms:
             return []
-        # RT2: per (segment, term) partials with GLOBAL stats, futures
-        # issued in query-term order per segment so concatenation keeps
-        # SegmentedIndex's float association
+        # RT2: ONE scoring future per touched (segment, shard) carrying
+        # that shard's term sublist; shards return PER-TERM arrays, so
+        # the router reassembles each segment's concatenation in
+        # query-term order — SegmentedIndex's float association exactly
         cands: list[tuple[int, float]] = []
+        seg_futs = []
         for gi, actors in enumerate(self.seg_actors):
-            futs = [
-                actors[hash64(t) % self.seg_num_shards[gi]].partial_scores_global.remote(
-                    [t], self.N, self.avgdl, dfg
-                )
-                for t in q_terms
-            ]
-            parts = ray.get(futs)
-            ids = [p[0] for p in parts if p[0].size]
-            scores = [p[1] for p in parts if p[0].size]
+            by_shard: dict[int, list[str]] = {}
+            for t in q_terms:
+                by_shard.setdefault(hash64(t) % self.seg_num_shards[gi], []).append(t)
+            futs = {
+                s: actors[s].partial_scores_global.remote(ts, self.N, self.avgdl, dfg)
+                for s, ts in by_shard.items()
+            }
+            seg_futs.append((by_shard, futs))
+        for by_shard, futs in seg_futs:
+            got = {s: r for s, r in zip(futs, ray.get(list(futs.values())))}
+            per_term: dict[str, tuple] = {}
+            for s, ts in by_shard.items():
+                for t, pair in zip(ts, got[s]):
+                    if pair is not None:
+                        per_term[t] = pair
+            ids = [per_term[t][0] for t in q_terms if t in per_term]
+            scores = [per_term[t][1] for t in q_terms if t in per_term]
             if not ids:
                 continue
             all_ids = np.concatenate(ids)
