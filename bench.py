@@ -201,6 +201,53 @@ def run_scaling() -> None:
     print(json.dumps(payload))
 
 
+def _wand_spiky_microbench() -> dict:
+    """Cold Block-Max-WAND over a skewed synthetic posting list (the
+    workload block-max pruning exists for): decoded-block fraction +
+    latency of the format-4 lazy path vs a full eager decode of the
+    same shard table. Deterministic, in-process (no Ray)."""
+    import numpy as np
+
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.functions.codec import (
+        encode_postings_multi,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.build_index import (
+        _encoded_table,
+    )
+    from work_sample_spark_cloud_based_distributed_search_engine_ray.pipelines.query import (
+        SearchIndex,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(12345)
+    n_docs, df = 4_000_000, 400_000
+    ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+    tfs = np.where(rng.random(df) < 0.002, 200, 1).astype(np.int64)
+    dls = np.full(df, 500, dtype=np.int64)
+    enc = encode_postings_multi(np.zeros(df, np.int64), ids, tfs, dls)
+    tbl = _encoded_table(pa.array(["spiky"]), enc).combine_chunks()
+    meta = {"N": n_docs, "avgdl": 500.0, "k1": 1.2, "b": 0.75}
+
+    cold = SearchIndex(meta, tbl, docstore_path="/nonexistent")
+    t0 = time.time()
+    cold.bm25_topk("spiky", 10, method="wand")
+    lazy_ms = (time.time() - t0) * 1000
+    decoded, total = cold.last_wand_blocks
+
+    eager = SearchIndex(meta, tbl, docstore_path="/nonexistent")
+    t0 = time.time()
+    eager.postings("spiky")  # the pre-format-4 cold cost: full decode
+    eager_ms = (time.time() - t0) * 1000
+    return {
+        "df": df,
+        "decoded_blocks": int(decoded),
+        "total_blocks": int(total),
+        "decoded_frac": round(decoded / max(1, total), 4),
+        "lazy_cold_query_ms": round(lazy_ms, 2),
+        "eager_full_decode_ms": round(eager_ms, 2),
+    }
+
+
 def run_bench() -> None:
     _init_ray(NUM_CPUS)
     import numpy as np
@@ -272,6 +319,11 @@ def run_bench() -> None:
         )
         extras["wand_lazy_terms"] = len(lazy)
         extras["wand_decoded_block_frac"] = round(dec_blocks / max(1, tot_blocks), 3)
+    # ...and the shape pruning IS built for: a spiky 400k-doc list
+    # (mostly tf=1, rare tf=200, constant dl) where theta separates
+    # block bounds — decoded fraction and cold-query latency on the
+    # admitted-blocks path (pure in-process microbench, no Ray)
+    extras["wand_spiky_microbench"] = _wand_spiky_microbench()
 
     # 3. minhash-LSH dedup over the driver documents table
     docs_path = os.path.join(SF_DIR, "documents.parquet")
